@@ -1,0 +1,348 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.OpQuery
+import graft.sources.Tables
+
+/** Tier-B relational battery (SURVEY.md §2 B1–B15).
+  *
+  * Everything here is declarative DataFrame code so Catalyst gets full
+  * freedom: predicate pushdown + column pruning into the parquet scans,
+  * join selection (broadcast hints on the dimension tables), partial
+  * (map-side) aggregation before each shuffle, AQE at runtime. At
+  * 100 TB the rules are: dimensions (`region`/`nation`/`part`/
+  * `supplier`) broadcast, fact–fact joins shuffle on their keys once,
+  * and windows partition by a high-cardinality key so no single
+  * partition explodes.
+  */
+object Relational {
+
+  /** lineitem revenue expression, reused across queries. */
+  private def revenue: Column = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+
+  // ---- B1: parquet scan (projection pruned at the source) -----------------
+  def scanParquet(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+      // (l_orderkey, l_linenumber) is NOT unique in the synthetic data —
+      // order by every output column so the sort is total.
+      .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+      .limit(1000)
+
+  // ---- B2: filter + project (both pushed into the scan) -------------------
+  def filterProject(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1998-06-01").cast("timestamp") &&
+        col("l_discount") >= 0.05 && col("l_quantity") < 25)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        round(revenue, 4).as("revenue"))
+      .orderBy("l_orderkey", "l_linenumber", "revenue")
+
+  // ---- B3: broadcast join through the dimension chain ---------------------
+  def joinBroadcast(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(count(lit(1)).as("n_cust"), round(sum("c_acctbal"), 2).as("sum_bal"))
+      .orderBy("r_name", "n_name")
+
+  // ---- B4: fact-fact shuffle join (sort-merge / shuffled-hash by AQE) ------
+  def joinShuffle(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(round(sum(revenue), 4).as("sum_rev"), count(lit(1)).as("n_items"))
+      .orderBy("o_orderpriority")
+
+  // ---- B5: semi / anti joins ----------------------------------------------
+  def joinSemi(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir).filter(col("o_totalprice") > 150000),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+
+  def joinAnti(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name", "c_mktsegment")
+      .orderBy("c_custkey")
+
+  // ---- B6: range join (equi key + date-band predicate) ---------------------
+  // The equi key keeps this a shuffle join at scale; the band is a
+  // post-join filter, NOT a BNL cross product.
+  def joinRange(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir),
+        col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") >= col("o_orderdate") &&
+          col("l_shipdate") <= col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_in_window"),
+        round(avg(col("l_quantity")), 6).as("avg_qty"))
+      .orderBy("o_orderstatus")
+
+  // ---- B7: hash aggregate (TPC-H Q1 shape; partial agg before shuffle) -----
+  def aggHash(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_base_price"),
+        round(sum(revenue), 4).as("sum_disc_price"),
+        round(sum(revenue * (lit(1.0) + col("l_tax"))), 4).as("sum_charge"),
+        round(avg("l_quantity"), 6).as("avg_qty"),
+        round(avg("l_discount"), 6).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  // ---- B8: distinct aggregate ----------------------------------------------
+  def aggDistinct(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy("o_orderpriority")
+      .agg(countDistinct("o_custkey").as("n_cust"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("o_orderpriority")
+
+  // ---- B9: rollup / cube ----------------------------------------------------
+  // Subtotal rows surface as NULL grouping keys; coalesce to a sentinel so
+  // ordering and hashing are engine-independent (Spark sorts NULLS FIRST,
+  // DuckDB NULLS LAST).
+  def aggRollup(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .rollup("o_orderstatus", "o_orderpriority")
+      .agg(round(sum("o_totalprice"), 2).as("sum_price"), count(lit(1)).as("n"))
+      .select(coalesce(col("o_orderstatus"), lit("(all)")).as("status"),
+        coalesce(col("o_orderpriority"), lit("(all)")).as("priority"),
+        col("sum_price"), col("n"))
+      .orderBy("status", "priority")
+
+  def aggCube(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(round(sum("o_totalprice"), 2).as("sum_price"), count(lit(1)).as("n"))
+      .select(coalesce(col("o_orderstatus"), lit("(all)")).as("status"),
+        coalesce(col("o_orderpriority"), lit("(all)")).as("priority"),
+        col("sum_price"), col("n"))
+      .orderBy("status", "priority")
+
+  // ---- B10: approximate distinct (HLL++; no exact oracle) -------------------
+  def aggApproxDistinct(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(approx_count_distinct("l_partkey").as("approx_parts"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
+  // ---- B11: window rank (top-N per group) -----------------------------------
+  def windowRank(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("p_brand")
+      .orderBy(col("p_retailprice").desc, col("p_partkey").asc)
+    Tables.part(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select("p_brand", "p_partkey", "p_retailprice", "rn")
+      .orderBy("p_brand", "rn")
+  }
+
+  // ---- B12: analytic window (lag + running sum, explicit frame) -------------
+  def windowAnalytic(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    Tables.orders(s, dir)
+      .withColumn("prev_price", round(lag("o_totalprice", 1).over(w), 2))
+      .withColumn("running_spend",
+        round(sum("o_totalprice").over(w.rowsBetween(Window.unboundedPreceding, 0)), 2))
+      .select("o_custkey", "o_orderkey", "prev_price", "running_spend")
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  // ---- B13: global top-k (TakeOrderedAndProject — no full sort at scale) ----
+  def sortLimitTopk(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey").asc,
+        col("l_linenumber").asc)
+      .select("l_orderkey", "l_linenumber", "l_extendedprice")
+      .limit(50)
+
+  // ---- B14: set operators -----------------------------------------------------
+  private def buildingCust(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey")
+  private def richCust(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir).filter(col("c_acctbal") > 5000)
+      .select("c_custkey")
+
+  def setUnion(s: SparkSession, dir: String): DataFrame =
+    buildingCust(s, dir).union(richCust(s, dir)).distinct().orderBy("c_custkey")
+
+  def setIntersect(s: SparkSession, dir: String): DataFrame =
+    buildingCust(s, dir).intersect(richCust(s, dir)).orderBy("c_custkey")
+
+  def setExcept(s: SparkSession, dir: String): DataFrame =
+    buildingCust(s, dir).except(richCust(s, dir)).orderBy("c_custkey")
+
+  // ---- B15: scalar function battery (string/date/math, all codegen'd) -------
+  def scalarFuncs(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .select(
+        col("o_orderkey"),
+        upper(col("o_orderpriority")).as("prio_upper"),
+        substring(col("o_orderstatus"), 1, 1).as("status_c"),
+        length(col("o_orderpriority")).as("prio_len"),
+        concat_ws("|", col("o_orderstatus"), col("o_orderpriority")).as("tag"),
+        year(col("o_orderdate")).as("o_year"),
+        month(col("o_orderdate")).as("o_month"),
+        dayofmonth(col("o_orderdate")).as("o_day"),
+        round(abs(col("o_totalprice") - 100000.0), 2).as("dist_100k"),
+        floor(col("o_totalprice") / 1000.0).cast("long").as("price_kilo"),
+        round(sqrt(col("o_totalprice")), 6).as("price_sqrt"),
+        when(col("o_totalprice") > 200000, "big")
+          .when(col("o_totalprice") > 100000, "mid")
+          .otherwise("small").as("bucket"))
+      .orderBy("o_orderkey")
+
+  // -------------------------------------------------------------------------
+  val queries: Seq[OpQuery] = Seq(
+    OpQuery("op_scan_parquet",
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, l_quantity, l_returnflag
+        |LIMIT 1000""".stripMargin)(scanParquet),
+
+    OpQuery("op_filter_project",
+      """SELECT l_orderkey, l_linenumber,
+        |       round(l_extendedprice * (1.0 - l_discount), 4) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1998-06-01' AND l_discount >= 0.05 AND l_quantity < 25
+        |ORDER BY l_orderkey, l_linenumber, revenue""".stripMargin)(filterProject),
+
+    OpQuery("op_join_broadcast",
+      """SELECT r_name, n_name, count(*) AS n_cust, round(sum(c_acctbal), 2) AS sum_bal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin)(joinBroadcast),
+
+    OpQuery("op_join_shuffle",
+      """SELECT o_orderpriority,
+        |       round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS sum_rev,
+        |       count(*) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)(joinShuffle),
+
+    OpQuery("op_join_semi",
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_totalprice > 150000)
+        |ORDER BY c_custkey""".stripMargin)(joinSemi),
+
+    OpQuery("op_join_anti",
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin)(joinAnti),
+
+    OpQuery("op_join_range",
+      """SELECT o_orderstatus, count(*) AS n_in_window,
+        |       round(avg(l_quantity), 6) AS avg_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  AND l_shipdate >= o_orderdate
+        |  AND l_shipdate <= o_orderdate + INTERVAL 60 DAY
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)(joinRange),
+
+    OpQuery("op_agg_hash",
+      """SELECT l_returnflag, l_linestatus,
+        |       round(sum(l_quantity), 2) AS sum_qty,
+        |       round(sum(l_extendedprice), 2) AS sum_base_price,
+        |       round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS sum_disc_price,
+        |       round(sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)), 4) AS sum_charge,
+        |       round(avg(l_quantity), 6) AS avg_qty,
+        |       round(avg(l_discount), 6) AS avg_disc,
+        |       count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin)(aggHash),
+
+    OpQuery("op_agg_distinct",
+      """SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_cust, count(*) AS n_orders
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)(aggDistinct),
+
+    OpQuery("op_agg_rollup",
+      """SELECT coalesce(o_orderstatus, '(all)') AS status,
+        |       coalesce(o_orderpriority, '(all)') AS priority,
+        |       round(sum(o_totalprice), 2) AS sum_price, count(*) AS n
+        |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin)(aggRollup),
+
+    OpQuery("op_agg_cube",
+      """SELECT coalesce(o_orderstatus, '(all)') AS status,
+        |       coalesce(o_orderpriority, '(all)') AS priority,
+        |       round(sum(o_totalprice), 2) AS sum_price, count(*) AS n
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin)(aggCube),
+
+    OpQuery.noOracle("op_agg_approx_distinct")(aggApproxDistinct),
+
+    OpQuery("op_window_rank",
+      """SELECT p_brand, p_partkey, p_retailprice, rn FROM (
+        |  SELECT p_brand, p_partkey, p_retailprice,
+        |         CAST(row_number() OVER (PARTITION BY p_brand
+        |              ORDER BY p_retailprice DESC, p_partkey ASC) AS INTEGER) AS rn
+        |  FROM part) WHERE rn <= 3 ORDER BY p_brand, rn""".stripMargin)(windowRank),
+
+    OpQuery("op_window_analytic",
+      """SELECT o_custkey, o_orderkey,
+        |       round(lag(o_totalprice, 1) OVER w, 2) AS prev_price,
+        |       round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+        |             ORDER BY o_orderdate ASC, o_orderkey ASC
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin)(windowAnalytic),
+
+    OpQuery("op_sort_limit_topk",
+      """SELECT l_orderkey, l_linenumber, l_extendedprice
+        |FROM lineitem
+        |ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC
+        |LIMIT 50""".stripMargin)(sortLimitTopk),
+
+    OpQuery("op_set_union",
+      """SELECT DISTINCT c_custkey FROM (
+        |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |  UNION ALL
+        |  SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+        |ORDER BY c_custkey""".stripMargin)(setUnion),
+
+    OpQuery("op_set_intersect",
+      """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |INTERSECT
+        |SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+        |ORDER BY c_custkey""".stripMargin)(setIntersect),
+
+    OpQuery("op_set_except",
+      """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |EXCEPT
+        |SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+        |ORDER BY c_custkey""".stripMargin)(setExcept),
+
+    OpQuery("op_scalar_funcs",
+      """SELECT o_orderkey,
+        |       upper(o_orderpriority) AS prio_upper,
+        |       substring(o_orderstatus, 1, 1) AS status_c,
+        |       CAST(length(o_orderpriority) AS INTEGER) AS prio_len,
+        |       concat_ws('|', o_orderstatus, o_orderpriority) AS tag,
+        |       CAST(year(o_orderdate) AS INTEGER) AS o_year,
+        |       CAST(month(o_orderdate) AS INTEGER) AS o_month,
+        |       CAST(dayofmonth(o_orderdate) AS INTEGER) AS o_day,
+        |       round(abs(o_totalprice - 100000.0), 2) AS dist_100k,
+        |       CAST(floor(o_totalprice / 1000.0) AS BIGINT) AS price_kilo,
+        |       round(sqrt(o_totalprice), 6) AS price_sqrt,
+        |       CASE WHEN o_totalprice > 200000 THEN 'big'
+        |            WHEN o_totalprice > 100000 THEN 'mid'
+        |            ELSE 'small' END AS bucket
+        |FROM orders ORDER BY o_orderkey""".stripMargin)(scalarFuncs))
+}
