@@ -2,7 +2,6 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types._
 
 /** The reference's scalar text semantics, re-expressed as pure Catalyst
   * `Column` expressions (whole-stage-codegen friendly; no UDFs).
@@ -11,8 +10,10 @@ import org.apache.spark.sql.types._
   *  - type coercion      `/root/reference/script.py:482-507`
   *  - key cleaning       `/root/reference/script.py:509-515`
   *  - OCR fixes          `/root/reference/script.py:469-480`
-  *  - JSON repair        `/root/reference/etl_parser.py:972-989`,
-  *                       `/root/reference/script.py:236-267`
+  *  - JSON repair        `/root/reference/script.py:236-250` (impl B
+  *                       `fix_json`; chosen over impl A's
+  *                       `etl_parser.py:972-989` because it is
+  *                       lookaround-free and covers single-quoted keys)
   *  - entity extraction  `/root/reference/script.py:425-463`
   *  - format dispatch    `/root/reference/script.py:174-205`
   *
@@ -26,23 +27,26 @@ object TextSemantics {
   private val FalseWords = Seq("false", "no", "off")
   private val NullWords  = Seq("null", "none", "n/a", "na")
 
-  /** Declared coercion semantics (SURVEY.md §1.2): word-list booleans and
-    * nulls; numeric detection on the `,`→`.` normalized value — a `.`
-    * means float, otherwise integer; anything else stays a string.
+  /** Coercion semantics (`script.py:482-507`): strip whitespace then
+    * surrounding quotes; word-list booleans and nulls; if the stripped
+    * value contains `.` try float on the `,`→`.` normalized value;
+    * otherwise try int on the value as-is (`"1,5"` therefore stays a
+    * string — the float path is only reached when a `.` is present in
+    * the ORIGINAL value); anything else stays a string.
     * Returns struct(kind, as_bool, as_num): a closed sum type the
     * engine can keep columnar.
     */
   def coerceType(v: Column): Column = {
-    val t = trim(v)
+    // Python strip('"\'') removes any run of quote chars at both ends
+    val t = regexp_replace(regexp_replace(trim(v), "^[\"']+", ""), "[\"']+$", "")
     val low = lower(t)
-    val norm = regexp_replace(t, ",", ".")
-    val asDouble = norm.try_cast("double")
+    val asDouble = regexp_replace(t, ",", ".").try_cast("double")
     val asLong = t.try_cast("long")
     val kind =
       when(low.isin(TrueWords ++ FalseWords: _*), "boolean")
         .when(low.isin(NullWords: _*), "null")
-        .when(norm.contains(".") && asDouble.isNotNull, "double")
-        .when(asLong.isNotNull, "long")
+        .when(t.contains(".") && asDouble.isNotNull, "double")
+        .when(!t.contains(".") && asLong.isNotNull, "long")
         .otherwise("string")
     struct(
       kind.as("kind"),
@@ -51,32 +55,39 @@ object TextSemantics {
         .when(kind === "long", asLong.cast("double")).as("as_num"))
   }
 
-  /** Key normalization: drop non-word chars (keep spaces/hyphens),
-    * collapse whitespace to `_`, lowercase. */
+  /** Key normalization (`script.py:509-515`): drop non-word chars (keep
+    * spaces/hyphens), trim, collapse whitespace to `_`, lowercase —
+    * trim comes before the `\s+` collapse so ` First Name ` becomes
+    * `first_name`, not `_first_name_`. */
   def cleanKey(k: Column): Column =
-    lower(regexp_replace(regexp_replace(k, "[^\\w\\s-]", ""), "\\s+", "_"))
+    lower(regexp_replace(trim(regexp_replace(k, "[^\\w\\s-]", "")), "\\s+", "_"))
 
-  /** OCR error fixes: `l0cation`→`location` (ci), capital `O` before a
-    * digit → `0`, spelled `one hundred and twenty` → `120` (ci). */
+  /** OCR error fixes (`script.py:469-480`): `l0cation`→`location` (ci),
+    * capital `O` directly before a digit → `0`, spelled
+    * `one hundred and twenty` → `120` (ci). The reference's second rule
+    * is written `\bO\b(?=\d)` which can never match (a digit is a word
+    * character, so no boundary follows the `O`); we implement the
+    * clearly intended semantics instead. */
   def fixOcr(s: Column): Column = {
     val a = regexp_replace(s, "(?i)l0cation", "location")
     val b = regexp_replace(a, "O(\\d)", "0$1")
     regexp_replace(b, "(?i)one hundred and twenty", "120")
   }
 
-  /** Conservative JSON repair chain: single→double quoted values,
-    * quote unquoted keys, insert missing commas between adjacent string
-    * fields, strip trailing commas. Idempotent on strict JSON that
-    * avoids the repaired patterns. */
+  /** JSON repair chain, exactly impl B's `fix_json` order
+    * (`script.py:236-250`): strip trailing commas, insert missing
+    * commas between adjacent string properties, convert any
+    * single-quoted span to double quotes (keys AND values), then quote
+    * bare keys. */
   def repairJson(s: Column): Column = {
-    val quotedValues = regexp_replace(s, ":\\s*'([^']*)'", ": \"$1\"")
-    val quotedKeys = regexp_replace(quotedValues,
-      "([{,]\\s*)([A-Za-z_][A-Za-z0-9_]*)\\s*:", "$1\"$2\":")
-    val commas = regexp_replace(quotedKeys, "\"\\s*\\n\\s*\"", "\",\n\"")
-    regexp_replace(commas, ",\\s*([}\\]])", "$1")
+    val noTrailing = regexp_replace(s, ",(\\s*[}\\]])", "$1")
+    val commas = regexp_replace(noTrailing, "\"\\s*\\n\\s*\"", "\",\n\"")
+    val doubleQuoted = regexp_replace(commas, "'([^']*)'", "\"$1\"")
+    regexp_replace(doubleQuoted, "(\\w+):", "\"$1\":")
   }
 
-  /** Entity extraction from prose: first email / phone / URL / price. */
+  /** Entity extraction from prose (`script.py:425-463`): first email /
+    * phone / URL / price occurrence. */
   val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val PhoneRe = "\\(?\\d{3}\\)?[-. ]?\\d{3}[-. ]?\\d{4}"
   val UrlRe   = "https?://[^ \\n]+"
@@ -87,20 +98,31 @@ object TextSemantics {
   def entityUrl(s: Column): Column   = regexp_extract(s, UrlRe, 0)
   def entityPrice(s: Column): Column = regexp_extract(s, PriceRe, 0)
 
-  /** First-match-wins format dispatch over a section body. */
+  /** First-match-wins format dispatch over a section body, mirroring
+    * `parse_single_format` (`script.py:174-205`) with its helper
+    * predicates `looks_like_csv` (`script.py:308-323`: ≥2 non-blank
+    * lines, delimiter count of line 1 > 0 and consistent over the
+    * first 3 lines for `,` or tab) and `looks_like_key_value`
+    * (`script.py:350-363`: >50% of non-blank lines are `key: value` /
+    * `key=value`). */
   def dispatchFormat(s: Column): Column = {
     val t = trim(s)
-    val lines = split(t, "\n")
-    val colonLines = size(filter(lines, l => l.contains(":")))
-    when(t.contains("application/ld+json"), "json_ld")
-      .when(t.startsWith("{") && t.contains("\""), "json")
+    val lines = filter(transform(split(t, "\n"), l => trim(l)), l => l =!= "")
+    def cnt(l: Column, d: String): Column =
+      (length(l) - length(regexp_replace(l, java.util.regex.Pattern.quote(d), ""))).cast("int")
+    val first = try_element_at(lines, lit(1))
+    val sepCount = when(cnt(first, ",") > 0, cnt(first, ",")).otherwise(cnt(first, "\t"))
+    val first3 = slice(lines, lit(1), least(lit(3), size(lines)))
+    val looksCsv = size(lines) >= 2 && sepCount > 0 &&
+      forall(first3, l => cnt(l, ",") === sepCount || cnt(l, "\t") === sepCount)
+    val kvLines = size(filter(lines, l => l.rlike("^\\w+\\s*[:=]\\s*.+")))
+    val looksKv = kvLines * 2 > size(lines)
+    when(t.contains("<script") && t.contains("application/ld+json"), "json_ld")
+      .when(t.contains("{") && t.contains("\""), "json")
       .when(lower(t).contains("<table"), "html_table")
-      .when(size(lines) >= lit(2) &&
-        size(split(element_at(lines, 1), ",")) > 1 &&
-        size(split(element_at(lines, 1), ",")) === size(split(element_at(lines, 2), ",")),
-        "csv")
-      .when(colonLines * 2 > size(lines), "key_value")
-      .when(t.startsWith("var ") || t.startsWith("let ") || t.startsWith("const "), "javascript")
+      .when(looksCsv, "csv")
+      .when(looksKv, "key_value")
+      .when(t.contains("var ") && t.contains("{"), "javascript")
       .otherwise("text")
   }
 }

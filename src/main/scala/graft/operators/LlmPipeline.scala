@@ -1,0 +1,250 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.OpQuery
+import graft.sources.Tables
+
+/** Tier-B LLM-data-pipeline operators (SURVEY.md §2 B16–B21): the
+  * operations a large-scale training-data pipeline needs — exact and
+  * near deduplication, similarity search, text statistics — designed
+  * for 100 TB first and verified against DuckDB at test scale.
+  *
+  * Scale design notes per operator live on the methods; the common
+  * rules: no all-pairs joins (MinHash bands make candidate generation
+  * output-linear), per-row signatures computed map-side with array
+  * higher-order functions (no explode-shuffle), and every hash is an
+  * engine-portable digest (`md5` hex) so results are deterministic and
+  * cross-checkable — no JVM-private seeds.
+  */
+object LlmPipeline {
+
+  private def docs(sp: SparkSession, dir: String): DataFrame = Tables.documents(sp, dir)
+
+  // ---- B16: exact dedup ----------------------------------------------------
+
+  /** Exact dedup by digest of whitespace/case-normalized text. The
+    * corpus is unioned with an uppercased copy of the even docs, so the
+    * dedup provably collapses real duplicates (n_dups=2) while keeping
+    * singletons. At 100 TB: one hash-partitioned aggregation on a
+    * 32-char digest — no window, no skew (digests are uniform), partial
+    * aggs map-side. */
+  def dedupExact(sp: SparkSession, dir: String): DataFrame = {
+    val base = docs(sp, dir).select(col("doc_id"), col("text"))
+    val dups = base.filter(col("doc_id") % 2 === 0)
+      .select((col("doc_id") + 10000).as("doc_id"), upper(col("text")).as("text"))
+    val all = base.union(dups)
+    val normed = all.withColumn("key",
+      md5(lower(trim(regexp_replace(col("text"), "\\s+", " ")))))
+    normed.groupBy("key")
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_dups"))
+      .select("keep_id", "n_dups")
+      .orderBy("keep_id")
+  }
+
+  // ---- B17: MinHash near-dup candidates ------------------------------------
+
+  private val NumHashes = 8
+  private val BandSize = 2 // 4 bands x 2 rows
+
+  /** Per-document MinHash signature over word 3-gram shingles, banded
+    * into 4 bands; documents sharing any band bucket are near-dup
+    * candidates. A fifth of the docs get a planted near-duplicate (one
+    * appended token) which the bands catch with probability
+    * 1-(1-j²)⁴ ≈ 0.999 at j≈0.9.
+    *
+    * 100 TB story: signatures are computed per row with array
+    * higher-order functions (`aggregate` over the shingle array — a
+    * map-only stage, no explode shuffle); the only shuffle is the
+    * band-bucket join whose build side is (band_id, digest) pairs — 4
+    * rows per doc — and candidate output is proportional to true
+    * collisions, never all-pairs. The hash is `md5(seed:shingle)` hex
+    * compared lexicographically: deterministic, seed-stable, and
+    * reproducible in any engine. */
+  def dedupMinhash(sp: SparkSession, dir: String): DataFrame = {
+    val base = docs(sp, dir).select(col("doc_id"), col("text"))
+    val variants = base.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 10000).as("doc_id"),
+        concat(col("text"), lit(" extraneous")).as("text"))
+    val all = base.union(variants)
+
+    val ws = split(col("text"), " ")
+    val shingles = transform(
+      sequence(lit(1), greatest(size(ws) - 2, lit(1))),
+      i => concat_ws(" ", element_at(ws, i), try_element_at(ws, i + 1), try_element_at(ws, i + 2)))
+    val sig = array((0 until NumHashes).map { seed =>
+      aggregate(shingles, lit("zz"),
+        (acc, sh) => least(acc, md5(concat(lit(s"$seed:"), sh))))
+    }: _*)
+    val banded = all
+      .withColumn("sig", sig)
+      .select(col("doc_id"), posexplode(array((0 until NumHashes / BandSize).map { b =>
+        md5(concat_ws("|", element_at(col("sig"), b * BandSize + 1),
+          element_at(col("sig"), b * BandSize + 2)))
+      }: _*)).as(Seq("band_id", "band_key")))
+
+    banded.as("a").join(banded.as("b"),
+        col("a.band_id") === col("b.band_id") &&
+          col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+      .orderBy("doc_a", "doc_b")
+  }
+
+  // ---- B18: cosine top-k similarity ----------------------------------------
+
+  /** Brute-force exact cosine top-5 for a small query set against the
+    * full corpus: the baseline ANN oracle. The query side is broadcast
+    * (10 rows), the dot product runs as a fused array fold inside
+    * codegen — no explode, no shuffle except the final per-query top-k
+    * (TakeOrdered-sized).
+    *
+    * 100 TB path (documented, not needed at this SF): LSH/IVF bucket
+    * the corpus by a coarse quantizer (e.g. sign of a few random
+    * projections — derivable with the same md5-seeded determinism),
+    * then run this exact kernel within buckets; recall/latency trades
+    * by bucket count. */
+  def similarityTopk(sp: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(sp, dir)
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    def dot(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+    def norm(a: Column): Column =
+      sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double")))
+    val scored = emb.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("score",
+        round(dot(col("q_emb"), col("embedding")) / (norm(col("q_emb")) * norm(col("embedding"))), 4))
+    val w = Window.partitionBy("q_id").orderBy(col("score").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("q_id"), col("rank"), col("vec_id"), col("score"))
+      .orderBy("q_id", "rank")
+  }
+
+  // ---- B19: tokenize + term frequency --------------------------------------
+
+  /** Whitespace tokenization + global term frequency, top 50 terms.
+    * At scale: explode + partial-agg (map-side combine collapses the
+    * tiny vocabulary before the shuffle), final top-k via
+    * TakeOrderedAndProject — no global sort. */
+  def textTokenizeTf(sp: SparkSession, dir: String): DataFrame =
+    docs(sp, dir)
+      .select(explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("term").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("term").asc)
+      .limit(50)
+
+  // ---- B20: per-language corpus stats --------------------------------------
+
+  def textLangStats(sp: SparkSession, dir: String): DataFrame =
+    docs(sp, dir)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_chars").as("sum_chars"),
+        round(avg("n_chars"), 6).as("avg_chars"),
+        countDistinct("source").as("n_sources"),
+        min("n_chars").as("min_chars"),
+        max("n_chars").as("max_chars"))
+      .orderBy("lang")
+
+  // ---- B21: JSON props extraction ------------------------------------------
+
+  def jsonPropsExtract(sp: SparkSession, dir: String): DataFrame =
+    Tables.events(sp, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum("k").as("sum_k"),
+        round(avg("k"), 6).as("avg_k"),
+        min("k").as("min_k"),
+        max("k").as("max_k"))
+      .orderBy("event_type")
+
+  // ---- oracle SQL ----------------------------------------------------------
+
+  val queries: Seq[OpQuery] = Seq(
+    OpQuery("op_dedup_exact",
+      """WITH unioned AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000, upper(text) FROM documents WHERE doc_id % 2 = 0)
+        |SELECT min(doc_id) AS keep_id, count(*) AS n_dups
+        |FROM (SELECT doc_id, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS key
+        |      FROM unioned)
+        |GROUP BY key ORDER BY keep_id""".stripMargin)(dedupExact),
+
+    OpQuery("op_dedup_minhash",
+      """WITH unioned AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000, concat(text, ' extraneous') FROM documents WHERE doc_id % 5 = 0),
+        |shingled AS (
+        |  SELECT doc_id,
+        |    list_transform(range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
+        |      i -> concat_ws(' ', string_split(text, ' ')[i],
+        |                          string_split(text, ' ')[i+1],
+        |                          string_split(text, ' ')[i+2])) AS sh
+        |  FROM unioned),
+        |sigs AS (
+        |  SELECT doc_id,
+        |    [list_min(list_transform(sh, x -> md5(concat('0:', x)))),
+        |     list_min(list_transform(sh, x -> md5(concat('1:', x)))),
+        |     list_min(list_transform(sh, x -> md5(concat('2:', x)))),
+        |     list_min(list_transform(sh, x -> md5(concat('3:', x)))),
+        |     list_min(list_transform(sh, x -> md5(concat('4:', x)))),
+        |     list_min(list_transform(sh, x -> md5(concat('5:', x)))),
+        |     list_min(list_transform(sh, x -> md5(concat('6:', x)))),
+        |     list_min(list_transform(sh, x -> md5(concat('7:', x))))] AS sig
+        |  FROM shingled),
+        |bands AS (
+        |  SELECT doc_id, b.band_id,
+        |    md5(concat_ws('|', sig[b.band_id * 2 + 1], sig[b.band_id * 2 + 2])) AS band_key
+        |  FROM sigs, (SELECT 0 AS band_id UNION ALL SELECT 1 UNION ALL SELECT 2 UNION ALL SELECT 3) b)
+        |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |FROM bands a JOIN bands b
+        |  ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+        |ORDER BY doc_a, doc_b""".stripMargin)(dedupMinhash),
+
+    OpQuery("op_similarity_topk",
+      """WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 10),
+        |scored AS (
+        |  SELECT q.q_id, e.vec_id,
+        |    round(list_dot_product(q.q_emb, e.embedding) /
+        |      (sqrt(list_dot_product(q.q_emb, q.q_emb)) * sqrt(list_dot_product(e.embedding, e.embedding))), 4) AS score
+        |  FROM embeddings e, q WHERE e.vec_id <> q.q_id),
+        |ranked AS (
+        |  SELECT q_id, vec_id, score,
+        |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id ASC) AS INTEGER) AS rank
+        |  FROM scored)
+        |SELECT q_id, rank, vec_id, score FROM ranked WHERE rank <= 5
+        |ORDER BY q_id, rank""".stripMargin)(similarityTopk),
+
+    OpQuery("op_text_tokenize_tf",
+      """SELECT term, count(*) AS n
+        |FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+        |WHERE term <> ''
+        |GROUP BY term ORDER BY n DESC, term ASC LIMIT 50""".stripMargin)(textTokenizeTf),
+
+    OpQuery("op_text_lang_stats",
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  round(avg(n_chars), 6) AS avg_chars,
+        |  count(DISTINCT source) AS n_sources,
+        |  min(n_chars) AS min_chars, max(n_chars) AS max_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)(textLangStats),
+
+    OpQuery("op_json_props_extract",
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  round(avg(CAST(json_extract(props, '$.k') AS BIGINT)), 6) AS avg_k,
+        |  min(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
+        |  max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)(jsonPropsExtract))
+}

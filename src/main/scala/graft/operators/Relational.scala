@@ -66,9 +66,13 @@ object Relational {
       .select("c_custkey", "c_name")
       .orderBy("c_custkey")
 
+  // Anti-join against a filtered subset so the expected result is
+  // non-empty (every customer has SOME order in the synthetic data —
+  // an unfiltered anti-join would pass vacuously with 0 rows).
   def joinAnti(s: SparkSession, dir: String): DataFrame =
     Tables.customer(s, dir)
-      .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(Tables.orders(s, dir).filter(col("o_totalprice") > 300000),
+        col("c_custkey") === col("o_custkey"), "left_anti")
       .select("c_custkey", "c_name", "c_mktsegment")
       .orderBy("c_custkey")
 
@@ -243,7 +247,8 @@ object Relational {
 
     OpQuery("op_join_anti",
       """SELECT c_custkey, c_name, c_mktsegment FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_totalprice > 300000)
         |ORDER BY c_custkey""".stripMargin)(joinAnti),
 
     OpQuery("op_join_range",

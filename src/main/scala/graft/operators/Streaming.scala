@@ -1,0 +1,130 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.OpQuery
+import graft.sources.Tables
+
+/** Tier-B streaming operators (SURVEY.md §2 B22–B24), built on
+  * Structured Streaming's unified API: each plan builder below accepts
+  * either a batch or a streaming DataFrame of `events` rows, so the t2
+  * correctness gate runs the exact same plan batch-mode against the
+  * DuckDB oracle while `StreamingSpec` proves batch ≡ streaming on a
+  * `MemoryStream` with watermarks.
+  *
+  * Event time is truncated to seconds inside the plans: the raw `ts`
+  * is nanosecond-precision parquet that Spark reads at microsecond
+  * precision — second truncation makes the gap/window arithmetic
+  * identical in both engines.
+  *
+  * Scale: tumbling and session windows shuffle once on
+  * (window/user_id); state in streaming mode is bounded by the
+  * watermark; dedup state is keyed by event_id within the watermark.
+  */
+object Streaming {
+
+  private val TsFmt = "yyyy-MM-dd HH:mm:ss"
+
+  // ---- plan builders (batch or streaming input) ----------------------------
+
+  /** B22: 1-hour tumbling counts per event type. */
+  def tumblingPlan(events: DataFrame, streaming: Boolean): DataFrame = {
+    val src = if (streaming) events.withWatermark("ts", "1 hour") else events
+    src.groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_value"))
+      .select(date_format(col("w.start"), TsFmt).as("wstart"), col("event_type"),
+        col("n_events"), col("sum_value"))
+  }
+
+  /** B23: session windows with a 30-minute gap per user. */
+  def sessionPlan(events: DataFrame, streaming: Boolean): DataFrame = {
+    val withSec = events.withColumn("tsec", date_trunc("second", col("ts")))
+    val src = if (streaming) withSec.withWatermark("tsec", "1 hour") else withSec
+    src.groupBy(col("user_id"), session_window(col("tsec"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_value"))
+      .select(col("user_id"),
+        date_format(col("sw.start"), TsFmt).as("sess_start"),
+        date_format(col("sw.end"), TsFmt).as("sess_end"),
+        col("n_events"), col("sum_value"))
+  }
+
+  /** B24: drop duplicate event_ids, keeping the earliest arrival. The
+    * streaming form is `withWatermark().dropDuplicates("event_id")`;
+    * the deterministic batch equivalent keeps the minimum event time
+    * per id. */
+  def dedupLatePlan(events: DataFrame, streaming: Boolean): DataFrame =
+    if (streaming)
+      events.withWatermark("ts", "1 hour").dropDuplicates("event_id")
+        .select(col("event_id"), date_format(col("ts"), TsFmt).as("tsf"), col("value"))
+    else {
+      val w = Window.partitionBy("event_id").orderBy(col("ts").asc, col("value").asc)
+      events.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("event_id"), date_format(col("ts"), TsFmt).as("tsf"), col("value"))
+    }
+
+  // ---- t2 batch-mode queries ----------------------------------------------
+
+  def streamTumbling(sp: SparkSession, dir: String): DataFrame =
+    tumblingPlan(Tables.events(sp, dir), streaming = false)
+      .orderBy("wstart", "event_type")
+
+  def streamSession(sp: SparkSession, dir: String): DataFrame =
+    sessionPlan(Tables.events(sp, dir), streaming = false)
+      .orderBy("user_id", "sess_start")
+
+  /** Input doubled with late copies (+10 min, value+1) so the dedup
+    * provably drops rows instead of passing everything through. */
+  private def doubledEvents(sp: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(sp, dir).select("event_id", "ts", "value")
+    e.union(e.select(col("event_id"),
+      (col("ts") + expr("INTERVAL 10 MINUTES")).as("ts"),
+      (col("value") + 1).as("value")))
+  }
+
+  def streamDedupLate(sp: SparkSession, dir: String): DataFrame =
+    dedupLatePlan(doubledEvents(sp, dir), streaming = false)
+      .orderBy("event_id")
+
+  // ---- oracle SQL ----------------------------------------------------------
+
+  val queries: Seq[OpQuery] = Seq(
+    OpQuery("op_stream_tumbling",
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS wstart,
+        |  event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY wstart, event_type""".stripMargin)(streamTumbling),
+
+    OpQuery("op_stream_session",
+      """WITH e AS (
+        |  SELECT user_id, date_trunc('second', ts) AS tsec, value FROM events),
+        |marked AS (
+        |  SELECT user_id, tsec, value,
+        |    CASE WHEN lag(tsec) OVER (PARTITION BY user_id ORDER BY tsec) IS NULL
+        |           OR tsec - lag(tsec) OVER (PARTITION BY user_id ORDER BY tsec) >= INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM e),
+        |numbered AS (
+        |  SELECT user_id, tsec, value,
+        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY tsec
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM marked)
+        |SELECT user_id,
+        |  strftime(min(tsec), '%Y-%m-%d %H:%M:%S') AS sess_start,
+        |  strftime(max(tsec) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS sess_end,
+        |  count(*) AS n_events, round(sum(value), 2) AS sum_value
+        |FROM numbered GROUP BY user_id, sid
+        |ORDER BY user_id, sess_start""".stripMargin)(streamSession),
+
+    OpQuery("op_stream_dedup_late",
+      """WITH doubled AS (
+        |  SELECT event_id, ts, value FROM events
+        |  UNION ALL
+        |  SELECT event_id, ts + INTERVAL 10 MINUTE, value + 1 FROM events),
+        |ranked AS (
+        |  SELECT event_id, ts, value,
+        |    row_number() OVER (PARTITION BY event_id ORDER BY ts ASC, value ASC) AS rn
+        |  FROM doubled)
+        |SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS tsf, value
+        |FROM ranked WHERE rn = 1 ORDER BY event_id""".stripMargin)(streamDedupLate))
+}
