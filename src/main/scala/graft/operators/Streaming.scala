@@ -100,8 +100,11 @@ object Streaming {
         |  SELECT user_id, date_trunc('second', ts) AS tsec, value FROM events),
         |marked AS (
         |  SELECT user_id, tsec, value,
+    |    -- Spark's session_window merges at the boundary (an event at
+    |    -- exactly prev+gap extends the session), so new-session is
+    |    -- strictly-greater, not >=
         |    CASE WHEN lag(tsec) OVER (PARTITION BY user_id ORDER BY tsec) IS NULL
-        |           OR tsec - lag(tsec) OVER (PARTITION BY user_id ORDER BY tsec) >= INTERVAL 30 MINUTE
+        |           OR tsec - lag(tsec) OVER (PARTITION BY user_id ORDER BY tsec) > INTERVAL 30 MINUTE
         |         THEN 1 ELSE 0 END AS new_sess
         |  FROM e),
         |numbered AS (

@@ -1,0 +1,98 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Streaming
+
+final case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+    event_type: String, value: Double, props: String)
+
+/** Batch ≡ streaming parity for B22–B24 (SURVEY.md §2): the SAME plan
+  * builders run over a MemoryStream with watermarks and over a batch
+  * DataFrame of the same rows, and must agree. Plus a genuine
+  * late-data test: a row older than the advanced watermark is dropped.
+  */
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def t(s: String): Timestamp = Timestamp.valueOf(s)
+
+  private val base = Seq(
+    Ev(1, t("2024-01-01 10:05:00"), 1, "click", 1.0, "{}"),
+    Ev(2, t("2024-01-01 10:20:00"), 1, "click", 2.0, "{}"),
+    Ev(3, t("2024-01-01 10:55:00"), 1, "view", 3.0, "{}"),   // 35min gap: new session
+    Ev(4, t("2024-01-01 11:10:00"), 2, "click", 4.0, "{}"),
+    Ev(5, t("2024-01-01 11:24:59"), 2, "view", 5.0, "{}"),   // <30min: same session
+    Ev(6, t("2024-01-01 11:55:00"), 2, "view", 6.0, "{}"),   // 30min+1s gap: new session
+    Ev(8, t("2024-01-01 12:25:00"), 2, "view", 6.5, "{}"),   // exactly 30min: merged (boundary-inclusive)
+    Ev(7, t("2024-01-01 12:40:00"), 3, "click", 7.0, "{}"))
+
+  private def runStream(events: Seq[Ev], plan: DataFrame => DataFrame,
+      mode: String): DataFrame = {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val name = s"sink_${System.nanoTime()}"
+    val q = plan(mem.toDF()).writeStream
+      .format("memory").queryName(name).outputMode(mode).start()
+    try {
+      mem.addData(events: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.table(name)
+  }
+
+  private def sortedRows(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  test("B22 tumbling: streaming (complete mode) matches batch plan") {
+    val batch = Streaming.tumblingPlan(base.toDF(), streaming = false)
+    val stream = runStream(base, df => Streaming.tumblingPlan(df, streaming = true), "complete")
+    assert(sortedRows(stream) === sortedRows(batch))
+    // and the windows are the expected hours
+    assert(batch.select("wstart").distinct().as[String].collect().sorted ===
+      Array("2024-01-01 10:00:00", "2024-01-01 11:00:00", "2024-01-01 12:00:00"))
+  }
+
+  test("B23 session: streaming (complete mode) matches batch; 30-min gap splits") {
+    val batch = Streaming.sessionPlan(base.toDF(), streaming = false)
+    val stream = runStream(base, df => Streaming.sessionPlan(df, streaming = true), "complete")
+    assert(sortedRows(stream) === sortedRows(batch))
+    val u1 = batch.filter(col("user_id") === 1).select("sess_start").as[String].collect().sorted
+    assert(u1 === Array("2024-01-01 10:05:00", "2024-01-01 10:55:00"))
+    val u2 = batch.filter(col("user_id") === 2)
+      .select("sess_start", "n_events").as[(String, Long)].collect().sortBy(_._1)
+    assert(u2 === Array(("2024-01-01 11:10:00", 2L), ("2024-01-01 11:55:00", 2L)),
+      "a >30-min gap starts a new session; an exactly-30-min gap merges")
+  }
+
+  test("B24 dedup: duplicates dropped; late row beyond watermark dropped") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val name = s"sink_${System.nanoTime()}"
+    val q = Streaming.dedupLatePlan(mem.toDF(), streaming = true).writeStream
+      .format("memory").queryName(name).outputMode("append").start()
+    try {
+      mem.addData(base: _*)
+      q.processAllAvailable()
+      // duplicate of id 1 (same id, later ts) and a brand-new row whose
+      // event time is far older than watermark (12:40 - 1h = 11:40)
+      mem.addData(
+        Ev(1, t("2024-01-01 12:41:00"), 1, "click", 99.0, "{}"),
+        Ev(99, t("2024-01-01 09:00:00"), 9, "view", 9.0, "{}"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val ids = spark.table(name).select("event_id").as[Long].collect().sorted
+    assert(ids === Array(1L, 2L, 3L, 4L, 5L, 6L, 7L, 8L), "dup id 1 deduped; late id 99 dropped")
+    // batch equivalent keeps the earliest arrival per id
+    val doubled = (base :+ Ev(1, t("2024-01-01 12:41:00"), 1, "click", 99.0, "{}")).toDF()
+    val kept = Streaming.dedupLatePlan(doubled, streaming = false)
+      .filter(col("event_id") === 1).select("value").as[Double].collect()
+    assert(kept === Array(1.0))
+  }
+}
