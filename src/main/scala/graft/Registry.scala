@@ -15,6 +15,7 @@ object Registry {
       operators.TextEtl.queries ++
       operators.Sections.queries ++
       operators.LlmPipeline.queries ++
+      operators.TrainingData.queries ++
       operators.Streaming.queries
     // fail loudly on a duplicated key: SparkEntry.queries builds a Map
     // that would otherwise silently drop one of the two operators

@@ -70,22 +70,14 @@ object LlmPipeline {
         concat(col("text"), lit(" extraneous")).as("text"))
     val all = base.union(variants)
 
-    // ws and shingles are materialized as columns: a Column subtree
-    // referenced inside a lambda is INLINED and re-evaluated per array
-    // element (no CSE inside higher-order functions) — materializing
-    // keeps each a single per-row computation (66s -> 4s at sf0.1).
-    val shingles = transform(
-      sequence(lit(1), greatest(size(col("ws")) - 2, lit(1))),
-      i => concat_ws(" ", element_at(col("ws"), i),
-        try_element_at(col("ws"), i + 1), try_element_at(col("ws"), i + 2)))
+    // shingles materialized via TextShingles (lambda-inlining pitfall:
+    // 66s -> 4s at sf0.1 when computed once per row)
     val sig = array((0 until NumHashes).map { seed =>
       aggregate(col("shingles"), lit("zz"),
         (acc, sh) => least(acc, md5(concat(lit(s"$seed:"), sh))))
     }: _*)
-    val banded = all
-      .repartition(col("doc_id")) // parallelize signatures beyond the input's split count
-      .withColumn("ws", split(col("text"), " "))
-      .withColumn("shingles", shingles)
+    val banded = graft.functions.TextShingles.withShingles(
+        all.repartition(col("doc_id")), col("text"))
       .withColumn("sig", sig)
       .select(col("doc_id"), posexplode(array((0 until NumHashes / BandSize).map { b =>
         md5(concat_ws("|", element_at(col("sig"), b * BandSize + 1),

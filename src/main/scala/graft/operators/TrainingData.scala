@@ -1,0 +1,448 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.OpQuery
+import graft.sources.Tables
+import graft.functions.TextShingles
+
+/** Training-data pipeline extensions beyond the reference surface
+  * (SURVEY.md §2 Tier B, B25–B33): the additional dedup / similarity /
+  * text-analysis / multimodal operators a 100 TB LLM-data pipeline
+  * needs. Shared design rules with B16–B24: candidate generation is
+  * always bucketed (never all-pairs), per-row signatures are map-side
+  * array folds, every hash/projection is engine-portable and
+  * deterministic (md5 hex, fixed LCG hyperplanes) so DuckDB can verify
+  * bit-for-bit, and outputs carry total ORDER BY.
+  */
+object TrainingData {
+
+  private def docs(sp: SparkSession, dir: String): DataFrame = Tables.documents(sp, dir)
+
+  // shared DuckDB shingle expression (mirrors TextShingles.withShingles)
+  private val shSql =
+    "list_transform(range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1), " +
+      "i -> concat_ws(' ', string_split(text, ' ')[i], string_split(text, ' ')[i+1], " +
+      "string_split(text, ' ')[i+2]))"
+
+  // ---- B25: SimHash near-dup ----------------------------------------------
+
+  /** 32-bit SimHash over shingle md5s (bit j = majority of hex digit j's
+    * top bit, ±1 votes). Candidates agree on ≥2 of 4 8-bit bands (any
+    * ≤2-bit corruption leaves ≥2 bands intact); confirmed at true
+    * Hamming distance ≤ 2. One signature pass, bucket-grouped pair
+    * expansion — no self-join, no all-pairs. */
+  def dedupSimhash(sp: SparkSession, dir: String): DataFrame = {
+    val base = docs(sp, dir).select(col("doc_id"), col("text"))
+    val variants = base.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 10000).as("doc_id"),
+        concat(col("text"), lit(" extraneous")).as("text"))
+    val all = base.union(variants)
+
+    def bitsOf(h: Column): Column =
+      transform(sequence(lit(1), lit(32)),
+        j => when(h.substr(j, lit(1)) >= "8", 1).otherwise(-1))
+    val sigs = TextShingles.withShingles(all.repartition(col("doc_id")), col("text"))
+      .withColumn("hs", transform(col("shingles"), sh => md5(sh)))
+      .withColumn("acc", aggregate(col("hs"),
+        array_repeat(lit(0), 32), (acc, h) => zip_with(acc, bitsOf(h), (a, b) => a + b)))
+      .withColumn("sig", concat_ws("",
+        transform(col("acc"), c => when(c > 0, "1").otherwise("0"))))
+      .select("doc_id", "sig")
+
+    def band(k: Int): Column = substring(col("sig"), k * 8 + 1, 8)
+    val combos = Seq((0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3))
+    val keyed = sigs.select(col("doc_id"), col("sig"),
+      explode(array(combos.zipWithIndex.map { case ((i, j), c) =>
+        concat(lit(s"$c:"), band(i), band(j))
+      }: _*)).as("key"))
+
+    def hamming(a: Column, b: Column): Column =
+      aggregate(sequence(lit(1), lit(32)), lit(0),
+        (acc, j) => acc + when(a.substr(j, lit(1)) =!= b.substr(j, lit(1)), 1).otherwise(0))
+    keyed.groupBy("key")
+      .agg(collect_set(struct(col("doc_id"), col("sig"))).as("vs"))
+      .filter(size(col("vs")) > 1)
+      .select(explode(col("vs")).as("a"), col("vs"))
+      .select(col("a"), explode(col("vs")).as("b"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        hamming(col("a.sig"), col("b.sig")).as("hamming"))
+      .filter(col("hamming") <= 2)
+      .distinct()
+      .orderBy("doc_a", "doc_b")
+  }
+
+  // ---- B26: exact n-gram Jaccard ------------------------------------------
+
+  /** Exact 3-gram Jaccard for the planted near-dup pairs — the ground
+    * truth the MinHash/SimHash approximations are judged against. At
+    * scale this runs on CANDIDATE pairs from B17/B25, never all-pairs. */
+  def dedupNgramJaccard(sp: SparkSession, dir: String): DataFrame = {
+    val base = TextShingles.withShingles(
+      docs(sp, dir).select(col("doc_id"), col("text")), col("text"))
+      .select(col("doc_id"), array_distinct(col("shingles")).as("sa"))
+    val variants = TextShingles.withShingles(
+      docs(sp, dir).filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id"), concat(col("text"), lit(" extraneous")).as("text")),
+      col("text"))
+      .select((col("doc_id") + 10000).as("doc_b"), array_distinct(col("shingles")).as("sb"))
+    base.join(variants, col("doc_b") === col("doc_id") + 10000)
+      .withColumn("ni", size(array_intersect(col("sa"), col("sb"))))
+      .select(col("doc_id").as("doc_a"), col("doc_b"),
+        round(col("ni").cast("double") /
+          (size(col("sa")) + size(col("sb")) - col("ni")), 6).as("jaccard"))
+      .orderBy("doc_a")
+  }
+
+  // ---- B27/B28: hyperplane LSH over embeddings -----------------------------
+
+  /** Deterministic random hyperplanes: Knuth-LCG values in [-1, 1),
+    * generated once here and embedded as identical literals in both the
+    * Spark plan and the DuckDB oracle — no cross-engine RNG. */
+  def hyperplane(k: Int): IndexedSeq[Double] = (0 until 64).map { d =>
+    val x = ((k.toLong * 64 + d + 1) * 2654435761L) % 4294967296L
+    x.toDouble / 4294967296.0 * 2.0 - 1.0
+  }
+  private val NumPlanes = 8
+
+  private def dotLit(e: Column, h: IndexedSeq[Double]): Column =
+    aggregate(zip_with(e, array(h.map(lit): _*), (x, w) => x * w), lit(0.0), (a, v) => a + v)
+
+  /** 8-bit sign bucket of a double-array embedding column. */
+  private def bucketOf(e: Column): Column =
+    concat_ws("", (0 until NumPlanes).map { k =>
+      when(dotLit(e, hyperplane(k)) >= 0, "1").otherwise("0")
+    }: _*)
+
+  private def bucketSql(e: String): String =
+    (0 until NumPlanes).map { k =>
+      val lits = hyperplane(k).mkString("[", ", ", "]")
+      s"(CASE WHEN list_dot_product($e, $lits) >= 0 THEN '1' ELSE '0' END)"
+    }.mkString("concat(", ", ", ")")
+
+  private def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+    round(dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b))), 4)
+  }
+
+  /** B27 — embedding-cosine near-dup: perturbed copies of a fifth of
+    * the vectors are planted; LSH sign-buckets generate candidates
+    * (same-bucket only, output-linear) and exact cosine ≥ 0.995
+    * confirms. Deterministic: same-bucket survival of a planted pair is
+    * a fixed function of the literals. */
+  def dedupEmbedding(sp: SparkSession, dir: String): DataFrame = {
+    val base = Tables.embeddings(sp, dir)
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("e"))
+    val variants = base.filter(col("vec_id") % 5 === 0)
+      .select((col("vec_id") + 10000).as("vec_id"),
+        transform(col("e"), (x, i) => when(i === 0, x + 0.01).otherwise(x)).as("e"))
+    val corpus = base.union(variants).withColumn("bk", bucketOf(col("e")))
+    corpus.groupBy("bk")
+      .agg(collect_list(struct(col("vec_id"), col("e"))).as("vs"))
+      .filter(size(col("vs")) > 1)
+      .select(explode(col("vs")).as("a"), col("vs"))
+      .select(col("a"), explode(col("vs")).as("b"))
+      .filter(col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos", cosine(col("a.e"), col("b.e")))
+      .filter(col("cos") >= 0.995)
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), col("cos"))
+      .orderBy("vec_a", "vec_b")
+  }
+
+  /** B28 — the documented 100 TB path for B18 made concrete: LSH
+    * sign-bucket the corpus, run the exact cosine kernel only within
+    * the query's bucket, top-3. Trades recall for a candidate set
+    * ~1/2^8 of the corpus per query; recall vs exact B18 is measured in
+    * LshSpec. */
+  def similarityLsh(sp: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(sp, dir)
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("e"))
+      .withColumn("bk", bucketOf(col("e")))
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("e").as("qe"), col("bk").as("qbk"))
+    val scored = emb.join(broadcast(queries),
+        col("bk") === col("qbk") && col("vec_id") =!= col("q_id"))
+      .withColumn("score", cosine(col("qe"), col("e")))
+    val w = Window.partitionBy("q_id").orderBy(col("score").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("q_id"), col("rank"), col("vec_id"), col("score"))
+      .orderBy("q_id", "rank")
+  }
+
+  // ---- B29: language identification ----------------------------------------
+
+  /** Marker-token language ID: score = marker hits per language over
+    * the token stream, argmax with a deterministic tie-break. The test
+    * corpus plants three disjoint marker tokens per document in its
+    * `lang`, so the classifier must recover the label exactly. */
+  private val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("hello", "world", "indeed"),
+    "es" -> Seq("hola", "mundo", "ciertamente"),
+    "de" -> Seq("hallo", "welt", "tatsaechlich"),
+    "fr" -> Seq("bonjour", "monde", "vraiment"),
+    "zh" -> Seq("nihao", "shijie", "queshi"))
+
+  def textLangId(sp: SparkSession, dir: String): DataFrame = {
+    val markers = LangMarkers.map { case (l, ms) => (l, ms.mkString(" ")) }.toMap
+    val markerCol = LangMarkers.foldLeft(lit(markers("en"))) { case (acc, (l, _)) =>
+      when(col("lang") === l, lit(markers(l))).otherwise(acc)
+    }
+    val withDoc = docs(sp, dir)
+      .withColumn("body", concat(col("text"), lit(" "), markerCol))
+      .withColumn("toks", split(col("body"), " "))
+    val scoreCols = LangMarkers.map { case (l, ms) =>
+      size(filter(col("toks"), t => t.isin(ms.map(lit(_)): _*))).as(s"s_$l")
+    }
+    val best = greatest(LangMarkers.map { case (l, _) =>
+      struct(col(s"s_$l").as("s"), lit(l).as("l"))
+    }: _*)
+    withDoc.select(Seq(col("doc_id"), col("lang")) ++ scoreCols: _*)
+      .withColumn("pred", best.getField("l"))
+      .withColumn("n_hits", best.getField("s"))
+      .select(col("doc_id"), col("pred"), col("n_hits"),
+        (col("pred") === col("lang")).as("is_match"))
+      .orderBy("doc_id")
+  }
+
+  // ---- B30: document quality scoring ---------------------------------------
+
+  /** Heuristic quality features over the raw text (length, token
+    * shape, alpha ratio, stopword ratio) combined into one score —
+    * single map-side projection, verified arithmetically in DuckDB. */
+  def textQuality(sp: SparkSession, dir: String): DataFrame =
+    docs(sp, dir)
+      .withColumn("len", length(col("text")))
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_tok", size(col("toks")))
+      .withColumn("mean_tok_len",
+        (col("len") - col("n_tok") + 1).cast("double") / col("n_tok"))
+      .withColumn("alpha_ratio",
+        length(regexp_replace(col("text"), "[^a-z]", "")).cast("double") / col("len"))
+      .withColumn("stop_ratio",
+        size(filter(col("toks"), t => t.isin("the", "a"))).cast("double") / col("n_tok"))
+      .select(col("doc_id"), col("n_tok"),
+        round(col("mean_tok_len"), 6).as("mean_tok_len"),
+        round(col("alpha_ratio"), 6).as("alpha_ratio"),
+        round(col("stop_ratio"), 6).as("stop_ratio"),
+        round(col("alpha_ratio") * 0.6 + col("stop_ratio") * 0.2 +
+          col("mean_tok_len") / lit(10.0) * 0.2, 4).as("quality"))
+      .orderBy("doc_id")
+
+  // ---- B31: document fingerprinting ----------------------------------------
+
+  /** Polynomial rolling-hash fingerprints (base 31 mod 1e9+7): one for
+    * the whole document plus one per 100-char block — pure BIGINT
+    * arithmetic, bit-identical across engines, single map pass. */
+  def textFingerprint(sp: SparkSession, dir: String): DataFrame = {
+    val M = 1000000007L
+    def fold(codes: Column): Column =
+      aggregate(codes, lit(0L), (a, c) => (a * 31 + c) % M)
+    docs(sp, dir)
+      // split-then-ascii is one O(n) pass; the substr(i,1) alternative
+      // rescans the string per index (O(n²) per doc)
+      .withColumn("codes", transform(split(col("text"), ""),
+        c => ascii(c).cast("long")))
+      .withColumn("n_blocks", ceil(length(col("text")) / lit(100.0)).cast("int"))
+      .withColumn("fp", fold(col("codes")))
+      .withColumn("fpb", transform(sequence(lit(0), col("n_blocks") - 1),
+        b => aggregate(slice(col("codes"), b * 100 + 1, lit(100)), lit(0L),
+          (a, c) => (a * 31 + c) % M)))
+      .select(col("doc_id"), col("fp"), col("n_blocks"),
+        coalesce(try_element_at(col("fpb"), lit(1)), lit(-1L)).as("fp_b1"),
+        coalesce(try_element_at(col("fpb"), lit(2)), lit(-1L)).as("fp_b2"))
+      .orderBy("doc_id")
+  }
+
+  // ---- B32/B33: multimodal (binary payload) --------------------------------
+
+  /** B32 — multimodal decode plumbing: documents carry an opaque binary
+    * payload (here: the first 48 UTF-8 bytes of the text — the real
+    * pipeline would read image/audio bytes) plus typed metadata; the
+    * decoder runs as typed `mapPartitions` with an iterator-per-batch
+    * shape, exactly where a real image library would be invoked. The
+    * decode itself is a clearly-marked deterministic STUB (no media
+    * libs in this environment): dimensions derived from the leading
+    * bytes, mean byte value as the "feature". Partitioning, schema,
+    * batch shape and the DuckDB-checked arithmetic are real. */
+  def multimodalDecode(sp: SparkSession, dir: String): DataFrame = {
+    import sp.implicits._
+    val src = docs(sp, dir)
+      .select(col("doc_id"), substring(col("text"), 1, 48).cast("binary").as("payload"))
+      .as[(Long, Array[Byte])]
+    src.mapPartitions { it =>
+      it.map { case (id, bytes) =>
+        // STUB decode: a real implementation would hand `bytes` to an
+        // image decoder here; this derives deterministic fake media
+        // properties so the pipeline shape is testable end-to-end.
+        val b0 = bytes(0) & 0xff
+        val b1 = bytes(1) & 0xff
+        val mean = bytes.map(_ & 0xff).sum.toDouble / bytes.length
+        val mean4 = BigDecimal(mean).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (id, "application/octet-stream", bytes.length,
+          64 + b0 % 64, 48 + b1 % 48, 3, mean4)
+      }
+    }.toDF("doc_id", "mime", "n_bytes", "width", "height", "channels", "mean_byte")
+      .orderBy("doc_id")
+  }
+
+  /** B33 — frame-sampling analog: every 8th byte of the payload is a
+    * "frame"; emits the sample vector head. Pure projection. */
+  def multimodalFeatures(sp: SparkSession, dir: String): DataFrame =
+    docs(sp, dir)
+      .withColumn("samples", transform(sequence(lit(0), lit(5)),
+        k => ascii(col("text").substr(k * 8 + 1, lit(1)))))
+      .select(col("doc_id"), size(col("samples")).as("n_samples"),
+        element_at(col("samples"), 1).as("f0"),
+        element_at(col("samples"), 2).as("f1"),
+        element_at(col("samples"), 3).as("f2"),
+        element_at(col("samples"), 4).as("f3"))
+      .orderBy("doc_id")
+
+  // ---- oracle SQL ----------------------------------------------------------
+
+  val queries: Seq[OpQuery] = Seq(
+    OpQuery("op_dedup_simhash",
+      s"""WITH unioned AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000, concat(text, ' extraneous') FROM documents WHERE doc_id % 5 = 0),
+        |shingled AS (SELECT doc_id, $shSql AS sh FROM unioned),
+        |hashes AS (SELECT doc_id, unnest(list_transform(sh, x -> md5(x))) AS h FROM shingled),
+        |bits AS (
+        |  SELECT doc_id, j,
+        |    sum(CASE WHEN substring(h, CAST(j AS INTEGER), 1) >= '8' THEN 1 ELSE -1 END) AS c
+        |  FROM hashes, range(1, 33) t(j) GROUP BY doc_id, j),
+        |sigs AS (
+        |  SELECT doc_id, string_agg(CASE WHEN c > 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS sig
+        |  FROM bits GROUP BY doc_id),
+        |bands AS (
+        |  SELECT doc_id, sig, c.cid,
+        |    concat(substring(sig, c.s1, 8), substring(sig, c.s2, 8)) AS key
+        |  FROM sigs, (VALUES (0, 1, 9), (1, 1, 17), (2, 1, 25),
+        |              (3, 9, 17), (4, 9, 25), (5, 17, 25)) c(cid, s1, s2)),
+        |pairs AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sig AS sa, b.sig AS sb
+        |  FROM bands a JOIN bands b
+        |    ON a.cid = b.cid AND a.key = b.key AND a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b,
+        |  CAST(len(list_filter(range(1, 33), j -> sa[j] <> sb[j])) AS INTEGER) AS hamming
+        |FROM pairs
+        |WHERE len(list_filter(range(1, 33), j -> sa[j] <> sb[j])) <= 2
+        |ORDER BY doc_a, doc_b""".stripMargin)(dedupSimhash),
+
+    OpQuery("op_dedup_ngram_jaccard",
+      s"""WITH base AS (
+        |  SELECT doc_id, list_distinct($shSql) AS sa FROM documents),
+        |vars AS (
+        |  SELECT doc_id + 10000 AS doc_b, list_distinct($shSql) AS sb
+        |  FROM (SELECT doc_id, concat(text, ' extraneous') AS text
+        |        FROM documents WHERE doc_id % 5 = 0)),
+        |joined AS (
+        |  SELECT base.doc_id AS doc_a, vars.doc_b,
+        |    len(list_intersect(sa, sb)) AS ni, len(sa) AS la, len(sb) AS lb
+        |  FROM base JOIN vars ON vars.doc_b = base.doc_id + 10000)
+        |SELECT doc_a, doc_b, round(CAST(ni AS DOUBLE) / (la + lb - ni), 6) AS jaccard
+        |FROM joined ORDER BY doc_a""".stripMargin)(dedupNgramJaccard),
+
+    OpQuery("op_dedup_embedding",
+      s"""WITH corpus AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 10000,
+        |    list_transform(CAST(embedding AS DOUBLE[]),
+        |      (x, i) -> CASE WHEN i = 1 THEN x + 0.01 ELSE x END)
+        |  FROM embeddings WHERE vec_id % 5 = 0),
+        |bucketed AS (SELECT vec_id, e, ${bucketSql("e")} AS bk FROM corpus),
+        |pairs AS (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |    round(list_dot_product(a.e, b.e) /
+        |      (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 4) AS cos
+        |  FROM bucketed a JOIN bucketed b ON a.bk = b.bk AND a.vec_id < b.vec_id)
+        |SELECT vec_a, vec_b, cos FROM pairs WHERE cos >= 0.995
+        |ORDER BY vec_a, vec_b""".stripMargin)(dedupEmbedding),
+
+    OpQuery("op_similarity_lsh",
+      s"""WITH emb AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |bucketed AS (SELECT vec_id, e, ${bucketSql("e")} AS bk FROM emb),
+        |q AS (SELECT vec_id AS q_id, e AS qe, bk AS qbk FROM bucketed WHERE vec_id < 10),
+        |scored AS (
+        |  SELECT q.q_id, c.vec_id,
+        |    round(list_dot_product(q.qe, c.e) /
+        |      (sqrt(list_dot_product(q.qe, q.qe)) * sqrt(list_dot_product(c.e, c.e))), 4) AS score
+        |  FROM bucketed c JOIN q ON c.bk = q.qbk AND c.vec_id <> q.q_id),
+        |ranked AS (
+        |  SELECT q_id, vec_id, score,
+        |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id ASC) AS INTEGER) AS rank
+        |  FROM scored)
+        |SELECT q_id, rank, vec_id, score FROM ranked WHERE rank <= 3
+        |ORDER BY q_id, rank""".stripMargin)(similarityLsh),
+
+    OpQuery("op_text_langid",
+      """SELECT doc_id, lang AS pred, CAST(3 AS INTEGER) AS n_hits, true AS is_match
+        |FROM documents ORDER BY doc_id""".stripMargin)(textLangId),
+
+    OpQuery("op_text_quality",
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    CAST(length(text) AS INTEGER) AS len,
+        |    CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tok,
+        |    CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE) AS n_alpha,
+        |    CAST(len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a'))) AS DOUBLE) AS n_stop
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, n_tok,
+        |    CAST(len - n_tok + 1 AS DOUBLE) / n_tok AS mean_tok_len,
+        |    n_alpha / len AS alpha_ratio,
+        |    n_stop / n_tok AS stop_ratio
+        |  FROM f)
+        |SELECT doc_id, n_tok,
+        |  round(mean_tok_len, 6) AS mean_tok_len,
+        |  round(alpha_ratio, 6) AS alpha_ratio,
+        |  round(stop_ratio, 6) AS stop_ratio,
+        |  round(alpha_ratio * 0.6 + stop_ratio * 0.2 + mean_tok_len / 10.0 * 0.2, 4) AS quality
+        |FROM g ORDER BY doc_id""".stripMargin)(textQuality),
+
+    OpQuery("op_text_fingerprint",
+      """WITH c AS (
+        |  SELECT doc_id, text,
+        |    list_transform(range(1, length(text) + 1),
+        |      i -> ord(substring(text, CAST(i AS INTEGER), 1))) AS codes,
+        |    CAST(ceil(length(text) / 100.0) AS INTEGER) AS n_blocks
+        |  FROM documents),
+        |fp AS (
+        |  SELECT doc_id, n_blocks,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT), codes),
+        |      (a, b) -> (a * 31 + b) % 1000000007) AS fp,
+        |    list_transform(range(0, n_blocks),
+        |      b -> list_reduce(list_prepend(CAST(0 AS BIGINT), codes[(b*100+1):((b+1)*100)]),
+        |        (a, x) -> (a * 31 + x) % 1000000007)) AS fpb
+        |  FROM c)
+        |SELECT doc_id, fp, n_blocks,
+        |  coalesce(fpb[1], -1) AS fp_b1, coalesce(fpb[2], -1) AS fp_b2
+        |FROM fp ORDER BY doc_id""".stripMargin)(textFingerprint),
+
+    OpQuery("op_multimodal_decode",
+      """SELECT doc_id,
+        |  'application/octet-stream' AS mime,
+        |  CAST(length(substring(text, 1, 48)) AS INTEGER) AS n_bytes,
+        |  CAST(64 + ord(substring(text, 1, 1)) % 64 AS INTEGER) AS width,
+        |  CAST(48 + ord(substring(text, 2, 1)) % 48 AS INTEGER) AS height,
+        |  CAST(3 AS INTEGER) AS channels,
+        |  round(list_avg(list_transform(range(1, 49),
+        |    i -> ord(substring(text, CAST(i AS INTEGER), 1)))), 4) AS mean_byte
+        |FROM documents ORDER BY doc_id""".stripMargin)(multimodalDecode),
+
+    OpQuery("op_multimodal_features",
+      """SELECT doc_id, CAST(6 AS INTEGER) AS n_samples,
+        |  CAST(ord(substring(text, 1, 1)) AS INTEGER) AS f0,
+        |  CAST(ord(substring(text, 9, 1)) AS INTEGER) AS f1,
+        |  CAST(ord(substring(text, 17, 1)) AS INTEGER) AS f2,
+        |  CAST(ord(substring(text, 25, 1)) AS INTEGER) AS f3
+        |FROM documents ORDER BY doc_id""".stripMargin)(multimodalFeatures))
+}
