@@ -16,6 +16,7 @@ object Registry {
       operators.Sections.queries ++
       operators.LlmPipeline.queries ++
       operators.TrainingData.queries ++
+      operators.SchemaInfer.queries ++
       operators.Streaming.queries
     // fail loudly on a duplicated key: SparkEntry.queries builds a Map
     // that would otherwise silently drop one of the two operators

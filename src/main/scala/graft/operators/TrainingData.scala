@@ -237,21 +237,17 @@ object TrainingData {
 
   /** Polynomial rolling-hash fingerprints (base 31 mod 1e9+7): one for
     * the whole document plus one per 100-char block — pure BIGINT
-    * arithmetic, bit-identical across engines, single map pass. */
+    * arithmetic, bit-identical across engines. The kernel is the
+    * custom codegen'd Catalyst expression [[graft.plans.RollingHash]]
+    * (tight byte loop in whole-stage codegen; no per-char array
+    * materialization). */
   def textFingerprint(sp: SparkSession, dir: String): DataFrame = {
-    val M = 1000000007L
-    def fold(codes: Column): Column =
-      aggregate(codes, lit(0L), (a, c) => (a * 31 + c) % M)
+    import graft.plans.RollingHash.rollingHash
     docs(sp, dir)
-      // split-then-ascii is one O(n) pass; the substr(i,1) alternative
-      // rescans the string per index (O(n²) per doc)
-      .withColumn("codes", transform(split(col("text"), ""),
-        c => ascii(c).cast("long")))
       .withColumn("n_blocks", ceil(length(col("text")) / lit(100.0)).cast("int"))
-      .withColumn("fp", fold(col("codes")))
+      .withColumn("fp", rollingHash(col("text"), lit(1), length(col("text"))))
       .withColumn("fpb", transform(sequence(lit(0), col("n_blocks") - 1),
-        b => aggregate(slice(col("codes"), b * 100 + 1, lit(100)), lit(0L),
-          (a, c) => (a * 31 + c) % M)))
+        b => rollingHash(col("text"), b * 100 + 1, lit(100))))
       .select(col("doc_id"), col("fp"), col("n_blocks"),
         coalesce(try_element_at(col("fpb"), lit(1)), lit(-1L)).as("fp_b1"),
         coalesce(try_element_at(col("fpb"), lit(2)), lit(-1L)).as("fp_b2"))
