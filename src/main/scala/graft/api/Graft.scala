@@ -1,0 +1,44 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Fragments, Normalizer}
+
+/** The library's user-facing surface: the reference's top-level
+  * `parse_file(text)` API (`/root/reference/etl_parser.py:1053-1082` —
+  * fragments + per-format summary + normalized records) lifted to a
+  * whole-corpus DataFrame operation: one input row per document, three
+  * derived columns. Detection and normalization run as deterministic
+  * per-row Scala functions (embarrassingly parallel, no shuffle); any
+  * aggregation the caller adds on top (corpus-wide summaries, dedup)
+  * is ordinary declarative Spark.
+  */
+object Graft {
+
+  private val detectF = udf((s: String) => Fragments.detect(s))
+  private val recordsF = udf((s: String) =>
+    Fragments.detect(s).flatMap { f =>
+      Normalizer.normalize(f).map(data =>
+        s"""{"format": "${f.format_type}", "start": ${f.start_index}, "end": ${f.end_index}, "data": $data}""")
+    })
+
+  /** Adds `fragments` (typed span structs), `summary`
+    * (format_type → count map) and `records` (normalized record JSON
+    * strings) for the document text in `textCol`. */
+  def parseDocuments(df: DataFrame, textCol: Column): DataFrame =
+    df.withColumn("fragments", detectF(textCol))
+      .withColumn("summary", map_from_entries(
+        transform(array_distinct(transform(col("fragments"), f => f.getField("format_type"))),
+          t => struct(t.as("k"),
+            size(filter(col("fragments"), f => f.getField("format_type") === t)).as("v")))))
+      .withColumn("records", recordsF(textCol))
+
+  /** Scala-side `parse_file` for single-document use and tests. */
+  def parseFile(text: String): (Seq[graft.functions.Fragment], Map[String, Int], Seq[String]) = {
+    val frags = Fragments.detect(text)
+    val summary = frags.groupBy(_.format_type).map { case (k, v) => k -> v.size }
+    val records = frags.flatMap(Normalizer.normalize)
+    (frags, summary, records)
+  }
+}

@@ -1,0 +1,166 @@
+package graft.functions
+
+import java.util.regex.Pattern
+import scala.collection.mutable.{ArrayBuffer, LinkedHashMap}
+
+/** Scala port of the reference's fragment normalizer
+  * (`/root/reference/etl_parser.py:927-1050`): convert a detected
+  * fragment's text to a structured record when possible. Our uniform
+  * record representation is a JSON string (the engine's columnar
+  * record type); `None` means the fragment kind has no normal form
+  * (RAW_TEXT, YAML_FRONTMATTER, HTML) or parsing failed — exactly the
+  * reference's `return None` fall-through.
+  *
+  * Divergence note (declared): CSV cells are split on the detector's
+  * delimiter without quote handling (`csv.Sniffer`/`DictReader` in the
+  * reference, `etl_parser.py:1023-1050`); the corpora contain no
+  * quoted cells.
+  */
+object Normalizer {
+
+  // ---- JSON text helpers ---------------------------------------------------
+
+  private def jstr(s: String): String = {
+    val sb = new StringBuilder("\"")
+    s.foreach {
+      case '"' => sb.append("\\\"")
+      case '\\' => sb.append("\\\\")
+      case '\n' => sb.append("\\n")
+      case '\r' => sb.append("\\r")
+      case '\t' => sb.append("\\t")
+      case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x")
+      case c => sb.append(c)
+    }
+    sb.append('"').toString
+  }
+
+  private def jobj(m: collection.Seq[(String, String)]): String =
+    m.map { case (k, v) => s"${jstr(k)}: $v" }.mkString("{", ", ", "}")
+
+  // ---- repairs + kv extraction (`etl_parser.py:972-997`) -------------------
+
+  private val TrailingCommaRe = Pattern.compile(",\\s*(?=[}\\]])")
+  private val SingleQuotedValueRe = Pattern.compile("(?<=[:\\s])'([^']*)'")
+  private val UnquotedKeyRe = Pattern.compile("([\\{,\\s])([A-Za-z0-9_\\-]+)\\s*:")
+  private val KvPairRe = Pattern.compile(
+    "([A-Za-z0-9_\\- ]{1,60})\\s*[:=]\\s*(\"[^\"]*\"|'[^']*'|[^,\\n]+)")
+
+  /** `_attempt_repair_json` (`etl_parser.py:972-982`). */
+  def attemptRepairJson(s: String): String = {
+    val noTrailing = TrailingCommaRe.matcher(s).replaceAll("")
+    val doubleQuoted = SingleQuotedValueRe.matcher(noTrailing).replaceAll("\"$1\"")
+    UnquotedKeyRe.matcher(doubleQuoted).replaceAll("$1\"$2\":")
+  }
+
+  /** `_extract_kv_pairs` (`etl_parser.py:984-989`): regex kv pairs from
+    * broken JSON, values stripped of quotes, first-wins insertion order. */
+  def extractKvPairs(s: String): String = {
+    val out = LinkedHashMap.empty[String, String]
+    val m = KvPairRe.matcher(s)
+    while (m.find()) {
+      val v = m.group(2).trim.stripPrefix("\"").stripSuffix("\"")
+        .stripPrefix("'").stripSuffix("'").trim
+      out(m.group(1).trim) = jstr(v)
+    }
+    jobj(out.toSeq)
+  }
+
+  /** `_parse_kv` (`etl_parser.py:991-997`): lines with `:` split on the
+    * first colon; values stripped of double quotes. */
+  def parseKv(s: String): String = {
+    val out = LinkedHashMap.empty[String, String]
+    s.split("\n", -1).foreach { ln =>
+      val i = ln.indexOf(':')
+      if (i >= 0) {
+        val v = ln.substring(i + 1).trim.stripPrefix("\"").stripSuffix("\"")
+        out(ln.substring(0, i).trim) = jstr(v)
+      }
+    }
+    jobj(out.toSeq)
+  }
+
+  // ---- CSV (`etl_parser.py:1023-1050`) -------------------------------------
+
+  def parseCsv(text: String, noHeader: Boolean, delimiter: String): String = {
+    val rows = text.trim.split("\n", -1).filter(_.trim.nonEmpty)
+      .map(_.split(Pattern.quote(delimiter), -1).toSeq).toSeq
+    if (rows.isEmpty) return "[]"
+    val dicts: Seq[Seq[(String, String)]] =
+      if (noHeader || rows.length < 2) {
+        rows.map(r => r.indices.map(i => s"col_$i" -> jstr(r(i))))
+      } else {
+        val headers = rows.head
+        rows.tail.map(r => headers.zip(r).map { case (h, c) => h -> jstr(c) })
+      }
+    dicts.map(jobj).mkString("[", ", ", "]")
+  }
+
+  // ---- HTML table (`etl_parser.py:999-1021`, impl A semantics) -------------
+
+  private val TheadRe = Pattern.compile("(?is)<thead\\b.*?</thead\\s*>")
+  private val ThRe = Pattern.compile("(?is)<th\\b[^>]*>(.*?)</th\\s*>")
+  private val TrSplitRe = Pattern.compile("(?i)<tr\\b")
+  private val CellRe = Pattern.compile("(?is)<t[dh]\\b[^>]*>(.*?)</t[dh]\\s*>")
+  private val InnerTagRe = Pattern.compile("<[^>]*>")
+
+  private def cellText(s: String): String =
+    InnerTagRe.matcher(s).replaceAll("").trim
+
+  /** `_html_table_to_rows`: headers from `<thead>` `<th>`s; each `<tr>`'s
+    * cells keyed by headers when the arity matches; synthetic `col_i`
+    * keys when there are NO headers (the reference's headerless-thead
+    * quirk, observed on `input2.txt:9-15`, is reproduced here because
+    * parse_file-level goldens depend on it). */
+  def parseHtmlTable(s: String): Option[String] = {
+    val theadM = TheadRe.matcher(s)
+    val headers = ArrayBuffer.empty[String]
+    if (theadM.find()) {
+      val thM = ThRe.matcher(theadM.group(0))
+      while (thM.find()) headers += cellText(thM.group(1))
+    }
+    val rows = ArrayBuffer.empty[Seq[(String, String)]]
+    // skip everything before the first <tr>
+    TrSplitRe.split(s, -1).drop(1).foreach { chunk =>
+      val cells = ArrayBuffer.empty[String]
+      val cm = CellRe.matcher(chunk)
+      while (cm.find()) cells += cellText(cm.group(1))
+      if (headers.nonEmpty && cells.length == headers.length)
+        rows += headers.toSeq.zip(cells).map { case (h, c) => h -> jstr(c) }
+      else if (headers.isEmpty && cells.nonEmpty)
+        rows += cells.toSeq.zipWithIndex.map { case (c, i) => s"col_$i" -> jstr(c) }
+    }
+    if (rows.isEmpty) None else Some(rows.map(jobj).mkString("[", ", ", "]"))
+  }
+
+  // ---- JS object (`etl_parser.py:953-964`) ---------------------------------
+
+  private val JsBodyRe = Pattern.compile("=\\s*(\\{[\\s\\S]*\\})\\s*;?$")
+
+  // ---- the dispatcher (`etl_parser.py:930-969`) ----------------------------
+
+  def normalize(f: Fragment): Option[String] = {
+    val s = f.text.trim
+    f.format_type match {
+      case "JSON" | "JSON_LD" =>
+        if (Fragments.isStrictJson(s)) Some(s) else None
+      case "MALFORMED_JSON" =>
+        val repaired = attemptRepairJson(s)
+        if (Fragments.isStrictJson(repaired)) Some(repaired)
+        else Some(extractKvPairs(s))
+      case "CSV" | "CSV_NO_HEADER" =>
+        Some(parseCsv(s, f.format_type == "CSV_NO_HEADER",
+          f.meta.getOrElse("delimiter", ",")))
+      case "HTML_TABLE" => parseHtmlTable(s)
+      case "KEY_VALUE" => Some(parseKv(s))
+      case "JS_OBJECT" =>
+        val m = JsBodyRe.matcher(s)
+        if (!m.find()) None
+        else {
+          val obj = m.group(1).replace('\'', '"')
+          if (Fragments.isStrictJson(obj)) Some(obj) else Some(extractKvPairs(m.group(1)))
+        }
+      case "SQL" => Some(jobj(Seq("sql" -> jstr(s))))
+      case _ => None // RAW_TEXT, YAML_FRONTMATTER, HTML: no normal form
+    }
+  }
+}

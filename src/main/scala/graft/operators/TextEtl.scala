@@ -343,6 +343,20 @@ object TextEtl {
         col("f.end_index").as("end_index"))
       .orderBy("doc_id", "seq")
 
+  /** A32 — the reference's top-level `parse_file` API
+    * (`etl_parser.py:1053-1082`) over the messy corpus: fragments +
+    * summary + normalized records per document via [[graft.api.Graft]].
+    * On this corpus only the RAW_TEXT prose paragraph has no normal
+    * form, so records = fragments - 1. */
+  def parseFileOp(sp: SparkSession, dir: String): DataFrame =
+    graft.api.Graft.parseDocuments(
+        docs(sp, dir).withColumn("body", messyDoc), col("body"))
+      .select(col("doc_id"),
+        size(col("fragments")).as("n_fragments"),
+        size(col("records")).as("n_records"),
+        size(map_keys(col("summary"))).as("n_kinds"))
+      .orderBy("doc_id")
+
   // ---- A16: strict JSON normalization -------------------------------------
 
   private def a16Doc: Column =
@@ -706,6 +720,16 @@ object TextEtl {
         |SELECT doc_id, CAST(seq AS INTEGER) AS seq, format_type,
         |  CAST(s AS INTEGER) AS start_index, CAST(e AS INTEGER) AS end_index
         |FROM frags ORDER BY doc_id, seq""".stripMargin)(fragmentSort),
+
+    OpQuery("op_parse_file",
+      """SELECT doc_id,
+        |  CAST(5 + (CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END)
+        |         + (CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END) AS INTEGER) AS n_fragments,
+        |  CAST(4 + (CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END)
+        |         + (CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END) AS INTEGER) AS n_records,
+        |  CAST(5 + (CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END)
+        |         + (CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END) AS INTEGER) AS n_kinds
+        |FROM documents ORDER BY doc_id""".stripMargin)(parseFileOp),
 
     OpQuery("op_normalize_json",
       """SELECT doc_id, doc_id AS id, lang AS mlang, n_chars AS mn, source AS tag2
