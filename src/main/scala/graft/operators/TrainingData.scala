@@ -286,6 +286,36 @@ object TrainingData {
       .orderBy("doc_id")
   }
 
+  /** B34 — resize analog: the payload is downsampled to a fixed
+    * 8-point "thumbnail" (stride = len/8) — the shape of an image
+    * resize kernel without the absent media libs; emits the thumbnail
+    * head and a rolling checksum of it. */
+  def multimodalResize(sp: SparkSession, dir: String): DataFrame =
+    docs(sp, dir)
+      .withColumn("plen", least(length(col("text")), lit(48)))
+      .withColumn("stride", (col("plen") / 8).cast("int"))
+      .withColumn("thumb", transform(sequence(lit(0), lit(7)),
+        k => ascii(col("text").substr(k * col("stride") + 1, lit(1)))))
+      .select(col("doc_id"), col("stride"),
+        size(col("thumb")).as("n_points"),
+        element_at(col("thumb"), 1).as("t0"),
+        element_at(col("thumb"), 4).as("t3"),
+        element_at(col("thumb"), 8).as("t7"),
+        aggregate(col("thumb"), lit(0L),
+          (a, c) => (a * 31 + c) % 1000000007L).as("thumb_fp"))
+      .orderBy("doc_id")
+
+  /** B35 — token counting two ways (whitespace + BPE-ish regex pieces
+    * word/number/punct), the per-doc stats a tokenizer-budget pipeline
+    * needs. Pure projection; regexp stays in the RE2 subset. */
+  def textTokenCount(sp: SparkSession, dir: String): DataFrame =
+    docs(sp, dir)
+      .withColumn("n_ws", size(filter(split(col("text"), " "), t => t =!= "")))
+      .withColumn("n_bpe", regexp_count(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]")))
+      .select(col("doc_id"), col("n_ws"), col("n_bpe"),
+        round(length(col("text")).cast("double") / col("n_bpe"), 4).as("chars_per_tok"))
+      .orderBy("doc_id")
+
   /** B33 — frame-sampling analog: every 8th byte of the payload is a
     * "frame"; emits the sample vector head. Pure projection. */
   def multimodalFeatures(sp: SparkSession, dir: String): DataFrame =
@@ -433,6 +463,31 @@ object TrainingData {
         |  round(list_avg(list_transform(range(1, 49),
         |    i -> ord(substring(text, CAST(i AS INTEGER), 1)))), 4) AS mean_byte
         |FROM documents ORDER BY doc_id""".stripMargin)(multimodalDecode),
+
+    OpQuery("op_multimodal_resize",
+      """WITH p AS (
+        |  SELECT doc_id, least(length(text), 48) AS plen, text FROM documents),
+        |t AS (
+        |  SELECT doc_id, CAST(plen // 8 AS INTEGER) AS stride,
+        |    list_transform(range(0, 8),
+        |      k -> ord(substring(text, CAST(k * (plen // 8) + 1 AS INTEGER), 1))) AS thumb
+        |  FROM p)
+        |SELECT doc_id, stride,
+        |  CAST(8 AS INTEGER) AS n_points,
+        |  CAST(thumb[1] AS INTEGER) AS t0,
+        |  CAST(thumb[4] AS INTEGER) AS t3,
+        |  CAST(thumb[8] AS INTEGER) AS t7,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT), thumb),
+        |    (a, b) -> (a * 31 + b) % 1000000007) AS thumb_fp
+        |FROM t ORDER BY doc_id""".stripMargin)(multimodalResize),
+
+    OpQuery("op_text_token_count",
+      """SELECT doc_id,
+        |  CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS INTEGER) AS n_ws,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS INTEGER) AS n_bpe,
+        |  round(CAST(length(text) AS DOUBLE) /
+        |    len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')), 4) AS chars_per_tok
+        |FROM documents ORDER BY doc_id""".stripMargin)(textTokenCount),
 
     OpQuery("op_multimodal_features",
       """SELECT doc_id, CAST(6 AS INTEGER) AS n_samples,
