@@ -460,7 +460,7 @@ object TrainingData {
         |  CAST(64 + ord(substring(text, 1, 1)) % 64 AS INTEGER) AS width,
         |  CAST(48 + ord(substring(text, 2, 1)) % 48 AS INTEGER) AS height,
         |  CAST(3 AS INTEGER) AS channels,
-        |  round(list_avg(list_transform(range(1, 49),
+        |  round(list_avg(list_transform(range(1, least(length(text), 48) + 1),
         |    i -> ord(substring(text, CAST(i AS INTEGER), 1)))), 4) AS mean_byte
         |FROM documents ORDER BY doc_id""".stripMargin)(multimodalDecode),
 
