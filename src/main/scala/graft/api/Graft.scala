@@ -16,23 +16,29 @@ import graft.functions.{Fragments, Normalizer}
   */
 object Graft {
 
-  private val detectF = udf((s: String) => Fragments.detect(s))
-  private val recordsF = udf((s: String) =>
-    Fragments.detect(s).flatMap { f =>
+  // one cascade pass per document: detection and normalization share
+  // the same UDF invocation (the cascade is the dominant per-doc cost)
+  private val parseF = udf((s: String) => {
+    val frags = Fragments.detect(s)
+    val records = frags.flatMap { f =>
       Normalizer.normalize(f).map(data =>
         s"""{"format": "${f.format_type}", "start": ${f.start_index}, "end": ${f.end_index}, "data": $data}""")
-    })
+    }
+    (frags, records)
+  })
 
   /** Adds `fragments` (typed span structs), `summary`
     * (format_type → count map) and `records` (normalized record JSON
     * strings) for the document text in `textCol`. */
   def parseDocuments(df: DataFrame, textCol: Column): DataFrame =
-    df.withColumn("fragments", detectF(textCol))
+    df.withColumn("parsed", parseF(textCol))
+      .withColumn("fragments", col("parsed._1"))
+      .withColumn("records", col("parsed._2"))
+      .drop("parsed")
       .withColumn("summary", map_from_entries(
         transform(array_distinct(transform(col("fragments"), f => f.getField("format_type"))),
           t => struct(t.as("k"),
             size(filter(col("fragments"), f => f.getField("format_type") === t)).as("v")))))
-      .withColumn("records", recordsF(textCol))
 
   /** Scala-side `parse_file` for single-document use and tests. */
   def parseFile(text: String): (Seq[graft.functions.Fragment], Map[String, Int], Seq[String]) = {

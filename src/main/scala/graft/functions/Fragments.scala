@@ -84,6 +84,11 @@ object Fragments {
         case 't' => parseLit("true")
         case 'f' => parseLit("false")
         case 'n' => parseLit("null")
+        // json.loads also accepts these non-standard literals by default
+        // (etl_parser.py:565/614/653 use plain json.loads)
+        case 'N' => parseLit("NaN")
+        case 'I' => parseLit("Infinity")
+        case '-' if t.startsWith("-Infinity", i) => parseLit("-Infinity")
         case c if c == '-' || (c >= '0' && c <= '9') => parseNumber()
         case _ => fail()
       }
@@ -266,8 +271,14 @@ object Fragments {
 
   /** Containment dedup (`etl_parser.py:884-924`): scan fragments in
     * (start, -length) order; a fragment fully contained in an
-    * already-kept fragment of equal-or-higher priority is dropped
-    * unless it itself outranks the container. */
+    * already-kept fragment of equal-or-higher priority is dropped.
+    * A contained fragment that OUTRANKS every container survives
+    * because the containment test itself requires the container to be
+    * equal-or-higher priority — `containedBy` stays null for it. (The
+    * reference's `else` arm re-checks the same inequality,
+    * `etl_parser.py:907-917`; it is unreachable there for the same
+    * reason — `p_k <= p_b` held when `contained_by` was set — and is
+    * not ported.) */
   def dedupePrioritize(blocks: Seq[Fragment]): Seq[Fragment] = {
     val kept = ArrayBuffer.empty[Fragment]
     for (b <- blocks.sortBy(x => (x.start_index, -(x.end_index - x.start_index)))) {
@@ -280,7 +291,6 @@ object Fragments {
           containedBy = k
       }
       if (containedBy == null) kept += b
-      else if (priorityOf(b.format_type) < priorityOf(containedBy.format_type)) kept += b
     }
     kept.sortBy(_.start_index).map(f => f.copy(confidence = clampConf(f.confidence))).toSeq
   }

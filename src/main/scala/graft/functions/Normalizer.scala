@@ -45,6 +45,16 @@ object Normalizer {
   private val KvPairRe = Pattern.compile(
     "([A-Za-z0-9_\\- ]{1,60})\\s*[:=]\\s*(\"[^\"]*\"|'[^']*'|[^,\\n]+)")
 
+  /** Python `str.strip(ch)`: removes RUNS of `ch` from both ends (a
+    * single `stripPrefix`/`stripSuffix` pair would leave `""x""` as
+    * `"x"` where the reference yields `x`). */
+  private def stripRuns(s: String, ch: Char): String = {
+    var a = 0; var b = s.length
+    while (a < b && s.charAt(a) == ch) a += 1
+    while (b > a && s.charAt(b - 1) == ch) b -= 1
+    s.substring(a, b)
+  }
+
   /** `_attempt_repair_json` (`etl_parser.py:972-982`). */
   def attemptRepairJson(s: String): String = {
     val noTrailing = TrailingCommaRe.matcher(s).replaceAll("")
@@ -58,8 +68,7 @@ object Normalizer {
     val out = LinkedHashMap.empty[String, String]
     val m = KvPairRe.matcher(s)
     while (m.find()) {
-      val v = m.group(2).trim.stripPrefix("\"").stripSuffix("\"")
-        .stripPrefix("'").stripSuffix("'").trim
+      val v = stripRuns(stripRuns(m.group(2).trim, '"'), '\'').trim
       out(m.group(1).trim) = jstr(v)
     }
     jobj(out.toSeq)
@@ -72,7 +81,7 @@ object Normalizer {
     s.split("\n", -1).foreach { ln =>
       val i = ln.indexOf(':')
       if (i >= 0) {
-        val v = ln.substring(i + 1).trim.stripPrefix("\"").stripSuffix("\"")
+        val v = stripRuns(ln.substring(i + 1).trim, '"')
         out(ln.substring(0, i).trim) = jstr(v)
       }
     }

@@ -11,6 +11,17 @@ import org.apache.spark.sql.functions._
   */
 object TextShingles {
 
+  /** Widens `df` to one partition per core ONLY when the scan has
+    * fewer — at tiny SF a documents table is a single parquet file
+    * (1–2 input splits), which would pin the CPU-bound signature pass
+    * to 1 of 32 cores. At production scale the scan already has more
+    * partitions than cores and this is a no-op: no shuffle of the
+    * corpus text is ever added on the 100 TB path. */
+  def spreadForCpu(df: DataFrame): DataFrame = {
+    val cores = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < cores) df.repartition(cores) else df
+  }
+
   /** Adds `ws` (words) and `shingles` (word 3-grams; whole-word
     * fallback for <3-word texts) to `df`, reading from `textCol`. */
   def withShingles(df: DataFrame, textCol: Column): DataFrame =

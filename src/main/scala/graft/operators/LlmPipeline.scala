@@ -84,7 +84,7 @@ object LlmPipeline {
           else concat(h.substr(lit(off + 1), lit(32 - off)), h.substr(lit(1), lit(off)))))
     }: _*)
     val banded = graft.functions.TextShingles.withShingles(
-        all.repartition(col("doc_id")), col("text"))
+        graft.functions.TextShingles.spreadForCpu(all), col("text"))
       .withColumn("hs", transform(col("shingles"), sh => md5(sh)))
       .withColumn("sig", sig)
       .select(col("doc_id"), posexplode(array((0 until NumHashes / BandSize).map { b =>

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.OpQuery
 import graft.sources.Tables
-import graft.functions.{Fragments, HtmlTable, TextSemantics}
+import graft.functions.{Fragment, Fragments, HtmlTable, TextSemantics}
 
 /** Tier-A operator surface (SURVEY.md §2 A1–A25): the reference's
   * fragment detection + normalization semantics, exposed as queries
@@ -28,6 +28,7 @@ object TextEtl {
 
   private val detectF = udf((s: String) => Fragments.detect(s))
   private val detectRawF = udf((s: String) => Fragments.detectRaw(s))
+  private val dedupeF = udf((fs: Seq[Fragment]) => Fragments.dedupePrioritize(fs))
   private val htmlRowsF = udf((s: String) => HtmlTable.parse(s))
 
   // ---- shared construction pieces ----------------------------------------
@@ -314,7 +315,7 @@ object TextEtl {
   def fragmentPriorityDedup(sp: SparkSession, dir: String): DataFrame =
     docs(sp, dir)
       .withColumn("before", detectRawF(messyDoc))
-      .withColumn("after", detectF(messyDoc))
+      .withColumn("after", dedupeF(col("before")))
       .select(col("doc_id"),
         size(col("before")).as("n_before"),
         size(col("after")).as("n_after"),

@@ -44,7 +44,7 @@ object TrainingData {
     def bitsOf(h: Column): Column =
       transform(sequence(lit(1), lit(32)),
         j => when(h.substr(j, lit(1)) >= "8", 1).otherwise(-1))
-    val sigs = TextShingles.withShingles(all.repartition(col("doc_id")), col("text"))
+    val sigs = TextShingles.withShingles(TextShingles.spreadForCpu(all), col("text"))
       .withColumn("hs", transform(col("shingles"), sh => md5(sh)))
       .withColumn("acc", aggregate(col("hs"),
         array_repeat(lit(0), 32), (acc, h) => zip_with(acc, bitsOf(h), (a, b) => a + b)))
@@ -275,9 +275,14 @@ object TrainingData {
         // STUB decode: a real implementation would hand `bytes` to an
         // image decoder here; this derives deterministic fake media
         // properties so the pipeline shape is testable end-to-end.
-        val b0 = bytes(0) & 0xff
-        val b1 = bytes(1) & 0xff
-        val mean = bytes.map(_ & 0xff).sum.toDouble / bytes.length
+        // A real decoder rejects truncated payloads; mirror that by
+        // treating <2-byte payloads as zeroed headers instead of
+        // crashing the task.
+        val b0 = if (bytes.length > 0) bytes(0) & 0xff else 0
+        val b1 = if (bytes.length > 1) bytes(1) & 0xff else 0
+        val mean =
+          if (bytes.isEmpty) 0.0
+          else bytes.map(_ & 0xff).sum.toDouble / bytes.length
         val mean4 = BigDecimal(mean).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
         (id, "application/octet-stream", bytes.length,
           64 + b0 % 64, 48 + b1 % 48, 3, mean4)

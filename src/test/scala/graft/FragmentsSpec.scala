@@ -62,6 +62,11 @@ class FragmentsSpec extends AnyFunSuite {
     assert(!Fragments.isStrictJson("""{"a": 01}"""))     // leading zero
     assert(!Fragments.isStrictJson("""{"a": 1"""))       // unclosed
     assert(!Fragments.isStrictJson("""{"a": 1} x"""))    // trailing junk
+    // json.loads accepts the non-standard IEEE literals by default
+    assert(Fragments.isStrictJson("""{"a": NaN}"""))
+    assert(Fragments.isStrictJson("[Infinity, -Infinity]"))
+    assert(!Fragments.isStrictJson("""{"a": -NaN}"""))   // json.loads rejects
+    assert(!Fragments.isStrictJson("""{"a": Inf}"""))
   }
 
   test("detector: strict vs malformed vs unclosed JSON classification") {

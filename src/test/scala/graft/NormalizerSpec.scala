@@ -36,6 +36,20 @@ class NormalizerSpec extends AnyFunSuite {
     assert(rows === Seq(Map("K" -> "spaced value")))
   }
 
+  test("HtmlTable: character refs decoded, '>' inside attribute values ignored") {
+    val rows = HtmlTable.parse(
+      "<table><tr><th>A&amp;B</th></tr><tr><td title=\"a>b\">1 &lt; 2 &#33;&#x21;</td></tr></table>")
+    assert(rows === Seq(Map("A&B" -> "1 < 2 !!")))
+  }
+
+  test("parseKv/extractKvPairs: quote RUNS stripped like Python str.strip") {
+    assert(graft.functions.Normalizer.parseKv("k: \"\"x\"\"") === "{\"k\": \"x\"}")
+    // the '' value branch wins for "''y''" in BOTH engines (empty), so the
+    // run-strip case needs the bare-value branch:
+    assert(graft.functions.Normalizer.extractKvPairs("k: ''y''") === "{\"k\": \"\"}")
+    assert(graft.functions.Normalizer.extractKvPairs("k = y''") === "{\"k\": \"y\"}")
+  }
+
   test("flattenSingleKeys: single-key structs hoist, multi-key structs recurse") {
     import spark.implicits._
     val df = Seq(("john", "en", 5L)).toDF("nm", "lg", "n")
