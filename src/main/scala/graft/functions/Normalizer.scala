@@ -112,8 +112,9 @@ object Normalizer {
   private val CellRe = Pattern.compile("(?is)<t[dh]\\b[^>]*>(.*?)</t[dh]\\s*>")
   private val InnerTagRe = Pattern.compile("<[^>]*>")
 
+  // BeautifulSoup's get_text decodes character refs, so cell text must too
   private def cellText(s: String): String =
-    InnerTagRe.matcher(s).replaceAll("").trim
+    HtmlTable.decodeEntities(InnerTagRe.matcher(s).replaceAll("").trim)
 
   /** `_html_table_to_rows`: headers from `<thead>` `<th>`s; each `<tr>`'s
     * cells keyed by headers when the arity matches; synthetic `col_i`
