@@ -1,0 +1,388 @@
+package graft.functions
+
+import java.util.regex.Pattern
+
+import com.fasterxml.jackson.core.JsonParser
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.node.{ArrayNode, JsonNodeFactory, ObjectNode}
+
+/** Pure-Scala port of the reference's second program: the
+  * `DataConverter` universal text→JSON pipeline
+  * (`/root/reference/script.py:83-533`) — section split, per-format
+  * dispatch/parse, title-class merge and single-key flatten. This is
+  * the `python script.py input.txt` entry point a reference user runs
+  * directly; `graft.api.Graft.convert` exposes it per-row on Spark.
+  *
+  * Faithfulness notes:
+  *  - JSON values are Jackson `JsonNode`s with NaN/Infinity allowed,
+  *    matching `json.loads`' default acceptance surface; Python
+  *    truthiness (`if json_data:`) is mirrored by [[truthy]].
+  *  - `fix_json`'s key-quoting pass corrupts already-quoted keys
+  *    (`script.py:247-248` turns `"a":` into `""a"":`) — ported
+  *    verbatim, because the fallback `extract_json_pairs` behavior
+  *    depends on it.
+  *  - CSV parsing mirrors `csv.DictReader` for the unquoted-cell,
+  *    consistent-arity inputs the pipeline sees: missing cells → null
+  *    (restval), extra cells → a list under the `"null"` key (restkey,
+  *    as `json.dumps` renders a `None` key).
+  *  - Verified against the executed reference on 60 seeded fuzz
+  *    documents (`FuzzConverterSpec` / `tools/fuzz_gen2.py`).
+  */
+object DataConverter {
+
+  private val mapper = new ObjectMapper()
+  mapper.configure(JsonParser.Feature.ALLOW_NON_NUMERIC_NUMBERS, true)
+  private val nf = JsonNodeFactory.instance
+
+  def parseToJson(text: String): String = mapper.writeValueAsString(parse(text))
+
+  /** `DataConverter.parse` (`script.py:93-104`). */
+  def parse(inputText: String): JsonNode = {
+    val t = if (inputText == null) "" else inputText.trim
+    if (t.isEmpty) nf.objectNode()
+    else if (t.contains("---")) parseSections(t)
+    else parseSingleFormat(t)
+  }
+
+  // ---- sections (`script.py:106-172`) --------------------------------------
+
+  private val SectionSplitRe = Pattern.compile("\n---\\s*")
+
+  private def parseSections(text: String): JsonNode = {
+    var result: ObjectNode = nf.objectNode()
+    for (section0 <- SectionSplitRe.split(text, -1); section = section0.trim
+         if section.nonEmpty) {
+      val parts = section.split("\n", 2)
+      val title = parts(0).trim
+      val content = if (parts.length > 1) parts(1).trim else section
+      val parsed = parseSingleFormat(content)
+      result = mergeSection(result, title, parsed)
+    }
+    flattenSingleKeys(result)
+  }
+
+  private def mergeSection(result: ObjectNode, title: String, parsed: JsonNode): ObjectNode = {
+    val tu = title.toUpperCase
+    def updateRoot(): Unit = parsed match {
+      case o: ObjectNode =>
+        o.fields().forEachRemaining(e => result.set[JsonNode](e.getKey, e.getValue))
+      case other =>
+        // the reference's dict.update raises here; surface it the same way
+        throw new IllegalArgumentException(
+          s"cannot merge non-object section '$title': ${other.getNodeType}")
+    }
+    def appendTableData(arrayKey: String): Unit = parsed match {
+      case o: ObjectNode if o.has("table_data") =>
+        val arr = result.get(arrayKey) match {
+          case a: ArrayNode => a
+          case _ => val a = nf.arrayNode(); result.set[JsonNode](arrayKey, a); a
+        }
+        o.get("table_data") match {
+          case rows: ArrayNode => rows.forEach(r => arr.add(r))
+          case other => arr.add(other) // list.extend over a non-list cannot
+          // occur in the reference (table_data is always a list); keep total
+        }
+      case _ => ()
+    }
+    if (tu.contains("METADATA") || tu.contains("KEY-VALUE")) updateRoot()
+    else if (tu.contains("JSON")) updateRoot()
+    else if (tu.contains("HTML") || tu.contains("TABLE")) appendTableData("tables")
+    else if (tu.contains("CSV")) appendTableData("csv_data")
+    else if (tu.contains("SQL") || tu.contains("CODE"))
+      result.set[JsonNode]("code_snippet",
+        if (parsed.isObject && parsed.has("text")) parsed.get("text") else nf.textNode(""))
+    else if (tu.contains("OCR")) updateRoot()
+    else result.set[JsonNode](cleanKey(title), parsed)
+    result
+  }
+
+  /** `flatten_single_keys` (`script.py:517-533`): a nested single-key
+    * object hoists as `parent_child` (child value NOT re-flattened);
+    * multi-key objects recurse. */
+  def flattenSingleKeys(data: JsonNode): JsonNode = data match {
+    case o: ObjectNode =>
+      val out = nf.objectNode()
+      o.fields().forEachRemaining { e =>
+        e.getValue match {
+          case v: ObjectNode if v.size() == 1 =>
+            val inner = v.fields().next()
+            out.set[JsonNode](s"${e.getKey}_${inner.getKey}", inner.getValue)
+          case v: ObjectNode => out.set[JsonNode](e.getKey, flattenSingleKeys(v))
+          case v => out.set[JsonNode](e.getKey, v)
+        }
+      }
+      out
+    case other => other
+  }
+
+  // ---- single-format dispatch (`script.py:174-205`) ------------------------
+
+  def parseSingleFormat(text0: String): JsonNode = {
+    val text = text0.trim
+    if (text.contains("<script") && text.contains("application/ld+json"))
+      return parseJsonLd(text)
+    if (text.contains("{") && text.contains("\"")) {
+      tryParseJson(text) match {
+        case Some(j) if truthy(j) => return j
+        case _ => ()
+      }
+    }
+    if (text.toLowerCase.contains("<table")) return parseHtmlTable(text)
+    if (looksLikeCsv(text)) return parseCsv(text)
+    if (looksLikeKeyValue(text)) return parseKeyValue(text)
+    if (text.contains("var ") && text.contains("{")) return parseJavascript(text)
+    parseText(text)
+  }
+
+  /** Python truthiness of a JSON value (`if json_data:`). */
+  private def truthy(n: JsonNode): Boolean = n match {
+    case o: ObjectNode => o.size() > 0
+    case a: ArrayNode => a.size() > 0
+    case _ if n.isTextual => n.asText().nonEmpty
+    case _ if n.isNumber => n.asDouble() != 0.0
+    case _ if n.isBoolean => n.asBoolean()
+    case _ => false // null
+  }
+
+  private def loads(s: String): Option[JsonNode] =
+    try Option(mapper.readTree(s)) catch { case _: Exception => None }
+
+  // ---- JSON (`script.py:211-267`) ------------------------------------------
+
+  private val JsonSpanRe = Pattern.compile("\\{.*\\}", Pattern.DOTALL)
+  private val TrailCommaRe = Pattern.compile(",(\\s*[}\\]])")
+  private val MissingCommaRe = Pattern.compile("\"\\s*\\n\\s*\"")
+  private val SingleQuoteRe = Pattern.compile("'([^']*)'")
+  private val BareKeyRe = Pattern.compile("(\\w+):")
+
+  private def tryParseJson(text: String): Option[JsonNode] = {
+    loads(text) match {
+      case some @ Some(_) => return some
+      case None => ()
+    }
+    val m = JsonSpanRe.matcher(text)
+    if (!m.find()) return None
+    val fixed = fixJson(m.group())
+    loads(fixed).orElse(Some(extractJsonPairs(fixed)))
+  }
+
+  /** `fix_json` (`script.py:236-250`) — including its quirk of
+    * double-quoting keys that are already quoted. */
+  def fixJson(s0: String): String = {
+    var s = TrailCommaRe.matcher(s0).replaceAll("$1")
+    s = MissingCommaRe.matcher(s).replaceAll("\",\n\"")
+    s = SingleQuoteRe.matcher(s).replaceAll("\"$1\"")
+    BareKeyRe.matcher(s).replaceAll("\"$1\":")
+  }
+
+  private val PairStrRe = Pattern.compile("\"(\\w+)\":\\s*\"([^\"]*)\"")
+  private val PairNumRe = Pattern.compile("\"(\\w+)\":\\s*(\\d+\\.?\\d*)")
+  private val PairBoolRe = Pattern.compile("\"(\\w+)\":\\s*(true|false)")
+
+  def extractJsonPairs(s: String): ObjectNode = {
+    val out = nf.objectNode()
+    for (re <- Seq(PairStrRe, PairNumRe, PairBoolRe)) {
+      val m = re.matcher(s)
+      while (m.find()) out.set[JsonNode](m.group(1), convertType(m.group(2)))
+    }
+    out
+  }
+
+  private val JsonLdRe = Pattern.compile(
+    "<script[^>]*type=\"application/ld\\+json\"[^>]*>(.*?)</script>",
+    Pattern.DOTALL | Pattern.CASE_INSENSITIVE)
+
+  private def parseJsonLd(text: String): JsonNode = {
+    val m = JsonLdRe.matcher(text)
+    if (!m.find()) return nf.objectNode()
+    loads(m.group(1)) match {
+      case Some(o: ObjectNode) =>
+        val out = nf.objectNode()
+        o.fields().forEachRemaining(e =>
+          if (!e.getKey.startsWith("@")) out.set[JsonNode](e.getKey, e.getValue))
+        out
+      case _ => nf.objectNode() // non-dict: reference's .items() raises → {}
+    }
+  }
+
+  // ---- HTML tables (`script.py:288-302`, parser `script.py:21-76`) ---------
+
+  private def parseHtmlTable(text: String): JsonNode = {
+    val rows = HtmlTable.parse(text)
+    if (rows.isEmpty) return nf.objectNode()
+    val arr = nf.arrayNode()
+    rows.foreach { row =>
+      val o = nf.objectNode()
+      row.foreach { case (k, v) => o.set[JsonNode](k, convertType(v)) }
+      arr.add(o)
+    }
+    val out = nf.objectNode()
+    out.set[JsonNode]("table_data", arr)
+    out
+  }
+
+  // ---- CSV (`script.py:308-343`) -------------------------------------------
+
+  private def looksLikeCsv(text: String): Boolean = {
+    val lines = text.split("\n", -1).filter(_.trim.nonEmpty)
+    if (lines.length < 2) return false
+    def cnt(s: String, c: Char) = s.count(_ == c)
+    val sepCount = if (cnt(lines(0), ',') != 0) cnt(lines(0), ',') else cnt(lines(0), '\t')
+    if (sepCount == 0) return false
+    lines.take(3).forall(l => cnt(l, ',') == sepCount || cnt(l, '\t') == sepCount)
+  }
+
+  private def parseCsv(text: String): JsonNode = {
+    val delimiter = if (text.split("\n", -1)(0).contains(",")) ',' else '\t'
+    val lines = text.split("\r?\n", -1).filter(_.nonEmpty)
+    if (lines.isEmpty) return nf.objectNode()
+    val headers = lines(0).split(delimiter.toString, -1)
+    val rows = nf.arrayNode()
+    for (ln <- lines.drop(1)) {
+      val cells = ln.split(delimiter.toString, -1)
+      val o = nf.objectNode()
+      headers.indices.foreach { i =>
+        if (i < cells.length) o.set[JsonNode](headers(i), convertType(cells(i)))
+        else o.set[JsonNode](headers(i), nf.nullNode()) // DictReader restval
+      }
+      if (cells.length > headers.length) { // DictReader restkey (None key)
+        val extra = nf.arrayNode()
+        cells.drop(headers.length).foreach(c => extra.add(nf.textNode(c)))
+        o.set[JsonNode]("null", extra)
+      }
+      rows.add(o)
+    }
+    if (rows.size() == 1) rows.get(0)
+    else { val out = nf.objectNode(); out.set[JsonNode]("table_data", rows); out }
+  }
+
+  // ---- key-value (`script.py:350-397`) -------------------------------------
+
+  private val KvLineRe = Pattern.compile("^\\w+\\s*[:=]\\s*.+")
+
+  private def looksLikeKeyValue(text: String): Boolean = {
+    val lines = text.split("\n", -1).map(_.trim).filter(_.nonEmpty)
+    if (lines.isEmpty) return false
+    val matches = lines.count(l => KvLineRe.matcher(l).find())
+    matches > lines.length * 0.5
+  }
+
+  private def parseKeyValue(text: String): JsonNode = {
+    val out = nf.objectNode()
+    for (line0 <- text.split("\n", -1); line = line0.trim
+         if line.nonEmpty && !line.startsWith("#") && !line.startsWith("//")) {
+      val kv: Option[(String, String)] =
+        if (line.contains(": ")) { val i = line.indexOf(": "); Some((line.substring(0, i), line.substring(i + 2))) }
+        else if (line.contains("=")) { val i = line.indexOf('='); Some((line.substring(0, i), line.substring(i + 1))) }
+        else if (line.contains(":")) { val i = line.indexOf(':'); Some((line.substring(0, i), line.substring(i + 1))) }
+        else None
+      kv.foreach { case (k0, v0) =>
+        val key = cleanKey(k0)
+        val value = v0.trim
+        val node: JsonNode =
+          if (value.contains(";")) {
+            val arr = nf.arrayNode()
+            value.split(";", -1).foreach(v => arr.add(convertType(v.trim)))
+            arr
+          } else convertType(value)
+        out.set[JsonNode](key, node)
+      }
+    }
+    out
+  }
+
+  // ---- javascript (`script.py:403-419`) ------------------------------------
+
+  private val JsVarRe = Pattern.compile("var\\s+\\w+\\s*=\\s*(\\{[^}]+\\})")
+
+  private def parseJavascript(text: String): JsonNode = {
+    val m = JsVarRe.matcher(text)
+    if (!m.find()) return nf.objectNode()
+    var obj = BareKeyRe.matcher(m.group(1)).replaceAll("\"$1\":")
+    obj = obj.replace('\'', '"')
+    loads(obj).getOrElse(extractJsonPairs(obj))
+  }
+
+  // ---- plain text (`script.py:425-461`) ------------------------------------
+
+  private val PhoneRe = Pattern.compile("\\(?\\d{3}\\)?[-.\\s]?\\d{3}[-.\\s]?\\d{4}")
+  private val EmailRe = Pattern.compile("[\\w.-]+@[\\w.-]+\\.\\w+")
+  private val UrlRe = Pattern.compile("https?://[^\\s<>\"]+")
+  private val PriceRe = Pattern.compile("\\$?\\d+[.,]\\d{2}")
+  private val TextKvRe = Pattern.compile("(\\w+):\\s*([^\\n]+)")
+
+  private def parseText(text0: String): JsonNode = {
+    val out = nf.objectNode()
+    val text = fixOcrErrors(text0)
+    val phone = PhoneRe.matcher(text)
+    if (phone.find()) out.put("phone", phone.group())
+    val email = EmailRe.matcher(text)
+    if (email.find()) out.put("email", email.group())
+    val urls = nf.arrayNode()
+    val um = UrlRe.matcher(text)
+    while (um.find()) urls.add(nf.textNode(um.group()))
+    if (urls.size() > 0) out.set[JsonNode]("urls", urls)
+    val prices = nf.arrayNode()
+    val pm = PriceRe.matcher(text)
+    while (pm.find()) prices.add(nf.textNode(pm.group().replace(',', '.')))
+    if (prices.size() > 0) out.set[JsonNode]("prices", prices)
+    val km = TextKvRe.matcher(text)
+    while (km.find()) {
+      val key = cleanKey(km.group(1))
+      if (key.length > 2) out.set[JsonNode](key, convertType(km.group(2).trim))
+    }
+    if (out.size() < 2) out.put("text", text)
+    out
+  }
+
+  /** `fix_ocr_errors` (`script.py:469-480`). The `\bO\b(?=\d)` rule is
+    * ported verbatim although it can never match (O and a digit are
+    * both word chars, so no boundary separates them). */
+  def fixOcrErrors(text0: String): String = {
+    var text = Pattern.compile("l0cation", Pattern.CASE_INSENSITIVE)
+      .matcher(text0).replaceAll("location")
+    text = Pattern.compile("\\bO\\b(?=\\d)", Pattern.CASE_INSENSITIVE)
+      .matcher(text).replaceAll("0")
+    Pattern.compile("one hundred and twenty", Pattern.CASE_INSENSITIVE)
+      .matcher(text).replaceAll("120")
+  }
+
+  // ---- scalar coercion (`script.py:482-515`) -------------------------------
+
+  private val IntRe = Pattern.compile("[+-]?\\d+")
+  private val FloatRe = Pattern.compile("[+-]?(\\d+\\.?\\d*|\\.\\d+)([eE][+-]?\\d+)?")
+
+  /** `convert_type`: strip whitespace then a RUN of quote chars (either
+    * kind, Python `strip('"\'')`), word-list booleans/nulls, then
+    * `.`-gated float (with `,`→`.`) else int, else the string. */
+  def convertType(value0: String): JsonNode = {
+    var value = value0.trim
+    var a = 0; var b = value.length
+    while (a < b && (value.charAt(a) == '"' || value.charAt(a) == '\'')) a += 1
+    while (b > a && (value.charAt(b - 1) == '"' || value.charAt(b - 1) == '\'')) b -= 1
+    value = value.substring(a, b)
+    val lower = value.toLowerCase
+    if (lower == "true" || lower == "yes" || lower == "on") return nf.booleanNode(true)
+    if (lower == "false" || lower == "no" || lower == "off") return nf.booleanNode(false)
+    if (lower == "null" || lower == "none" || lower == "n/a" || lower == "na")
+      return nf.nullNode()
+    if (value.contains(".")) {
+      val norm = value.replace(',', '.')
+      if (FloatRe.matcher(norm).matches())
+        return nf.numberNode(norm.toDouble)
+    } else if (IntRe.matcher(value).matches()) {
+      try {
+        val l = value.toLong
+        return if (l >= Int.MinValue && l <= Int.MaxValue) nf.numberNode(l.toInt)
+        else nf.numberNode(l)
+      } catch { case _: NumberFormatException => () } // > Long: keep string
+    }
+    nf.textNode(value)
+  }
+
+  /** `clean_key` (`script.py:509-515`). */
+  def cleanKey(key0: String): String = {
+    val noSpecial = Pattern.compile("[^\\w\\s-]").matcher(key0).replaceAll("")
+    Pattern.compile("\\s+").matcher(noSpecial.trim).replaceAll("_").toLowerCase
+  }
+}

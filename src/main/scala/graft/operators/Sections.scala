@@ -106,6 +106,26 @@ object Sections {
       .orderBy("doc_id")
   }
 
+  // ---- A32: whole DataConverter.parse, end to end --------------------------
+
+  private val convertF = udf((s: String) => graft.functions.DataConverter.parseToJson(s))
+
+  private def convertDoc: Column =
+    s(lit("METADATA\nid: "), docIdS, lit("\nlang: "), col("lang"),
+      lit("\n--- SQL CODE\nSELECT "), docIdS,
+      lit(";\n--- Extra Notes\nnote_text: hello "), col("source"))
+
+  /** The full `DataConverter.parse` pipeline (`script.py:93-168`) per
+    * document: METADATA kv merges to root (with int coercion of `id`),
+    * the SQL section's parse_text fallback becomes `code_snippet`, and
+    * the Extra Notes section nests then single-key-flattens to
+    * `extra_notes_note_text`. The oracle states the exact output JSON
+    * analytically from the construction. */
+  def convertPipeline(sp: SparkSession, dir: String): DataFrame =
+    docs(sp, dir)
+      .select(col("doc_id"), convertF(convertDoc).as("converted"))
+      .orderBy("doc_id")
+
   // ---- A29: flatten single-key structs -------------------------------------
 
   /** Generic compile-time port of `flatten_single_keys`
@@ -168,5 +188,12 @@ object Sections {
     OpQuery("op_flatten_single_keys",
       """SELECT doc_id,
         |  concat('{"user_name":"', source, '","meta":{"a":"', lang, '","b":', n_chars, '}}') AS flat_json
-        |FROM documents ORDER BY doc_id""".stripMargin)(flattenSingleKeysQuery))
+        |FROM documents ORDER BY doc_id""".stripMargin)(flattenSingleKeysQuery),
+
+    OpQuery("op_convert_pipeline",
+      """SELECT doc_id,
+        |  concat('{"id":', doc_id, ',"lang":"', lang,
+        |         '","code_snippet":"SELECT ', doc_id,
+        |         ';","extra_notes_note_text":"hello ', source, '"}') AS converted
+        |FROM documents ORDER BY doc_id""".stripMargin)(convertPipeline))
 }
