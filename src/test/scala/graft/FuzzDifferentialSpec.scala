@@ -6,9 +6,12 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.api.Graft
 import graft.functions.Fragments
 
-/** Seeded fuzz differential: `tools/fuzz_gen.py` composed 60 random
-  * messy documents (every fragment family mixed, 433 fragments total),
-  * executed the REFERENCE parser on each, and recorded the observed
+/** Seeded fuzz differential: `tools/fuzz_gen.py` composed 100 random
+  * messy documents (every fragment family mixed; the last 40 lean on
+  * adversarial pieces — sectioned-JSON headers, unclosed braces,
+  * `;`/tab CSV, low-colon YAML, braces inside JSON strings — ~730
+  * fragments total), executed the REFERENCE parser on each, and
+  * recorded the observed
   * fragments/summary/record spans in `fuzz_detector.json`. The port
   * must reproduce every span, type, confidence and normalized-record
   * identity byte-for-byte — far beyond the two hand-written golden
@@ -27,9 +30,9 @@ class FuzzDifferentialSpec extends AnyFunSuite {
     root.get("docs").elements().asScala.toSeq
   }
 
-  test("fixture sanity: 60 docs, >400 reference fragments") {
-    assert(docs.size == 60)
-    assert(docs.map(_.get("fragments").size()).sum > 400)
+  test("fixture sanity: 100 docs (40 adversarial), >700 reference fragments") {
+    assert(docs.size == 100)
+    assert(docs.map(_.get("fragments").size()).sum > 700)
   }
 
   test("detector reproduces every reference fragment span, type and confidence") {

@@ -208,24 +208,70 @@ def piece_raw():
     return words(6, 20) + rng.choice([".", "!", ""])
 
 
+# ---- adversarial pieces: reference paths the plain pieces never hit ----
+
+def piece_sectioned_json():
+    # '--- <HEADER with JSON>' boundary (etl_parser detect_sectioned_jsons)
+    header = rng.choice(["USERS JSON", "JSON CONFIG", "RAW JSON DUMP"])
+    body = rng.choice([piece_json(), piece_malformed()])
+    return f"--- {header}\n{body}"
+
+
+def piece_unclosed():
+    # unclosed brace -> MALFORMED_JSON 'unclosed' heuristic (conf 0.35)
+    return '{"%s": %d, "state": "open"' % (words(1, 1), rng.randint(1, 99))
+
+
+def piece_csv_alt():
+    # ';' and tab delimiters + headerless numeric-first variant
+    d = rng.choice([";", "\t"])
+    headerless = rng.random() < 0.5
+    lines = []
+    if not headerless:
+        lines.append(d.join(["name", "qty"]))
+    for _ in range(rng.randint(2, 4)):
+        lines.append(d.join([str(rng.randint(0, 999)), words(1, 1)]))
+    return "\n".join(lines)
+
+
+def piece_yaml_low_colon():
+    # frontmatter with <=50% colon lines -> conf 0.6 branch
+    lines = [f"title: {words(1, 2)}"] + [words(2, 4) for _ in range(3)]
+    return "---\n" + "\n".join(lines) + "\n---"
+
+
+def piece_sql_comment():
+    # leading '--' comment form of the SQL regex
+    return f"-- latest rows\nSELECT * FROM t LIMIT {rng.randint(1, 9)};"
+
+
+def piece_brace_in_string():
+    # braces inside JSON strings exercise the string-aware span scan
+    return '{"expr": "if (x) { y } else { z }", "n": %d}' % rng.randint(1, 99)
+
+
+ADVERSARIAL = [piece_sectioned_json, piece_unclosed, piece_csv_alt,
+               piece_yaml_low_colon, piece_sql_comment, piece_brace_in_string]
+
 PIECES = [piece_json, piece_malformed, piece_json_ld, piece_sectioned,
           piece_html_table, piece_html_block, piece_csv, piece_kv,
           piece_js, piece_sql, piece_raw, piece_raw]
 
 
-def gen_doc():
+def gen_doc(adversarial=False):
     n = rng.randint(3, 8)
     parts = []
     if rng.random() < 0.25:
         parts.append(piece_yaml())
-    parts += [rng.choice(PIECES)() for _ in range(n)]
+    pool = PIECES + (ADVERSARIAL * 2 if adversarial else [])
+    parts += [rng.choice(pool)() for _ in range(n)]
     return "\n\n".join(parts)
 
 
 def main():
     docs = []
-    for i in range(60):
-        text = gen_doc()
+    for i in range(100):
+        text = gen_doc(adversarial = i >= 60)
         out = ref.parse_file(text)
         docs.append({
             "id": i,

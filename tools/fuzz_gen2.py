@@ -102,7 +102,28 @@ def sec_other():
     return title, body
 
 
-SECTIONS = [sec_metadata, sec_json, sec_table, sec_csv, sec_sql, sec_ocr, sec_other]
+def sec_jsonld():
+    # dispatch checks for script tags BEFORE the title class is applied
+    body = '{"@context": "https://schema.org", "@type": "Thing", "name": "%s", "n": %d}' % (
+        words(1, 2), rng.randint(1, 99))
+    return rng.choice(["JSON DATA", "Embedded Block"]), \
+        f'<script type="application/ld+json">{body}</script>'
+
+
+def sec_js():
+    obj = "{mode: '%s', level: %d}" % (words(1, 1), rng.randint(1, 9))
+    return rng.choice(["Config Script", "JSON SNIPPET"]), f"var config = {obj};"
+
+
+def sec_table_mismatch():
+    # arity-mismatched rows are dropped by the HTMLTableParser port
+    return "DATA TABLE", ("<table><tr><th>A</th><th>B</th></tr>"
+                          "<tr><td>1</td></tr>"
+                          "<tr><td>2</td><td>3</td></tr></table>")
+
+
+SECTIONS = [sec_metadata, sec_json, sec_table, sec_csv, sec_sql, sec_ocr,
+            sec_other, sec_jsonld, sec_js, sec_table_mismatch]
 
 
 def gen_sectioned():
@@ -122,7 +143,7 @@ def gen_single():
 def main():
     docs, skipped = [], 0
     i = 0
-    while len(docs) < 60:
+    while len(docs) < 90:
         i += 1
         text = gen_sectioned() if len(docs) % 3 != 2 else gen_single()
         try:
