@@ -76,17 +76,14 @@ object LlmPipeline {
     // each rotation leads with a disjoint 16-bit window, so the min
     // selection is driven by effectively independent bits at 1/8th the
     // digest cost (the production trade for CPU-bound signature passes).
-    val sig = array((0 until NumHashes).map { seed =>
-      val off = seed * 4
-      aggregate(col("hs"), lit("zz"),
-        (acc, h) => least(acc,
-          if (off == 0) h
-          else concat(h.substr(lit(off + 1), lit(32 - off)), h.substr(lit(1), lit(off)))))
-    }: _*)
+    // The rotation-minima are computed by the codegen'd
+    // MinHashSignature kernel (one pass, zero per-element allocation);
+    // values are bit-identical to the 8x aggregate/least fold, so the
+    // oracle SQL still states the same rotations.
     val banded = graft.functions.TextShingles.withShingles(
         graft.functions.TextShingles.spreadForCpu(all), col("text"))
       .withColumn("hs", transform(col("shingles"), sh => md5(sh)))
-      .withColumn("sig", sig)
+      .withColumn("sig", graft.plans.MinHashSignature.minhashSig(col("hs"), NumHashes, 4))
       .select(col("doc_id"), posexplode(array((0 until NumHashes / BandSize).map { b =>
         md5(concat_ws("|", element_at(col("sig"), b * BandSize + 1),
           element_at(col("sig"), b * BandSize + 2)))

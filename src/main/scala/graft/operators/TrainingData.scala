@@ -41,15 +41,13 @@ object TrainingData {
         concat(col("text"), lit(" extraneous")).as("text"))
     val all = base.union(variants)
 
-    def bitsOf(h: Column): Column =
-      transform(sequence(lit(1), lit(32)),
-        j => when(h.substr(j, lit(1)) >= "8", 1).otherwise(-1))
+    // vote kernel is the codegen'd SimHashSignature (one int[32] per
+    // row instead of a 32-int array allocation per digest); values are
+    // bit-identical to the transform/aggregate/zip_with fold, so the
+    // oracle SQL still states the fold's semantics
     val sigs = TextShingles.withShingles(TextShingles.spreadForCpu(all), col("text"))
       .withColumn("hs", transform(col("shingles"), sh => md5(sh)))
-      .withColumn("acc", aggregate(col("hs"),
-        array_repeat(lit(0), 32), (acc, h) => zip_with(acc, bitsOf(h), (a, b) => a + b)))
-      .withColumn("sig", concat_ws("",
-        transform(col("acc"), c => when(c > 0, "1").otherwise("0"))))
+      .withColumn("sig", graft.plans.SimHashSignature.simhashSig(col("hs")))
       .select("doc_id", "sig")
 
     def band(k: Int): Column = substring(col("sig"), k * 8 + 1, 8)
