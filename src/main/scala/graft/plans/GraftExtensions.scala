@@ -1,0 +1,53 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SQL-surface registration for the custom Catalyst kernels, so
+  * `spark.sql("SELECT graft_rolling_hash(text, 1, 100) ...")` works —
+  * use `--conf spark.sql.extensions=graft.plans.GraftExtensions` (or
+  * `SparkSession.builder.withExtensions(new GraftExtensions)`).
+  *
+  * The DataFrame API entry points (`RollingHash.rollingHash`,
+  * `MinHashSignature.minhashSig`, `SimHashSignature.simhashSig`) need
+  * no registration; this class exists for SQL users and demonstrates
+  * the standard `SparkSessionExtensions.injectFunction` deployment of
+  * the kernels.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  /** (identifier, info, builder) triples, also usable with
+    * `FunctionRegistry` injection in tests. */
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("graft_rolling_hash"),
+      info("graft_rolling_hash",
+        "graft_rolling_hash(str, offset, length) - polynomial rolling hash over a byte range"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "graft_rolling_hash takes (str, offset, length)")
+        RollingHash(args(0), args(1), args(2))
+      }),
+    (FunctionIdentifier("graft_minhash_sig"),
+      info("graft_minhash_sig",
+        "graft_minhash_sig(hashes) - 8 hex-rotation MinHash minima over an array of md5 digests"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "graft_minhash_sig takes (array<string>)")
+        MinHashSignature(args(0), 8, 4)
+      }),
+    (FunctionIdentifier("graft_simhash_sig"),
+      info("graft_simhash_sig",
+        "graft_simhash_sig(hashes) - 32-bit SimHash vote signature over an array of md5 digests"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "graft_simhash_sig takes (array<string>)")
+        SimHashSignature(args(0))
+      }))
+}

@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.graftbridge.bridge
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.plans.GraftExtensions
+
+/** The SparkSessionExtensions function pack: inject the custom kernels
+  * into a session's function registry and call them from SQL text. */
+class GraftExtensionsSpec extends AnyFunSuite {
+  private lazy val spark = {
+    val s = SparkTestSession.spark
+    GraftExtensions.functions.foreach(bridge.registerFunction(s, _))
+    s
+  }
+
+  test("graft_rolling_hash callable from SQL, equals the DataFrame API") {
+    val viaSql = spark.sql("SELECT graft_rolling_hash('hello world', 1, 11)").head().getLong(0)
+    import org.apache.spark.sql.functions._
+    val viaDf = spark.range(1)
+      .select(graft.plans.RollingHash.rollingHash(lit("hello world"), lit(1), lit(11)))
+      .head().getLong(0)
+    assert(viaSql == viaDf)
+    // hand-computed: acc = acc*31 + byte mod 1e9+7 over "hello world"
+    val expect = "hello world".getBytes.foldLeft(0L)((a, b) => (a * 31 + (b & 0xff)) % 1000000007L)
+    assert(viaSql == expect)
+  }
+
+  test("graft_minhash_sig and graft_simhash_sig callable from SQL") {
+    val row = spark.sql(
+      """SELECT graft_minhash_sig(array(md5('a'), md5('b'))) AS m,
+        |       graft_simhash_sig(array(md5('a'), md5('b'))) AS s""".stripMargin).head()
+    val m = row.getSeq[String](0)
+    assert(m.length == 8 && m.forall(_.length == 32))
+    val s = row.getString(1)
+    assert(s.length == 32 && s.forall(c => c == '0' || c == '1'))
+  }
+
+  test("wrong arity fails loudly at analysis") {
+    val e = intercept[Exception](spark.sql("SELECT graft_minhash_sig(array('x'), 2)").head())
+    assert(e.getMessage.contains("graft_minhash_sig"))
+  }
+}
