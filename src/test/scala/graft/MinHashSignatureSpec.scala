@@ -36,6 +36,19 @@ class MinHashSignatureSpec extends AnyFunSuite {
     assert(bad == 0)
   }
 
+  test("kernels execute inside whole-stage codegen (starred project)") {
+    val df = spark.range(4)
+      .select(array(md5(col("id").cast("string"))).as("hs"))
+      .select(MinHashSignature.minhashSig(col("hs")).as("m"),
+        graft.plans.SimHashSignature.simhashSig(col("hs")).as("s"))
+    val plan = df.queryExecution.executedPlan.toString
+    val kernelLines = plan.linesIterator
+      .filter(l => l.contains("graft_minhash_sig") || l.contains("graft_simhash_sig")).toSeq
+    assert(kernelLines.nonEmpty)
+    // '*(n)' marks operators compiled into a whole-stage-codegen stage
+    assert(kernelLines.forall(_.contains("*(")), s"kernel outside codegen:\n$plan")
+  }
+
   test("empty input yields the fold's 'zz' identity; interpreted eval agrees") {
     import spark.implicits._
     val empty = Seq(Seq.empty[String]).toDF("hs")
