@@ -40,8 +40,13 @@ object TextSemantics {
     // Python strip('"\'') removes any run of quote chars at both ends
     val t = regexp_replace(regexp_replace(trim(v), "^[\"']+", ""), "[\"']+$", "")
     val low = lower(t)
-    val asDouble = regexp_replace(t, ",", ".").try_cast("double")
-    val asLong = t.try_cast("long")
+    // Spark's string casts accept Java-isms Python rejects ("1.5d",
+    // "Infinity") — gate both numeric paths with Python's grammar
+    val norm = regexp_replace(t, ",", ".")
+    val asDouble = when(
+      norm.rlike("^[+-]?([0-9]+\\.?[0-9]*|\\.[0-9]+)([eE][+-]?[0-9]+)?$"),
+      norm.try_cast("double"))
+    val asLong = when(t.rlike("^[+-]?[0-9]+$"), t.try_cast("long"))
     val kind =
       when(low.isin(TrueWords ++ FalseWords: _*), "boolean")
         .when(low.isin(NullWords: _*), "null")
