@@ -31,6 +31,31 @@ class CoercionParitySpec extends AnyFunSuite {
     else if (n.isIntegralNumber) "long"
     else "string"
 
+  test("columnar cleanKey agrees with the fuzz-verified scalar cleanKey") {
+    import spark.implicits._
+    val keys = Seq(" First Name ", "Total (USD)", "a  b--c!", "key_1",
+      "UPPER lower", "tabs\tand spaces", "trailing! ", "-lead", "x")
+    val rows = keys.toDF("k")
+      .select(col("k"), TextSemantics.cleanKey(col("k")).as("c")).collect()
+    for (r <- rows)
+      assert(r.getString(1) == DataConverter.cleanKey(r.getString(0)),
+        s"cleanKey mismatch for '${r.getString(0)}'")
+  }
+
+  test("columnar fixOcr agrees with the scalar port outside the documented divergence") {
+    import spark.implicits._
+    // the scalar port keeps the reference's never-matching \bO\b(?=\d)
+    // rule verbatim; the columnar port implements the intended O<digit>
+    // rule — parity holds on every input without that pattern
+    val texts = Seq("visit l0cation now", "L0CATION x", "one hundred and twenty",
+      "ONE HUNDRED AND TWENTY units", "plain text", "l0cation one hundred and twenty")
+    val rows = texts.toDF("t")
+      .select(col("t"), TextSemantics.fixOcr(col("t")).as("f")).collect()
+    for (r <- rows)
+      assert(r.getString(1) == DataConverter.fixOcrErrors(r.getString(0)),
+        s"fixOcr mismatch for '${r.getString(0)}'")
+  }
+
   test("columnar coerceType agrees with the fuzz-verified scalar convertType") {
     import spark.implicits._
     val rows = values.toDF("v")
