@@ -1,0 +1,56 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the physical-plan properties PLANS.md documents, so a
+  * regression that silently de-optimizes a plan (lost pushdown, extra
+  * shuffle, cartesian fallback) fails CI instead of only showing up as
+  * a 100 TB incident. Plan shapes are checked at sf0.001 — they are
+  * scale-invariant. */
+class PlanEvidenceSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    Registry.byName(name).build(spark, dir).queryExecution.executedPlan.toString
+
+  test("op_filter_project: predicates and pruned schema reach the parquet scan") {
+    val p = plan("op_filter_project")
+    assert(p.contains("PushedFilters:") && p.contains("l_shipdate"),
+      s"shipdate filter not pushed:\n$p")
+    assert(!p.contains("l_comment"), "scan reads columns the query never uses")
+  }
+
+  test("flagship: dimension joins broadcast, aggregation is partial before exchange") {
+    val p = Registry.flagship(spark, dir).queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join in flagship:\n$p")
+    assert(p.contains("partial_sum") || p.contains("partial"),
+      "no map-side partial aggregation before the shuffle")
+  }
+
+  test("op_sort_limit_topk compiles to TakeOrderedAndProject, not a global sort") {
+    val p = plan("op_sort_limit_topk")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k materialized a global sort:\n$p")
+  }
+
+  test("near-dup ops: no cartesian or nested-loop join anywhere") {
+    for (name <- Seq("op_dedup_minhash", "op_dedup_simhash", "op_dedup_embedding",
+        "op_dedup_exact", "op_dedup_ngram_jaccard")) {
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$name plans a nested-loop join")
+    }
+  }
+
+  test("op_dedup_minhash: only the band shuffle and the output-linear pair distinct") {
+    val p = plan("op_dedup_minhash")
+    val hashExchanges = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(hashExchanges.size == 2, s"expected band + distinct shuffles only:\n$p")
+    assert(hashExchanges.exists(_.contains("band")),
+      "no exchange keyed on the band columns — corpus-wide shuffle instead?")
+    assert(hashExchanges.exists(l => l.contains("doc_a") && l.contains("doc_b")),
+      "second exchange is not the candidate-pair distinct")
+    // neither shuffle may carry the corpus text
+    assert(!hashExchanges.exists(_.contains("text")), "a shuffle ships document text")
+  }
+}
