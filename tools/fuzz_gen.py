@@ -98,7 +98,11 @@ ref = importlib.util.module_from_spec(spec)
 sys.modules["etl_parser"] = ref  # @dataclass resolves its module via sys.modules
 spec.loader.exec_module(ref)
 
-rng = random.Random(20260812)
+# optional: fuzz_gen.py [seed] [output_path] — defaults regenerate the
+# committed fixture; alternate seeds pair with `Test/runMain graft.FuzzCheck`
+SEED = int(sys.argv[1]) if len(sys.argv) > 1 else 20260812
+OUT = sys.argv[2] if len(sys.argv) > 2 else "src/test/resources/fuzz_detector.json"
+rng = random.Random(SEED)
 
 WORDS = ("alpha beta gamma delta epsilon zeta eta theta iota kappa lam mu nu xi "
          "omicron pi rho sigma tau upsilon phi chi psi omega data value record").split()
@@ -287,9 +291,9 @@ def main():
                          "end": r["end"], "data": r["data"]}
                         for r in out["records"]],
         })
-    path = "src/test/resources/fuzz_detector.json"
+    path = OUT
     with open(path, "w") as f:
-        json.dump({"seed": 20260812, "docs": docs}, f, indent=1)
+        json.dump({"seed": SEED, "docs": docs}, f, indent=1)
     total = sum(len(d["fragments"]) for d in docs)
     fmts = {}
     for d in docs:

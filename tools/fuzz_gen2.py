@@ -22,7 +22,11 @@ ref = importlib.util.module_from_spec(spec)
 sys.modules["refscript"] = ref
 spec.loader.exec_module(ref)
 
-rng = random.Random(20260813)
+# optional: fuzz_gen2.py [seed] [output_path] — defaults regenerate the
+# committed fixture; alternate seeds pair with `Test/runMain graft.FuzzCheck`
+SEED = int(sys.argv[1]) if len(sys.argv) > 1 else 20260813
+OUT = sys.argv[2] if len(sys.argv) > 2 else "src/test/resources/fuzz_converter.json"
+rng = random.Random(SEED)
 
 WORDS = ("alpha beta gamma delta epsilon zeta eta theta iota kappa lam mu nu xi "
          "omicron pi rho sigma tau upsilon phi chi psi omega data value record").split()
@@ -153,9 +157,9 @@ def main():
             skipped += 1
             continue
         docs.append({"id": len(docs), "text": text, "parsed": parsed})
-    path = "src/test/resources/fuzz_converter.json"
+    path = OUT
     with open(path, "w") as f:
-        json.dump({"seed": 20260813, "docs": docs}, f, indent=1)
+        json.dump({"seed": SEED, "docs": docs}, f, indent=1)
     keys = sum(len(d["parsed"]) if isinstance(d["parsed"], dict) else 1 for d in docs)
     print(f"wrote {path}: {len(docs)} docs ({skipped} crashed in reference, skipped), "
           f"{keys} top-level keys")
