@@ -26,8 +26,11 @@ import graft.functions.{Fragment, Fragments, HtmlTable, TextSemantics}
   */
 object TextEtl {
 
-  private val detectF = udf((s: String) => Fragments.detect(s))
-  private val detectRawF = udf((s: String) => Fragments.detectRaw(s))
+  // native expression (no per-row reflective encoding — see
+  // graft.plans.DetectFragments); dedupeF stays a UDF (struct decode
+  // of an already-materialized column, off the hot path)
+  private def detectF(c: Column): Column = graft.plans.DetectFragments.detect(c)
+  private def detectRawF(c: Column): Column = graft.plans.DetectFragments.detectRaw(c)
   private val dedupeF = udf((fs: Seq[Fragment]) => Fragments.dedupePrioritize(fs))
   private val htmlRowsF = udf((s: String) => HtmlTable.parse(s))
 
