@@ -49,5 +49,12 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.length == 1, "graft_simhash_sig takes (array<string>)")
         SimHashSignature(args(0))
+      }),
+    (FunctionIdentifier("graft_detect_fragments"),
+      info("graft_detect_fragments",
+        "graft_detect_fragments(text) - typed fragment spans from the detector cascade"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "graft_detect_fragments takes (string)")
+        DetectFragments(args(0), dedupe = true)
       }))
 }

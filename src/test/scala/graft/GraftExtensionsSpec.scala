@@ -36,6 +36,14 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(s.length == 32 && s.forall(c => c == '0' || c == '1'))
   }
 
+  test("graft_detect_fragments callable from SQL") {
+    val row = spark.sql(
+      """SELECT f.format_type, f.start_index
+        |FROM (SELECT explode(graft_detect_fragments('{"a": 1}\n\nplain prose words here for raw detection')) AS f)
+        |ORDER BY f.start_index""".stripMargin).collect()
+    assert(row.map(_.getString(0)).contains("JSON"))
+  }
+
   test("wrong arity fails loudly at analysis") {
     val e = intercept[Exception](spark.sql("SELECT graft_minhash_sig(array('x'), 2)").head())
     assert(e.getMessage.contains("graft_minhash_sig"))
