@@ -22,12 +22,11 @@ object TextShingles {
     if (df.rdd.getNumPartitions < cores) df.repartition(cores) else df
   }
 
-  /** Adds `ws` (words) and `shingles` (word 3-grams; whole-word
-    * fallback for <3-word texts) to `df`, reading from `textCol`. */
+  /** Adds `shingles` (word 3-grams; whole-text fallback for <3-word
+    * texts) to `df`, reading from `textCol` — via the native
+    * `graft.plans.ShingleWords` kernel (one pass, no per-element
+    * lambda allocation; parity with the old split/transform/concat_ws
+    * fold is pinned by ShingleWordsSpec). */
   def withShingles(df: DataFrame, textCol: Column): DataFrame =
-    df.withColumn("ws", split(textCol, " "))
-      .withColumn("shingles", transform(
-        sequence(lit(1), greatest(size(col("ws")) - 2, lit(1))),
-        i => concat_ws(" ", element_at(col("ws"), i),
-          try_element_at(col("ws"), i + 1), try_element_at(col("ws"), i + 2))))
+    df.withColumn("shingles", graft.plans.ShingleWords.shingles(textCol))
 }
