@@ -121,15 +121,10 @@ object LlmPipeline {
     val emb = Tables.embeddings(sp, dir)
     val queries = emb.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-    def dot(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-        lit(0.0), (acc, v) => acc + v)
-    def norm(a: Column): Column =
-      sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double")))
     val scored = emb.crossJoin(broadcast(queries))
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("score",
-        round(dot(col("q_emb"), col("embedding")) / (norm(col("q_emb")) * norm(col("embedding"))), 4))
+        round(graft.plans.VectorKernels.cosine(col("q_emb"), col("embedding")), 4))
     val w = Window.partitionBy("q_id").orderBy(col("score").desc, col("vec_id").asc)
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 5)

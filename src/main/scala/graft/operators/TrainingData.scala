@@ -106,14 +106,11 @@ object TrainingData {
   }
   private val NumPlanes = 8
 
-  private def dotLit(e: Column, h: IndexedSeq[Double]): Column =
-    aggregate(zip_with(e, array(h.map(lit): _*), (x, w) => x * w), lit(0.0), (a, v) => a + v)
-
-  /** 8-bit sign bucket of a double-array embedding column. */
+  /** 8-bit sign bucket of a double-array embedding column — native
+    * kernel (one fused loop over the plane matrix; fold-identical
+    * values, see VectorKernelsSpec). */
   private def bucketOf(e: Column): Column =
-    concat_ws("", (0 until NumPlanes).map { k =>
-      when(dotLit(e, hyperplane(k)) >= 0, "1").otherwise("0")
-    }: _*)
+    graft.plans.VectorKernels.lshBucket(e, (0 until NumPlanes).map(hyperplane))
 
   private def bucketSql(e: String): String =
     (0 until NumPlanes).map { k =>
@@ -121,11 +118,8 @@ object TrainingData {
       s"(CASE WHEN list_dot_product($e, $lits) >= 0 THEN '1' ELSE '0' END)"
     }.mkString("concat(", ", ", ")")
 
-  private def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
-    round(dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b))), 4)
-  }
+  private def cosine(a: Column, b: Column): Column =
+    round(graft.plans.VectorKernels.cosine(a, b), 4)
 
   /** B27 — embedding-cosine near-dup: perturbed copies of a fifth of
     * the vectors are planted; LSH sign-buckets generate candidates
