@@ -56,5 +56,19 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.length == 1, "graft_detect_fragments takes (string)")
         DetectFragments(args(0), dedupe = true)
+      }),
+    (FunctionIdentifier("graft_shingles"),
+      info("graft_shingles",
+        "graft_shingles(text) - word 3-gram shingles (whole-text fallback under 3 words)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "graft_shingles takes (string)")
+        ShingleWords(args(0))
+      }),
+    (FunctionIdentifier("graft_cosine"),
+      info("graft_cosine",
+        "graft_cosine(a, b) - cosine similarity of two float/double arrays"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_cosine takes (array, array)")
+        CosineSimilarity(args(0), args(1))
       }))
 }

@@ -44,6 +44,14 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(row.map(_.getString(0)).contains("JSON"))
   }
 
+  test("graft_shingles and graft_cosine callable from SQL") {
+    val row = spark.sql(
+      """SELECT graft_shingles('a b c d') AS sh,
+        |       round(graft_cosine(array(1.0D, 0.0D), array(1.0D, 0.0D)), 4) AS cs""".stripMargin).head()
+    assert(row.getSeq[String](0) == Seq("a b c", "b c d"))
+    assert(row.getDouble(1) == 1.0)
+  }
+
   test("wrong arity fails loudly at analysis") {
     val e = intercept[Exception](spark.sql("SELECT graft_minhash_sig(array('x'), 2)").head())
     assert(e.getMessage.contains("graft_minhash_sig"))
