@@ -112,13 +112,17 @@ object TextSemantics {
     * `key=value`). */
   def dispatchFormat(s: Column): Column = {
     val t = trim(s)
-    val lines = filter(transform(split(t, "\n"), l => trim(l)), l => l =!= "")
+    // looks_like_csv filters blank lines but counts separators on the
+    // UNTRIMMED lines (script.py:310-322 strips only for the filter);
+    // looks_like_key_value matches on the STRIPPED lines (script.py:351)
+    val rawLines = filter(split(t, "\n"), l => trim(l) =!= "")
+    val lines = transform(rawLines, l => trim(l))
     def cnt(l: Column, d: String): Column =
       (length(l) - length(regexp_replace(l, java.util.regex.Pattern.quote(d), ""))).cast("int")
-    val first = try_element_at(lines, lit(1))
+    val first = try_element_at(rawLines, lit(1))
     val sepCount = when(cnt(first, ",") > 0, cnt(first, ",")).otherwise(cnt(first, "\t"))
-    val first3 = slice(lines, lit(1), least(lit(3), size(lines)))
-    val looksCsv = size(lines) >= 2 && sepCount > 0 &&
+    val first3 = slice(rawLines, lit(1), least(lit(3), size(rawLines)))
+    val looksCsv = size(rawLines) >= 2 && sepCount > 0 &&
       forall(first3, l => cnt(l, ",") === sepCount || cnt(l, "\t") === sepCount)
     val kvLines = size(filter(lines, l => l.rlike("^\\w+\\s*[:=]\\s*.+")))
     val looksKv = kvLines * 2 > size(lines)

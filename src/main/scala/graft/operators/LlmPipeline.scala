@@ -49,6 +49,14 @@ object LlmPipeline {
   private val NumHashes = 8
   private val BandSize = 2 // 4 bands x 2 rows
 
+  /** Hot-bucket cap for the LSH candidate stages (B17/B25/B27): an
+    * upper bound on how many documents one band bucket may contribute
+    * to pair expansion. Healthy buckets hold a handful of docs, so the
+    * cap is invisible on real corpora (oracle rows unchanged); a
+    * degenerate corpus is bounded to C(cap,2) pairs per bucket instead
+    * of O(N²). */
+  val MaxBucketDocs = 64
+
   /** Per-document MinHash signature over word 3-gram shingles, banded
     * into 4 bands; documents sharing any band bucket are near-dup
     * candidates. A fifth of the docs get a planted near-duplicate (one
@@ -92,9 +100,22 @@ object LlmPipeline {
     // Candidate pairs via bucket grouping, NOT a self-join: a self-join
     // re-computes the signature subtree on both sides (no exchange reuse
     // under a broadcast join), doubling the dominant cost. Bucket
-    // membership is tiny for healthy bands; at 100 TB a pathological
-    // hot bucket would be capped/salted before the pair expansion.
-    banded.groupBy("band_id", "band_key")
+    // membership is tiny for healthy bands; a degenerate corpus (N
+    // identical docs) would make one bucket's collect_set + pair
+    // expansion O(N²), so membership is CAPPED at MaxBucketDocs first:
+    // row_number over the bucket key (same hash partitioning the
+    // following groupBy needs — no extra exchange; the per-bucket sort
+    // is external/spillable, unlike an unbounded agg buffer), keeping
+    // the MaxBucketDocs smallest doc_ids deterministically. Dropped
+    // members cost recall only on buckets that are ~all mutual
+    // duplicates anyway — the kept members still link as one dup
+    // cluster (HotBucketSpec pins the bounded-output behavior; at
+    // 100 TB the drop count is an ops metric, watched, not fatal).
+    val wb = Window.partitionBy("band_id", "band_key").orderBy("doc_id")
+    banded
+      .withColumn("rn", row_number().over(wb))
+      .filter(col("rn") <= LlmPipeline.MaxBucketDocs)
+      .groupBy("band_id", "band_key")
       .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) > 1)
       .select(explode(col("ids")).as("doc_a"), col("ids"))

@@ -135,12 +135,27 @@ object Relational {
         col("sum_price"), col("n"))
       .orderBy("status", "priority")
 
-  // ---- B10: approximate distinct (HLL++; no exact oracle) -------------------
-  def aggApproxDistinct(s: SparkSession, dir: String): DataFrame =
+  // ---- B10: approximate distinct (HLL++) ------------------------------------
+
+  /** Full output incl. the raw HLL++ estimate (rsd 1%), for the bounds
+    * spec. The estimate itself is engine-specific, so the REGISTERED
+    * query ([[aggApproxDistinct]]) projects the oracle-checkable view:
+    * the exact count plus `within_5pct`, the boolean accuracy contract
+    * the estimate must satisfy (deterministic for fixed data — HLL++ is
+    * a deterministic algorithm, so this is stable, not flaky). */
+  def aggApproxDistinctFull(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
       .groupBy("l_returnflag")
-      .agg(approx_count_distinct("l_partkey").as("approx_parts"),
+      .agg(approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
+        countDistinct("l_partkey").as("exact_parts"),
         count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
+  def aggApproxDistinct(s: SparkSession, dir: String): DataFrame =
+    aggApproxDistinctFull(s, dir)
+      .select(col("l_returnflag"), col("exact_parts"), col("n"),
+        (abs(col("approx_parts") - col("exact_parts")) <=
+          col("exact_parts").cast("double") * 0.05).as("within_5pct"))
       .orderBy("l_returnflag")
 
   // ---- B11: window rank (top-N per group) -----------------------------------
@@ -290,7 +305,13 @@ object Relational {
         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
         |ORDER BY status, priority""".stripMargin)(aggCube),
 
-    OpQuery.noOracle("op_agg_approx_distinct")(aggApproxDistinct),
+    OpQuery("op_agg_approx_distinct",
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_partkey) AS exact_parts,
+        |  count(*) AS n,
+        |  true AS within_5pct
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)(
+      aggApproxDistinct),
 
     OpQuery("op_window_rank",
       """SELECT p_brand, p_partkey, p_retailprice, rn FROM (

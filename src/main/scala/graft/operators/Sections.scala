@@ -6,7 +6,7 @@ import org.apache.spark.sql.types.StructType
 
 import graft.OpQuery
 import graft.sources.Tables
-import graft.functions.{HtmlTable, TextSemantics}
+import graft.functions.TextSemantics
 
 /** Tier-A section pipeline (SURVEY.md §2 A26–A29): split a document on
   * `---` dividers, dispatch each section's format, parse, merge by
@@ -20,7 +20,7 @@ import graft.functions.{HtmlTable, TextSemantics}
   */
 object Sections {
 
-  private val htmlRowsF = udf((s: String) => HtmlTable.parse(s))
+  private def htmlRowsF(c: Column): Column = graft.plans.ParseHtmlTable.parse(c)
 
   private def s(c: Column*): Column = concat(c: _*)
   private def docIdS: Column = col("doc_id").cast("string")

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.OpQuery
 import graft.sources.Tables
-import graft.functions.{Fragment, Fragments, HtmlTable, TextSemantics}
+import graft.functions.TextSemantics
 
 /** Tier-A operator surface (SURVEY.md §2 A1–A25): the reference's
   * fragment detection + normalization semantics, exposed as queries
@@ -26,13 +26,11 @@ import graft.functions.{Fragment, Fragments, HtmlTable, TextSemantics}
   */
 object TextEtl {
 
-  // native expression (no per-row reflective encoding — see
-  // graft.plans.DetectFragments); dedupeF stays a UDF (struct decode
-  // of an already-materialized column, off the hot path)
+  // native expressions (no per-row reflective encoding — see
+  // graft.plans.DetectFragments / ParseHtmlTable)
   private def detectF(c: Column): Column = graft.plans.DetectFragments.detect(c)
-  private def detectRawF(c: Column): Column = graft.plans.DetectFragments.detectRaw(c)
-  private val dedupeF = udf((fs: Seq[Fragment]) => Fragments.dedupePrioritize(fs))
-  private val htmlRowsF = udf((s: String) => HtmlTable.parse(s))
+  private def detectBothF(c: Column): Column = graft.plans.DetectFragmentsBoth.detectBoth(c)
+  private def htmlRowsF(c: Column): Column = graft.plans.ParseHtmlTable.parse(c)
 
   // ---- shared construction pieces ----------------------------------------
 
@@ -317,8 +315,9 @@ object TextEtl {
     * rank higher); the prose paragraph survives. */
   def fragmentPriorityDedup(sp: SparkSession, dir: String): DataFrame =
     docs(sp, dir)
-      .withColumn("before", detectRawF(messyDoc))
-      .withColumn("after", dedupeF(col("before")))
+      .withColumn("ba", detectBothF(messyDoc))
+      .withColumn("before", col("ba.before"))
+      .withColumn("after", col("ba.after"))
       .select(col("doc_id"),
         size(col("before")).as("n_before"),
         size(col("after")).as("n_after"),

@@ -19,6 +19,12 @@ import graft.functions.TextShingles
   */
 object TrainingData {
 
+  /** Hot-bucket cap for the embedding LSH dedup (B27) — see
+    * `LlmPipeline.MaxBucketDocs` for the rationale. 512 keeps every
+    * healthy sign bucket intact at bench scale while bounding a
+    * degenerate corpus to C(512,2) pairs per bucket. */
+  val MaxBucketVecs = 512
+
   private def docs(sp: SparkSession, dir: String): DataFrame = Tables.documents(sp, dir)
 
   // shared DuckDB shingle expression (mirrors TextShingles.withShingles)
@@ -60,7 +66,14 @@ object TrainingData {
     def hamming(a: Column, b: Column): Column =
       aggregate(sequence(lit(1), lit(32)), lit(0),
         (acc, j) => acc + when(a.substr(j, lit(1)) =!= b.substr(j, lit(1)), 1).otherwise(0))
-    keyed.groupBy("key")
+    // hot-bucket cap before the pair expansion (see LlmPipeline
+    // .MaxBucketDocs): row_number over the bucket key — same hash
+    // partitioning the groupBy needs, no extra exchange, bounded agg
+    val wk = Window.partitionBy("key").orderBy("doc_id")
+    keyed
+      .withColumn("rn", row_number().over(wk))
+      .filter(col("rn") <= LlmPipeline.MaxBucketDocs)
+      .groupBy("key")
       .agg(collect_set(struct(col("doc_id"), col("sig"))).as("vs"))
       .filter(size(col("vs")) > 1)
       .select(explode(col("vs")).as("a"), col("vs"))
@@ -133,7 +146,17 @@ object TrainingData {
       .select((col("vec_id") + 10000).as("vec_id"),
         transform(col("e"), (x, i) => when(i === 0, x + 0.01).otherwise(x)).as("e"))
     val corpus = base.union(variants).withColumn("bk", bucketOf(col("e")))
-    corpus.groupBy("bk")
+    // hot-bucket cap (see LlmPipeline.MaxBucketDocs): with only 2^8
+    // sign buckets, a degenerate corpus (all-identical vectors) would
+    // otherwise collect every 64-dim vector into one agg buffer. The
+    // cap is higher than the band ops' — sign buckets of a HEALTHY
+    // corpus legitimately reach ~100 members at sf0.1 (measured max 87),
+    // unlike band buckets which only hold true near-dups.
+    val wb = Window.partitionBy("bk").orderBy("vec_id")
+    corpus
+      .withColumn("rn", row_number().over(wb))
+      .filter(col("rn") <= TrainingData.MaxBucketVecs)
+      .groupBy("bk")
       .agg(collect_list(struct(col("vec_id"), col("e"))).as("vs"))
       .filter(size(col("vs")) > 1)
       .select(explode(col("vs")).as("a"), col("vs"))

@@ -2,6 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, ArrayData, GenericArrayData}
@@ -9,7 +10,7 @@ import org.apache.spark.sql.graftbridge.bridge
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
-import graft.functions.Fragments
+import graft.functions.{Fragment, Fragments}
 
 /** Native Catalyst expression wrapping the fragment-detector cascade
   * (`graft.functions.Fragments`, port of `etl_parser.py:484-924`).
@@ -30,15 +31,63 @@ case class DetectFragments(child: Expression, dedupe: Boolean)
   override def prettyName: String =
     if (dedupe) "graft_detect_fragments" else "graft_detect_fragments_raw"
 
+  override def checkInputDataTypes(): TypeCheckResult =
+    DetectFragments.requireTypes(prettyName, child.dataType == StringType, "(string)")
+
   override protected def nullSafeEval(input: Any): Any =
-    DetectFragments.eval(input.asInstanceOf[UTF8String], dedupe)
+    DetectFragments.kernel(input.asInstanceOf[UTF8String], dedupe)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, s =>
-      s"${ev.value} = graft.plans.DetectFragments.eval($s, $dedupe);")
+      s"${ev.value} = graft.plans.DetectFragments.kernel($s, $dedupe);")
 
   override protected def withNewChildInternal(newChild: Expression): DetectFragments =
     copy(child = newChild)
+}
+
+/** One cascade pass returning BOTH the raw detection list and its
+  * containment-deduped form as `struct(before, after)`. This is the
+  * native replacement for the former `udf((fs: Seq[Fragment]) => ...)`
+  * dedupe step: the UDF re-entered the reflective case-class encoder
+  * per row (decode the whole fragment array, re-encode the result) —
+  * and, fed from a separate `detectRaw` column, the before/after query
+  * ran the cascade once per consumer. Here the cascade runs once and
+  * `dedupePrioritize` works on the in-flight Scala objects; only the
+  * final `InternalRow`s are materialized. */
+case class DetectFragmentsBoth(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = DetectFragmentsBoth.schema
+  override def prettyName: String = "graft_detect_fragments_both"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    DetectFragments.requireTypes(prettyName, child.dataType == StringType, "(string)")
+
+  override protected def nullSafeEval(input: Any): Any =
+    DetectFragmentsBoth.kernel(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.plans.DetectFragmentsBoth.kernel($s);")
+
+  override protected def withNewChildInternal(newChild: Expression): DetectFragmentsBoth =
+    copy(child = newChild)
+}
+
+object DetectFragmentsBoth {
+
+  val schema: DataType = StructType(Seq(
+    StructField("before", DetectFragments.schema, nullable = false),
+    StructField("after", DetectFragments.schema, nullable = false)))
+
+  /** Called from generated code — must stay public and static-shaped. */
+  def kernel(text: UTF8String): InternalRow = {
+    val raw = Fragments.detectRaw(text.toString)
+    InternalRow(DetectFragments.toArrayData(raw),
+      DetectFragments.toArrayData(Fragments.dedupePrioritize(raw)))
+  }
+
+  def detectBoth(text: Column): Column =
+    bridge.column(DetectFragmentsBoth(bridge.expression(text)))
 }
 
 object DetectFragments {
@@ -54,10 +103,16 @@ object DetectFragments {
     StructField("meta", MapType(StringType, StringType, valueContainsNull = false),
       nullable = false))), containsNull = false)
 
-  /** Called from generated code — must stay public and static-shaped. */
-  def eval(text: UTF8String, dedupe: Boolean): ArrayData = {
-    val s = text.toString
-    val frags = if (dedupe) Fragments.detect(s) else Fragments.detectRaw(s)
+  /** Shared analysis-time type guard for the graft kernels: wrong SQL
+    * argument types fail analysis with the expected signature instead
+    * of a runtime ClassCastException (or a silent misread on
+    * unsafe-backed rows). */
+  private[plans] def requireTypes(
+      name: String, ok: Boolean, expected: String): TypeCheckResult =
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$name expects $expected")
+
+  private[plans] def toArrayData(frags: Seq[Fragment]): GenericArrayData =
     new GenericArrayData(frags.map { f =>
       InternalRow(
         UTF8String.fromString(f.format_type),
@@ -69,6 +124,11 @@ object DetectFragments {
           f.meta.keysIterator.map(UTF8String.fromString).toArray[Any],
           f.meta.valuesIterator.map(UTF8String.fromString).toArray[Any]))
     }.toArray[Any])
+
+  /** Called from generated code — must stay public and static-shaped. */
+  def kernel(text: UTF8String, dedupe: Boolean): ArrayData = {
+    val s = text.toString
+    toArrayData(if (dedupe) Fragments.detect(s) else Fragments.detectRaw(s))
   }
 
   /** DataFrame-API entry points. */

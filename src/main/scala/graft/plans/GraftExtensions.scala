@@ -57,6 +57,20 @@ object GraftExtensions {
         require(args.length == 1, "graft_detect_fragments takes (string)")
         DetectFragments(args(0), dedupe = true)
       }),
+    (FunctionIdentifier("graft_detect_fragments_both"),
+      info("graft_detect_fragments_both",
+        "graft_detect_fragments_both(text) - struct(before, after): raw detections and their containment-deduped form, one cascade pass"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "graft_detect_fragments_both takes (string)")
+        DetectFragmentsBoth(args(0))
+      }),
+    (FunctionIdentifier("graft_parse_html_table"),
+      info("graft_parse_html_table",
+        "graft_parse_html_table(html) - array of header->cell maps, one per data row"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "graft_parse_html_table takes (string)")
+        ParseHtmlTable(args(0))
+      }),
     (FunctionIdentifier("graft_shingles"),
       info("graft_shingles",
         "graft_shingles(text) - word 3-gram shingles (whole-text fallback under 3 words)"),

@@ -1,6 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -32,11 +33,16 @@ import org.apache.spark.unsafe.types.UTF8String
 case class MinHashSignature(child: Expression, numHashes: Int, stride: Int)
     extends UnaryExpression {
 
-  // input is array<string> of fixed-width hex by construction — the
-  // only entry point is the typed DataFrame API in the companion
-  // (AbstractDataType / ExpectsInputTypes are private[sql] in Spark 4)
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "graft_minhash_sig"
+
+  // ExpectsInputTypes is private[sql] in Spark 4 — spell the guard
+  override def checkInputDataTypes(): TypeCheckResult =
+    DetectFragments.requireTypes(prettyName,
+      child.dataType match {
+        case ArrayType(StringType, _) => true
+        case _ => false
+      }, "(array<string>)")
 
   private def rotLen = 32 // md5 hex width; rotations are mod this
 

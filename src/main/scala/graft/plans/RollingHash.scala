@@ -1,10 +1,11 @@
 package graft.plans
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.graftbridge.bridge
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expression: polynomial rolling hash
@@ -26,13 +27,19 @@ import org.apache.spark.unsafe.types.UTF8String
 case class RollingHash(first: Expression, second: Expression, third: Expression)
     extends TernaryExpression {
 
-  // inputs are (string, int, int) by construction — the only entry
-  // point is the typed DataFrame API in the companion (AbstractDataType
-  // / ExpectsInputTypes are private[sql] in Spark 4)
   private val M = 1000000007L
 
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_rolling_hash"
+
+  // ExpectsInputTypes is private[sql] in Spark 4, so the guard is spelled
+  // directly: reject wrong SQL argument types at analysis time instead of
+  // a runtime ClassCastException
+  override def checkInputDataTypes(): TypeCheckResult =
+    DetectFragments.requireTypes(prettyName,
+      first.dataType == StringType &&
+        second.dataType == IntegerType && third.dataType == IntegerType,
+      "(string, int, int)")
 
   override protected def nullSafeEval(str: Any, off: Any, len: Any): Any = {
     val bytes = str.asInstanceOf[UTF8String].getBytes

@@ -3,6 +3,7 @@ package graft.plans
 import scala.collection.mutable.ArrayBuffer
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -27,12 +28,16 @@ case class ShingleWords(child: Expression) extends UnaryExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "graft_shingles"
 
+  // ExpectsInputTypes is private[sql] in Spark 4 — spell the guard
+  override def checkInputDataTypes(): TypeCheckResult =
+    DetectFragments.requireTypes(prettyName, child.dataType == StringType, "(string)")
+
   override protected def nullSafeEval(input: Any): Any =
-    ShingleWords.eval(input.asInstanceOf[UTF8String])
+    ShingleWords.kernel(input.asInstanceOf[UTF8String])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, s =>
-      s"${ev.value} = graft.plans.ShingleWords.eval($s);")
+      s"${ev.value} = graft.plans.ShingleWords.kernel($s);")
 
   override protected def withNewChildInternal(newChild: Expression): ShingleWords =
     copy(child = newChild)
@@ -41,7 +46,7 @@ case class ShingleWords(child: Expression) extends UnaryExpression {
 object ShingleWords {
 
   /** Called from generated code. */
-  def eval(text: UTF8String): ArrayData = {
+  def kernel(text: UTF8String): ArrayData = {
     val bytes = text.getBytes
     // word spans, split on ' ' keeping empties (split(" ", -1) semantics)
     val starts = new ArrayBuffer[Int](16)

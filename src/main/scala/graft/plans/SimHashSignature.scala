@@ -1,11 +1,12 @@
 package graft.plans
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.bridge
-import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expression: the 32-bit SimHash vote kernel of
@@ -25,6 +26,14 @@ case class SimHashSignature(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = StringType
   override def prettyName: String = "graft_simhash_sig"
+
+  // ExpectsInputTypes is private[sql] in Spark 4 — spell the guard
+  override def checkInputDataTypes(): TypeCheckResult =
+    DetectFragments.requireTypes(prettyName,
+      child.dataType match {
+        case ArrayType(StringType, _) => true
+        case _ => false
+      }, "(array<string>)")
 
   private val bits = 32
 

@@ -1,6 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -27,6 +28,13 @@ object VectorKernels {
   private[plans] def elemIsFloat(e: Expression): Boolean =
     e.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
+  /** array<float> / array<double> only — integer arrays would misread
+    * unsafe-backed element bytes. */
+  private[plans] def isNumericVector(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => true
+    case _ => false
+  }
+
   /** Raw cosine similarity (round at the call site, as before). */
   def cosine(a: Column, b: Column): Column =
     bridge.column(CosineSimilarity(bridge.expression(a), bridge.expression(b)))
@@ -41,6 +49,12 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_cosine"
+
+  // ExpectsInputTypes is private[sql] in Spark 4 — spell the guard
+  override def checkInputDataTypes(): TypeCheckResult =
+    DetectFragments.requireTypes(prettyName,
+      VectorKernels.isNumericVector(left) && VectorKernels.isNumericVector(right),
+      "(array<float|double>, array<float|double>)")
 
   private lazy val leftFloat = VectorKernels.elemIsFloat(left)
   private lazy val rightFloat = VectorKernels.elemIsFloat(right)
@@ -105,6 +119,10 @@ case class LshBucket(child: Expression, planes: Array[Array[Double]])
 
   override def dataType: DataType = StringType
   override def prettyName: String = "graft_lsh_bucket"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    DetectFragments.requireTypes(prettyName,
+      VectorKernels.isNumericVector(child), "(array<float|double>)")
 
   private lazy val isFloat = VectorKernels.elemIsFloat(child)
 

@@ -28,15 +28,22 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame     = apply(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = apply(s, d, "lineitem")
 
+  /** The session conf `events` needs; apply at SESSION BUILD (all of
+    * Bench/Verify/Smoke/test builders do) — a table accessor must not
+    * mutate global session state as a side effect. */
+  val eventsConf: (String, String) = "spark.sql.legacy.parquet.nanosAsLong" -> "true"
+
   /** `events.ts` is TIMESTAMP(NANOS) parquet, which Spark's reader
-    * rejects. Read nanos as long (legacy conf) and floor-convert to the
-    * engine's microsecond TimestampType — integer division, no double
-    * round-trip (nanos epoch values exceed double's 53-bit mantissa). */
+    * rejects. Read nanos as long ([[eventsConf]]) and floor-convert to
+    * the engine's microsecond TimestampType — integer arithmetic, no
+    * double round-trip (nanos epoch values exceed double's 53-bit
+    * mantissa), and FLOOR division (`div` truncates toward zero, which
+    * would be off by 1 µs on pre-epoch negative nanos; `pmod` makes the
+    * remainder non-negative first). */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     import org.apache.spark.sql.functions._
     apply(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withColumn("ts", timestamp_micros(expr("(ts - pmod(ts, 1000)) div 1000")))
   }
   def documents(s: SparkSession, d: String): DataFrame  = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")

@@ -12,18 +12,19 @@ class ApproxDistinctSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
   private val dir = "/root/testdata/sf0.001"
 
-  test("approx_count_distinct within 3x default rsd (5%) of exact, per group") {
-    val approx = Relational.aggApproxDistinct(spark, dir)
-      .select("l_returnflag", "approx_parts").collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
-    val exact = graft.sources.Tables.lineitem(spark, dir)
-      .groupBy("l_returnflag").agg(countDistinct("l_partkey").as("n"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    assert(approx.keySet == exact.keySet)
-    exact.foreach { case (k, n) =>
-      val a = approx(k)
-      assert(math.abs(a - n).toDouble / n <= 0.15,
-        s"group $k: approx $a vs exact $n exceeds 15% envelope")
+  test("approx_count_distinct (rsd 1%) within 5% of exact, per group") {
+    val rows = Relational.aggApproxDistinctFull(spark, dir)
+      .select("l_returnflag", "approx_parts", "exact_parts").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (k, a, n) = (r.getString(0), r.getLong(1), r.getLong(2))
+      assert(math.abs(a - n).toDouble / n <= 0.05,
+        s"group $k: approx $a vs exact $n exceeds 5% envelope")
     }
+  }
+
+  test("registered query reports within_5pct = true on every group") {
+    val rows = Relational.aggApproxDistinct(spark, dir).collect()
+    assert(rows.nonEmpty && rows.forall(_.getBoolean(3)))
   }
 }

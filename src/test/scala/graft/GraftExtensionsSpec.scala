@@ -56,4 +56,34 @@ class GraftExtensionsSpec extends AnyFunSuite {
     val e = intercept[Exception](spark.sql("SELECT graft_minhash_sig(array('x'), 2)").head())
     assert(e.getMessage.contains("graft_minhash_sig"))
   }
+
+  test("graft_detect_fragments_both and graft_parse_html_table callable from SQL") {
+    val row = spark.sql(
+      """SELECT size(ba.before) AS nb, size(ba.after) AS na,
+        |  graft_parse_html_table(
+        |    '<table><tr><th>K</th></tr><tr><td>v1</td></tr><tr><td>v2</td></tr></table>') AS rows
+        |FROM (SELECT graft_detect_fragments_both(
+        |  concat('k1: a', chr(10), 'k2: b', chr(10), chr(10), 'prose words here for raw detection')) AS ba)
+        |""".stripMargin).head()
+    assert(row.getInt(0) >= row.getInt(1) && row.getInt(1) > 0)
+    val tables = row.getSeq[Map[String, String]](2)
+    assert(tables == Seq(Map("K" -> "v1"), Map("K" -> "v2")))
+  }
+
+  test("wrong input TYPES fail at analysis, not execution (checkInputDataTypes)") {
+    // integer arrays into the vector kernel: would misread unsafe bytes
+    val e1 = intercept[Exception](
+      spark.sql("SELECT graft_cosine(array(1, 2), array(3, 4))").head())
+    assert(e1.getMessage.contains("graft_cosine"))
+    // string offsets into the hash kernel: would ClassCastException at runtime
+    val e2 = intercept[Exception](
+      spark.sql("SELECT graft_rolling_hash('x', '1', '2')").head())
+    assert(e2.getMessage.contains("graft_rolling_hash"))
+    // non-string input into the shingler / detector
+    val e3 = intercept[Exception](spark.sql("SELECT graft_shingles(42)").head())
+    assert(e3.getMessage.contains("graft_shingles"))
+    val e4 = intercept[Exception](
+      spark.sql("SELECT graft_minhash_sig(array(1, 2))").head())
+    assert(e4.getMessage.contains("graft_minhash_sig"))
+  }
 }

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{LlmPipeline, TrainingData}
+
+/** The hot-bucket cap (LlmPipeline.MaxBucketDocs): a degenerate corpus
+  * — N identical documents, so every LSH band bucket holds every doc —
+  * must produce BOUNDED candidate output (≤ C(cap, 2) pairs), not the
+  * O(N²) blow-up an uncapped collect_set + pair expansion would give.
+  * On healthy corpora the cap is invisible; the oracle rows of
+  * op_dedup_minhash / op_dedup_simhash / op_dedup_embedding pin that
+  * side (CORRECTNESS gate at sf0.01).
+  */
+class HotBucketSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private val nDocs = 500
+  private lazy val dir: String = {
+    val d = java.nio.file.Files.createTempDirectory("hotbucket").toString
+    import spark.implicits._
+    // identical text => identical shingles => every doc lands in the
+    // same bucket of every band, for MinHash and SimHash alike
+    (0 until nDocs)
+      .map(i => (i.toLong, "the same exact words repeated in every single document here"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("x"))
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    // identical embeddings => one sign bucket holds the whole corpus
+    (0 until nDocs)
+      .map(i => (i.toLong, Array.tabulate(64)(k => (k + 1) / 64.0f)))
+      .toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    d
+  }
+
+  private def maxPairs(cap: Int) = cap.toLong * (cap - 1) / 2
+
+  // the op unions a variant cluster (text + " extraneous") onto the
+  // base cluster, so the degenerate corpus has TWO all-identical
+  // clusters, each independently capped: bound = 2 × C(cap, 2).
+  // Uncapped, the base cluster alone would emit C(500,2) = 124,750.
+
+  test("minhash: N identical docs yield at most 2*C(cap,2) candidate pairs") {
+    val n = LlmPipeline.dedupMinhash(spark, dir).count()
+    assert(n > 0 && n <= 2 * maxPairs(LlmPipeline.MaxBucketDocs),
+      s"candidate pairs $n exceed the bucket-cap bound")
+  }
+
+  test("simhash: N identical docs yield at most 2*C(cap,2) confirmed pairs") {
+    val n = TrainingData.dedupSimhash(spark, dir).count()
+    assert(n > 0 && n <= 2 * maxPairs(LlmPipeline.MaxBucketDocs),
+      s"candidate pairs $n exceed the bucket-cap bound")
+  }
+
+  test("embedding: N identical vectors yield at most 2*C(cap,2) pairs") {
+    val n = TrainingData.dedupEmbedding(spark, dir).count()
+    assert(n > 0 && n <= 2 * maxPairs(TrainingData.MaxBucketVecs),
+      s"candidate pairs $n exceed the bucket-cap bound")
+  }
+}

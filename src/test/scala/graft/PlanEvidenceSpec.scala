@@ -42,6 +42,18 @@ class PlanEvidenceSpec extends AnyFunSuite {
     }
   }
 
+  test("hot-path Tier-A queries run on native kernels, not Scala UDFs") {
+    // op_fragment_priority_dedup formerly decoded Seq[Fragment] through a
+    // reflective UDF per row; op_parse_html_table did the same for
+    // Seq[Map[String, String]]. Both must stay on the codegen'd
+    // expressions (DetectFragmentsBoth / ParseHtmlTable).
+    for (name <- Seq("op_fragment_priority_dedup", "op_parse_html_table",
+        "op_merge_sections")) {
+      val p = plan(name)
+      assert(!p.contains("UDF"), s"$name re-grew a Scala UDF:\n$p")
+    }
+  }
+
   test("op_dedup_minhash: only the band shuffle and the output-linear pair distinct") {
     val p = plan("op_dedup_minhash")
     val hashExchanges = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq

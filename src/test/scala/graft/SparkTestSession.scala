@@ -10,5 +10,6 @@ object SparkTestSession {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
+    .config(sources.Tables.eventsConf._1, sources.Tables.eventsConf._2)
     .getOrCreate()
 }

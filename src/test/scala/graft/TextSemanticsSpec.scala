@@ -98,6 +98,21 @@ class TextSemanticsSpec extends AnyFunSuite {
     assert(got == "The location is 05 and 120 meters from location 077")
   }
 
+  test("fixOcr: DECLARED divergence from the reference on 'O<digit>'") {
+    // The reference's rule is `\bO\b(?=\d)` with IGNORECASE
+    // (script.py:469-480): a digit is a word char, so no boundary ever
+    // follows the O and the rule is a no-op — the reference leaves 'O5'
+    // unchanged. This port implements the clearly intended semantics
+    // (capital O before a digit → 0) instead; that choice is pinned
+    // here and documented in SURVEY §2 A23. Lowercase 'o5' stays
+    // unchanged: the intended rule models OCR confusing the 0 glyph
+    // with capital O, and the oracle SQL states the same case-sensitive
+    // rule.
+    val got = Seq("O5 o5 zero")
+      .toDF("t").select(TextSemantics.fixOcr(col("t"))).as[String].head()
+    assert(got == "05 o5 zero")
+  }
+
   test("dispatchFormat: first-match-wins order on the reference's branches") {
     val cases = Seq(
       "<script type=\"application/ld+json\">{}</script>" -> "json_ld",
