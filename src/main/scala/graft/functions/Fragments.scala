@@ -36,8 +36,11 @@ final case class Fragment(
   *
   * All constants (priority order, confidences, caps) are lifted
   * verbatim from the cited reference lines. Regexes are Java
-  * translations of the reference's Python patterns; fixtures are ASCII
-  * so Python's unicode `\w` vs Java's ASCII `\w` never diverges.
+  * translations of the reference's Python patterns; the ones that use
+  * `\w` are compiled with UNICODE_CHARACTER_CLASS so they match
+  * Python's unicode `\w` (pinned by unicode fuzz documents in the
+  * differential fixture — BMP word chars; astral plane would also need
+  * Python-len vs UTF-16-length alignment, which the corpus avoids).
   */
 object Fragments {
 
@@ -222,13 +225,19 @@ object Fragments {
     """(^|\n)---\s*\n([\s\S]{0,2000}?)\n---""", Pattern.MULTILINE)
   private val SectionHeaderRe = Pattern.compile(
     """(^|\n)---\s*([A-Z0-9 _\-()]+)\s*\n""", Pattern.CASE_INSENSITIVE)
+  // UNICODE_CHARACTER_CLASS wherever the reference's pattern uses \w:
+  // Python's \w is unicode-aware ('clé' is a KV key there), Java's
+  // default \w is ASCII-only — without the flag the port would miss
+  // non-ASCII keys the reference detects (pinned by the unicode fuzz
+  // documents in fuzz_gen.py).
+  private val UFlags = Pattern.UNICODE_CHARACTER_CLASS
   private val SectionNextDivRe = Pattern.compile(
-    """\n---\s*[\w \-()/:]*\n""", Pattern.CASE_INSENSITIVE)
-  private val QuotedKvRe = Pattern.compile("\"\\w+\"\\s*:")
-  private val BareKvRe = Pattern.compile("\\w+\\s*:")
+    """\n---\s*[\w \-()/:]*\n""", Pattern.CASE_INSENSITIVE | UFlags)
+  private val QuotedKvRe = Pattern.compile("\"\\w+\"\\s*:", UFlags)
+  private val BareKvRe = Pattern.compile("\\w+\\s*:", UFlags)
   private val BlankLineRe = Pattern.compile("\\n\\s*\\n")
-  private val UnclosedQuotedRe = Pattern.compile("[\"']\\w+[\"']\\s*:")
-  private val UnclosedBareRe = Pattern.compile("\\w+\\s*:\\s*")
+  private val UnclosedQuotedRe = Pattern.compile("[\"']\\w+[\"']\\s*:", UFlags)
+  private val UnclosedBareRe = Pattern.compile("\\w+\\s*:\\s*", UFlags)
   private val TableOpenRe = Pattern.compile("<table\\b", Pattern.CASE_INSENSITIVE)
   private val TableCloseRe = Pattern.compile("</table\\s*>", Pattern.CASE_INSENSITIVE)
   private val TrRe = Pattern.compile("<tr\\b", Pattern.CASE_INSENSITIVE)
@@ -237,8 +246,9 @@ object Fragments {
     "<(div|section|article|header|footer|main|nav|body)\\b", Pattern.CASE_INSENSITIVE)
   private val AnyTagRe = Pattern.compile("<[A-Za-z]+")
   private val CloseTagRe = Pattern.compile("</")
-  private val KvFirstLineRe = Pattern.compile("^\\s*[#\\-]*\\s*[\\w\\-\\s]{1,80}\\s*[:=]\\s*.+")
-  private val KvLineRe = Pattern.compile("^\\s*[\\w\\-\\s]{1,80}\\s*[:=]\\s*.+")
+  private val KvFirstLineRe = Pattern.compile(
+    "^\\s*[#\\-]*\\s*[\\w\\-\\s]{1,80}\\s*[:=]\\s*.+", UFlags)
+  private val KvLineRe = Pattern.compile("^\\s*[\\w\\-\\s]{1,80}\\s*[:=]\\s*.+", UFlags)
   private val JsVarRe = Pattern.compile("\\b(var|let|const)\\s+([A-Za-z0-9_$]+)\\s*=\\s*\\{")
   private val SqlRe = Pattern.compile(
     "(--[^\\n]*\\n\\s*)?(SELECT|INSERT|UPDATE|DELETE|CREATE|DROP)\\b[\\s\\S]{0,400}?;",

@@ -144,11 +144,19 @@ object Relational {
     * the estimate must satisfy (deterministic for fixed data — HLL++ is
     * a deterministic algorithm, so this is stable, not flaky). */
   def aggApproxDistinctFull(s: SparkSession, dir: String): DataFrame =
+    // two-phase: pre-aggregate on (flag, partkey) — map-side combinable —
+    // then count rows for the exact distinct and fold the HLL over the
+    // deduped keys (HLL is multiset-invariant, so the estimate is
+    // unchanged). Mixing countDistinct with other aggs in ONE groupBy
+    // would plan an Expand that duplicates every input row (measured 5.2 s
+    // vs 0.9 s at sf0.1).
     Tables.lineitem(s, dir)
+      .groupBy("l_returnflag", "l_partkey")
+      .agg(count(lit(1)).as("c"))
       .groupBy("l_returnflag")
       .agg(approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
-        countDistinct("l_partkey").as("exact_parts"),
-        count(lit(1)).as("n"))
+        count(lit(1)).as("exact_parts"),
+        sum("c").as("n"))
       .orderBy("l_returnflag")
 
   def aggApproxDistinct(s: SparkSession, dir: String): DataFrame =

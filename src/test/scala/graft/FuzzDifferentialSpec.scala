@@ -30,9 +30,11 @@ class FuzzDifferentialSpec extends AnyFunSuite {
     root.get("docs").elements().asScala.toSeq
   }
 
-  test("fixture sanity: 100 docs (40 adversarial), >700 reference fragments") {
+  test("fixture sanity: 100 docs (40 adversarial incl. unicode), >650 reference fragments") {
     assert(docs.size == 100)
-    assert(docs.map(_.get("fragments").size()).sum > 700)
+    assert(docs.map(_.get("fragments").size()).sum > 650)
+    // unicode guard: the corpus must exercise Python-\w-vs-Java-\w paths
+    assert(docs.count(_.get("text").asText.exists(_ > 127)) >= 10)
   }
 
   test("detector reproduces every reference fragment span, type and confidence") {

@@ -254,8 +254,28 @@ def piece_brace_in_string():
     return '{"expr": "if (x) { y } else { z }", "n": %d}' % rng.randint(1, 99)
 
 
+UNI_WORDS = ["café", "naïve", "übel", "señor", "résumé", "åres", "中文键"]
+
+
+def piece_unicode():
+    # non-ASCII WORD chars (BMP only): Python's \w matches 'é'/'中',
+    # Java's default \w does not — the port compiles its \w patterns
+    # with UNICODE_CHARACTER_CLASS, and these documents pin that. KV
+    # keys, malformed-JSON bare keys and unclosed tails all route
+    # through \w heuristics in the reference.
+    w = lambda: rng.choice(UNI_WORDS)
+    return rng.choice([
+        f"{w()}: {rng.randint(1, 99)}\n{w()} = {words(1, 2)}\n{w()}: {w()}",
+        "{%s: 'on', autre: %d,}" % (w(), rng.randint(1, 99)),
+        '{"%s": %d, "mode"' % (w(), rng.randint(1, 99)),  # unclosed
+        f"--- RÉSUMÉ JSON\n" + '{"%s": %d}' % (w(), rng.randint(1, 9)),
+        f"texte {w()} {words(4, 9)} {w()} fin.",
+    ])
+
+
 ADVERSARIAL = [piece_sectioned_json, piece_unclosed, piece_csv_alt,
-               piece_yaml_low_colon, piece_sql_comment, piece_brace_in_string]
+               piece_yaml_low_colon, piece_sql_comment, piece_brace_in_string,
+               piece_unicode]
 
 PIECES = [piece_json, piece_malformed, piece_json_ld, piece_sectioned,
           piece_html_table, piece_html_block, piece_csv, piece_kv,
