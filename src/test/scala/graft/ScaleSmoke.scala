@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{LlmPipeline, TrainingData}
+
+/** 10× scale smoke for the near-dup family (VERDICT r2 item 7):
+  * synthesize an sf1-equivalent corpus (10 copies of sf0.1 ≈ 50k docs /
+  * 100k vectors) and measure op_dedup_minhash / simhash / embedding at
+  * both scales, proving the output-linear shuffle story empirically at
+  * one order of magnitude up.
+  *
+  * Copy construction keeps the DUP STRUCTURE linear — each copy must
+  * not be a near-duplicate of the base, or candidate pairs would grow
+  * quadratically in copies and measure the wrong thing:
+  *  - documents: copy k suffixes EVERY word with `_<k>`
+  *    (`regexp_replace(text, "\\S+", "$0_<k>")`) — each copy's shingle
+  *    set is structurally identical to the base's (so within-copy
+  *    similarity relations, incl. the ops' planted `% 5` variants, are
+  *    preserved exactly) but disjoint across copies (an inter-word
+  *    token insert instead would create one-word shingles like
+  *    `ck w ck` shared by unrelated docs — measured 842× pair
+  *    inflation);
+  *  - embeddings: copy k flips the sign of dim i iff
+  *    `(i+1)*(k+2) % 23 < 9` — cosine within a copy is invariant
+  *    (s_i² = 1), cross-copy cosines are far from 1, and all flip
+  *    patterns are distinct for k ≤ 9.
+  *
+  * Run: `Test/runMain graft.ScaleSmoke` (results → PLANS.md).
+  */
+object ScaleSmoke {
+  private val Base = "/root/testdata/sf0.1"
+  private val Dir10 = "/tmp/scale10"
+  private val Copies = 10
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkTestSession.spark
+    spark.sparkContext.setLogLevel("WARN")
+
+    if (!new java.io.File(s"$Dir10/documents.parquet").exists()) {
+      val docs = graft.sources.Tables.documents(spark, Base)
+      val n = docs.count()
+      (0 until Copies).map { k =>
+        if (k == 0) docs
+        else docs.select(
+          (col("doc_id") + k * 1000000L).as("doc_id"),
+          col("lang"), col("source"), col("n_chars"),
+          regexp_replace(col("text"), "\\S+", s"$$0_$k").as("text"))
+      }.reduce(_ unionByName _)
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$Dir10/documents.parquet")
+
+      val emb = graft.sources.Tables.embeddings(spark, Base)
+      (0 until Copies).map { k =>
+        if (k == 0) emb
+        else emb.select(
+          (col("vec_id") + k * 1000000L).as("vec_id"),
+          transform(col("embedding"),
+            (x, i) => when((i + 1) * (k + 2) % 23 < 9, -x).otherwise(x))
+            .as("embedding"),
+          col("label"))
+      }.reduce(_ unionByName _)
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$Dir10/embeddings.parquet")
+      println(s"[scale] built $Dir10: docs=${n * Copies}")
+    }
+
+    val ops = Seq(
+      "op_dedup_minhash" -> (LlmPipeline.dedupMinhash _),
+      "op_dedup_simhash" -> (TrainingData.dedupSimhash _),
+      "op_dedup_embedding" -> (TrainingData.dedupEmbedding _))
+
+    def run(dir: String, label: String): Map[String, (Double, Long)] =
+      ops.map { case (name, f) =>
+        val t0 = System.nanoTime()
+        val rows = f(spark, dir).count()
+        val secs = (System.nanoTime() - t0) / 1e9
+        println(f"[scale] $label $name%-22s ${secs}%7.2f s  pairs=$rows")
+        name -> (secs, rows)
+      }.toMap
+
+    run(Base, "warm")     // unmeasured warm-up (codegen + footer caches)
+    val at1 = run(Base, " 1x ")
+    val at10 = run(Dir10, "10x ")
+    ops.foreach { case (name, _) =>
+      val (s1, r1) = at1(name)
+      val (s10, r10) = at10(name)
+      println(f"[scale] RATIO $name%-22s time ${s10 / s1}%5.2fx  pairs ${r10.toDouble / r1}%5.2fx")
+    }
+  }
+}
