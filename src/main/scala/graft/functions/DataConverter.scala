@@ -149,11 +149,16 @@ object DataConverter {
 
   // ---- JSON (`script.py:211-267`) ------------------------------------------
 
+  // Python's \w is unicode-aware; Java's default is ASCII-only — every
+  // pattern mirroring a reference \w compiles with this flag (pinned by
+  // the unicode documents in fuzz_gen2.py's differential corpus)
+  private val UFlags = Pattern.UNICODE_CHARACTER_CLASS
+
   private val JsonSpanRe = Pattern.compile("\\{.*\\}", Pattern.DOTALL)
   private val TrailCommaRe = Pattern.compile(",(\\s*[}\\]])")
   private val MissingCommaRe = Pattern.compile("\"\\s*\\n\\s*\"")
   private val SingleQuoteRe = Pattern.compile("'([^']*)'")
-  private val BareKeyRe = Pattern.compile("(\\w+):")
+  private val BareKeyRe = Pattern.compile("(\\w+):", UFlags)
 
   private def tryParseJson(text: String): Option[JsonNode] = {
     loads(text) match {
@@ -175,9 +180,9 @@ object DataConverter {
     BareKeyRe.matcher(s).replaceAll("\"$1\":")
   }
 
-  private val PairStrRe = Pattern.compile("\"(\\w+)\":\\s*\"([^\"]*)\"")
-  private val PairNumRe = Pattern.compile("\"(\\w+)\":\\s*(\\d+\\.?\\d*)")
-  private val PairBoolRe = Pattern.compile("\"(\\w+)\":\\s*(true|false)")
+  private val PairStrRe = Pattern.compile("\"(\\w+)\":\\s*\"([^\"]*)\"", UFlags)
+  private val PairNumRe = Pattern.compile("\"(\\w+)\":\\s*(\\d+\\.?\\d*)", UFlags)
+  private val PairBoolRe = Pattern.compile("\"(\\w+)\":\\s*(true|false)", UFlags)
 
   def extractJsonPairs(s: String): ObjectNode = {
     val out = nf.objectNode()
@@ -258,7 +263,7 @@ object DataConverter {
 
   // ---- key-value (`script.py:350-397`) -------------------------------------
 
-  private val KvLineRe = Pattern.compile("^\\w+\\s*[:=]\\s*.+")
+  private val KvLineRe = Pattern.compile("^\\w+\\s*[:=]\\s*.+", UFlags)
 
   private def looksLikeKeyValue(text: String): Boolean = {
     val lines = text.split("\n", -1).map(_.trim).filter(_.nonEmpty)
@@ -293,7 +298,7 @@ object DataConverter {
 
   // ---- javascript (`script.py:403-419`) ------------------------------------
 
-  private val JsVarRe = Pattern.compile("var\\s+\\w+\\s*=\\s*(\\{[^}]+\\})")
+  private val JsVarRe = Pattern.compile("var\\s+\\w+\\s*=\\s*(\\{[^}]+\\})", UFlags)
 
   private def parseJavascript(text: String): JsonNode = {
     val m = JsVarRe.matcher(text)
@@ -306,10 +311,10 @@ object DataConverter {
   // ---- plain text (`script.py:425-461`) ------------------------------------
 
   private val PhoneRe = Pattern.compile("\\(?\\d{3}\\)?[-.\\s]?\\d{3}[-.\\s]?\\d{4}")
-  private val EmailRe = Pattern.compile("[\\w.-]+@[\\w.-]+\\.\\w+")
+  private val EmailRe = Pattern.compile("[\\w.-]+@[\\w.-]+\\.\\w+", UFlags)
   private val UrlRe = Pattern.compile("https?://[^\\s<>\"]+")
   private val PriceRe = Pattern.compile("\\$?\\d+[.,]\\d{2}")
-  private val TextKvRe = Pattern.compile("(\\w+):\\s*([^\\n]+)")
+  private val TextKvRe = Pattern.compile("(\\w+):\\s*([^\\n]+)", UFlags)
 
   private def parseText(text0: String): JsonNode = {
     val out = nf.objectNode()
@@ -382,7 +387,7 @@ object DataConverter {
 
   /** `clean_key` (`script.py:509-515`). */
   def cleanKey(key0: String): String = {
-    val noSpecial = Pattern.compile("[^\\w\\s-]").matcher(key0).replaceAll("")
+    val noSpecial = Pattern.compile("[^\\w\\s-]", UFlags).matcher(key0).replaceAll("")
     Pattern.compile("\\s+").matcher(noSpecial.trim).replaceAll("_").toLowerCase
   }
 }

@@ -126,8 +126,28 @@ def sec_table_mismatch():
                           "<tr><td>2</td><td>3</td></tr></table>")
 
 
+UNI_WORDS = ["café", "naïve", "übel", "señor", "résumé", "åres", "中文键"]
+
+
+def sec_unicode():
+    # non-ASCII WORD chars (BMP): Python's \w matches 'é'/'中' — the
+    # port's clean_key / bare-key / kv-line / pair-extraction regexes
+    # compile with UNICODE_CHARACTER_CLASS; these sections pin that
+    w = lambda: rng.choice(UNI_WORDS)
+    kind = rng.randint(0, 3)
+    if kind == 0:  # metadata kv with unicode keys -> clean_key path
+        return "METADATA", "\n".join(
+            f"{w()}: {rng.choice([str(rng.randint(1, 99)), words(1, 2), w()])}"
+            for _ in range(rng.randint(2, 4)))
+    if kind == 1:  # malformed JSON with unicode bare keys -> fix_json
+        return "JSON DATA", "{%s: '%s', nivel: %d}" % (w(), w(), rng.randint(1, 9))
+    if kind == 2:  # unicode keys through extract_json_pairs
+        return "JSON DATA", '{"%s": %d, "%s": "x" broken' % (w(), rng.randint(1, 99), w())
+    return f"Notes {w()}", f"texte {w()} {words(3, 7)} contact: {w()} fin"
+
+
 SECTIONS = [sec_metadata, sec_json, sec_table, sec_csv, sec_sql, sec_ocr,
-            sec_other, sec_jsonld, sec_js, sec_table_mismatch]
+            sec_other, sec_jsonld, sec_js, sec_table_mismatch, sec_unicode]
 
 
 def gen_sectioned():
