@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Fragments, Normalizer}
+// (Fragments/Normalizer still used by the Scala-side single-doc APIs)
 
 /** The library's user-facing surface: the reference's top-level
   * `parse_file(text)` API (`/root/reference/etl_parser.py:1053-1082` —
@@ -16,24 +17,16 @@ import graft.functions.{Fragments, Normalizer}
   */
 object Graft {
 
-  // one cascade pass per document: detection and normalization share
-  // the same UDF invocation (the cascade is the dominant per-doc cost)
-  private val parseF = udf((s: String) => {
-    val frags = Fragments.detect(s)
-    val records = frags.flatMap { f =>
-      Normalizer.normalize(f).map(data =>
-        s"""{"format": "${f.format_type}", "start": ${f.start_index}, "end": ${f.end_index}, "data": $data}""")
-    }
-    (frags, records)
-  })
-
   /** Adds `fragments` (typed span structs), `summary`
     * (format_type → count map) and `records` (normalized record JSON
-    * strings) for the document text in `textCol`. */
+    * strings) for the document text in `textCol`. Detection and
+    * normalization share ONE native kernel invocation per row
+    * ([[graft.plans.ParseDocument]] — the cascade is the dominant
+    * per-doc cost, and no reflective encoder runs). */
   def parseDocuments(df: DataFrame, textCol: Column): DataFrame =
-    df.withColumn("parsed", parseF(textCol))
-      .withColumn("fragments", col("parsed._1"))
-      .withColumn("records", col("parsed._2"))
+    df.withColumn("parsed", graft.plans.ParseDocument.parse(textCol))
+      .withColumn("fragments", col("parsed.fragments"))
+      .withColumn("records", col("parsed.records"))
       .drop("parsed")
       .withColumn("summary", map_from_entries(
         transform(array_distinct(transform(col("fragments"), f => f.getField("format_type"))),

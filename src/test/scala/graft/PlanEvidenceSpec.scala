@@ -48,7 +48,7 @@ class PlanEvidenceSpec extends AnyFunSuite {
     // Seq[Map[String, String]]. Both must stay on the codegen'd
     // expressions (DetectFragmentsBoth / ParseHtmlTable).
     for (name <- Seq("op_fragment_priority_dedup", "op_parse_html_table",
-        "op_merge_sections")) {
+        "op_merge_sections", "op_parse_file")) {
       val p = plan(name)
       assert(!p.contains("UDF"), s"$name re-grew a Scala UDF:\n$p")
     }
