@@ -33,15 +33,14 @@ object Graft {
           t => struct(t.as("k"),
             size(filter(col("fragments"), f => f.getField("format_type") === t)).as("v")))))
 
-  private val convertF = udf((s: String) => graft.functions.DataConverter.parseToJson(s))
-
   /** The reference's second program as a column: `DataConverter.parse`
     * (`script.py:93-104` — section split, format dispatch, coercion,
     * title-class merge, single-key flatten) applied per row, emitting
-    * the result JSON as a string. Embarrassingly parallel — a
+    * the result JSON as a string ([[graft.plans.ConvertDocument]] —
+    * native, codegen-friendly). Embarrassingly parallel — a
     * deterministic per-row function with no shuffle. */
   def convert(df: DataFrame, textCol: Column): DataFrame =
-    df.withColumn("converted", convertF(textCol))
+    df.withColumn("converted", graft.plans.ConvertDocument.convert(textCol))
 
   /** Scala-side single-document convert (= `python script.py <file>`). */
   def convertText(text: String): String =

@@ -108,7 +108,7 @@ object Sections {
 
   // ---- A32: whole DataConverter.parse, end to end --------------------------
 
-  private val convertF = udf((s: String) => graft.functions.DataConverter.parseToJson(s))
+  private def convertF(c: Column): Column = graft.plans.ConvertDocument.convert(c)
 
   private def convertDoc: Column =
     s(lit("METADATA\nid: "), docIdS, lit("\nlang: "), col("lang"),

@@ -71,6 +71,20 @@ object GraftExtensions {
         require(args.length == 1, "graft_parse_html_table takes (string)")
         ParseHtmlTable(args(0))
       }),
+    (FunctionIdentifier("graft_parse_document"),
+      info("graft_parse_document",
+        "graft_parse_document(text) - struct(fragments, records): the reference's parse_file per document"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "graft_parse_document takes (string)")
+        ParseDocument(args(0))
+      }),
+    (FunctionIdentifier("graft_convert"),
+      info("graft_convert",
+        "graft_convert(text) - impl-B DataConverter.parse pipeline, result JSON string"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "graft_convert takes (string)")
+        ConvertDocument(args(0))
+      }),
     (FunctionIdentifier("graft_shingles"),
       info("graft_shingles",
         "graft_shingles(text) - word 3-gram shingles (whole-text fallback under 3 words)"),

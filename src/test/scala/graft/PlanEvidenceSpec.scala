@@ -42,15 +42,13 @@ class PlanEvidenceSpec extends AnyFunSuite {
     }
   }
 
-  test("hot-path Tier-A queries run on native kernels, not Scala UDFs") {
-    // op_fragment_priority_dedup formerly decoded Seq[Fragment] through a
-    // reflective UDF per row; op_parse_html_table did the same for
-    // Seq[Map[String, String]]. Both must stay on the codegen'd
-    // expressions (DetectFragmentsBoth / ParseHtmlTable).
-    for (name <- Seq("op_fragment_priority_dedup", "op_parse_html_table",
-        "op_merge_sections", "op_parse_file")) {
-      val p = plan(name)
-      assert(!p.contains("UDF"), s"$name re-grew a Scala UDF:\n$p")
+  test("NO query in the registry plans a Scala UDF — all kernels native") {
+    // Every former UDF site (fragment dedupe, HTML table parse,
+    // parse_file, DataConverter convert) is now a codegen'd Catalyst
+    // expression; this sweeps the whole registry so none re-grows.
+    for (q <- Registry.all) {
+      val p = plan(q.name)
+      assert(!p.contains("UDF"), s"${q.name} plans a Scala UDF:\n$p")
     }
   }
 
