@@ -123,7 +123,11 @@ class TextSemanticsSpec extends AnyFunSuite {
       "k: 1\nmode = on\nprose" -> "key_value",
       "var x = {a: 1}" -> "javascript",
       "plain prose only" -> "text",
-      "one,line" -> "text") // <2 lines: not CSV
+      "one,line" -> "text", // <2 lines: not CSV
+      // separator counts run on UNTRIMMED lines (script.py:310-322
+      // strips only for the blank filter): the leading tab makes line 2
+      // count 2 tabs vs line 1's single tab -> inconsistent -> not CSV
+      "a\tb\n\t1\t2" -> "text")
     val got = cases.map(_._1).toDF("t")
       .select(TextSemantics.dispatchFormat(col("t"))).as[String].collect()
     cases.zip(got).foreach { case ((in, want), actual) =>
