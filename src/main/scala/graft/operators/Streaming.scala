@@ -7,6 +7,15 @@ import org.apache.spark.sql.functions._
 import graft.OpQuery
 import graft.sources.Tables
 
+/** Typed row for the custom-state op (case class so the Dataset
+  * encoder is derivable at the call site). */
+final case class UserEvent(user_id: Long, tsec: java.sql.Timestamp,
+    event_id: Long, value: Double)
+/** Per-user running state carried across micro-batches. */
+final case class RunningState(seq: Long, sum: Double)
+/** One output row per event: its sequence number and running sum. */
+final case class RunningOut(user_id: Long, seq: Long, tsf: String, run_sum: Double)
+
 /** Tier-B streaming operators (SURVEY.md §2 B22–B24), built on
   * Structured Streaming's unified API: each plan builder below accepts
   * either a batch or a streaming DataFrame of `events` rows, so the t2
@@ -26,6 +35,13 @@ import graft.sources.Tables
 object Streaming {
 
   private val TsFmt = "yyyy-MM-dd HH:mm:ss"
+
+  /** Static (object-level) so the flatMapGroupsWithState closure reads
+    * it via MODULE$ instead of capturing it — DateTimeFormatter is not
+    * serializable. UTC = the session TZ every builder sets, so output
+    * strings match `date_format`. */
+  private lazy val StateTsFmt = java.time.format.DateTimeFormatter
+    .ofPattern(TsFmt).withZone(java.time.ZoneId.of("UTC"))
 
   // ---- plan builders (batch or streaming input) ----------------------------
 
@@ -64,6 +80,54 @@ object Streaming {
         .select(col("event_id"), date_format(col("ts"), TsFmt).as("tsf"), col("value"))
     }
 
+  /** B-bonus: CUSTOM state via `flatMapGroupsWithState` — per-user
+    * event sequence numbers and running value sums, state carried
+    * across micro-batches (the semantics no built-in stateful operator
+    * expresses: an unbounded per-key accumulator emitted per event).
+    * The batch equivalent is the window formulation below, so the t2
+    * gate verifies the semantics against DuckDB while `StreamingSpec`
+    * proves the stateful streaming form matches across batch splits.
+    *
+    * Scale: state is 16 bytes per user (seq + sum), hash-partitioned by
+    * user_id — the same shuffle the window form needs; per-batch work
+    * is one in-memory sort of each user's new events. */
+  def runningStatePlan(events: DataFrame, streaming: Boolean): DataFrame = {
+    val sp = events.sparkSession
+    import sp.implicits._
+    val prep = events
+      .withColumn("tsec", date_trunc("second", col("ts")))
+      .select(col("user_id"), col("tsec"), col("event_id"), col("value"))
+      .as[UserEvent]
+    if (streaming) {
+      import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+      prep.withWatermark("tsec", "1 hour")
+        .groupByKey(_.user_id)
+        .flatMapGroupsWithState[RunningState, RunningOut](
+          OutputMode.Append, GroupStateTimeout.NoTimeout()) { (uid, it, state) =>
+          val st = state.getOption.getOrElse(RunningState(0L, 0.0))
+          var seq = st.seq
+          var sum = st.sum
+          // micro-batch iterators are unordered; event time orders them
+          val out = it.toSeq.sortBy(e => (e.tsec.getTime, e.event_id)).map { e =>
+            seq += 1
+            sum += e.value
+            RunningOut(uid, seq, Streaming.StateTsFmt.format(e.tsec.toInstant),
+              BigDecimal(sum).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble)
+          }
+          state.update(RunningState(seq, sum))
+          out.iterator
+        }.toDF()
+    } else {
+      val w = Window.partitionBy("user_id").orderBy(col("tsec").asc, col("event_id").asc)
+      prep.toDF()
+        .withColumn("seq", row_number().over(w).cast("long"))
+        .withColumn("run_sum",
+          round(sum("value").over(w.rowsBetween(Window.unboundedPreceding, 0)), 2))
+        .select(col("user_id"), col("seq"),
+          date_format(col("tsec"), TsFmt).as("tsf"), col("run_sum"))
+    }
+  }
+
   // ---- t2 batch-mode queries ----------------------------------------------
 
   def streamTumbling(sp: SparkSession, dir: String): DataFrame =
@@ -86,6 +150,10 @@ object Streaming {
   def streamDedupLate(sp: SparkSession, dir: String): DataFrame =
     dedupLatePlan(doubledEvents(sp, dir), streaming = false)
       .orderBy("event_id")
+
+  def streamCustomState(sp: SparkSession, dir: String): DataFrame =
+    runningStatePlan(Tables.events(sp, dir), streaming = false)
+      .orderBy("user_id", "seq")
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -129,5 +197,16 @@ object Streaming {
         |    row_number() OVER (PARTITION BY event_id ORDER BY ts ASC, value ASC) AS rn
         |  FROM doubled)
         |SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS tsf, value
-        |FROM ranked WHERE rn = 1 ORDER BY event_id""".stripMargin)(streamDedupLate))
+        |FROM ranked WHERE rn = 1 ORDER BY event_id""".stripMargin)(streamDedupLate),
+
+    OpQuery("op_stream_custom_state",
+      """WITH e AS (
+        |  SELECT user_id, date_trunc('second', ts) AS tsec, event_id, value FROM events)
+        |SELECT user_id,
+        |  CAST(row_number() OVER w AS BIGINT) AS seq,
+        |  strftime(tsec, '%Y-%m-%d %H:%M:%S') AS tsf,
+        |  round(sum(value) OVER (PARTITION BY user_id ORDER BY tsec, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS run_sum
+        |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsec, event_id)
+        |ORDER BY user_id, seq""".stripMargin)(streamCustomState))
 }

@@ -71,6 +71,30 @@ class StreamingSpec extends AnyFunSuite {
       "a >30-min gap starts a new session; an exactly-30-min gap merges")
   }
 
+  test("B-bonus custom state: flatMapGroupsWithState matches batch across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val name = s"sink_${System.nanoTime()}"
+    val q = Streaming.runningStatePlan(mem.toDF(), streaming = true).writeStream
+      .format("memory").queryName(name).outputMode("append").start()
+    try {
+      // two micro-batches split mid-stream: seq/sum must CARRY ACROSS
+      // (the per-key state), not restart at the batch boundary
+      val (b1, b2) = base.sortBy(_.ts.getTime).splitAt(4)
+      mem.addData(b1: _*)
+      q.processAllAvailable()
+      mem.addData(b2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val stream = spark.table(name)
+    val batch = Streaming.runningStatePlan(base.toDF(), streaming = false)
+    assert(sortedRows(stream) === sortedRows(batch))
+    // user 2's running sum accumulates across the batch split
+    val u2 = batch.filter(col("user_id") === 2)
+      .orderBy("seq").select("run_sum").as[Double].collect()
+    assert(u2 === Array(4.0, 9.0, 15.0, 21.5))
+  }
+
   test("B24 dedup: duplicates dropped; late row beyond watermark dropped") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
