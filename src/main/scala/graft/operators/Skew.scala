@@ -1,0 +1,38 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation for large⋈large equi-joins (SURVEY §6 scale rules).
+  *
+  * A shuffle join hash-partitions both sides on the key; one hot key
+  * sends its entire row set to ONE reducer, and that task's runtime
+  * bounds the stage. AQE's skew-join split handles this when statistics
+  * surface it at runtime; `saltedJoin` is the deterministic plan-level
+  * form for when the skew is known (the classic fact⋈dim case where
+  * the dim is too big to broadcast):
+  *
+  *  - the skewed (fact) side gets `salt = pmod(hash(saltBy), salts)` —
+  *    a deterministic spread of the hot key's rows over `salts`
+  *    sub-partitions (any high-cardinality column works as `saltBy`;
+  *    a unique id is ideal);
+  *  - the other (dim) side is exploded `salts`× so every sub-partition
+  *    finds its dim row;
+  *  - the join key becomes `(key, salt)`, so the hot key's rows land on
+  *    `salts` reducers instead of one.
+  *
+  * Cost: dim side inflates `salts`× through the shuffle — cheap when
+  * |dim| ≪ |fact|, which is exactly the skewed case. Result equality
+  * with the plain join is pinned in ScaleHardeningSpec.
+  */
+object Skew {
+
+  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
+      salts: Int, saltBy: Column): DataFrame = {
+    require(salts > 0, "salts must be positive")
+    val saltedFact = fact.withColumn("__salt", pmod(hash(saltBy), lit(salts)))
+    val explodedDim = dim.withColumn("__salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    saltedFact.join(explodedDim, Seq(key, "__salt")).drop("__salt")
+  }
+}

@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Skew
+
+/** The two scale techniques the near-dup caps don't cover: salting a
+  * skewed shuffle join and co-locating a join via bucketing. Both are
+  * pinned as result-equality + plan-shape evidence (PLANS.md §r3).
+  */
+class ScaleHardeningSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("saltedJoin: identical results to the plain join; shuffle keyed on (key, salt)") {
+    // 50k-row fact where 90% of rows share ONE key — the pathological
+    // reducer-hotspot shape — plus a 100-key dim
+    val fact = spark.range(50000)
+      .select(col("id"),
+        when(col("id") % 10 =!= 0, lit(7L)).otherwise(col("id") % 100).as("k"),
+        (col("id") * 2).as("v"))
+    val dim = spark.range(100).select(col("id").as("k"), concat(lit("d"), col("id")).as("name"))
+
+    val plain = fact.join(dim, "k").select("k", "v", "name")
+    val salted = Skew.saltedJoin(fact, dim, "k", salts = 8, saltBy = col("id"))
+      .select("k", "v", "name")
+
+    assert(salted.count() === plain.count())
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty,
+      "salted join changed the result set")
+
+    val p = salted.queryExecution.executedPlan.toString
+    assert(p.contains("__salt"), s"salt column absent from the physical plan:\n$p")
+  }
+
+  /** Drop the catalog entry AND its warehouse directory: the in-memory
+    * catalog dies with the JVM but spark-warehouse/ persists, and a
+    * stale location fails the next saveAsTable. */
+  private def resetTable(name: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val root = if (wh.startsWith("file:")) new java.io.File(new java.net.URI(wh))
+               else new java.io.File(wh)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(); ()
+    }
+    val loc = new java.io.File(root, name)
+    if (loc.exists()) rm(loc)
+  }
+
+  test("bucketed tables co-locate: the join plans NO shuffle exchange") {
+    val dir = "/root/testdata/sf0.001"
+    resetTable("li_bucketed")
+    resetTable("ord_bucketed")
+    graft.sources.Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_quantity", "l_extendedprice")
+      .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .mode("overwrite").saveAsTable("li_bucketed")
+    graft.sources.Tables.orders(spark, dir)
+      .select("o_orderkey", "o_orderstatus")
+      .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .mode("overwrite").saveAsTable("ord_bucketed")
+
+    // force the shuffle-join path (tiny test tables would broadcast)
+    val joined = spark.table("li_bucketed").hint("merge")
+      .join(spark.table("ord_bucketed"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderstatus").agg(sum("l_quantity").as("q"))
+
+    val p = joined.queryExecution.executedPlan.toString
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    // ONE exchange for the final groupBy is legitimate; the JOIN itself
+    // must read bucket-aligned scans with no exchange on either side
+    assert(exchanges <= 1, s"bucketed join still shuffles:\n$p")
+    assert(p.contains("SortMergeJoin"), s"expected the merge join path:\n$p")
+    assert(joined.collect().nonEmpty)
+  }
+}
