@@ -189,6 +189,43 @@ object TrainingData {
       .orderBy("q_id", "rank")
   }
 
+  /** B28b (bonus, r3) — IVF-style ANN: the brief's other scale path for
+    * similarity search. A coarse quantizer assigns every vector to its
+    * nearest CENTROID cell; a query probes only its own cell with the
+    * exact cosine kernel. Centroids here are eight fixed corpus vectors
+    * (vec_id 100–107) so both engines derive identical cells — at
+    * 100 TB they would come from sampled k-means (small driver-side k,
+    * broadcast out), with the SAME plan shape: one broadcast join to
+    * assign cells (map-side), one cell-equi-join to probe (no
+    * all-pairs), per-query top-k window. nprobe=1 trades recall for a
+    * candidate set ~1/K of the corpus, like LSH's bucket trade
+    * (`similarityLsh`); IVF's cells adapt to the data distribution
+    * where LSH's hyperplanes are oblivious. */
+  def similarityIvf(sp: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(sp, dir)
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("e"))
+    val cents = emb.filter(col("vec_id").between(100, 107))
+      .select(col("vec_id").as("c_id"), col("e").as("ce"))
+    val wCell = Window.partitionBy("vec_id").orderBy(col("cos_c").desc, col("c_id").asc)
+    val assigned = emb.join(broadcast(cents))
+      // RAW cosine for the argmax (the rounded form could flip a
+      // near-tie vs the oracle's unrounded ordering)
+      .withColumn("cos_c", graft.plans.VectorKernels.cosine(col("e"), col("ce")))
+      .withColumn("rn", row_number().over(wCell))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("e"), col("c_id").as("cell"))
+    val queries = assigned.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("e").as("qe"), col("cell").as("qcell"))
+    val scored = assigned.join(broadcast(queries),
+        col("cell") === col("qcell") && col("vec_id") =!= col("q_id"))
+      .withColumn("score", cosine(col("qe"), col("e")))
+    val w = Window.partitionBy("q_id").orderBy(col("score").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("q_id"), col("rank"), col("vec_id"), col("score"))
+      .orderBy("q_id", "rank")
+  }
+
   // ---- B29: language identification ----------------------------------------
 
   /** Marker-token language ID: score = marker hits per language over
@@ -428,6 +465,33 @@ object TrainingData {
         |  FROM scored)
         |SELECT q_id, rank, vec_id, score FROM ranked WHERE rank <= 3
         |ORDER BY q_id, rank""".stripMargin)(similarityLsh),
+
+    OpQuery("op_similarity_ivf",
+      """WITH emb AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |cents AS (
+        |  SELECT vec_id AS c_id, e AS ce FROM emb WHERE vec_id BETWEEN 100 AND 107),
+        |assigned AS (
+        |  SELECT vec_id, e, c_id AS cell FROM (
+        |    SELECT emb.vec_id, emb.e, cents.c_id,
+        |      row_number() OVER (PARTITION BY emb.vec_id ORDER BY
+        |        list_dot_product(emb.e, cents.ce) /
+        |          (sqrt(list_dot_product(emb.e, emb.e)) * sqrt(list_dot_product(cents.ce, cents.ce))) DESC,
+        |        cents.c_id ASC) AS rn
+        |    FROM emb, cents)
+        |  WHERE rn = 1),
+        |q AS (SELECT vec_id AS q_id, e AS qe, cell AS qcell FROM assigned WHERE vec_id < 10),
+        |scored AS (
+        |  SELECT q.q_id, a.vec_id,
+        |    round(list_dot_product(q.qe, a.e) /
+        |      (sqrt(list_dot_product(q.qe, q.qe)) * sqrt(list_dot_product(a.e, a.e))), 4) AS score
+        |  FROM assigned a JOIN q ON a.cell = q.qcell AND a.vec_id <> q.q_id),
+        |ranked AS (
+        |  SELECT q_id, vec_id, score,
+        |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id ASC) AS INTEGER) AS rank
+        |  FROM scored)
+        |SELECT q_id, rank, vec_id, score FROM ranked WHERE rank <= 3
+        |ORDER BY q_id, rank""".stripMargin)(similarityIvf),
 
     OpQuery("op_text_langid",
       """SELECT doc_id, lang AS pred, CAST(3 AS INTEGER) AS n_hits, true AS is_match

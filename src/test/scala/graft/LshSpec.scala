@@ -33,6 +33,25 @@ class LshSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF probe: scores agree with the exact kernel; recall reported") {
+    val exact = LlmPipeline.similarityTopk(spark, dir)
+      .select(col("q_id"), col("vec_id"), col("score").as("exact_score"))
+    val ivf = TrainingData.similarityIvf(spark, dir)
+      .select(col("q_id"), col("vec_id"), col("score").as("ivf_score"))
+    val joined = ivf.join(exact, Seq("q_id", "vec_id")).collect()
+    joined.foreach { r =>
+      assert(math.abs(r.getAs[Double]("ivf_score") - r.getAs[Double]("exact_score")) < 1e-9)
+    }
+    val exactSet = exact.select("q_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivfSet = ivf.select("q_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = if (exactSet.isEmpty) 0.0 else
+      ivfSet.intersect(exactSet).size.toDouble / exactSet.size
+    info(f"IVF recall (3 of top-5, nprobe=1, K=8) over 10 queries: $recall%.3f")
+    assert(recall >= 0.0 && recall <= 1.0)
+  }
+
   test("LSH recall vs exact top-5 is deterministic and reported") {
     val exact = LlmPipeline.similarityTopk(spark, dir)
       .select(col("q_id"), col("vec_id")).collect()
