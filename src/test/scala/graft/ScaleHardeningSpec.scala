@@ -77,4 +77,33 @@ class ScaleHardeningSpec extends AnyFunSuite {
     assert(p.contains("SortMergeJoin"), s"expected the merge join path:\n$p")
     assert(joined.collect().nonEmpty)
   }
+
+  test("AQE splits a skewed shuffle-join partition at runtime (skew=true)") {
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor").map(k =>
+      k -> util.Try(conf.get(k)).toOption)
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      import spark.implicits._
+      val fact = spark.range(200000)
+        .select(col("id"), when(col("id") % 20 =!= 0, lit(7L))
+          .otherwise(col("id") % 100).as("k"),
+          concat(lit("payload_"), col("id")).as("v"))
+      val dim = spark.range(100).select(col("id").as("k"), col("id").as("d"))
+      val joined = fact.join(dim, "k").groupBy("d").count()
+      joined.collect() // AQE decisions happen at runtime
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"),
+        s"AQE did not split the skewed join partition:\n$p")
+    } finally saved.foreach { case (k, v) =>
+      v.fold(conf.unset(k))(conf.set(k, _))
+    }
+  }
 }
