@@ -32,6 +32,23 @@ class CodegenCompileSpec extends AnyFunSuite {
     test(s"$name executes with zero codegen compile failures") {
       assertCompiles(name)
     }
+
+  test("registry sweep: EVERY query executes with zero codegen compile failures") {
+    val appender = new CodegenErrorAppender
+    val logger = org.apache.logging.log4j.LogManager.getLogger(
+      "org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator")
+      .asInstanceOf[org.apache.logging.log4j.core.Logger]
+    appender.start()
+    logger.addAppender(appender)
+    try {
+      for (q <- Registry.all) {
+        val before = appender.errors.size
+        q.build(spark, dir).collect()
+        assert(appender.errors.size == before,
+          s"${q.name}: codegen compile failed:\n${appender.errors.drop(before).mkString("\n")}")
+      }
+    } finally logger.removeAppender(appender)
+  }
 }
 
 class CodegenErrorAppender extends org.apache.logging.log4j.core.appender.AbstractAppender(
