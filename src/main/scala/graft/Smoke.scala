@@ -7,12 +7,8 @@ import org.apache.spark.sql.SparkSession
   * can be eyeballed. `sbt "runMain graft.Smoke"`. */
 object Smoke {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder()
-      .master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
-      .config("spark.sql.session.timeZone", "UTC")
+    val spark = api.GraftSession.builder("local[8]", 8)
       .config("spark.ui.enabled", "false")
-      .config(sources.Tables.eventsConf._1, sources.Tables.eventsConf._2)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val df = SparkEntry.entry(spark)

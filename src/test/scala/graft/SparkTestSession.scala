@@ -2,14 +2,12 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** One shared local session for all specs (JVM-wide, forked by sbt). */
+/** One shared local session for all specs (JVM-wide, forked by sbt) —
+  * built through the library's own entry point so the builder path
+  * (recommended conf + extensions) is exercised by the whole suite. */
 object SparkTestSession {
-  lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[4]")
+  lazy val spark: SparkSession = api.GraftSession.builder("local[4]", 4)
     .appName("graft-tests")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
-    .config(sources.Tables.eventsConf._1, sources.Tables.eventsConf._2)
     .getOrCreate()
 }
