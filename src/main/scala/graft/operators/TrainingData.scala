@@ -194,8 +194,10 @@ object TrainingData {
     * nearest CENTROID cell; a query probes only its own cell with the
     * exact cosine kernel. Centroids here are eight fixed corpus vectors
     * (vec_id 100–107) so both engines derive identical cells — at
-    * 100 TB they would come from sampled k-means (small driver-side k,
-    * broadcast out), with the SAME plan shape: one broadcast join to
+    * 100 TB they come from sampled k-means
+    * ([[graft.functions.KMeansLite]]: Lloyd's iterations as Spark
+    * aggregations, k×dims driver traffic only), with the SAME plan
+    * shape: one broadcast join to
     * assign cells (map-side), one cell-equi-join to probe (no
     * all-pairs), per-query top-k window. nprobe=1 trades recall for a
     * candidate set ~1/K of the corpus, like LSH's bucket trade
