@@ -90,6 +90,47 @@ object Relational {
         round(avg(col("l_quantity")), 6).as("avg_qty"))
       .orderBy("o_orderstatus")
 
+  // ---- B6b (bonus, r3): as-of join -----------------------------------------
+
+  /** As-of join — for each `view` event, the latest `click` by the same
+    * user at-or-before it (inner: views with no prior click drop out).
+    * Spark has no native as-of join; the preference order for a missing
+    * operator is compose > custom Expression > custom SparkPlan, and
+    * composition wins here: tag both sides, union, and take
+    * `last(click, ignoreNulls)` over a per-user window ordered by
+    * (time, side) — clicks sort before views at equal timestamps, so
+    * the at-or-before boundary is inclusive. ONE shuffle on user_id,
+    * state = one row per user in the running window: the same cost a
+    * purpose-built as-of SparkPlan would pay, with none of the
+    * machinery. Clicks are pre-deduped to one per (user, second) so
+    * the match is deterministic in any engine. The oracle is DuckDB's
+    * NATIVE `ASOF JOIN` — an independent implementation of the same
+    * semantics. */
+  def joinAsof(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .withColumn("tsec", date_trunc("second", col("ts")))
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy("user_id", "tsec").agg(max("value").as("cval"))
+      .select(col("user_id"), col("tsec"), lit(0).as("side"),
+        lit(null).cast("long").as("event_id"), lit(null).cast("double").as("value"),
+        col("cval"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("tsec"), lit(1).as("side"),
+        col("event_id"), col("value"), lit(null).cast("double").as("cval"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("tsec").asc, col("side").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    clicks.union(views)
+      .withColumn("click_tsec", last(when(col("side") === 0, col("tsec")), ignoreNulls = true).over(w))
+      .withColumn("click_value", last(when(col("side") === 0, col("cval")), ignoreNulls = true).over(w))
+      .filter(col("side") === 1 && col("click_tsec").isNotNull)
+      .select(col("event_id"), col("user_id"),
+        date_format(col("tsec"), "yyyy-MM-dd HH:mm:ss").as("tsf"), col("value"),
+        date_format(col("click_tsec"), "yyyy-MM-dd HH:mm:ss").as("click_tsf"),
+        col("click_value"))
+      .orderBy("event_id")
+  }
+
   // ---- B7: hash aggregate (TPC-H Q1 shape; partial agg before shuffle) -----
   def aggHash(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
@@ -273,6 +314,23 @@ object Relational {
         |WHERE NOT EXISTS (SELECT 1 FROM orders
         |                  WHERE o_custkey = c_custkey AND o_totalprice > 300000)
         |ORDER BY c_custkey""".stripMargin)(joinAnti),
+
+    OpQuery("op_join_asof",
+      """WITH e AS (
+        |  SELECT event_id, user_id, date_trunc('second', ts) AS tsec, event_type, value
+        |  FROM events),
+        |clicks AS (
+        |  SELECT user_id, tsec, max(value) AS cval FROM e
+        |  WHERE event_type = 'click' GROUP BY user_id, tsec),
+        |views AS (
+        |  SELECT event_id, user_id, tsec, value FROM e WHERE event_type = 'view')
+        |SELECT views.event_id, views.user_id,
+        |  strftime(views.tsec, '%Y-%m-%d %H:%M:%S') AS tsf, views.value,
+        |  strftime(clicks.tsec, '%Y-%m-%d %H:%M:%S') AS click_tsf,
+        |  clicks.cval AS click_value
+        |FROM views ASOF JOIN clicks
+        |  ON views.user_id = clicks.user_id AND views.tsec >= clicks.tsec
+        |ORDER BY views.event_id""".stripMargin)(joinAsof),
 
     OpQuery("op_join_range",
       """SELECT o_orderstatus, count(*) AS n_in_window,
