@@ -99,8 +99,9 @@ object Relational {
     * composition wins here: tag both sides, union, and take
     * `last(click, ignoreNulls)` over a per-user window ordered by
     * (time, side) — clicks sort before views at equal timestamps, so
-    * the at-or-before boundary is inclusive. ONE shuffle on user_id,
-    * state = one row per user in the running window: the same cost a
+    * the at-or-before boundary is inclusive. Two skinny hash shuffles
+    * — the click (user, second) pre-dedup and the per-user window —
+    * and one running row of window state per user: the same cost a
     * purpose-built as-of SparkPlan would pay, with none of the
     * machinery. Clicks are pre-deduped to one per (user, second) so
     * the match is deterministic in any engine. The oracle is DuckDB's
