@@ -42,6 +42,17 @@ object Graft {
   def convert(df: DataFrame, textCol: Column): DataFrame =
     df.withColumn("converted", graft.plans.ConvertDocument.convert(textCol))
 
+  /** Whole-file document source (= the reference's `open(f).read()`,
+    * `etl_parser.py:1093-1094`, lifted to a corpus): one row per file
+    * with its path and full text. At scale this is the standard
+    * many-small-files pattern — Spark packs files into splits
+    * (`maxPartitionBytes`), no driver listing loop. */
+  def readDocuments(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.option("wholetext", "true").text(path)
+      .withColumn("path", input_file_name())
+      .withColumnRenamed("value", "text")
+      .select(col("path"), col("text"))
+
   /** Scala-side single-document convert (= `python script.py <file>`). */
   def convertText(text: String): String =
     graft.functions.DataConverter.parseToJson(text)

@@ -62,4 +62,20 @@ class GoldenPathSpec extends AnyFunSuite {
     assert(cmp.getString(6) == cmp.getString(7))
     assert(cmp.getString(8) == cmp.getString(9))
   }
+
+  test("readDocuments: whole-file source feeds parseDocuments end to end") {
+    // the reference's actual I/O shape: one file = one document
+    val dir = java.nio.file.Files.createTempDirectory("graftdocs")
+    java.nio.file.Files.writeString(dir.resolve("a.txt"),
+      "k1: v1\nk2: v2\n\n{\"id\": 1, \"ok\": true}")
+    java.nio.file.Files.writeString(dir.resolve("b.txt"),
+      "plain prose words for the raw detector to claim here")
+    val docs = graft.api.Graft.readDocuments(spark, dir.toString)
+    assert(docs.count() == 2)
+    val parsed = graft.api.Graft.parseDocuments(docs, col("text"))
+      .select(col("path"), size(col("fragments")).as("nf"))
+      .collect().map(r => (r.getString(0).split('/').last, r.getInt(1))).toMap
+    assert(parsed("a.txt") >= 2, "kv + json fragments expected")
+    assert(parsed("b.txt") >= 1, "raw-text fragment expected")
+  }
 }
