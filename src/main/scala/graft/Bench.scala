@@ -62,7 +62,9 @@ object Bench {
     val errors = scala.collection.mutable.Map.empty[String, String]
     for (_ <- 1 to runs; n <- names) {
       exec(n) match {
-        case Right(s) => if (!best.contains(n) || s < best(n)) best(n) = s
+        case Right(s) =>
+          if (!best.contains(n) || s < best(n)) best(n) = s
+          errors.remove(n) // an earlier transient failure is superseded
         case Left(err) => if (!best.contains(n)) errors(n) = err
       }
     }

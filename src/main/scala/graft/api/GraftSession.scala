@@ -38,18 +38,36 @@ object GraftSession {
     "spark.sql.session.timeZone" -> "UTC",
     graft.sources.Tables.eventsConf)
 
+  private val LocalN = """local\[(\d+)\]""".r
+
   /** A builder with the recommended conf and the graft extensions
-    * (SQL-registered kernels) applied. */
-  def builder(master: String, cores: Int = Runtime.getRuntime.availableProcessors())
-      : SparkSession.Builder = {
+    * (SQL-registered kernels) applied. `cores` defaults to the master
+    * string's thread count when it spells one (`local[8]` → 8) — the
+    * host's processor count would mis-size shuffle partitions against
+    * the actual task slots — and to the host's processors otherwise
+    * (cluster masters). */
+  def builder(master: String, cores: Int = 0): SparkSession.Builder = {
+    val resolved =
+      if (cores > 0) cores
+      else master match {
+        case LocalN(n) => n.toInt
+        case _ => Runtime.getRuntime.availableProcessors()
+      }
     val b = SparkSession.builder().master(master)
       .withExtensions(new graft.plans.GraftExtensions)
-    recommendedConf(cores).foldLeft(b) { case (acc, (k, v)) => acc.config(k, v) }
+    recommendedConf(resolved).foldLeft(b) { case (acc, (k, v)) => acc.config(k, v) }
   }
 
-  /** Register the graft_* SQL functions on an EXISTING session
-    * (extensions only apply at session build). */
-  def register(spark: SparkSession): Unit =
+  /** Retrofit an EXISTING session: register the graft_* SQL functions
+    * (extensions only apply at session build) AND apply the
+    * runtime-settable recommended conf — in particular the nanos
+    * parquet conf, without which `events`-style TIMESTAMP(NANOS) scans
+    * throw. (shuffle.partitions is left alone: resizing a live
+    * session's shuffles is the caller's call.) */
+  def register(spark: SparkSession): Unit = {
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set(graft.sources.Tables.eventsConf._1, graft.sources.Tables.eventsConf._2)
     graft.plans.GraftExtensions.functions.foreach(
       org.apache.spark.sql.graftbridge.bridge.registerFunction(spark, _))
+  }
 }

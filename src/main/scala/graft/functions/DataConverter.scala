@@ -310,10 +310,12 @@ object DataConverter {
 
   // ---- plain text (`script.py:425-461`) ------------------------------------
 
-  private val PhoneRe = Pattern.compile("\\(?\\d{3}\\)?[-.\\s]?\\d{3}[-.\\s]?\\d{4}")
+  // (?U)-class flags on \d too: Python's \d is unicode-decimal-aware.
+  // Extraction only copies the matched substring, so this is safe.
+  private val PhoneRe = Pattern.compile("\\(?\\d{3}\\)?[-.\\s]?\\d{3}[-.\\s]?\\d{4}", UFlags)
   private val EmailRe = Pattern.compile("[\\w.-]+@[\\w.-]+\\.\\w+", UFlags)
   private val UrlRe = Pattern.compile("https?://[^\\s<>\"]+")
-  private val PriceRe = Pattern.compile("\\$?\\d+[.,]\\d{2}")
+  private val PriceRe = Pattern.compile("\\$?\\d+[.,]\\d{2}", UFlags)
   private val TextKvRe = Pattern.compile("(\\w+):\\s*([^\\n]+)", UFlags)
 
   private def parseText(text0: String): JsonNode = {
@@ -354,6 +356,12 @@ object DataConverter {
 
   // ---- scalar coercion (`script.py:482-515`) -------------------------------
 
+  // DECLARED divergence: these numeric gates stay ASCII-\d. Python's
+  // int()/float() accept unicode decimal digits (int('٥') == 5), so the
+  // reference coerces them; Long.parseLong/parseDouble would throw, and
+  // matching Python here would need a unicode-digit number parser for a
+  // case no realistic corpus hits. Unicode-digit values therefore stay
+  // strings in this port.
   private val IntRe = Pattern.compile("[+-]?\\d+")
   private val FloatRe = Pattern.compile("[+-]?(\\d+\\.?\\d*|\\.\\d+)([eE][+-]?\\d+)?")
 

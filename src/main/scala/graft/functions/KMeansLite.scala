@@ -31,10 +31,13 @@ object KMeansLite {
   /** Train `k` centroids over `df(eCol)` (array<double>, fixed dims). */
   def train(df: DataFrame, eCol: String, idCol: String, k: Int,
       iters: Int): Array[Array[Double]] = {
+    require(k >= 2, s"k must be >= 2 (greatest() needs two candidates), got $k")
     val emb = df.select(col(idCol).as("__id"), col(eCol).as("__e"))
     var cents: Array[Array[Double]] = emb.orderBy("__id").limit(k)
       .select("__e").collect()
       .map(_.getSeq[Double](0).toArray)
+    require(cents.length == k,
+      s"corpus has only ${cents.length} vectors for k=$k centroids")
     val dims = cents.head.length
     for (_ <- 1 to iters) {
       // (cell, dim, value) partial means — the only shuffle, k×dims wide

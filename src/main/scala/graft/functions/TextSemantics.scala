@@ -63,9 +63,11 @@ object TextSemantics {
   /** Key normalization (`script.py:509-515`): drop non-word chars (keep
     * spaces/hyphens), trim, collapse whitespace to `_`, lowercase —
     * trim comes before the `\s+` collapse so ` First Name ` becomes
-    * `first_name`, not `_first_name_`. */
+    * `first_name`, not `_first_name_`. `(?U)` makes Java's `\w`/`\s`
+    * unicode-aware like Python's (same rule as the Fragments /
+    * DataConverter ports; ASCII oracle corpora are unaffected). */
   def cleanKey(k: Column): Column =
-    lower(regexp_replace(trim(regexp_replace(k, "[^\\w\\s-]", "")), "\\s+", "_"))
+    lower(regexp_replace(trim(regexp_replace(k, "(?U)[^\\w\\s-]", "")), "(?U)\\s+", "_"))
 
   /** OCR error fixes (`script.py:469-480`): `l0cation`→`location` (ci),
     * capital `O` directly before a digit → `0`, spelled
@@ -88,7 +90,7 @@ object TextSemantics {
     val noTrailing = regexp_replace(s, ",(\\s*[}\\]])", "$1")
     val commas = regexp_replace(noTrailing, "\"\\s*\\n\\s*\"", "\",\n\"")
     val doubleQuoted = regexp_replace(commas, "'([^']*)'", "\"$1\"")
-    regexp_replace(doubleQuoted, "(\\w+):", "\"$1\":")
+    regexp_replace(doubleQuoted, "(?U)(\\w+):", "\"$1\":")
   }
 
   /** Entity extraction from prose (`script.py:425-463`): first email /
@@ -124,7 +126,7 @@ object TextSemantics {
     val first3 = slice(rawLines, lit(1), least(lit(3), size(rawLines)))
     val looksCsv = size(rawLines) >= 2 && sepCount > 0 &&
       forall(first3, l => cnt(l, ",") === sepCount || cnt(l, "\t") === sepCount)
-    val kvLines = size(filter(lines, l => l.rlike("^\\w+\\s*[:=]\\s*.+")))
+    val kvLines = size(filter(lines, l => l.rlike("(?U)^\\w+\\s*[:=]\\s*.+")))
     val looksKv = kvLines * 2 > size(lines)
     when(t.contains("<script") && t.contains("application/ld+json"), "json_ld")
       .when(t.contains("{") && t.contains("\""), "json")

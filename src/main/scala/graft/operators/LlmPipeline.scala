@@ -52,10 +52,42 @@ object LlmPipeline {
   /** Hot-bucket cap for the LSH candidate stages (B17/B25/B27): an
     * upper bound on how many documents one band bucket may contribute
     * to pair expansion. Healthy buckets hold a handful of docs, so the
-    * cap is invisible on real corpora (oracle rows unchanged); a
-    * degenerate corpus is bounded to C(cap,2) pairs per bucket instead
-    * of O(N²). */
+    * cap is invisible on real corpora — HotBucketSpec asserts ZERO
+    * drops at the verification SF, so the capped op provably equals
+    * its uncapped oracle there; a degenerate corpus is bounded to
+    * C(cap,2) pairs per bucket instead of O(N²). */
   val MaxBucketDocs = 64
+
+  /** Pre-cap band-bucket stage of [[dedupMinhash]], exposed so tests
+    * can measure real bucket sizes against the cap.
+    *
+    * Shingles materialized via TextShingles (lambda-inlining pitfall:
+    * 66s -> 4s at sf0.1 when computed once per row). One md5 per
+    * shingle; the 8 hash functions are hex-rotations of that digest —
+    * each rotation leads with a disjoint 16-bit window, so the min
+    * selection is driven by effectively independent bits at 1/8th the
+    * digest cost. The rotation-minima are computed by the codegen'd
+    * MinHashSignature kernel (one pass, zero per-element allocation);
+    * values are bit-identical to the 8x aggregate/least fold, so the
+    * oracle SQL still states the same rotations. */
+  private[graft] def minhashBanded(all: DataFrame): DataFrame =
+    graft.functions.TextShingles.withShingles(
+        graft.functions.TextShingles.spreadForCpu(all), col("text"))
+      .withColumn("hs", transform(col("shingles"), sh => md5(sh)))
+      .withColumn("sig", graft.plans.MinHashSignature.minhashSig(col("hs"), NumHashes, 4))
+      .select(col("doc_id"), posexplode(array((0 until NumHashes / BandSize).map { b =>
+        md5(concat_ws("|", element_at(col("sig"), b * BandSize + 1),
+          element_at(col("sig"), b * BandSize + 2)))
+      }: _*)).as(Seq("band_id", "band_key")))
+
+  /** The minhash corpus (base ∪ planted variants) for a dir. */
+  private[graft] def minhashCorpus(sp: SparkSession, dir: String): DataFrame = {
+    val base = docs(sp, dir).select(col("doc_id"), col("text"))
+    val variants = base.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 10000).as("doc_id"),
+        concat(col("text"), lit(" extraneous")).as("text"))
+    base.union(variants)
+  }
 
   /** Per-document MinHash signature over word 3-gram shingles, banded
     * into 4 bands; documents sharing any band bucket are near-dup
@@ -72,30 +104,7 @@ object LlmPipeline {
     * compared lexicographically: deterministic, seed-stable, and
     * reproducible in any engine. */
   def dedupMinhash(sp: SparkSession, dir: String): DataFrame = {
-    val base = docs(sp, dir).select(col("doc_id"), col("text"))
-    val variants = base.filter(col("doc_id") % 5 === 0)
-      .select((col("doc_id") + 10000).as("doc_id"),
-        concat(col("text"), lit(" extraneous")).as("text"))
-    val all = base.union(variants)
-
-    // shingles materialized via TextShingles (lambda-inlining pitfall:
-    // 66s -> 4s at sf0.1 when computed once per row). One md5 per
-    // shingle; the 8 hash functions are hex-rotations of that digest —
-    // each rotation leads with a disjoint 16-bit window, so the min
-    // selection is driven by effectively independent bits at 1/8th the
-    // digest cost (the production trade for CPU-bound signature passes).
-    // The rotation-minima are computed by the codegen'd
-    // MinHashSignature kernel (one pass, zero per-element allocation);
-    // values are bit-identical to the 8x aggregate/least fold, so the
-    // oracle SQL still states the same rotations.
-    val banded = graft.functions.TextShingles.withShingles(
-        graft.functions.TextShingles.spreadForCpu(all), col("text"))
-      .withColumn("hs", transform(col("shingles"), sh => md5(sh)))
-      .withColumn("sig", graft.plans.MinHashSignature.minhashSig(col("hs"), NumHashes, 4))
-      .select(col("doc_id"), posexplode(array((0 until NumHashes / BandSize).map { b =>
-        md5(concat_ws("|", element_at(col("sig"), b * BandSize + 1),
-          element_at(col("sig"), b * BandSize + 2)))
-      }: _*)).as(Seq("band_id", "band_key")))
+    val banded = minhashBanded(minhashCorpus(sp, dir))
 
     // Candidate pairs via bucket grouping, NOT a self-join: a self-join
     // re-computes the signature subtree on both sides (no exchange reuse

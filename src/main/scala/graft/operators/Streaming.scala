@@ -88,6 +88,18 @@ object Streaming {
     * gate verifies the semantics against DuckDB while `StreamingSpec`
     * proves the stateful streaming form matches across batch splits.
     *
+    * ORDERING CONTRACT (stated, not hidden): events are event-time
+    * ordered WITHIN each micro-batch; ACROSS batches the accumulator
+    * follows arrival order — Append mode cannot retract already-emitted
+    * rows, so a row arriving a batch after a later-timestamped sibling
+    * (possible inside the 1 h watermark) gets the next seq, not a
+    * re-sorted one. Stream ≡ batch therefore holds exactly when each
+    * key's arrivals are cross-batch time-ordered (the
+    * partition-per-key log-ingest case); pipelines needing total
+    * event-time order under late data buffer in state until the
+    * watermark passes (an event-time-timeout variant) and pay the
+    * latency.
+    *
     * Scale: state is 16 bytes per user (seq + sum), hash-partitioned by
     * user_id — the same shuffle the window form needs; per-batch work
     * is one in-memory sort of each user's new events. */

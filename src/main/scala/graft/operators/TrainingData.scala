@@ -40,28 +40,28 @@ object TrainingData {
     * ≤2-bit corruption leaves ≥2 bands intact); confirmed at true
     * Hamming distance ≤ 2. One signature pass, bucket-grouped pair
     * expansion — no self-join, no all-pairs. */
-  def dedupSimhash(sp: SparkSession, dir: String): DataFrame = {
-    val base = docs(sp, dir).select(col("doc_id"), col("text"))
-    val variants = base.filter(col("doc_id") % 5 === 0)
-      .select((col("doc_id") + 10000).as("doc_id"),
-        concat(col("text"), lit(" extraneous")).as("text"))
-    val all = base.union(variants)
-
-    // vote kernel is the codegen'd SimHashSignature (one int[32] per
-    // row instead of a 32-int array allocation per digest); values are
-    // bit-identical to the transform/aggregate/zip_with fold, so the
-    // oracle SQL still states the fold's semantics
+  /** Pre-cap banded stage of [[dedupSimhash]] (doc_id, sig, key),
+    * exposed so tests can measure real bucket sizes against the cap.
+    * The vote kernel is the codegen'd SimHashSignature (one int[32]
+    * per row instead of a 32-int array allocation per digest); values
+    * are bit-identical to the transform/aggregate/zip_with fold, so
+    * the oracle SQL still states the fold's semantics. */
+  private[graft] def simhashKeyed(sp: SparkSession, dir: String): DataFrame = {
+    val all = LlmPipeline.minhashCorpus(sp, dir)
     val sigs = TextShingles.withShingles(TextShingles.spreadForCpu(all), col("text"))
       .withColumn("hs", transform(col("shingles"), sh => md5(sh)))
       .withColumn("sig", graft.plans.SimHashSignature.simhashSig(col("hs")))
       .select("doc_id", "sig")
-
     def band(k: Int): Column = substring(col("sig"), k * 8 + 1, 8)
     val combos = Seq((0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3))
-    val keyed = sigs.select(col("doc_id"), col("sig"),
+    sigs.select(col("doc_id"), col("sig"),
       explode(array(combos.zipWithIndex.map { case ((i, j), c) =>
         concat(lit(s"$c:"), band(i), band(j))
       }: _*)).as("key"))
+  }
+
+  def dedupSimhash(sp: SparkSession, dir: String): DataFrame = {
+    val keyed = simhashKeyed(sp, dir)
 
     def hamming(a: Column, b: Column): Column =
       aggregate(sequence(lit(1), lit(32)), lit(0),
@@ -139,13 +139,20 @@ object TrainingData {
     * (same-bucket only, output-linear) and exact cosine ≥ 0.995
     * confirms. Deterministic: same-bucket survival of a planted pair is
     * a fixed function of the literals. */
-  def dedupEmbedding(sp: SparkSession, dir: String): DataFrame = {
+  /** Pre-cap sign-bucketed corpus of [[dedupEmbedding]]
+    * (vec_id, e, bk), exposed so tests can measure real bucket sizes
+    * against the cap. */
+  private[graft] def embeddingBucketed(sp: SparkSession, dir: String): DataFrame = {
     val base = Tables.embeddings(sp, dir)
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("e"))
     val variants = base.filter(col("vec_id") % 5 === 0)
       .select((col("vec_id") + 10000).as("vec_id"),
         transform(col("e"), (x, i) => when(i === 0, x + 0.01).otherwise(x)).as("e"))
-    val corpus = base.union(variants).withColumn("bk", bucketOf(col("e")))
+    base.union(variants).withColumn("bk", bucketOf(col("e")))
+  }
+
+  def dedupEmbedding(sp: SparkSession, dir: String): DataFrame = {
+    val corpus = embeddingBucketed(sp, dir)
     // hot-bucket cap (see LlmPipeline.MaxBucketDocs): with only 2^8
     // sign buckets, a degenerate corpus (all-identical vectors) would
     // otherwise collect every 64-dim vector into one agg buffer. The

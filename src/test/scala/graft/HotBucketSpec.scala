@@ -60,4 +60,27 @@ class HotBucketSpec extends AnyFunSuite {
     assert(n > 0 && n <= 2 * maxPairs(TrainingData.MaxBucketVecs),
       s"candidate pairs $n exceed the bucket-cap bound")
   }
+
+  test("verification SF: every real bucket is under its cap — the caps drop NOTHING there") {
+    // The oracle SQL is uncapped; the capped ops equal it at the
+    // verification SF exactly because no real bucket reaches the cap.
+    // This pins that premise so cap-induced silent divergence cannot
+    // slip past a green CORRECTNESS run.
+    val vdir = "/root/testdata/sf0.01"
+    val mh = LlmPipeline.minhashBanded(LlmPipeline.minhashCorpus(spark, vdir))
+      .groupBy("band_id", "band_key").count()
+      .agg(org.apache.spark.sql.functions.max("count")).head().getLong(0)
+    assert(mh <= LlmPipeline.MaxBucketDocs,
+      s"minhash bucket of $mh docs exceeds the cap at verification SF")
+    val sh = TrainingData.simhashKeyed(spark, vdir)
+      .groupBy("key").count()
+      .agg(org.apache.spark.sql.functions.max("count")).head().getLong(0)
+    assert(sh <= LlmPipeline.MaxBucketDocs,
+      s"simhash bucket of $sh docs exceeds the cap at verification SF")
+    val eb = TrainingData.embeddingBucketed(spark, vdir)
+      .groupBy("bk").count()
+      .agg(org.apache.spark.sql.functions.max("count")).head().getLong(0)
+    assert(eb <= TrainingData.MaxBucketVecs,
+      s"embedding bucket of $eb vectors exceeds the cap at verification SF")
+  }
 }

@@ -79,7 +79,9 @@ class StreamingSpec extends AnyFunSuite {
       .format("memory").queryName(name).outputMode("append").start()
     try {
       // two micro-batches split mid-stream: seq/sum must CARRY ACROSS
-      // (the per-key state), not restart at the batch boundary
+      // (the per-key state), not restart at the batch boundary. The
+      // split is time-ordered — the op's documented ordering contract
+      // (cross-batch arrival order; see runningStatePlan scaladoc)
       val (b1, b2) = base.sortBy(_.ts.getTime).splitAt(4)
       mem.addData(b1: _*)
       q.processAllAvailable()

@@ -59,6 +59,12 @@ class TextSemanticsSpec extends AnyFunSuite {
     assert(got === Array("first_name", "total_usd", "a_b--c", "upper", "x"))
   }
 
+  test("cleanKey: unicode word chars survive like Python's \\w") {
+    val got = Seq(" Clé (É) ", "Straße Nr!")
+      .toDF("k").select(TextSemantics.cleanKey(col("k"))).as[String].collect()
+    assert(got === Array("clé_é", "straße_nr"))
+  }
+
   test("repairJson: fixes the reference's broken-JSON catalogue") {
     val broken = Seq(
       "{id: 1, status: 'open',}",                        // unquoted keys, single quotes, trailing comma
@@ -127,7 +133,9 @@ class TextSemanticsSpec extends AnyFunSuite {
       // separator counts run on UNTRIMMED lines (script.py:310-322
       // strips only for the blank filter): the leading tab makes line 2
       // count 2 tabs vs line 1's single tab -> inconsistent -> not CSV
-      "a\tb\n\t1\t2" -> "text")
+      "a\tb\n\t1\t2" -> "text",
+      // Python's \w is unicode-aware: accented keys count as kv lines
+      "clé: 1\nnäme = x\nprose line" -> "key_value")
     val got = cases.map(_._1).toDF("t")
       .select(TextSemantics.dispatchFormat(col("t"))).as[String].collect()
     cases.zip(got).foreach { case ((in, want), actual) =>
