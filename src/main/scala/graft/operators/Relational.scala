@@ -122,8 +122,11 @@ object Relational {
       .orderBy(col("tsec").asc, col("side").asc, col("event_id").asc)
       .rowsBetween(Window.unboundedPreceding, 0)
     clicks.union(views)
-      .withColumn("click_tsec", last(when(col("side") === 0, col("tsec")), ignoreNulls = true).over(w))
-      .withColumn("click_value", last(when(col("side") === 0, col("cval")), ignoreNulls = true).over(w))
+      // one select → one Window node for both functions (chained
+      // withColumn planned two stacked Window passes over the sort)
+      .select(col("*"),
+        last(when(col("side") === 0, col("tsec")), ignoreNulls = true).over(w).as("click_tsec"),
+        last(when(col("side") === 0, col("cval")), ignoreNulls = true).over(w).as("click_value"))
       .filter(col("side") === 1 && col("click_tsec").isNotNull)
       .select(col("event_id"), col("user_id"),
         date_format(col("tsec"), "yyyy-MM-dd HH:mm:ss").as("tsf"), col("value"),
