@@ -63,9 +63,11 @@ object TrainingData {
   def dedupSimhash(sp: SparkSession, dir: String): DataFrame = {
     val keyed = simhashKeyed(sp, dir)
 
+    // native per-pair confirm (fold-identical; see HammingDistance) —
+    // pair volume is the near-dup output, so the confirm must cost
+    // like the signature, not 32 interpreted lambdas per pair
     def hamming(a: Column, b: Column): Column =
-      aggregate(sequence(lit(1), lit(32)), lit(0),
-        (acc, j) => acc + when(a.substr(j, lit(1)) =!= b.substr(j, lit(1)), 1).otherwise(0))
+      graft.plans.HammingDistance.hamming(a, b, 32)
     // hot-bucket cap before the pair expansion (see LlmPipeline
     // .MaxBucketDocs): row_number over the bucket key — same hash
     // partitioning the groupBy needs, no extra exchange, bounded agg

@@ -92,6 +92,13 @@ object GraftExtensions {
         require(args.length == 1, "graft_shingles takes (string)")
         ShingleWords(args(0))
       }),
+    (FunctionIdentifier("graft_hamming"),
+      info("graft_hamming",
+        "graft_hamming(a, b) - Hamming distance over the first 32 character positions"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_hamming takes (string, string)")
+        HammingDistance(args(0), args(1), 32)
+      }),
     (FunctionIdentifier("graft_cosine"),
       info("graft_cosine",
         "graft_cosine(a, b) - cosine similarity of two float/double arrays"),
