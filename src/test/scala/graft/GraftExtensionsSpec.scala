@@ -44,6 +44,12 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(row.map(_.getString(0)).contains("JSON"))
   }
 
+  test("graft_hamming callable from SQL") {
+    // positions past BOTH ends compare "" = "" -> equal, so exactly 2
+    val d = spark.sql("SELECT graft_hamming('0011', '0110')").head().getInt(0)
+    assert(d == 2)
+  }
+
   test("graft_shingles and graft_cosine callable from SQL") {
     val row = spark.sql(
       """SELECT graft_shingles('a b c d') AS sh,

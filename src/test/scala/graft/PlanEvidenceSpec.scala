@@ -52,6 +52,16 @@ class PlanEvidenceSpec extends AnyFunSuite {
     }
   }
 
+  test("op_join_asof: two skinny hash shuffles, ONE fused Window node") {
+    val p = plan("op_join_asof")
+    val hashExchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hashExchanges == 2,
+      s"expected click-dedup + as-of-window shuffles only ($hashExchanges):\n$p")
+    val windows = p.linesIterator.count(_.contains("- Window ["))
+    assert(windows == 1, s"both last() functions must share one Window node:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("op_dedup_minhash: only the band shuffle and the output-linear pair distinct") {
     val p = plan("op_dedup_minhash")
     val hashExchanges = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
