@@ -5,7 +5,7 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.functions.DataConverter
 
-/** Seeded fuzz differential #2: `tools/fuzz_gen2.py` composed 90
+/** Seeded fuzz differential #2: `tools/fuzz_gen2.py` composed 140
   * random documents (sectioned and single-format, spanning metadata,
   * strict/malformed JSON, HTML tables, CSV, SQL, OCR and free-text
   * sections) and executed the reference `DataConverter().parse` on
@@ -26,8 +26,8 @@ class FuzzConverterSpec extends AnyFunSuite {
     root.get("docs").elements().asScala.toSeq
   }
 
-  test("fixture sanity: 90 reference-parsed documents") {
-    assert(docs.size == 90)
+  test("fixture sanity: 140 reference-parsed documents") {
+    assert(docs.size == 140)
   }
 
   test("DataConverter.parse matches the executed reference on every fuzz document") {

@@ -6,7 +6,7 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.api.Graft
 import graft.functions.Fragments
 
-/** Seeded fuzz differential: `tools/fuzz_gen.py` composed 100 random
+/** Seeded fuzz differential: `tools/fuzz_gen.py` composed 160 random
   * messy documents (every fragment family mixed; the last 40 lean on
   * adversarial pieces — sectioned-JSON headers, unclosed braces,
   * `;`/tab CSV, low-colon YAML, braces inside JSON strings — ~730
@@ -30,9 +30,9 @@ class FuzzDifferentialSpec extends AnyFunSuite {
     root.get("docs").elements().asScala.toSeq
   }
 
-  test("fixture sanity: 100 docs (40 adversarial incl. unicode), >650 reference fragments") {
-    assert(docs.size == 100)
-    assert(docs.map(_.get("fragments").size()).sum > 650)
+  test("fixture sanity: 160 docs (80 adversarial incl. unicode), >1000 reference fragments") {
+    assert(docs.size == 160)
+    assert(docs.map(_.get("fragments").size()).sum > 1000)
     // unicode guard: the corpus must exercise Python-\w-vs-Java-\w paths
     assert(docs.count(_.get("text").asText.exists(_ > 127)) >= 10)
   }

@@ -294,8 +294,8 @@ def gen_doc(adversarial=False):
 
 def main():
     docs = []
-    for i in range(100):
-        text = gen_doc(adversarial = i >= 60)
+    for i in range(160):
+        text = gen_doc(adversarial = i >= 80)
         out = ref.parse_file(text)
         docs.append({
             "id": i,

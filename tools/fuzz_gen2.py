@@ -167,7 +167,7 @@ def gen_single():
 def main():
     docs, skipped = [], 0
     i = 0
-    while len(docs) < 90:
+    while len(docs) < 140:
         i += 1
         text = gen_sectioned() if len(docs) % 3 != 2 else gen_single()
         try:
