@@ -182,7 +182,7 @@ object Relational {
 
   // ---- B10: approximate distinct (HLL++) ------------------------------------
 
-  /** Full output incl. the raw HLL++ estimate (rsd 1%), for the bounds
+  /** Full output incl. the raw HLL++ estimate (rsd 2%), for the bounds
     * spec. The estimate itself is engine-specific, so the REGISTERED
     * query ([[aggApproxDistinct]]) projects the oracle-checkable view:
     * the exact count plus `within_5pct`, the boolean accuracy contract
@@ -199,7 +199,10 @@ object Relational {
       .groupBy("l_returnflag", "l_partkey")
       .agg(count(lit(1)).as("c"))
       .groupBy("l_returnflag")
-      .agg(approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
+      // rsd 0.02: measured max deviation ~1.0% at both test SFs — a 5x
+      // margin under the oracle's 5% bound at a quarter of rsd-1%'s
+      // register/merge cost (probe in PLANS.md)
+      .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
         count(lit(1)).as("exact_parts"),
         sum("c").as("n"))
       .orderBy("l_returnflag")

@@ -5,14 +5,15 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.Relational
 
-/** B10 has no value-exact oracle by design (HLL++ is approximate); this
-  * pins its accuracy contract instead: within HLL++'s default relative
-  * standard deviation bounds of the exact distinct counts, per group. */
+/** B10's HLL++ estimate is approximate, so the REGISTERED query emits
+  * the exact count plus the `within_5pct` accuracy contract (making
+  * the oracle row value-exact since r3); this spec pins the raw
+  * estimate's accuracy directly, per group. */
 class ApproxDistinctSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
   private val dir = "/root/testdata/sf0.001"
 
-  test("approx_count_distinct (rsd 1%) within 5% of exact, per group") {
+  test("approx_count_distinct (rsd 2%) within 5% of exact, per group") {
     val rows = Relational.aggApproxDistinctFull(spark, dir)
       .select("l_returnflag", "approx_parts", "exact_parts").collect()
     assert(rows.nonEmpty)
