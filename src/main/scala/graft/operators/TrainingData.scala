@@ -335,20 +335,26 @@ object TrainingData {
       .as[(Long, Array[Byte])]
     src.mapPartitions { it =>
       it.map { case (id, bytes) =>
-        // STUB decode: a real implementation would hand `bytes` to an
-        // image decoder here; this derives deterministic fake media
-        // properties so the pipeline shape is testable end-to-end.
-        // A real decoder rejects truncated payloads; mirror that by
-        // treating <2-byte payloads as zeroed headers instead of
-        // crashing the task.
-        val b0 = if (bytes.length > 0) bytes(0) & 0xff else 0
-        val b1 = if (bytes.length > 1) bytes(1) & 0xff else 0
         val mean =
           if (bytes.isEmpty) 0.0
           else bytes.map(_ & 0xff).sum.toDouble / bytes.length
         val mean4 = BigDecimal(mean).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
-        (id, "application/octet-stream", bytes.length,
-          64 + b0 % 64, 48 + b1 % 48, 3, mean4)
+        graft.functions.MediaHeaders.parse(bytes) match {
+          case Some(h) =>
+            // REAL decode: PNG/JPEG dimensions are dependency-free
+            // fixed-offset/marker-scan byte reads (MediaHeaders)
+            (id, h.mime, bytes.length, h.width, h.height, h.channels, mean4)
+          case None =>
+            // STUB for unrecognized containers (full pixel decode needs
+            // the image libs this environment lacks): deterministic
+            // fake properties keep the pipeline shape testable, and
+            // truncated payloads read as zeroed headers instead of
+            // crashing the task — mirroring a real decoder's rejects
+            val b0 = if (bytes.length > 0) bytes(0) & 0xff else 0
+            val b1 = if (bytes.length > 1) bytes(1) & 0xff else 0
+            (id, "application/octet-stream", bytes.length,
+              64 + b0 % 64, 48 + b1 % 48, 3, mean4)
+        }
       }
     }.toDF("doc_id", "mime", "n_bytes", "width", "height", "channels", "mean_byte")
       .orderBy("doc_id")
