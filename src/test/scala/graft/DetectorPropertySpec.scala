@@ -104,4 +104,28 @@ class DetectorPropertySpec extends AnyFunSuite {
       assert(frags.map(_.start_index) == frags.map(_.start_index).sorted)
     }
   }
+
+  test("DetectFragmentsBoth halves equal the individual kernels through Spark") {
+    // kernel-pair coherence, evaluated through the actual expressions
+    // (not the Scala functions): before == detectRaw, after == detect
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = cases(prose, 30).zipWithIndex.map { case (p, i) =>
+      s"""k$i: v$i\nmode = on\n\n$p\n\n{"id": $i, "ok": true}\n\nSELECT $i FROM t;"""
+    }
+    val df = docs.toDF("text")
+      .withColumn("ba", graft.plans.DetectFragmentsBoth.detectBoth(col("text")))
+      .withColumn("raw", graft.plans.DetectFragments.detectRaw(col("text")))
+      .withColumn("ded", graft.plans.DetectFragments.detect(col("text")))
+      .select(
+        // fragment structs carry a map field, which EqualTo cannot
+        // order — compare the serialized forms (both kernels build the
+        // map from the same Scala Map iteration, so order is identical)
+        (to_json(col("ba.before")) === to_json(col("raw"))).as("rawEq"),
+        (to_json(col("ba.after")) === to_json(col("ded"))).as("dedEq"))
+    val rows = df.collect()
+    assert(rows.nonEmpty && rows.forall(r => r.getBoolean(0) && r.getBoolean(1)),
+      "Both kernel diverged from the individual detect/detectRaw kernels")
+  }
 }
