@@ -73,16 +73,40 @@ object Bench {
       case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
       case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
     } + "\""
-    val qs = names.map(n => jq(n) + ":" + best.getOrElse(n, -1.0))
-      .mkString("{", ",", "}")
     val errJson = errors.toSeq.sortBy(_._1)
       .map { case (k, v) => jq(k) + ":" + jq(v) }.mkString("{", ",", "}")
     val total = best.values.sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""sf":"$sfDir","runs":$runs,"n_failed":${errors.size},"errors":$errJson}"""
-    println(json)
-    try Files.writeString(Paths.get(outPath), json + "\n")
+
+    /** One serialized bench report. `stripPrefix` drops the uniform
+      * `op_` key prefix (recorded as `"key_prefix"` so the reader can
+      * restore it); `dec` is the per-query decimal precision. */
+    def render(stripPrefix: Boolean, dec: Int): String = {
+      def fmt(v: Double): String =
+        if (v < 0) "-1" else s"%.${dec}f".format(v)
+      val qs = names.map { n =>
+        val k = if (stripPrefix) n.stripPrefix("op_") else n
+        jq(k) + ":" + fmt(best.getOrElse(n, -1.0))
+      }.mkString("{", ",", "}")
+      val prefix = if (stripPrefix) ""","key_prefix":"op_"""" else ""
+      s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec",""" +
+        s""""queries":$qs,"sf":"$sfDir","runs":$runs,""" +
+        s""""n_failed":${errors.size},"errors":$errJson$prefix}"""
+    }
+
+    // Full precision always goes to the side file (BENCH_r02/r03 lesson:
+    // the driver keeps only the last ~2000 chars of stdout, so the line
+    // it parses must fit that window even after sbt's trailing
+    // "[success] Total time" line). Degrade the stdout line until it
+    // fits: full keys -> strip the op_ prefix -> coarser decimals.
+    val full = render(stripPrefix = false, dec = 6)
+    try Files.writeString(Paths.get(outPath), full + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] write $outPath: $e") }
+    val budget = 1900
+    val line = Seq((false, 3), (true, 3), (true, 2), (true, 1))
+      .map { case (p, d) => render(p, d) }
+      .find(_.length <= budget)
+      .getOrElse(render(stripPrefix = true, dec = 1))
+    println(line)
     spark.stop()
   }
 }

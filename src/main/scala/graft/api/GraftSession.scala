@@ -38,21 +38,27 @@ object GraftSession {
     "spark.sql.session.timeZone" -> "UTC",
     graft.sources.Tables.eventsConf)
 
-  private val LocalN = """local\[(\d+)\]""".r
+  private val LocalN = """local\[(\d+)(?:,\d+)?\]""".r
 
   /** A builder with the recommended conf and the graft extensions
     * (SQL-registered kernels) applied. `cores` defaults to the master
-    * string's thread count when it spells one (`local[8]` → 8) — the
-    * host's processor count would mis-size shuffle partitions against
-    * the actual task slots — and to the host's processors otherwise
-    * (cluster masters). */
+    * string's task-slot count when it spells one — `local[8]` → 8,
+    * bare `local` → 1 (Spark gives it ONE slot; the host's processor
+    * count would mis-size shuffle partitions 32× against it),
+    * `local[*]` → the host's processors (which IS its slot count) —
+    * and to the host's processors otherwise (cluster masters, where
+    * the caller should pass total executor cores). */
+  /** Task-slot count implied by `master`, unless `cores` overrides. */
+  def resolveCores(master: String, cores: Int = 0): Int =
+    if (cores > 0) cores
+    else master match {
+      case LocalN(n) => n.toInt
+      case "local" => 1
+      case _ => Runtime.getRuntime.availableProcessors() // local[*], clusters
+    }
+
   def builder(master: String, cores: Int = 0): SparkSession.Builder = {
-    val resolved =
-      if (cores > 0) cores
-      else master match {
-        case LocalN(n) => n.toInt
-        case _ => Runtime.getRuntime.availableProcessors()
-      }
+    val resolved = resolveCores(master, cores)
     val b = SparkSession.builder().master(master)
       .withExtensions(new graft.plans.GraftExtensions)
     recommendedConf(resolved).foldLeft(b) { case (acc, (k, v)) => acc.config(k, v) }

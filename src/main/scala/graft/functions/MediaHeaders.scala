@@ -44,23 +44,32 @@ object MediaHeaders {
   private def jpeg(b: Array[Byte]): Option[Header] = {
     if (b.length < 4 || u8(b, 0) != 0xff || u8(b, 1) != 0xd8) return None
     var i = 2
-    while (i + 3 < b.length) {
+    while (i + 1 < b.length) {
       if (u8(b, i) != 0xff) return None // lost marker sync
-      val marker = u8(b, i + 1)
-      if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd7)) i += 2 // standalone
+      // any number of 0xFF fill bytes may pad the gap before a marker
+      // (T.81 §B.1.1.2) — skip them instead of misreading one as a
+      // length-bearing marker
+      var m = i + 1
+      while (m < b.length && u8(b, m) == 0xff) m += 1
+      if (m >= b.length) return None
+      val marker = u8(b, m)
+      // standalone markers carry no length: SOI, RSTn, TEM
+      if (marker == 0xd8 || marker == 0x01 || (marker >= 0xd0 && marker <= 0xd7)) i = m + 1
+      else if (marker == 0x00) return None // stuffed byte — not a marker
       else {
-        val len = be16(b, i + 2)
+        if (m + 2 >= b.length) return None
+        val len = be16(b, m + 1)
         if (len < 2) return None
         val isSof = marker >= 0xc0 && marker <= 0xcf &&
           marker != 0xc4 && marker != 0xc8 && marker != 0xcc
         if (isSof) {
-          if (i + 9 >= b.length) return None
-          val height = be16(b, i + 5)
-          val width = be16(b, i + 7)
-          val channels = u8(b, i + 9)
+          if (m + 8 >= b.length) return None
+          val height = be16(b, m + 4)
+          val width = be16(b, m + 6)
+          val channels = u8(b, m + 8)
           return Some(Header("image/jpeg", width, height, channels))
         }
-        i += 2 + len
+        i = m + 1 + len
       }
     }
     None

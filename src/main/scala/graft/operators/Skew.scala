@@ -30,9 +30,13 @@ object Skew {
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
       salts: Int, saltBy: Column): DataFrame = {
     require(salts > 0, "salts must be positive")
-    val saltedFact = fact.withColumn("__salt", pmod(hash(saltBy), lit(salts)))
-    val explodedDim = dim.withColumn("__salt",
+    // a user column named __salt would be silently overwritten (and
+    // dropped from the output) — grow the name until it is free
+    var salt = "__salt"
+    while (fact.columns.contains(salt) || dim.columns.contains(salt)) salt += "_"
+    val saltedFact = fact.withColumn(salt, pmod(hash(saltBy), lit(salts)))
+    val explodedDim = dim.withColumn(salt,
       explode(sequence(lit(0), lit(salts - 1))))
-    saltedFact.join(explodedDim, Seq(key, "__salt")).drop("__salt")
+    saltedFact.join(explodedDim, Seq(key, salt)).drop(salt)
   }
 }

@@ -45,17 +45,34 @@ case class HammingDistance(left: Expression, right: Expression, bits: Int)
 object HammingDistance {
 
   /** Called from generated code — must stay public and static-shaped.
-    * Byte-wise comparison is correct for the '0'/'1' signature
-    * alphabet these ops produce (single-byte UTF-8). */
+    * Compares the first `bits` CHARACTER (code point) positions — the
+    * same positions the `substr` fold it replaced indexed — by walking
+    * UTF-8 sequence boundaries, so non-ASCII input keeps true
+    * character-position semantics with zero allocation (two encoded
+    * characters are equal iff their byte sequences are). The '0'/'1'
+    * signature alphabet takes the single-byte fast path unchanged. */
   def kernel(a: UTF8String, b: UTF8String, bits: Int): Int = {
     val ab = a.getBytes
     val bb = b.getBytes
     var d = 0
     var i = 0
+    var ia = 0
+    var ib = 0
     while (i < bits) {
-      val x = if (i < ab.length) ab(i).toInt else -1
-      val y = if (i < bb.length) bb(i).toInt else -1
-      if (x != y) d += 1
+      val la = if (ia < ab.length) UTF8String.numBytesForFirstByte(ab(ia)) else 0
+      val lb = if (ib < bb.length) UTF8String.numBytesForFirstByte(bb(ib)) else 0
+      if (la != lb) d += 1 // includes one-side-exhausted: differs, as in the fold
+      else if (la > 0) {
+        var k = 0
+        var same = true
+        while (k < la && same) {
+          same = ia + k < ab.length && ib + k < bb.length && ab(ia + k) == bb(ib + k)
+          k += 1
+        }
+        if (!same) d += 1
+      } // la == lb == 0: past both ends — equal, as in the fold
+      ia += la
+      ib += lb
       i += 1
     }
     d

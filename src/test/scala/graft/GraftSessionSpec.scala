@@ -18,6 +18,17 @@ class GraftSessionSpec extends AnyFunSuite {
     assert(conf("spark.sql.legacy.parquet.nanosAsLong") === "true")
   }
 
+  test("resolveCores sizes to the master's task slots, not the host") {
+    assert(GraftSession.resolveCores("local[8]") === 8)
+    assert(GraftSession.resolveCores("local[8,2]") === 8) // maxFailures form
+    assert(GraftSession.resolveCores("local") === 1) // ONE slot, not n_cpus
+    assert(GraftSession.resolveCores("local[*]") ===
+      Runtime.getRuntime.availableProcessors())
+    assert(GraftSession.resolveCores("spark://host:7077") ===
+      Runtime.getRuntime.availableProcessors()) // cluster: caller should pass cores
+    assert(GraftSession.resolveCores("local", cores = 4) === 4) // explicit wins
+  }
+
   test("register() enables every graft_* function on an existing session") {
     GraftSession.register(spark)
     val n = spark.sql(

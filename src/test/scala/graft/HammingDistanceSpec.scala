@@ -27,4 +27,18 @@ class HammingDistanceSpec extends AnyFunSuite {
     df.collect().foreach(r => assert(r.getInt(0) == r.getInt(1),
       s"kernel ${r.getInt(0)} != fold ${r.getInt(1)}"))
   }
+
+  test("non-ASCII input keeps character-position semantics (= the fold)") {
+    // the registered SQL help promises "character positions"; multi-byte
+    // UTF-8 must index like the substr fold, not like raw bytes
+    val cases = Seq(
+      ("héllo", "hello"), ("héllo", "héllo"), ("日本語です", "日本誤です"),
+      ("ü" * 40, "ü" * 40), ("üüü", "uuu"), ("aé中", "aé中"),
+      ("𝄞clef", "gclef"), ("é", ""), ("中中", "中"))
+    val df = cases.toDF("a", "b")
+      .select(graft.plans.HammingDistance.hamming(col("a"), col("b"), 32).as("k"),
+        fold(col("a"), col("b")).as("f"))
+    df.collect().foreach(r => assert(r.getInt(0) == r.getInt(1),
+      s"kernel ${r.getInt(0)} != fold ${r.getInt(1)}"))
+  }
 }

@@ -45,6 +45,22 @@ class MediaHeadersSpec extends AnyFunSuite {
       .contains(MediaHeaders.Header("image/jpeg", 320, 200, 3)))
   }
 
+  test("JPEG: 0xFF fill padding and TEM markers do not desync the scan") {
+    // T.81 §B.1.1.2: markers may be preceded by any number of 0xFF fill
+    // bytes; TEM (0x01) is standalone. Both used to be misread as
+    // length-bearing markers, silently dropping valid JPEGs to the stub.
+    val out = java.nio.ByteBuffer.allocate(64)
+    out.put(0xff.toByte).put(0xd8.toByte)                 // SOI
+    out.put(0xff.toByte).put(0xff.toByte).put(0xff.toByte) // two fill bytes...
+    out.put(0xe0.toByte).putShort(4).putShort(0)          // ...then APP0
+    out.put(0xff.toByte).put(0x01.toByte)                 // TEM, standalone
+    out.put(0xff.toByte).put(0xc0.toByte).putShort(11)    // SOF0
+    out.put(8.toByte).putShort(240.toShort).putShort(424.toShort)
+    out.put(1.toByte)
+    assert(MediaHeaders.parse(out.array())
+      .contains(MediaHeaders.Header("image/jpeg", 424, 240, 1)))
+  }
+
   test("non-media payloads are rejected, not misparsed") {
     assert(MediaHeaders.parse("plain text payload here".getBytes).isEmpty)
     assert(MediaHeaders.parse(Array.emptyByteArray).isEmpty)

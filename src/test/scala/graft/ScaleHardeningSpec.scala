@@ -34,6 +34,19 @@ class ScaleHardeningSpec extends AnyFunSuite {
     assert(p.contains("__salt"), s"salt column absent from the physical plan:\n$p")
   }
 
+  test("saltedJoin: a user column named __salt survives untouched") {
+    // the salt used to be hardcoded __salt — a colliding user column was
+    // silently overwritten and then dropped from the output
+    val fact = spark.range(1000)
+      .select(col("id"), (col("id") % 10).as("k"), lit("mine").as("__salt"))
+    val dim = spark.range(10).select(col("id").as("k"), concat(lit("d"), col("id")).as("name"))
+    val out = Skew.saltedJoin(fact, dim, "k", salts = 4, saltBy = col("id"))
+    assert(out.columns.contains("__salt"), "user __salt column dropped")
+    assert(out.select("__salt").distinct().collect().map(_.getString(0)).toSeq == Seq("mine"),
+      "user __salt column corrupted")
+    assert(out.count() === 1000)
+  }
+
   /** Drop the catalog entry AND its warehouse directory: the in-memory
     * catalog dies with the JVM but spark-warehouse/ persists, and a
     * stale location fails the next saveAsTable. */
