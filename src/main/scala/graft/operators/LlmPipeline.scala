@@ -103,7 +103,12 @@ object LlmPipeline {
     * collisions, never all-pairs. The hash is `md5(seed:shingle)` hex
     * compared lexicographically: deterministic, seed-stable, and
     * reproducible in any engine. */
-  def dedupMinhash(sp: SparkSession, dir: String): DataFrame = {
+  def dedupMinhash(sp: SparkSession, dir: String): DataFrame =
+    minhashPairs(sp, dir).orderBy("doc_a", "doc_b")
+
+  /** Candidate pairs (doc_a < doc_b) shared by B17 and the component
+    * closure below. */
+  private[graft] def minhashPairs(sp: SparkSession, dir: String): DataFrame = {
     val banded = minhashBanded(minhashCorpus(sp, dir))
 
     // Candidate pairs via bucket grouping, NOT a self-join: a self-join
@@ -131,7 +136,78 @@ object LlmPipeline {
       .select(col("doc_a"), explode(col("ids")).as("doc_b"))
       .filter(col("doc_a") < col("doc_b"))
       .distinct()
-      .orderBy("doc_a", "doc_b")
+  }
+
+  // ---- B17b: duplicate-cluster closure (connected components) --------------
+
+  /** Connected components over the MinHash candidate pairs — the step
+    * that turns pairwise near-dup evidence into actionable dedup
+    * groups (pairs (A,B) and (B,C) must collapse to ONE kept doc, not
+    * two independent keeps). Output: one row per document that appears
+    * in any candidate pair, with its cluster's canonical id (the
+    * cluster-minimum doc_id — the member a dedup pass would keep) and
+    * the cluster size.
+    *
+    * Algorithm: BSP min-label propagation — every node starts as its
+    * own component; each superstep sends the current component id over
+    * every edge and keeps the minimum seen; fixpoint when no label
+    * changes. This is the standard Pregel formulation of CC (GraphX's
+    * built-in uses the same message), expressed directly on DataFrames
+    * so Catalyst plans it: one superstep = one hash-shuffle join of
+    * labels onto edges + one min-aggregation, both keyed on node id —
+    * AQE-coalesced, spillable, no driver data path. The driver-side
+    * while loop holds only a CHANGE COUNT scalar per superstep (the
+    * canonical Spark iterative-algorithm shape, not a collect()
+    * anti-pattern), and `localCheckpoint` truncates the growing lineage
+    * so superstep N does not replay supersteps 1..N-1.
+    *
+    * Scale: supersteps = cluster diameter. Near-dup graphs are unions
+    * of band-bucket CLIQUES, so diameters stay in low single digits
+    * even at 100 TB (a chain A~B~C arises only via distinct buckets
+    * sharing a doc); the 25-superstep guard is far above anything a
+    * real corpus produces — an adversarially long chain would call for
+    * the large-star/small-star variant (alternating grafts, O(log n)
+    * rounds), which this formulation extends to by adding the
+    * star-rewrite joins per round. Edges are cached for reuse across
+    * supersteps; each label frame is materialized and the previous one
+    * unpersisted, so peak footprint is 2 label sets + the edge list. */
+  def dedupCc(sp: SparkSession, dir: String): DataFrame =
+    connectedComponents(minhashPairs(sp, dir))
+
+  /** The closure itself, over any (doc_a, doc_b) pair frame — see
+    * [[dedupCc]] for the algorithm and scale notes. */
+  private[graft] def connectedComponents(pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .cache()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id"))
+      .localCheckpoint()
+    var changed = 1L
+    var steps = 0
+    while (changed > 0 && steps < 25) {
+      val msgs = edges
+        .join(labels.select(col("id").as("src"), col("comp")), "src")
+        .groupBy(col("dst").as("id"))
+        .agg(min(col("comp")).as("nbr_min"))
+      val next = labels.join(msgs, Seq("id"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("nbr_min"), col("comp"))).as("comp"),
+          (coalesce(col("nbr_min"), col("comp")) < col("comp")).cast("long").as("chg"))
+        .localCheckpoint()
+      changed = Option(next.agg(sum("chg")).head().get(0))
+        .map(_.asInstanceOf[Long]).getOrElse(0L)
+      labels.unpersist()
+      labels = next.select("id", "comp").localCheckpoint()
+      next.unpersist()
+      steps += 1
+    }
+    require(changed == 0, s"component propagation did not converge in $steps supersteps")
+    edges.unpersist()
+    val sizes = labels.groupBy("comp").agg(count(lit(1)).as("csize"))
+    labels.join(sizes, "comp")
+      .select(col("id").as("doc_id"), col("comp").as("component"), col("csize"))
+      .orderBy("doc_id")
   }
 
   // ---- B18: cosine top-k similarity ----------------------------------------
@@ -248,6 +324,55 @@ object LlmPipeline {
         |FROM bands a JOIN bands b
         |  ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
         |ORDER BY doc_a, doc_b""".stripMargin)(dedupMinhash),
+
+    // independent closure implementation: DuckDB computes reachability
+    // by recursive CTE where Spark runs BSP label propagation
+    OpQuery("op_dedup_cc",
+      """WITH RECURSIVE unioned AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000, concat(text, ' extraneous') FROM documents WHERE doc_id % 5 = 0),
+        |shingled AS (
+        |  SELECT doc_id,
+        |    list_transform(range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
+        |      i -> concat_ws(' ', string_split(text, ' ')[i],
+        |                          string_split(text, ' ')[i+1],
+        |                          string_split(text, ' ')[i+2])) AS sh
+        |  FROM unioned),
+        |hashed AS (
+        |  SELECT doc_id, list_transform(sh, x -> md5(x)) AS hs FROM shingled),
+        |sigs AS (
+        |  SELECT doc_id,
+        |    [list_min(hs),
+        |     list_min(list_transform(hs, h -> substring(h, 5, 28) || substring(h, 1, 4))),
+        |     list_min(list_transform(hs, h -> substring(h, 9, 24) || substring(h, 1, 8))),
+        |     list_min(list_transform(hs, h -> substring(h, 13, 20) || substring(h, 1, 12))),
+        |     list_min(list_transform(hs, h -> substring(h, 17, 16) || substring(h, 1, 16))),
+        |     list_min(list_transform(hs, h -> substring(h, 21, 12) || substring(h, 1, 20))),
+        |     list_min(list_transform(hs, h -> substring(h, 25, 8) || substring(h, 1, 24))),
+        |     list_min(list_transform(hs, h -> substring(h, 29, 4) || substring(h, 1, 28)))] AS sig
+        |  FROM hashed),
+        |bands AS (
+        |  SELECT doc_id, b.band_id,
+        |    md5(concat_ws('|', sig[b.band_id * 2 + 1], sig[b.band_id * 2 + 2])) AS band_key
+        |  FROM sigs, (SELECT 0 AS band_id UNION ALL SELECT 1 UNION ALL SELECT 2 UNION ALL SELECT 3) b),
+        |pairs AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b
+        |    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+        |edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |reach(id, lab) AS (
+        |  SELECT DISTINCT src, src FROM edges
+        |  UNION
+        |  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id),
+        |comp AS (SELECT id AS doc_id, min(lab) AS component FROM reach GROUP BY id)
+        |SELECT c.doc_id, c.component, s.csize
+        |FROM comp c JOIN (
+        |  SELECT component, CAST(count(*) AS BIGINT) AS csize FROM comp GROUP BY component) s
+        |  USING (component)
+        |ORDER BY doc_id""".stripMargin)(dedupCc),
 
     OpQuery("op_similarity_topk",
       """WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 10),

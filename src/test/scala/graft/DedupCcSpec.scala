@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.LlmPipeline
+
+/** The duplicate-cluster closure (op_dedup_cc): pairwise near-dup
+  * evidence must close transitively — (A,B) and (B,C) are ONE cluster
+  * keeping one document, which per-pair dedup logic gets wrong. */
+class DedupCcSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def cc(pairs: (Long, Long)*): Map[Long, (Long, Long)] =
+    LlmPipeline.connectedComponents(pairs.toDF("doc_a", "doc_b"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+
+  test("chains close transitively; disjoint clusters stay apart") {
+    val out = cc((1L, 2L), (2L, 3L), (10L, 11L), (3L, 4L))
+    // 1-2-3-4 is one component labeled by its minimum, size 4
+    Seq(1L, 2L, 3L, 4L).foreach(id => assert(out(id) === ((1L, 4L)), s"doc $id"))
+    Seq(10L, 11L).foreach(id => assert(out(id) === ((10L, 2L)), s"doc $id"))
+    assert(out.size === 6)
+  }
+
+  test("a clique converges in one superstep's worth of labels") {
+    val out = cc((5L, 6L), (5L, 7L), (6L, 7L))
+    Seq(5L, 6L, 7L).foreach(id => assert(out(id) === ((5L, 3L))))
+  }
+
+  test("label must flow AGAINST edge orientation too (doc_a < doc_b)") {
+    // min label sits at the chain's far end relative to orientation:
+    // without symmetric edges 1's label never reaches 9
+    val out = cc((5L, 9L), (1L, 9L))
+    Seq(1L, 5L, 9L).foreach(id => assert(out(id) === ((1L, 3L))))
+  }
+
+  test("op output on the corpus: every cluster has exactly one canonical keeper") {
+    val dir = "/root/testdata/sf0.001"
+    val out = LlmPipeline.dedupCc(spark, dir)
+    val rows = out.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty, "no candidate pairs at sf0.001?")
+    // canonical id is a member of its own cluster, labels are minima
+    val byComp = rows.groupBy(_._2)
+    byComp.foreach { case (comp, members) =>
+      assert(members.map(_._1).min === comp, s"component $comp not labeled by its min")
+      assert(members.forall(_._3 == members.size), s"component $comp csize wrong")
+    }
+    // the closure must be at least as coarse as the pairs: both ends of
+    // every candidate pair land in the same component
+    val compOf = rows.map(r => r._1 -> r._2).toMap
+    LlmPipeline.minhashPairs(spark, dir).collect().foreach { p =>
+      val (a, b) = (p.getLong(0), p.getLong(1))
+      assert(compOf(a) === compOf(b), s"pair ($a,$b) split across components")
+    }
+  }
+}
