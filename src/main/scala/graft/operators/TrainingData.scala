@@ -403,6 +403,121 @@ object TrainingData {
         element_at(col("samples"), 4).as("f3"))
       .orderBy("doc_id")
 
+  // ---- B36: eval-set decontamination ---------------------------------------
+
+  /** Benchmark decontamination — the training-data op that keeps eval
+    * answers out of the training set: flag every training document
+    * sharing a word 3-gram with a held-out eval set. Corpus: docs with
+    * doc_id % 25 == 0 are the eval set; the rest train, plus planted
+    * leaks (each eval doc re-keyed +20000 with a 2-word prefix) so the
+    * detection is provably non-vacuous.
+    *
+    * 100 TB shape: the eval side of a decontamination pass is always
+    * small (benchmarks are MBs), so its distinct n-gram digests
+    * BROADCAST; the training side streams map-side — shingle kernel,
+    * explode, broadcast hash join — and only MATCHED n-grams reach the
+    * one doc_id-keyed shuffle (output-linear, like the LSH ops). The
+    * n-grams travel as md5 digests, not text, keeping the exchange
+    * narrow and engine-portable. */
+  def decontaminate(sp: SparkSession, dir: String): DataFrame = {
+    val base = docs(sp, dir).select(col("doc_id"), col("text"))
+    val heldout = base.filter(col("doc_id") % 25 === 0)
+    val train = base.filter(col("doc_id") % 25 =!= 0)
+      .union(heldout.select((col("doc_id") + 20000).as("doc_id"),
+        concat(lit("leaked copy "), col("text")).as("text")))
+    val evalGrams = TextShingles.withShingles(heldout, col("text"))
+      .select(explode(col("shingles")).as("sh"))
+      .select(md5(col("sh")).as("g")).distinct()
+    val hits = TextShingles.withShingles(TextShingles.spreadForCpu(train), col("text"))
+      .select(col("doc_id"), explode(col("shingles")).as("sh"))
+      .select(col("doc_id"), md5(col("sh")).as("g"))
+      .join(broadcast(evalGrams), "g")
+      .groupBy("doc_id").agg(countDistinct("g").as("n_overlap"))
+    train.select("doc_id").join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        (coalesce(col("n_overlap"), lit(0L)) >= 1).as("contaminated"))
+      .orderBy("doc_id")
+  }
+
+  // ---- B37: stratified sampling --------------------------------------------
+
+  /** Deterministic stratified sampling — the mixture-weights op of a
+    * training-data pipeline: keep each language at its own rate, with
+    * membership decided by an engine-portable coin (first 2 hex chars
+    * of md5(doc_id) compared against the rate's hex threshold —
+    * floor(rate·256)), so the SAME rows are kept on any engine, any
+    * run, any partitioning. Rates: en 50% ('80'), zh 25% ('40'),
+    * others 10% ('19').
+    *
+    * 100 TB shape: a pure map-side filter — no shuffle, no sort, no
+    * state; composes with any downstream op. The final ORDER BY exists
+    * for the determinism contract only. */
+  def sampleStratified(sp: SparkSession, dir: String): DataFrame = {
+    val coin = substring(md5(col("doc_id").cast("string")), 1, 2)
+    val threshold = when(col("lang") === "en", "80")
+      .when(col("lang") === "zh", "40").otherwise("19")
+    docs(sp, dir)
+      .withColumn("coin", coin)
+      .filter(col("coin") < threshold)
+      .select(col("doc_id"), col("lang"), col("coin"), col("n_chars"))
+      .orderBy("doc_id")
+  }
+
+  // ---- B38: sequence packing -----------------------------------------------
+
+  /** Token-budget sequence packing — how pretraining actually batches
+    * text: concatenate documents in a deterministic order, cut every
+    * `budget` tokens; a document belongs to the pack where it STARTS
+    * (its whitespace-token offset ÷ 1024). Emits per-doc pack
+    * assignments a loader materializes batches from.
+    *
+    * 100 TB shape: the running token offset is a window sum
+    * PARTITIONED BY source — each stream packs independently and in
+    * parallel, exactly like sharded pretraining data; there is never a
+    * global single-partition sort. One shuffle on source, spillable
+    * window, map-side token counting. */
+  def packSequences(sp: SparkSession, dir: String): DataFrame = {
+    val budget = 1024
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs(sp, dir)
+      .withColumn("n_tok",
+        size(filter(split(col("text"), " "), t => t =!= "")).cast("long"))
+      .withColumn("tok_offset", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+      .select(col("doc_id"), col("source"), col("n_tok"), col("tok_offset"),
+        floor(col("tok_offset") / budget).cast("long").as("pack_id"))
+      .orderBy("doc_id")
+  }
+
+  // ---- B39: PII masking ----------------------------------------------------
+
+  /** PII scrubbing — emails and long digit runs replaced by typed
+    * placeholders before text ships to training. PII is planted on a
+    * quarter of the docs (address + 9-digit id) so masking provably
+    * fires; patterns stay in the RE2 subset (no lookaround) so any
+    * engine applies the same policy.
+    *
+    * 100 TB shape: pure map-side projection (regexp inside codegen);
+    * counts are emitted per doc so a pipeline can quarantine
+    * high-PII-density sources instead of silently rewriting them. */
+  def textPiiMask(sp: SparkSession, dir: String): DataFrame = {
+    val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val numRe = "[0-9]{6,}"
+    val planted = docs(sp, dir).select(col("doc_id"),
+      when(col("doc_id") % 4 === 0,
+        concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com id 123456789")))
+        .otherwise(col("text")).as("text"))
+    planted
+      .withColumn("n_emails", regexp_count(col("text"), lit(emailRe)))
+      .withColumn("n_nums", regexp_count(col("text"), lit(numRe)))
+      .withColumn("masked",
+        regexp_replace(regexp_replace(col("text"), emailRe, "<EMAIL>"), numRe, "<NUM>"))
+      .select(col("doc_id"), col("n_emails"), col("n_nums"), md5(col("masked")).as("masked_md5"))
+      .orderBy("doc_id")
+  }
+
   // ---- oracle SQL ----------------------------------------------------------
 
   val queries: Seq[OpQuery] = Seq(
@@ -596,5 +711,61 @@ object TrainingData {
         |  CAST(ord(substring(text, 9, 1)) AS INTEGER) AS f1,
         |  CAST(ord(substring(text, 17, 1)) AS INTEGER) AS f2,
         |  CAST(ord(substring(text, 25, 1)) AS INTEGER) AS f3
-        |FROM documents ORDER BY doc_id""".stripMargin)(multimodalFeatures))
+        |FROM documents ORDER BY doc_id""".stripMargin)(multimodalFeatures),
+
+    OpQuery("op_decontaminate",
+      s"""WITH heldout AS (SELECT doc_id, text FROM documents WHERE doc_id % 25 = 0),
+        |train AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 25 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 20000, concat('leaked copy ', text) FROM heldout),
+        |eg AS (SELECT DISTINCT md5(g) AS g
+        |       FROM (SELECT unnest($shSql) AS g FROM heldout)),
+        |tg AS (SELECT doc_id, md5(g) AS g
+        |       FROM (SELECT doc_id, unnest($shSql) AS g FROM train)),
+        |hits AS (
+        |  SELECT t.doc_id, count(DISTINCT t.g) AS n_overlap
+        |  FROM tg t JOIN eg USING (g) GROUP BY t.doc_id)
+        |SELECT tr.doc_id,
+        |  CAST(COALESCE(h.n_overlap, 0) AS BIGINT) AS n_overlap,
+        |  COALESCE(h.n_overlap, 0) >= 1 AS contaminated
+        |FROM train tr LEFT JOIN hits h USING (doc_id)
+        |ORDER BY doc_id""".stripMargin)(decontaminate),
+
+    OpQuery("op_sample_stratified",
+      """SELECT doc_id, lang, substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS coin, n_chars
+        |FROM documents
+        |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
+        |  CASE WHEN lang = 'en' THEN '80' WHEN lang = 'zh' THEN '40' ELSE '19' END
+        |ORDER BY doc_id""".stripMargin)(sampleStratified),
+
+    OpQuery("op_pack_sequences",
+      """WITH toks AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |offs AS (
+        |  SELECT doc_id, source, n_tok,
+        |    CAST(COALESCE(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_offset
+        |  FROM toks)
+        |SELECT doc_id, source, n_tok, tok_offset,
+        |  CAST(tok_offset // 1024 AS BIGINT) AS pack_id
+        |FROM offs ORDER BY doc_id""".stripMargin)(packSequences),
+
+    OpQuery("op_text_pii_mask",
+      """WITH planted AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 4 = 0
+        |      THEN concat(text, ' contact user', CAST(doc_id AS VARCHAR),
+        |                  '@example.com id 123456789')
+        |      ELSE text END AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER) AS n_emails,
+        |  CAST(len(regexp_extract_all(text, '[0-9]{6,}')) AS INTEGER) AS n_nums,
+        |  md5(regexp_replace(
+        |    regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '[0-9]{6,}', '<NUM>', 'g')) AS masked_md5
+        |FROM planted ORDER BY doc_id""".stripMargin)(textPiiMask))
 }

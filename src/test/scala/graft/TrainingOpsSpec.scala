@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.TrainingData
+
+/** Semantics of the round-4 training-pipeline ops beyond what the
+  * DuckDB oracle pins: non-vacuous detection (the planted leaks/PII
+  * really fire), scale-shape invariants (broadcast side of the
+  * decontamination join), and packing arithmetic. */
+class TrainingOpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("decontaminate: every planted leak is flagged, via a broadcast join") {
+    val out = TrainingData.decontaminate(spark, dir)
+    val rows = out.collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val leaks = rows.filter(_._1 >= 20000)
+    assert(leaks.nonEmpty, "no planted leaks in the corpus")
+    assert(leaks.forall(_._3), "a planted leak escaped detection")
+    assert(leaks.forall(_._2 >= 1))
+    assert(rows.exists(r => !r._3), "everything contaminated — detection is vacuous")
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"eval n-gram set must broadcast, not shuffle:\n$plan")
+  }
+
+  test("stratified sample: deterministic, and rates land near the strata targets") {
+    val df = TrainingData.sampleStratified(spark, dir)
+    val sampled = df.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = graft.sources.Tables.documents(spark, dir)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // md5 coins are uniform; at n≈25–110 per stratum allow wide bands
+    val enRate = sampled.getOrElse("en", 0L).toDouble / totals("en")
+    assert(enRate > 0.25 && enRate < 0.75, s"en rate $enRate not near 0.5")
+    val deRate = sampled.getOrElse("de", 0L).toDouble / totals("de")
+    assert(deRate < 0.35, s"de rate $deRate not near 0.1")
+    // idempotent: same rows on a second evaluation
+    assert(df.collect().toSeq == df.collect().toSeq)
+  }
+
+  test("pack sequences: offsets are per-source prefix sums; packs cut at 1024") {
+    // sf0.01: each source stream is long enough to cross the budget
+    val rows = TrainingData.packSequences(spark, "/root/testdata/sf0.01").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    rows.groupBy(_._2).foreach { case (src, ds) =>
+      val sorted = ds.sortBy(_._1)
+      var expect = 0L
+      sorted.foreach { case (id, _, nTok, off, pack) =>
+        assert(off === expect, s"doc $id in $src: offset $off != prefix sum $expect")
+        assert(pack === off / 1024, s"doc $id: pack $pack != ${off / 1024}")
+        expect += nTok
+      }
+    }
+    assert(rows.map(_._5).max >= 1, "budget never crossed — packing untested")
+  }
+
+  test("PII mask: planted emails and ids are found and masked") {
+    val rows = TrainingData.textPiiMask(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+    val planted = rows.filter(_._1 % 4 == 0)
+    assert(planted.nonEmpty)
+    assert(planted.forall(_._2 >= 1), "planted email not counted")
+    assert(planted.forall(_._3 >= 1), "planted 9-digit id not counted")
+    assert(rows.map(_._4).distinct.length == rows.length,
+      "masked digests collide — masking degenerate")
+  }
+}
