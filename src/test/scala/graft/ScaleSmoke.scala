@@ -68,7 +68,10 @@ object ScaleSmoke {
     val ops = Seq(
       "op_dedup_minhash" -> (LlmPipeline.dedupMinhash _),
       "op_dedup_simhash" -> (TrainingData.dedupSimhash _),
-      "op_dedup_embedding" -> (TrainingData.dedupEmbedding _))
+      "op_dedup_embedding" -> (TrainingData.dedupEmbedding _),
+      // rows here are clustered docs, not pairs; supersteps must stay
+      // flat at 10x (cluster DIAMETER, not corpus size, drives them)
+      "op_dedup_cc" -> (LlmPipeline.dedupCc _))
 
     def run(dir: String, label: String): Map[String, (Double, Long)] =
       ops.map { case (name, f) =>
