@@ -518,6 +518,75 @@ object TrainingData {
       .orderBy("doc_id")
   }
 
+  // ---- B40: intra-document repetition --------------------------------------
+
+  /** Repetition quality signals — the filter family that catches
+    * degenerate generated/boilerplate text by measuring how much a
+    * document repeats ITSELF: per-doc word-bigram totals, distinct
+    * counts, the heaviest bigram's share, and the duplicate-bigram
+    * fraction. A sixth of the docs get planted repetition so high
+    * scores provably appear. Thresholding these is the classic
+    * corpus-quality gate (alongside [[textQuality]]'s length/ratio
+    * features, which cannot see repetition).
+    *
+    * 100 TB shape: explode + two-level aggregation keyed on
+    * (doc_id, bigram) then doc_id — partial aggs collapse repeats
+    * map-side, so the shuffle carries near-distinct bigrams; no
+    * joins, no state. */
+  def textRepetition(sp: SparkSession, dir: String): DataFrame = {
+    val planted = docs(sp, dir).select(col("doc_id"),
+      when(col("doc_id") % 6 === 0,
+        concat(col("text"), lit(" spam spam spam spam spam spam")))
+        .otherwise(col("text")).as("text"))
+    // materialize words before the lambda (no CSE inside lambdas)
+    val withBigrams = planted
+      .withColumn("words", filter(split(col("text"), " "), w => w =!= ""))
+      .withColumn("bigrams",
+        transform(sequence(lit(1), greatest(size(col("words")) - 1, lit(1))),
+          i => concat_ws(" ", try_element_at(col("words"), i),
+            try_element_at(col("words"), i + 1))))
+    val counts = withBigrams
+      .select(col("doc_id"), explode(col("bigrams")).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("n"))
+    counts.groupBy("doc_id")
+      .agg(sum("n").as("n_bigrams"), count(lit(1)).as("n_distinct"),
+        max("n").as("top_n"))
+      .select(col("doc_id"), col("n_bigrams"), col("n_distinct"), col("top_n"),
+        round(col("top_n").cast("double") / col("n_bigrams"), 4).as("top_frac"),
+        round(lit(1.0) - col("n_distinct").cast("double") / col("n_bigrams"), 4)
+          .as("dup_frac"))
+      .orderBy("doc_id")
+  }
+
+  // ---- B41: sharded training export ----------------------------------------
+
+  /** Deterministic shard assignment for training export — the sink
+    * side of the pipeline: every doc lands in one of 16 shards by the
+    * first hex char of md5(doc_id), so ANY engine (or a re-run on
+    * different partitioning) produces the same shard membership. The
+    * query emits the per-shard manifest (counts, id range, payload
+    * bytes) a loader validates against; the physical sharded JSONL
+    * write is [[writeShards]], exercised in TrainingOpsSpec.
+    *
+    * 100 TB shape: the manifest is one 16-group aggregation; the write
+    * is `partitionBy(shard)` — each task streams to its shard
+    * directories, no pre-shuffle required (or one `repartition(shard)`
+    * first to get exactly one file per shard when file count matters). */
+  def exportShards(sp: SparkSession, dir: String): DataFrame =
+    docs(sp, dir)
+      .withColumn("shard", substring(md5(col("doc_id").cast("string")), 1, 1))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        min("doc_id").as("min_id"), max("doc_id").as("max_id"),
+        sum("n_chars").as("sum_chars"))
+      .orderBy("shard")
+
+  /** The physical write behind [[exportShards]]: JSONL partitioned by
+    * the same deterministic shard key. */
+  def writeShards(df: DataFrame, path: String): Unit =
+    df.withColumn("shard", substring(md5(col("doc_id").cast("string")), 1, 1))
+      .write.partitionBy("shard").mode("overwrite").json(path)
+
   // ---- oracle SQL ----------------------------------------------------------
 
   val queries: Seq[OpQuery] = Seq(
@@ -767,5 +836,33 @@ object TrainingData {
         |  md5(regexp_replace(
         |    regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
         |    '[0-9]{6,}', '<NUM>', 'g')) AS masked_md5
-        |FROM planted ORDER BY doc_id""".stripMargin)(textPiiMask))
+        |FROM planted ORDER BY doc_id""".stripMargin)(textPiiMask),
+
+    OpQuery("op_text_repetition",
+      """WITH planted AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 6 = 0 THEN concat(text, ' spam spam spam spam spam spam')
+        |         ELSE text END AS text
+        |  FROM documents),
+        |w AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS words
+        |      FROM planted),
+        |g AS (SELECT doc_id,
+        |        unnest(list_transform(range(1, greatest(len(words) - 1, 1) + 1),
+        |          i -> concat_ws(' ', words[i], words[i + 1]))) AS g
+        |      FROM w),
+        |c AS (SELECT doc_id, g, count(*) AS n FROM g GROUP BY doc_id, g),
+        |s AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_bigrams,
+        |        count(*) AS n_distinct, CAST(max(n) AS BIGINT) AS top_n
+        |      FROM c GROUP BY doc_id)
+        |SELECT doc_id, n_bigrams, n_distinct, top_n,
+        |  round(CAST(top_n AS DOUBLE) / n_bigrams, 4) AS top_frac,
+        |  round(1 - CAST(n_distinct AS DOUBLE) / n_bigrams, 4) AS dup_frac
+        |FROM s ORDER BY doc_id""".stripMargin)(textRepetition),
+
+    OpQuery("op_export_shards",
+      """SELECT substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS shard,
+        |  count(*) AS n_docs,
+        |  min(doc_id) AS min_id, max(doc_id) AS max_id,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY shard ORDER BY shard""".stripMargin)(exportShards))
 }

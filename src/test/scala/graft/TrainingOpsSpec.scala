@@ -68,4 +68,35 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(rows.map(_._4).distinct.length == rows.length,
       "masked digests collide — masking degenerate")
   }
+
+  test("repetition: planted spam scores high, clean docs score low") {
+    val rows = TrainingData.textRepetition(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getDouble(4), r.getDouble(5)))
+    val (planted, clean) = rows.partition(_._1 % 6 == 0)
+    assert(planted.nonEmpty && clean.nonEmpty)
+    // the planted 'spam spam' x5 run must surface as the top bigram
+    assert(planted.forall(_._2 >= 5L), "planted spam run not counted as top bigram")
+    // and shift the distributions (absolute separation is impossible: a
+    // SHORT clean doc with one repeated bigram can out-fraction a long
+    // planted one)
+    def mean(xs: Array[Double]) = xs.sum / xs.length
+    assert(mean(planted.map(_._3)) > mean(clean.map(_._3)) + 0.02,
+      "planted repetition does not shift top_frac")
+    assert(mean(planted.map(_._4)) > mean(clean.map(_._4)) + 0.02,
+      "planted repetition does not shift dup_frac")
+  }
+
+  test("export shards: manifest matches the physical partitioned write") {
+    val manifest = TrainingData.exportShards(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val out = java.nio.file.Files.createTempDirectory("shards").toString
+    TrainingData.writeShards(graft.sources.Tables.documents(spark, dir), out)
+    val written = spark.read.json(out)
+    // partition dirs round-trip the same shard key and per-shard counts
+    val byDir = written.groupBy("shard").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byDir === manifest)
+    assert(manifest.keys.forall(s => s.length == 1 && "0123456789abcdef".contains(s)))
+    assert(manifest.values.sum === written.count())
+  }
 }
