@@ -161,16 +161,18 @@ object LlmPipeline {
     * anti-pattern), and `localCheckpoint` truncates the growing lineage
     * so superstep N does not replay supersteps 1..N-1.
     *
-    * Scale: supersteps = cluster diameter. Near-dup graphs are unions
-    * of band-bucket CLIQUES, so diameters stay in low single digits
-    * even at 100 TB (a chain A~B~C arises only via distinct buckets
-    * sharing a doc); the 25-superstep guard is far above anything a
-    * real corpus produces — an adversarially long chain would call for
-    * the large-star/small-star variant (alternating grafts, O(log n)
-    * rounds), which this formulation extends to by adding the
-    * star-rewrite joins per round. Edges are cached for reuse across
-    * supersteps; each label frame is materialized and the previous one
-    * unpersisted, so peak footprint is 2 label sets + the edge list. */
+    * Scale: each superstep ends with POINTER JUMPING (replace a node's
+    * label by its label's label — a labels⋈labels self-join on the
+    * comp key), the classic parallel-CC shortcutting step, so label
+    * distances halve per round and convergence is O(log diameter)
+    * supersteps rather than O(diameter): a 200-node chain closes in 8
+    * supersteps (DedupCcSpec), 2^40 nodes fit the 40-superstep guard.
+    * Near-dup graphs are unions of band-bucket CLIQUES (diameter in
+    * low single digits even at 100 TB), so the jump is usually one
+    * wasted cheap join — it exists for adversarial shapes. Edges are
+    * cached for reuse across supersteps; each label frame is
+    * materialized and the previous one unpersisted, so peak footprint
+    * is 2 label sets + the edge list. */
   def dedupCc(sp: SparkSession, dir: String): DataFrame =
     connectedComponents(minhashPairs(sp, dir))
 
@@ -185,18 +187,32 @@ object LlmPipeline {
       .localCheckpoint()
     var changed = 1L
     var steps = 0
-    while (changed > 0 && steps < 25) {
+    while (changed > 0 && steps < 40) {
       val msgs = edges
         .join(labels.select(col("id").as("src"), col("comp")), "src")
         .groupBy(col("dst").as("id"))
         .agg(min(col("comp")).as("nbr_min"))
-      val next = labels.join(msgs, Seq("id"), "left")
+      // materialized so the self-join below reads blocks instead of
+      // recomputing the propagation subtree on both sides
+      val lifted = labels.join(msgs, Seq("id"), "left")
         .select(col("id"),
           least(col("comp"), coalesce(col("nbr_min"), col("comp"))).as("comp"),
-          (coalesce(col("nbr_min"), col("comp")) < col("comp")).cast("long").as("chg"))
+          col("comp").as("old_comp"))
+        .localCheckpoint()
+      // pointer jumping: comp := comp(comp). The min-propagation
+      // invariant comp <= id makes every comp a valid node id, so the
+      // lookup side is the label set itself.
+      val next = lifted
+        .join(lifted.select(col("id").as("comp"), col("comp").as("jumped")),
+          Seq("comp"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("jumped"), col("comp"))).as("comp"),
+          (least(col("comp"), coalesce(col("jumped"), col("comp"))) < col("old_comp"))
+            .cast("long").as("chg"))
         .localCheckpoint()
       changed = Option(next.agg(sum("chg")).head().get(0))
         .map(_.asInstanceOf[Long]).getOrElse(0L)
+      lifted.unpersist()
       labels.unpersist()
       labels = next.select("id", "comp").localCheckpoint()
       next.unpersist()

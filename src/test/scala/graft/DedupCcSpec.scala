@@ -38,6 +38,46 @@ class DedupCcSpec extends AnyFunSuite {
     Seq(1L, 5L, 9L).foreach(id => assert(out(id) === ((1L, 3L))))
   }
 
+  test("pointer jumping: a 200-node chain converges inside the superstep guard") {
+    // pure min-propagation needs 200 supersteps here (one hop per
+    // round) and would blow the 40-superstep guard; shortcutting makes
+    // label distances halve, so this passing proves the jump works
+    val out = cc((0L until 199L).map(i => (i, i + 1)): _*)
+    assert(out.size === 200)
+    out.foreach { case (id, (comp, csize)) =>
+      assert(comp === 0L, s"node $id comp $comp"); assert(csize === 200L)
+    }
+  }
+
+  test("property: components equal an in-memory union-find on random graphs") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 3) {
+      val n = 60 + trial * 30
+      val pairs = (1 to n).map { _ =>
+        val a = rnd.nextInt(n).toLong; val b = rnd.nextInt(n).toLong
+        if (a < b) (a, b) else (b, a + 1) // keep doc_a < doc_b
+      }.filter(p => p._1 != p._2).distinct
+      // reference union-find
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+        .map(x => x -> find(x)).toMap
+      val sizes = expected.groupBy(_._2).map { case (c, m) => c -> m.size.toLong }
+      val got = cc(pairs: _*)
+      assert(got.size === expected.size, s"trial $trial node count")
+      expected.foreach { case (id, comp) =>
+        assert(got(id) === ((comp, sizes(comp))), s"trial $trial node $id")
+      }
+    }
+  }
+
   test("op output on the corpus: every cluster has exactly one canonical keeper") {
     val dir = "/root/testdata/sf0.001"
     val out = LlmPipeline.dedupCc(spark, dir)
