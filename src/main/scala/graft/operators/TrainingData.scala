@@ -587,6 +587,66 @@ object TrainingData {
     df.withColumn("shard", substring(md5(col("doc_id").cast("string")), 1, 1))
       .write.partitionBy("shard").mode("overwrite").json(path)
 
+  // ---- B42: end-to-end pipeline composition --------------------------------
+
+  /** The whole training-data path as ONE composed query — the proof
+    * that the operators chain: corpus (+ planted exact dups) → quality
+    * gate (B30's scored formula, threshold at the corpus median) →
+    * exact dedup keep-first (B16's normalized digest) → PII masking
+    * (B39's patterns) → token-budget packing of the masked text (B38).
+    * A user's real pipeline is this shape; every stage keeps its
+    * individually-verified semantics, and DuckDB runs the identical
+    * five-stage chain as one SQL statement.
+    *
+    * Plan: quality + masking fuse into the scan's projection (one
+    * codegen stage, no shuffle); dedup adds one digest-keyed window
+    * shuffle; packing one source-keyed window shuffle — three
+    * exchanges total including the contract sort. Each stage's scale
+    * story is unchanged from its standalone op. */
+  def pipelineE2e(sp: SparkSession, dir: String): DataFrame = {
+    val base = docs(sp, dir).select(col("doc_id"), col("source"), col("text"))
+    val planted = base.filter(col("doc_id") % 9 === 4)
+      .select((col("doc_id") + 30000).as("doc_id"), col("source"), col("text"))
+    val corpus = base.union(planted)
+
+    val scored = corpus
+      .withColumn("len", length(col("text")))
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_tok", size(col("toks")))
+      .withColumn("mean_tok_len",
+        (col("len") - col("n_tok") + 1).cast("double") / col("n_tok"))
+      .withColumn("alpha_ratio",
+        length(regexp_replace(col("text"), "[^a-z]", "")).cast("double") / col("len"))
+      .withColumn("stop_ratio",
+        size(filter(col("toks"), t => t.isin("the", "a"))).cast("double") / col("n_tok"))
+      .withColumn("quality",
+        round(col("alpha_ratio") * 0.6 + col("stop_ratio") * 0.2 +
+          col("mean_tok_len") / lit(10.0) * 0.2, 4))
+      .filter(col("quality") >= 0.595)
+
+    val wd = Window.partitionBy("key").orderBy("doc_id")
+    val deduped = scored
+      .withColumn("key", md5(lower(trim(regexp_replace(col("text"), "\\s+", " ")))))
+      .withColumn("rn", row_number().over(wd))
+      .filter(col("rn") === 1)
+
+    val masked = deduped.withColumn("masked",
+      regexp_replace(regexp_replace(col("text"),
+        "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+        "[0-9]{6,}", "<NUM>"))
+      .withColumn("m_tok",
+        size(filter(split(col("masked"), " "), w => w =!= "")).cast("long"))
+
+    val wp = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    masked
+      .withColumn("tok_offset", coalesce(sum(col("m_tok")).over(wp), lit(0L)))
+      .select(col("doc_id"), col("source"), col("n_tok"), col("quality"),
+        col("m_tok"), col("tok_offset"),
+        floor(col("tok_offset") / 1024).cast("long").as("pack_id"))
+      .orderBy("doc_id")
+  }
+
   // ---- oracle SQL ----------------------------------------------------------
 
   val queries: Seq[OpQuery] = Seq(
@@ -864,5 +924,45 @@ object TrainingData {
         |  count(*) AS n_docs,
         |  min(doc_id) AS min_id, max(doc_id) AS max_id,
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
-        |FROM documents GROUP BY shard ORDER BY shard""".stripMargin)(exportShards))
+        |FROM documents GROUP BY shard ORDER BY shard""".stripMargin)(exportShards),
+
+    OpQuery("op_pipeline_e2e",
+      """WITH corpus AS (
+        |  SELECT doc_id, source, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 30000, source, text FROM documents WHERE doc_id % 9 = 4),
+        |f AS (
+        |  SELECT doc_id, source, text,
+        |    CAST(length(text) AS INTEGER) AS len,
+        |    CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tok,
+        |    CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE) AS n_alpha,
+        |    CAST(len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a'))) AS DOUBLE) AS n_stop
+        |  FROM corpus),
+        |scored AS (
+        |  SELECT doc_id, source, text, n_tok,
+        |    round(n_alpha / len * 0.6 + n_stop / n_tok * 0.2 +
+        |      CAST(len - n_tok + 1 AS DOUBLE) / n_tok / 10.0 * 0.2, 4) AS quality
+        |  FROM f),
+        |gated AS (SELECT * FROM scored WHERE quality >= 0.595),
+        |keyed AS (
+        |  SELECT *, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS key,
+        |    row_number() OVER (PARTITION BY md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
+        |                       ORDER BY doc_id) AS rn
+        |  FROM gated),
+        |deduped AS (SELECT * FROM keyed WHERE rn = 1),
+        |masked AS (
+        |  SELECT doc_id, source, n_tok, quality,
+        |    CAST(len(list_filter(string_split(
+        |      regexp_replace(regexp_replace(text,
+        |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |        '[0-9]{6,}', '<NUM>', 'g'), ' '), w -> w <> '')) AS BIGINT) AS m_tok
+        |  FROM deduped),
+        |packed AS (
+        |  SELECT doc_id, source, n_tok, quality, m_tok,
+        |    CAST(COALESCE(sum(m_tok) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_offset
+        |  FROM masked)
+        |SELECT doc_id, source, n_tok, quality, m_tok, tok_offset,
+        |  CAST(tok_offset // 1024 AS BIGINT) AS pack_id
+        |FROM packed ORDER BY doc_id""".stripMargin)(pipelineE2e))
 }

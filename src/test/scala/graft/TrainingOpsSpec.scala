@@ -69,6 +69,26 @@ class TrainingOpsSpec extends AnyFunSuite {
       "masked digests collide — masking degenerate")
   }
 
+  test("plan shapes: sampling shuffles nothing, packing shuffles once on source") {
+    def exchanges(name: String): Seq[String] = {
+      val plan = SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+      plan.linesIterator.filter(_.contains("Exchange")).map(_.trim).toSeq
+    }
+    // stratified sample: pure map-side filter — the only exchange is the
+    // contract ORDER BY's range partitioning
+    val sample = exchanges("op_sample_stratified")
+    assert(sample.count(_.contains("hashpartitioning")) === 0,
+      s"sampling must not hash-shuffle:\n${sample.mkString("\n")}")
+    // packing: one hash shuffle keyed on source for the window, plus the
+    // contract sort — never a global single-partition sort
+    val pack = exchanges("op_pack_sequences")
+    assert(pack.count(_.contains("hashpartitioning")) === 1,
+      s"packing should shuffle exactly once (on source):\n${pack.mkString("\n")}")
+    assert(pack.exists(_.contains("source")), s"window not keyed on source:\n$pack")
+    assert(!pack.exists(_.contains("SinglePartition")),
+      s"packing fell back to a global sort:\n${pack.mkString("\n")}")
+  }
+
   test("repetition: planted spam scores high, clean docs score low") {
     val rows = TrainingData.textRepetition(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(3), r.getDouble(4), r.getDouble(5)))
@@ -84,6 +104,18 @@ class TrainingOpsSpec extends AnyFunSuite {
       "planted repetition does not shift top_frac")
     assert(mean(planted.map(_._4)) > mean(clean.map(_._4)) + 0.02,
       "planted repetition does not shift dup_frac")
+  }
+
+  test("pipeline e2e: dedup stage removes every planted copy; gate is non-trivial") {
+    val out = TrainingData.pipelineE2e(spark, "/root/testdata/sf0.01")
+    val rows = out.collect()
+    val n = graft.sources.Tables.documents(spark, "/root/testdata/sf0.01").count()
+    // planted exact dups (+30000) always lose keep-first to their original
+    assert(!rows.exists(_.getLong(0) >= 30000), "a planted dup survived dedup")
+    // the quality gate must drop some docs and keep some
+    assert(rows.length > n / 10 && rows.length < n, s"gate degenerate: ${rows.length}/$n")
+    // packing runs on the MASKED token counts
+    assert(rows.forall(r => r.getLong(6) == r.getLong(5) / 1024))
   }
 
   test("export shards: manifest matches the physical partitioned write") {
