@@ -529,34 +529,35 @@ object TrainingData {
     * corpus-quality gate (alongside [[textQuality]]'s length/ratio
     * features, which cannot see repetition).
     *
-    * 100 TB shape: explode + two-level aggregation keyed on
-    * (doc_id, bigram) then doc_id — partial aggs collapse repeats
-    * map-side, so the shuffle carries near-distinct bigrams; no
-    * joins, no state. */
-  def textRepetition(sp: SparkSession, dir: String): DataFrame = {
-    val planted = docs(sp, dir).select(col("doc_id"),
+    * 100 TB shape: the stats are PER-DOCUMENT, so no cross-row data
+    * movement exists at all — the codegen'd
+    * [[graft.plans.RepetitionStats]] kernel counts each doc's bigrams
+    * in one pass and the op is a pure map-side projection (the first
+    * formulation here exploded bigrams into a (doc_id, bigram)
+    * aggregation, shuffling every bigram string off every document —
+    * 4.8 s of bench for data that never needed to move; the explode
+    * formulation survives as the parity oracle in
+    * RepetitionStatsSpec, and the DuckDB SQL still states it). */
+  def textRepetition(sp: SparkSession, dir: String): DataFrame =
+    repetitionFrom(docs(sp, dir))
+
+  /** Kernel-based stats over any (doc_id, text) frame — split out so
+    * the parity spec can run it against the explode formulation on
+    * arbitrary corpora. */
+  private[graft] def repetitionFrom(base: DataFrame): DataFrame =
+    base.select(col("doc_id"),
       when(col("doc_id") % 6 === 0,
         concat(col("text"), lit(" spam spam spam spam spam spam")))
         .otherwise(col("text")).as("text"))
-    // materialize words before the lambda (no CSE inside lambdas)
-    val withBigrams = planted
-      .withColumn("words", filter(split(col("text"), " "), w => w =!= ""))
-      .withColumn("bigrams",
-        transform(sequence(lit(1), greatest(size(col("words")) - 1, lit(1))),
-          i => concat_ws(" ", try_element_at(col("words"), i),
-            try_element_at(col("words"), i + 1))))
-    val counts = withBigrams
-      .select(col("doc_id"), explode(col("bigrams")).as("g"))
-      .groupBy("doc_id", "g").agg(count(lit(1)).as("n"))
-    counts.groupBy("doc_id")
-      .agg(sum("n").as("n_bigrams"), count(lit(1)).as("n_distinct"),
-        max("n").as("top_n"))
-      .select(col("doc_id"), col("n_bigrams"), col("n_distinct"), col("top_n"),
-        round(col("top_n").cast("double") / col("n_bigrams"), 4).as("top_frac"),
-        round(lit(1.0) - col("n_distinct").cast("double") / col("n_bigrams"), 4)
+      .withColumn("st", graft.plans.RepetitionStats.stats(col("text")))
+      .select(col("doc_id"),
+        col("st.n_bigrams").as("n_bigrams"),
+        col("st.n_distinct").as("n_distinct"),
+        col("st.top_n").as("top_n"),
+        round(col("st.top_n").cast("double") / col("st.n_bigrams"), 4).as("top_frac"),
+        round(lit(1.0) - col("st.n_distinct").cast("double") / col("st.n_bigrams"), 4)
           .as("dup_frac"))
       .orderBy("doc_id")
-  }
 
   // ---- B41: sharded training export ----------------------------------------
 
