@@ -185,6 +185,9 @@ object LlmPipeline {
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id"))
       .localCheckpoint()
+    // the materialized frame whose blocks back `labels` — unpersisted
+    // only after the NEXT superstep materializes its successor
+    var backing = labels
     var changed = 1L
     var steps = 0
     while (changed > 0 && steps < 40) {
@@ -213,9 +216,10 @@ object LlmPipeline {
       changed = Option(next.agg(sum("chg")).head().get(0))
         .map(_.asInstanceOf[Long]).getOrElse(0L)
       lifted.unpersist()
-      labels.unpersist()
-      labels = next.select("id", "comp").localCheckpoint()
-      next.unpersist()
+      backing.unpersist()
+      // no re-checkpoint: the lazy select reads next's cached blocks
+      backing = next
+      labels = next.select("id", "comp")
       steps += 1
     }
     require(changed == 0, s"component propagation did not converge in $steps supersteps")
