@@ -53,6 +53,21 @@ object Graft {
       .withColumnRenamed("value", "text")
       .select(col("path"), col("text"))
 
+  /** One-call near-duplicate clustering for any corpus — the dedup
+    * story end to end: word-3-gram MinHash signatures (codegen'd
+    * kernel, map-side) → banded LSH candidates (capped buckets, never
+    * all-pairs) → connected-components closure (pointer-jumping label
+    * propagation, O(log n) supersteps). Returns one row per document
+    * that has at least one near-duplicate: `(id, component, csize)`
+    * where `component` is the cluster-minimum id — keep `id ==
+    * component` rows (or anti-join the rest away) to dedup. `df` needs
+    * a unique numeric id in `idCol` and the text in `textCol`. */
+  def nearDupClusters(df: DataFrame, idCol: Column, textCol: Column): DataFrame =
+    graft.operators.LlmPipeline.connectedComponents(
+      graft.operators.LlmPipeline.minhashPairsFor(
+        df.select(idCol.cast("long").as("doc_id"), textCol.as("text"))))
+      .withColumnRenamed("doc_id", "id")
+
   /** Scala-side single-document convert (= `python script.py <file>`). */
   def convertText(text: String): String =
     graft.functions.DataConverter.parseToJson(text)

@@ -108,8 +108,13 @@ object LlmPipeline {
 
   /** Candidate pairs (doc_a < doc_b) shared by B17 and the component
     * closure below. */
-  private[graft] def minhashPairs(sp: SparkSession, dir: String): DataFrame = {
-    val banded = minhashBanded(minhashCorpus(sp, dir))
+  private[graft] def minhashPairs(sp: SparkSession, dir: String): DataFrame =
+    minhashPairsFor(minhashCorpus(sp, dir))
+
+  /** Candidate pairs over ANY (doc_id, text) corpus — the reusable
+    * form behind [[minhashPairs]] and `api.Graft.nearDupClusters`. */
+  private[graft] def minhashPairsFor(corpus: DataFrame): DataFrame = {
+    val banded = minhashBanded(corpus)
 
     // Candidate pairs via bucket grouping, NOT a self-join: a self-join
     // re-computes the signature subtree on both sides (no exchange reuse

@@ -92,6 +92,13 @@ object GraftExtensions {
         require(args.length == 1, "graft_shingles takes (string)")
         ShingleWords(args(0))
       }),
+    (FunctionIdentifier("graft_repetition"),
+      info("graft_repetition",
+        "graft_repetition(text) - struct(n_bigrams, n_distinct, top_n) word-bigram repetition stats"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "graft_repetition takes (string)")
+        RepetitionStats(args(0))
+      }),
     (FunctionIdentifier("graft_hamming"),
       info("graft_hamming",
         "graft_hamming(a, b) - Hamming distance over the first 32 character positions"),

@@ -78,6 +78,26 @@ class DedupCcSpec extends AnyFunSuite {
     }
   }
 
+  test("no pairs at all: closure returns empty, does not throw") {
+    val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(LlmPipeline.connectedComponents(empty).collect().isEmpty)
+  }
+
+  test("Graft.nearDupClusters: one call from corpus to dup clusters") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again today ok"),
+      (3L, "completely different text about distributed query engines and shuffles"),
+      (4L, "unrelated musings on parquet footers row groups and column statistics"))
+      .toDF("my_id", "body")
+    val out = graft.api.Graft.nearDupClusters(corpus, col("my_id"), col("body"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out(1L) === ((1L, 2L)) && out(2L) === ((1L, 2L)),
+      s"near-identical docs not clustered: $out")
+    assert(!out.contains(3L) && !out.contains(4L),
+      s"singletons must not appear in cluster output: $out")
+  }
+
   test("op output on the corpus: every cluster has exactly one canonical keeper") {
     val dir = "/root/testdata/sf0.001"
     val out = LlmPipeline.dedupCc(spark, dir)

@@ -44,6 +44,13 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(row.map(_.getString(0)).contains("JSON"))
   }
 
+  test("graft_repetition callable from SQL") {
+    val r = spark.sql(
+      "SELECT s.* FROM (SELECT graft_repetition('x y x y x') AS s)").head()
+    // bigrams: "x y","y x","x y","y x" -> 4 total, 2 distinct, top 2
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((4L, 2L, 2L)))
+  }
+
   test("graft_hamming callable from SQL") {
     // positions past BOTH ends compare "" = "" -> equal, so exactly 2
     val d = spark.sql("SELECT graft_hamming('0011', '0110')").head().getInt(0)
