@@ -40,15 +40,12 @@ object GraftSession {
 
   private val LocalN = """local\[(\d+)(?:,\d+)?\]""".r
 
-  /** A builder with the recommended conf and the graft extensions
-    * (SQL-registered kernels) applied. `cores` defaults to the master
-    * string's task-slot count when it spells one — `local[8]` → 8,
-    * bare `local` → 1 (Spark gives it ONE slot; the host's processor
-    * count would mis-size shuffle partitions 32× against it),
-    * `local[*]` → the host's processors (which IS its slot count) —
-    * and to the host's processors otherwise (cluster masters, where
-    * the caller should pass total executor cores). */
-  /** Task-slot count implied by `master`, unless `cores` overrides. */
+  /** Task-slot count implied by `master`, unless `cores` overrides:
+    * `local[8]` → 8, bare `local` → 1 (Spark gives it ONE slot; the
+    * host's processor count would mis-size shuffle partitions against
+    * it), `local[*]` → the host's processors (which IS its slot
+    * count), and the host's processors otherwise (cluster masters,
+    * where the caller should pass total executor cores). */
   def resolveCores(master: String, cores: Int = 0): Int =
     if (cores > 0) cores
     else master match {
@@ -57,6 +54,8 @@ object GraftSession {
       case _ => Runtime.getRuntime.availableProcessors() // local[*], clusters
     }
 
+  /** A builder with the recommended conf ([[resolveCores]]-sized) and
+    * the graft extensions (SQL-registered kernels) applied. */
   def builder(master: String, cores: Int = 0): SparkSession.Builder = {
     val resolved = resolveCores(master, cores)
     val b = SparkSession.builder().master(master)

@@ -200,18 +200,17 @@ object LlmPipeline {
         .join(labels.select(col("id").as("src"), col("comp")), "src")
         .groupBy(col("dst").as("id"))
         .agg(min(col("comp")).as("nbr_min"))
-      // materialized so the self-join below reads blocks instead of
-      // recomputing the propagation subtree on both sides
-      val lifted = labels.join(msgs, Seq("id"), "left")
+      // pointer jumping: comp := comp(comp). The min-propagation
+      // invariant comp <= id makes every comp a valid node id; the
+      // lookup side is the PREVIOUS superstep's label frame — already
+      // materialized, so the round costs one checkpoint, not two (the
+      // "asynchronous" compression variant: same fixpoint, since at a
+      // fixpoint the previous and current mappings coincide).
+      val next = labels.join(msgs, Seq("id"), "left")
         .select(col("id"),
           least(col("comp"), coalesce(col("nbr_min"), col("comp"))).as("comp"),
           col("comp").as("old_comp"))
-        .localCheckpoint()
-      // pointer jumping: comp := comp(comp). The min-propagation
-      // invariant comp <= id makes every comp a valid node id, so the
-      // lookup side is the label set itself.
-      val next = lifted
-        .join(lifted.select(col("id").as("comp"), col("comp").as("jumped")),
+        .join(labels.select(col("id").as("comp"), col("comp").as("jumped")),
           Seq("comp"), "left")
         .select(col("id"),
           least(col("comp"), coalesce(col("jumped"), col("comp"))).as("comp"),
@@ -220,7 +219,6 @@ object LlmPipeline {
         .localCheckpoint()
       changed = Option(next.agg(sum("chg")).head().get(0))
         .map(_.asInstanceOf[Long]).getOrElse(0L)
-      lifted.unpersist()
       backing.unpersist()
       // no re-checkpoint: the lazy select reads next's cached blocks
       backing = next
