@@ -214,6 +214,35 @@ object Relational {
           col("exact_parts").cast("double") * 0.05).as("within_5pct"))
       .orderBy("l_returnflag")
 
+  // ---- B10b: quantiles (exact + sketch accuracy contract) -------------------
+
+  /** Per-flag price quantiles: EXACT interpolated percentiles — the
+    * oracle-checkable values; Spark's `percentile` and DuckDB's
+    * `quantile_cont` both use the (n-1)·p linear interpolation — plus
+    * the accuracy contract of the sketch the 100 TB path uses
+    * (`approx_percentile`, KLL-style): `within_1pct` asserts the
+    * sketch lands within 1% of exact at every probed quantile (same
+    * verification pattern as B10's `within_5pct`; both aggregates are
+    * deterministic for fixed data). Exact percentile sorts per GROUP —
+    * group-local and spillable, fine at any group cardinality; a
+    * corpus-wide quantile at 100 TB uses the sketch alone. */
+  def aggQuantiles(s: SparkSession, dir: String): DataFrame = {
+    val ps = array(lit(0.5), lit(0.9), lit(0.99))
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(percentile(col("l_extendedprice"), ps).as("ex"),
+        percentile_approx(col("l_extendedprice"), ps, lit(10000)).as("ap"),
+        count(lit(1)).as("n"))
+      .select(col("l_returnflag"),
+        round(element_at(col("ex"), 1), 4).as("p50"),
+        round(element_at(col("ex"), 2), 4).as("p90"),
+        round(element_at(col("ex"), 3), 4).as("p99"),
+        col("n"),
+        forall(zip_with(col("ex"), col("ap"),
+          (e, a) => abs(a - e) <= abs(e) * 0.01), x => x).as("within_1pct"))
+      .orderBy("l_returnflag")
+  }
+
   // ---- B11: window rank (top-N per group) -----------------------------------
   def windowRank(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("p_brand")
@@ -377,6 +406,16 @@ object Relational {
         |       round(sum(o_totalprice), 2) AS sum_price, count(*) AS n
         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
         |ORDER BY status, priority""".stripMargin)(aggCube),
+
+    OpQuery("op_agg_quantiles",
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+        |  round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+        |  round(quantile_cont(l_extendedprice, 0.99), 4) AS p99,
+        |  count(*) AS n,
+        |  true AS within_1pct
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin)(aggQuantiles),
 
     OpQuery("op_agg_approx_distinct",
       """SELECT l_returnflag,
