@@ -30,10 +30,15 @@ import graft.operators.{LlmPipeline, TrainingData}
   */
 object ScaleSmoke {
   private val Base = "/root/testdata/sf0.1"
-  private val Dir10 = "/tmp/scale10"
-  private val Copies = 10
 
   def main(args: Array[String]): Unit = {
+    // optional arg: copy count (default 10). Above 21 copies the
+    // embedding flip patterns are no longer provably distinct (mod-23
+    // construction), so only the text ops run — the word-suffix
+    // transform is disjoint for ANY copy count.
+    val Copies = args.headOption.map(_.toInt).getOrElse(10)
+    val Dir10 = s"/tmp/scale$Copies"
+    val withEmb = Copies <= 21
     val spark = SparkTestSession.spark
     spark.sparkContext.setLogLevel("WARN")
 
@@ -50,28 +55,30 @@ object ScaleSmoke {
         .repartition(32)
         .write.mode("overwrite").parquet(s"$Dir10/documents.parquet")
 
-      val emb = graft.sources.Tables.embeddings(spark, Base)
-      (0 until Copies).map { k =>
-        if (k == 0) emb
-        else emb.select(
-          (col("vec_id") + k * 1000000L).as("vec_id"),
-          transform(col("embedding"),
-            (x, i) => when((i + 1) * (k + 2) % 23 < 9, -x).otherwise(x))
-            .as("embedding"),
-          col("label"))
-      }.reduce(_ unionByName _)
-        .repartition(32)
-        .write.mode("overwrite").parquet(s"$Dir10/embeddings.parquet")
+      if (withEmb) {
+        val emb = graft.sources.Tables.embeddings(spark, Base)
+        (0 until Copies).map { k =>
+          if (k == 0) emb
+          else emb.select(
+            (col("vec_id") + k * 1000000L).as("vec_id"),
+            transform(col("embedding"),
+              (x, i) => when((i + 1) * (k + 2) % 23 < 9, -x).otherwise(x))
+              .as("embedding"),
+            col("label"))
+        }.reduce(_ unionByName _)
+          .repartition(32)
+          .write.mode("overwrite").parquet(s"$Dir10/embeddings.parquet")
+      }
       println(s"[scale] built $Dir10: docs=${n * Copies}")
     }
 
     val ops = Seq(
       "op_dedup_minhash" -> (LlmPipeline.dedupMinhash _),
-      "op_dedup_simhash" -> (TrainingData.dedupSimhash _),
-      "op_dedup_embedding" -> (TrainingData.dedupEmbedding _),
+      "op_dedup_simhash" -> (TrainingData.dedupSimhash _)) ++
+      (if (withEmb) Seq("op_dedup_embedding" -> (TrainingData.dedupEmbedding _)) else Nil) ++
       // rows here are clustered docs, not pairs; supersteps must stay
-      // flat at 10x (cluster DIAMETER, not corpus size, drives them)
-      "op_dedup_cc" -> (LlmPipeline.dedupCc _))
+      // flat as copies grow (cluster DIAMETER, not corpus size, drives them)
+      Seq("op_dedup_cc" -> (LlmPipeline.dedupCc _))
 
     def run(dir: String, label: String): Map[String, (Double, Long)] =
       ops.map { case (name, f) =>
@@ -83,12 +90,12 @@ object ScaleSmoke {
       }.toMap
 
     run(Base, "warm")     // unmeasured warm-up (codegen + footer caches)
-    val at1 = run(Base, " 1x ")
-    val at10 = run(Dir10, "10x ")
+    val at1 = run(Base, s"  1x")
+    val at10 = run(Dir10, f"$Copies%3dx")
     ops.foreach { case (name, _) =>
       val (s1, r1) = at1(name)
       val (s10, r10) = at10(name)
-      println(f"[scale] RATIO $name%-22s time ${s10 / s1}%5.2fx  pairs ${r10.toDouble / r1}%5.2fx")
+      println(f"[scale] RATIO $name%-22s time ${s10 / s1}%5.2fx  pairs ${r10.toDouble / r1}%6.2fx (target ${Copies}x)")
     }
   }
 }
