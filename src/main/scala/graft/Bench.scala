@@ -81,14 +81,18 @@ object Bench {
       * `op_` key prefix (recorded as `"key_prefix"` so the reader can
       * restore it); `dec` is the per-query decimal precision. */
     def render(stripPrefix: Boolean, dec: Int): String = {
+      // Locale.ROOT: a de_DE-style default locale would render "39,938"
+      // and corrupt the JSON
       def fmt(v: Double): String =
-        if (v < 0) "-1" else s"%.${dec}f".format(v)
+        if (v < 0) "-1"
+        else String.format(java.util.Locale.ROOT, s"%.${dec}f", Double.box(v))
       val qs = names.map { n =>
         val k = if (stripPrefix) n.stripPrefix("op_") else n
         jq(k) + ":" + fmt(best.getOrElse(n, -1.0))
       }.mkString("{", ",", "}")
       val prefix = if (stripPrefix) ""","key_prefix":"op_"""" else ""
-      s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec",""" +
+      val totalS = String.format(java.util.Locale.ROOT, "%.3f", Double.box(total))
+      s"""{"metric":"total","value":$totalS,"unit":"sec",""" +
         s""""queries":$qs,"sf":"$sfDir","runs":$runs,""" +
         s""""n_failed":${errors.size},"errors":$errJson$prefix}"""
     }

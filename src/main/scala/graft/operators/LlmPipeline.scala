@@ -195,7 +195,8 @@ object LlmPipeline {
     var backing = labels
     var changed = 1L
     var steps = 0
-    while (changed > 0 && steps < 40) {
+    try {
+      while (changed > 0 && steps < 40) {
       val msgs = edges
         .join(labels.select(col("id").as("src"), col("comp")), "src")
         .groupBy(col("dst").as("id"))
@@ -224,8 +225,14 @@ object LlmPipeline {
       backing = next
       labels = next.select("id", "comp")
       steps += 1
+      }
+      require(changed == 0, s"component propagation did not converge in $steps supersteps")
+    } catch { case e: Throwable =>
+      // don't pin blocks for the session's lifetime on a failed run
+      // (on success `backing` stays persisted deliberately: the
+      // returned frame reads its checkpoint blocks)
+      backing.unpersist(); edges.unpersist(); throw e
     }
-    require(changed == 0, s"component propagation did not converge in $steps supersteps")
     edges.unpersist()
     val sizes = labels.groupBy("comp").agg(count(lit(1)).as("csize"))
     labels.join(sizes, "comp")

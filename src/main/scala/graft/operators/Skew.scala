@@ -31,7 +31,10 @@ object Skew {
       salts: Int, saltBy: Column): DataFrame = {
     require(salts > 0, "salts must be positive")
     // a user column named __salt would be silently overwritten (and
-    // dropped from the output) — grow the name until it is free
+    // dropped from the output) — grow the name until it is free. (If
+    // BOTH inputs carry a same-named user column the join output keeps
+    // both, ambiguous to reference — standard Spark join behavior for
+    // shared non-key names, unchanged here.)
     var salt = "__salt"
     while (fact.columns.contains(salt) || dim.columns.contains(salt)) salt += "_"
     val saltedFact = fact.withColumn(salt, pmod(hash(saltBy), lit(salts)))

@@ -9,7 +9,7 @@ import graft.sources.Tables
 import graft.functions.TextShingles
 
 /** Training-data pipeline extensions beyond the reference surface
-  * (SURVEY.md §2 Tier B, B25–B33): the additional dedup / similarity /
+  * (SURVEY.md §2 Tier B, B25–B42): the additional dedup / similarity /
   * text-analysis / multimodal operators a 100 TB LLM-data pipeline
   * needs. Shared design rules with B16–B24: candidate generation is
   * always bucketed (never all-pairs), per-row signatures are map-side
@@ -501,9 +501,14 @@ object TrainingData {
     * 100 TB shape: pure map-side projection (regexp inside codegen);
     * counts are emitted per doc so a pipeline can quarantine
     * high-PII-density sources instead of silently rewriting them. */
+  /** Shared PII patterns — referenced by B39 AND the composed pipeline
+    * (B42) so the policy cannot silently drift between them. */
+  private[graft] val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[graft] val NumRe = "[0-9]{6,}"
+
   def textPiiMask(sp: SparkSession, dir: String): DataFrame = {
-    val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-    val numRe = "[0-9]{6,}"
+    val emailRe = EmailRe
+    val numRe = NumRe
     val planted = docs(sp, dir).select(col("doc_id"),
       when(col("doc_id") % 4 === 0,
         concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
@@ -592,12 +597,17 @@ object TrainingData {
 
   /** The whole training-data path as ONE composed query — the proof
     * that the operators chain: corpus (+ planted exact dups) → quality
-    * gate (B30's scored formula, threshold at the corpus median) →
-    * exact dedup keep-first (B16's normalized digest) → PII masking
-    * (B39's patterns) → token-budget packing of the masked text (B38).
-    * A user's real pipeline is this shape; every stage keeps its
+    * gate (B30's scored formula; the 0.595 threshold is this fixture
+    * corpus's measured median — a corpus-relative gate would compute
+    * it with `approx_percentile` first) → exact dedup keep-first
+    * (B16's normalized digest) → PII masking (B39's shared patterns) →
+    * token-budget packing of the masked text (B38). A user's real
+    * pipeline is this shape; every stage keeps its
     * individually-verified semantics, and DuckDB runs the identical
-    * five-stage chain as one SQL statement.
+    * five-stage chain as one SQL statement. Planted dups are re-keyed
+    * 2·id+1 against the originals' 2·id — odd/even, so ids stay unique
+    * and keep-first keeps the original at ANY corpus size (a fixed
+    * +K offset would collide once real ids reach K).
     *
     * Plan: quality + masking fuse into the scan's projection (one
     * codegen stage, no shuffle); dedup adds one digest-keyed window
@@ -605,9 +615,10 @@ object TrainingData {
     * exchanges total including the contract sort. Each stage's scale
     * story is unchanged from its standalone op. */
   def pipelineE2e(sp: SparkSession, dir: String): DataFrame = {
-    val base = docs(sp, dir).select(col("doc_id"), col("source"), col("text"))
+    val base = docs(sp, dir)
+      .select((col("doc_id") * 2).as("doc_id"), col("source"), col("text"))
     val planted = base.filter(col("doc_id") % 9 === 4)
-      .select((col("doc_id") + 30000).as("doc_id"), col("source"), col("text"))
+      .select((col("doc_id") + 1).as("doc_id"), col("source"), col("text"))
     val corpus = base.union(planted)
 
     val scored = corpus
@@ -632,9 +643,7 @@ object TrainingData {
       .filter(col("rn") === 1)
 
     val masked = deduped.withColumn("masked",
-      regexp_replace(regexp_replace(col("text"),
-        "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
-        "[0-9]{6,}", "<NUM>"))
+      regexp_replace(regexp_replace(col("text"), EmailRe, "<EMAIL>"), NumRe, "<NUM>"))
       .withColumn("m_tok",
         size(filter(split(col("masked"), " "), w => w =!= "")).cast("long"))
 
@@ -928,10 +937,12 @@ object TrainingData {
         |FROM documents GROUP BY shard ORDER BY shard""".stripMargin)(exportShards),
 
     OpQuery("op_pipeline_e2e",
-      """WITH corpus AS (
-        |  SELECT doc_id, source, text FROM documents
+      """WITH base AS (
+        |  SELECT doc_id * 2 AS doc_id, source, text FROM documents),
+        |corpus AS (
+        |  SELECT doc_id, source, text FROM base
         |  UNION ALL
-        |  SELECT doc_id + 30000, source, text FROM documents WHERE doc_id % 9 = 4),
+        |  SELECT doc_id + 1, source, text FROM base WHERE doc_id % 9 = 4),
         |f AS (
         |  SELECT doc_id, source, text,
         |    CAST(length(text) AS INTEGER) AS len,

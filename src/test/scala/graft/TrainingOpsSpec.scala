@@ -109,13 +109,23 @@ class TrainingOpsSpec extends AnyFunSuite {
   test("pipeline e2e: dedup stage removes every planted copy; gate is non-trivial") {
     val out = TrainingData.pipelineE2e(spark, "/root/testdata/sf0.01")
     val rows = out.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(4), r.getLong(5), r.getLong(6)))
     val n = graft.sources.Tables.documents(spark, "/root/testdata/sf0.01").count()
-    // planted exact dups (+30000) always lose keep-first to their original
-    assert(!rows.exists(_.getLong(0) >= 30000), "a planted dup survived dedup")
+    // planted exact dups carry ODD ids (2·id+1) and always lose
+    // keep-first to their even original
+    assert(!rows.exists(_._1 % 2 == 1), "a planted dup survived dedup")
     // the quality gate must drop some docs and keep some
     assert(rows.length > n / 10 && rows.length < n, s"gate degenerate: ${rows.length}/$n")
-    // packing runs on the MASKED token counts
-    assert(rows.forall(r => r.getLong(6) == r.getLong(5) / 1024))
+    // packing really runs on the MASKED token counts: offsets are
+    // per-source prefix sums of m_tok over surviving docs in id order
+    rows.groupBy(_._2).foreach { case (src, ds) =>
+      var expect = 0L
+      ds.sortBy(_._1).foreach { case (id, _, mTok, off, pack) =>
+        assert(off === expect, s"doc $id in $src: offset $off != masked prefix sum $expect")
+        assert(pack === off / 1024)
+        expect += mTok
+      }
+    }
   }
 
   test("export shards: manifest matches the physical partitioned write") {
