@@ -140,6 +140,39 @@ object Streaming {
     }
   }
 
+  /** B24c: stream-stream INTERVAL JOIN — each view joined to the same
+    * user's clicks within the following 2 hours. The genuinely hard
+    * streaming primitive: both sides buffer state, and the watermark +
+    * time-bound condition let Spark evict it (views older than the
+    * click watermark minus the interval can never match again). The
+    * batch form is the identical join — unified API, so the t2 gate
+    * verifies the join semantics against DuckDB while StreamingSpec
+    * proves stream ≡ batch on a MemoryStream pair.
+    *
+    * Scale: state per side is bounded by watermark × arrival rate,
+    * hash-partitioned on user_id (both sides shuffle once); the time
+    * condition prunes the per-key cross product as rows arrive. */
+  def intervalJoinPlan(views0: DataFrame, clicks0: DataFrame,
+      streaming: Boolean): DataFrame = {
+    def prep(df: DataFrame) = df.withColumn("tsec", date_trunc("second", col("ts")))
+    val views = prep(views0.filter(col("event_type") === "view"))
+      .select(col("user_id"), col("tsec").as("v_ts"), col("event_id").as("view_id"))
+    val clicks = prep(clicks0.filter(col("event_type") === "click"))
+      .select(col("user_id").as("c_uid"), col("tsec").as("c_ts"),
+        col("event_id").as("click_id"), col("value"))
+    val (v, c) =
+      if (streaming)
+        (views.withWatermark("v_ts", "1 hour"), clicks.withWatermark("c_ts", "1 hour"))
+      else (views, clicks)
+    v.join(c, col("user_id") === col("c_uid") &&
+        col("c_ts") >= col("v_ts") &&
+        col("c_ts") <= col("v_ts") + expr("INTERVAL 2 HOURS"))
+      .select(col("user_id"), col("view_id"), col("click_id"),
+        date_format(col("v_ts"), TsFmt).as("v_tsf"),
+        date_format(col("c_ts"), TsFmt).as("c_tsf"),
+        col("value"))
+  }
+
   // ---- t2 batch-mode queries ----------------------------------------------
 
   def streamTumbling(sp: SparkSession, dir: String): DataFrame =
@@ -166,6 +199,12 @@ object Streaming {
   def streamCustomState(sp: SparkSession, dir: String): DataFrame =
     runningStatePlan(Tables.events(sp, dir), streaming = false)
       .orderBy("user_id", "seq")
+
+  def streamIntervalJoin(sp: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(sp, dir)
+    intervalJoinPlan(e, e, streaming = false)
+      .orderBy("user_id", "view_id", "click_id")
+  }
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -210,6 +249,20 @@ object Streaming {
         |  FROM doubled)
         |SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS tsf, value
         |FROM ranked WHERE rn = 1 ORDER BY event_id""".stripMargin)(streamDedupLate),
+
+    OpQuery("op_stream_interval_join",
+      """WITH e AS (
+        |  SELECT user_id, event_type, date_trunc('second', ts) AS tsec, event_id, value
+        |  FROM events)
+        |SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id,
+        |  strftime(v.tsec, '%Y-%m-%d %H:%M:%S') AS v_tsf,
+        |  strftime(c.tsec, '%Y-%m-%d %H:%M:%S') AS c_tsf,
+        |  c.value
+        |FROM (SELECT * FROM e WHERE event_type = 'view') v
+        |JOIN (SELECT * FROM e WHERE event_type = 'click') c
+        |  ON v.user_id = c.user_id
+        | AND c.tsec >= v.tsec AND c.tsec <= v.tsec + INTERVAL 2 HOUR
+        |ORDER BY v.user_id, view_id, click_id""".stripMargin)(streamIntervalJoin),
 
     OpQuery("op_stream_custom_state",
       """WITH e AS (

@@ -97,6 +97,22 @@ class StreamingSpec extends AnyFunSuite {
     assert(u2 === Array(4.0, 9.0, 15.0, 21.5))
   }
 
+  test("B24c interval join: stream-stream self-join matches the batch join") {
+    val events = Seq(
+      Ev(1, t("2024-01-01 10:00:00"), 1, "view", 0.0, "{}"),
+      Ev(2, t("2024-01-01 10:30:00"), 1, "click", 1.5, "{}"), // within 2h of view 1
+      Ev(3, t("2024-01-01 13:00:00"), 1, "click", 2.0, "{}"), // beyond 2h: excluded
+      Ev(4, t("2024-01-01 10:45:00"), 2, "click", 3.0, "{}"), // matches view 5
+      Ev(5, t("2024-01-01 10:10:00"), 2, "view", 4.0, "{}"),
+      Ev(6, t("2024-01-01 09:59:00"), 1, "click", 9.0, "{}")) // BEFORE the view: excluded
+    val batch = Streaming.intervalJoinPlan(events.toDF(), events.toDF(), streaming = false)
+    val stream = runStream(events,
+      df => Streaming.intervalJoinPlan(df, df, streaming = true), "append")
+    assert(sortedRows(stream) === sortedRows(batch))
+    val pairs = batch.select("view_id", "click_id").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 2L), (5L, 4L)))
+  }
+
   test("B24 dedup: duplicates dropped; late row beyond watermark dropped") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
