@@ -214,6 +214,35 @@ object Relational {
           col("exact_parts").cast("double") * 0.05).as("within_5pct"))
       .orderBy("l_returnflag")
 
+  // ---- B10c: time-series gap fill -------------------------------------------
+
+  /** Dense hourly series per event type with ZERO-FILLED missing hours
+    * — the resample/gap-fill step every time-series rollup needs
+    * before diffing or charting (a groupBy alone silently omits empty
+    * buckets). The hour×type grid is generated from the data's own
+    * bounds with `sequence` + explode and is dimension-sized (time
+    * range × type cardinality — independent of event VOLUME), so it
+    * broadcasts against the pre-aggregated counts: events reduce
+    * map-side to one row per non-empty (type, hour) before any join.
+    * 100 TB of events with a 1-year range is still only 8760×types
+    * grid rows. */
+  def tsGapfill(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .withColumn("h", date_trunc("hour", col("ts")))
+    val counts = e.groupBy(col("event_type"), col("h"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_value"))
+    val hours = e.agg(min("h").as("h0"), max("h").as("h1"))
+      .select(explode(sequence(col("h0"), col("h1"), expr("INTERVAL 1 HOUR"))).as("h"))
+    val types = e.select("event_type").distinct()
+    hours.crossJoin(types)
+      .join(counts, Seq("event_type", "h"), "left")
+      .select(col("event_type"),
+        date_format(col("h"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        coalesce(col("sum_value"), lit(0.0)).as("sum_value"))
+      .orderBy("event_type", "hour")
+  }
+
   // ---- B10b: quantiles (exact + sketch accuracy contract) -------------------
 
   /** Per-flag price quantiles: EXACT interpolated percentiles — the
@@ -406,6 +435,23 @@ object Relational {
         |       round(sum(o_totalprice), 2) AS sum_price, count(*) AS n
         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
         |ORDER BY status, priority""".stripMargin)(aggCube),
+
+    OpQuery("op_ts_gapfill",
+      """WITH e AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS h, value FROM events),
+        |counts AS (
+        |  SELECT event_type, h, count(*) AS n, round(sum(value), 2) AS sv
+        |  FROM e GROUP BY event_type, h),
+        |bounds AS (SELECT min(h) AS h0, max(h) AS h1 FROM e),
+        |hours AS (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h FROM bounds),
+        |grid AS (
+        |  SELECT t.event_type, hours.h
+        |  FROM hours, (SELECT DISTINCT event_type FROM e) t)
+        |SELECT g.event_type, strftime(g.h, '%Y-%m-%d %H:%M:%S') AS hour,
+        |  CAST(COALESCE(c.n, 0) AS BIGINT) AS n_events,
+        |  COALESCE(c.sv, 0.0) AS sum_value
+        |FROM grid g LEFT JOIN counts c ON g.event_type = c.event_type AND g.h = c.h
+        |ORDER BY g.event_type, hour""".stripMargin)(tsGapfill),
 
     OpQuery("op_agg_quantiles",
       """SELECT l_returnflag,
