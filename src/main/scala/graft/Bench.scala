@@ -77,23 +77,37 @@ object Bench {
       .map { case (k, v) => jq(k) + ":" + jq(v) }.mkString("{", ",", "}")
     val total = best.values.sum
 
+    // Locale.ROOT: a de_DE-style default locale would render "39,938"
+    // and corrupt the JSON
+    def fmtAt(dec: Int)(v: Double): String =
+      if (v < 0) "-1"
+      else String.format(java.util.Locale.ROOT, s"%.${dec}f", Double.box(v))
+
     /** One serialized bench report. `stripPrefix` drops the uniform
       * `op_` key prefix (recorded as `"key_prefix"` so the reader can
-      * restore it); `dec` is the per-query decimal precision. */
-    def render(stripPrefix: Boolean, dec: Int): String = {
-      // Locale.ROOT: a de_DE-style default locale would render "39,938"
-      // and corrupt the JSON
-      def fmt(v: Double): String =
-        if (v < 0) "-1"
-        else String.format(java.util.Locale.ROOT, s"%.${dec}f", Double.box(v))
-      val qs = names.map { n =>
-        val k = if (stripPrefix) n.stripPrefix("op_") else n
-        jq(k) + ":" + fmt(best.getOrElse(n, -1.0))
-      }.mkString("{", ",", "}")
+      * restore it); `dec` is the per-query decimal precision; `topN`
+      * (if set) keeps only the slowest N per-query entries and folds
+      * the rest into `_others_n`/`_others_sec` (full detail is always
+      * in the side file). */
+    def render(stripPrefix: Boolean, dec: Int, topN: Option[Int] = None): String = {
+      val fmt = fmtAt(dec) _
+      val kept = topN match {
+        case Some(k) => names.sortBy(n => -best.getOrElse(n, -1.0)).take(k).sorted
+        case None => names
+      }
+      val entries = kept.map { n =>
+        val key = if (stripPrefix) n.stripPrefix("op_") else n
+        jq(key) + ":" + fmt(best.getOrElse(n, -1.0))
+      } ++ (topN match {
+        case Some(_) =>
+          val rest = names.filterNot(kept.contains)
+          Seq(jq("_others_n") + ":" + rest.size,
+            jq("_others_sec") + ":" + fmt(rest.flatMap(best.get).sum))
+        case None => Nil
+      })
       val prefix = if (stripPrefix) ""","key_prefix":"op_"""" else ""
-      val totalS = String.format(java.util.Locale.ROOT, "%.3f", Double.box(total))
-      s"""{"metric":"total","value":$totalS,"unit":"sec",""" +
-        s""""queries":$qs,"sf":"$sfDir","runs":$runs,""" +
+      s"""{"metric":"total","value":${fmtAt(3)(total)},"unit":"sec",""" +
+        s""""queries":${entries.mkString("{", ",", "}")},"sf":"$sfDir","runs":$runs,""" +
         s""""n_failed":${errors.size},"errors":$errJson$prefix}"""
     }
 
@@ -101,15 +115,19 @@ object Bench {
     // the driver keeps only the last ~2000 chars of stdout, so the line
     // it parses must fit that window even after sbt's trailing
     // "[success] Total time" line). Degrade the stdout line until it
-    // fits: full keys -> strip the op_ prefix -> coarser decimals.
+    // fits: full keys -> strip the op_ prefix -> coarser decimals ->
+    // slowest-N entries plus an _others rollup.
     val full = render(stripPrefix = false, dec = 6)
     try Files.writeString(Paths.get(outPath), full + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] write $outPath: $e") }
     val budget = 1900
-    val line = Seq((false, 3), (true, 3), (true, 2), (true, 1))
-      .map { case (p, d) => render(p, d) }
-      .find(_.length <= budget)
-      .getOrElse(render(stripPrefix = true, dec = 1))
+    val ladder =
+      Seq((false, 3), (true, 3), (true, 2), (true, 1)).iterator
+        .map { case (p, d) => render(p, d) } ++
+      Iterator.iterate(names.size - 5)(_ - 5).takeWhile(_ > 0)
+        .map(k => render(stripPrefix = true, dec = 2, topN = Some(k)))
+    val line = ladder.find(_.length <= budget)
+      .getOrElse(render(stripPrefix = true, dec = 1, topN = Some(10)))
     println(line)
     spark.stop()
   }
