@@ -214,6 +214,27 @@ object Relational {
           col("exact_parts").cast("double") * 0.05).as("within_5pct"))
       .orderBy("l_returnflag")
 
+  // ---- B12b: time-RANGE window frame -----------------------------------------
+
+  /** Trailing-hour rolling aggregates per event type — the RANGE
+    * frame: "all rows whose event time lies within the preceding
+    * 3600 s", a value-based bound `rowsBetween` cannot express (row
+    * counts per hour vary). One shuffle on event_type, frame computed
+    * in a single sort pass with a sliding lower bound. Ties on the
+    * ordering key all share one frame, so the result is deterministic
+    * without a unique sort key. */
+  def windowRangeFrame(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .withColumn("tsec", date_trunc("second", col("ts")))
+      .withColumn("es", unix_timestamp(col("tsec")))
+    val w = Window.partitionBy("event_type").orderBy(col("es")).rangeBetween(-3600, 0)
+    e.select(col("event_type"), col("event_id"),
+        date_format(col("tsec"), "yyyy-MM-dd HH:mm:ss").as("tsf"),
+        count(lit(1)).over(w).as("n_1h"),
+        round(sum("value").over(w), 2).as("sum_1h"))
+      .orderBy("event_type", "tsf", "event_id")
+  }
+
   // ---- B10c: time-series gap fill -------------------------------------------
 
   /** Dense hourly series per event type with ZERO-FILLED missing hours
@@ -435,6 +456,20 @@ object Relational {
         |       round(sum(o_totalprice), 2) AS sum_price, count(*) AS n
         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
         |ORDER BY status, priority""".stripMargin)(aggCube),
+
+    OpQuery("op_window_range_frame",
+      """WITH e AS (
+        |  SELECT event_type, event_id, date_trunc('second', ts) AS tsec, value,
+        |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS es
+        |  FROM events)
+        |SELECT event_type, event_id,
+        |  strftime(tsec, '%Y-%m-%d %H:%M:%S') AS tsf,
+        |  CAST(count(*) OVER w AS BIGINT) AS n_1h,
+        |  round(sum(value) OVER w, 2) AS sum_1h
+        |FROM e
+        |WINDOW w AS (PARTITION BY event_type ORDER BY es
+        |             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_type, tsf, event_id""".stripMargin)(windowRangeFrame),
 
     OpQuery("op_ts_gapfill",
       """WITH e AS (

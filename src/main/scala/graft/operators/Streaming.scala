@@ -54,6 +54,19 @@ object Streaming {
         col("n_events"), col("sum_value"))
   }
 
+  /** B22b: 2-hour SLIDING windows every 30 minutes per event type —
+    * each event lands in 4 overlapping windows (Spark expands the
+    * assignment map-side before the same single shuffle tumbling
+    * uses; state in streaming mode is 4× tumbling's, still
+    * watermark-bounded). */
+  def slidingPlan(events: DataFrame, streaming: Boolean): DataFrame = {
+    val src = if (streaming) events.withWatermark("ts", "1 hour") else events
+    src.groupBy(window(col("ts"), "2 hours", "30 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_value"))
+      .select(date_format(col("w.start"), TsFmt).as("wstart"), col("event_type"),
+        col("n_events"), col("sum_value"))
+  }
+
   /** B23: session windows with a 30-minute gap per user. */
   def sessionPlan(events: DataFrame, streaming: Boolean): DataFrame = {
     val withSec = events.withColumn("tsec", date_trunc("second", col("ts")))
@@ -179,6 +192,10 @@ object Streaming {
     tumblingPlan(Tables.events(sp, dir), streaming = false)
       .orderBy("wstart", "event_type")
 
+  def streamSliding(sp: SparkSession, dir: String): DataFrame =
+    slidingPlan(Tables.events(sp, dir), streaming = false)
+      .orderBy("wstart", "event_type")
+
   def streamSession(sp: SparkSession, dir: String): DataFrame =
     sessionPlan(Tables.events(sp, dir), streaming = false)
       .orderBy("user_id", "sess_start")
@@ -213,6 +230,21 @@ object Streaming {
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS wstart,
         |  event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY wstart, event_type""".stripMargin)(streamTumbling),
+
+    OpQuery("op_stream_sliding",
+      """WITH e AS (
+        |  SELECT event_type, value,
+        |    date_trunc('hour', ts) +
+        |      CASE WHEN minute(ts) >= 30 THEN INTERVAL 30 MINUTE
+        |           ELSE INTERVAL 0 MINUTE END AS sf
+        |  FROM events),
+        |x AS (
+        |  SELECT event_type, value, sf - k.k * INTERVAL 30 MINUTE AS wstart
+        |  FROM e, (SELECT unnest([0, 1, 2, 3]) AS k) k)
+        |SELECT strftime(wstart, '%Y-%m-%d %H:%M:%S') AS wstart, event_type,
+        |  count(*) AS n_events, round(sum(value), 2) AS sum_value
+        |FROM x GROUP BY wstart, event_type
+        |ORDER BY wstart, event_type""".stripMargin)(streamSliding),
 
     OpQuery("op_stream_session",
       """WITH e AS (

@@ -97,6 +97,15 @@ class StreamingSpec extends AnyFunSuite {
     assert(u2 === Array(4.0, 9.0, 15.0, 21.5))
   }
 
+  test("B22b sliding: streaming (complete mode) matches batch; 4 windows per event") {
+    val batch = Streaming.slidingPlan(base.toDF(), streaming = false)
+    val stream = runStream(base, df => Streaming.slidingPlan(df, streaming = true), "complete")
+    assert(sortedRows(stream) === sortedRows(batch))
+    // every event lands in exactly 4 overlapping 2h/30min windows
+    val total = batch.agg(sum("n_events")).head().getLong(0)
+    assert(total === base.size * 4L)
+  }
+
   test("B24c interval join: stream-stream self-join matches the batch join") {
     val events = Seq(
       Ev(1, t("2024-01-01 10:00:00"), 1, "view", 0.0, "{}"),
