@@ -98,16 +98,19 @@ object Bench {
       val entries = kept.map { n =>
         val key = if (stripPrefix) n.stripPrefix("op_") else n
         jq(key) + ":" + fmt(best.getOrElse(n, -1.0))
-      } ++ (topN match {
+      }
+      // the rollup lives OUTSIDE the queries map: its keys are not op
+      // names, so a reader restoring key_prefix must not touch them;
+      // only measured queries count (failures are in n_failed/errors)
+      val others = topN match {
         case Some(_) =>
-          val rest = names.filterNot(kept.contains)
-          Seq(jq("_others_n") + ":" + rest.size,
-            jq("_others_sec") + ":" + fmt(rest.flatMap(best.get).sum))
-        case None => Nil
-      })
+          val rest = names.filterNot(kept.contains).filter(best.contains)
+          s""","others_n":${rest.size},"others_sec":${fmt(rest.map(best).sum)}"""
+        case None => ""
+      }
       val prefix = if (stripPrefix) ""","key_prefix":"op_"""" else ""
       s"""{"metric":"total","value":${fmtAt(3)(total)},"unit":"sec",""" +
-        s""""queries":${entries.mkString("{", ",", "}")},"sf":"$sfDir","runs":$runs,""" +
+        s""""queries":${entries.mkString("{", ",", "}")}$others,"sf":"$sfDir","runs":$runs,""" +
         s""""n_failed":${errors.size},"errors":$errJson$prefix}"""
     }
 

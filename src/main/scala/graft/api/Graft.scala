@@ -61,12 +61,19 @@ object Graft {
     * that has at least one near-duplicate: `(id, component, csize)`
     * where `component` is the cluster-minimum id — keep `id ==
     * component` rows (or anti-join the rest away) to dedup. `df` needs
-    * a unique numeric id in `idCol` and the text in `textCol`. */
-  def nearDupClusters(df: DataFrame, idCol: Column, textCol: Column): DataFrame =
+    * a unique numeric id in `idCol` and the text in `textCol`; an id
+    * that does not cast to long fails the job (a silent null would
+    * instead report "no duplicates" on a corpus full of them). */
+  def nearDupClusters(df: DataFrame, idCol: Column, textCol: Column): DataFrame = {
+    val id = when(idCol.cast("long").isNull,
+      raise_error(concat(lit("nearDupClusters: id not castable to long: "),
+        idCol.cast("string"))))
+      .otherwise(idCol.cast("long"))
     graft.operators.LlmPipeline.connectedComponents(
       graft.operators.LlmPipeline.minhashPairsFor(
-        df.select(idCol.cast("long").as("doc_id"), textCol.as("text"))))
+        df.select(id.as("doc_id"), textCol.as("text"))))
       .withColumnRenamed("doc_id", "id")
+  }
 
   /** Scala-side single-document convert (= `python script.py <file>`). */
   def convertText(text: String): String =

@@ -190,9 +190,10 @@ object LlmPipeline {
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id"))
       .localCheckpoint()
-    // the materialized frame whose blocks back `labels` — unpersisted
-    // only after the NEXT superstep materializes its successor
-    var backing = labels
+    // every currently-persisted label frame (at most 2 mid-superstep);
+    // the failure path unpersists them ALL, the success path keeps only
+    // the final one (whose blocks the returned frame reads)
+    var pinned: List[DataFrame] = List(labels)
     var changed = 1L
     var steps = 0
     try {
@@ -218,20 +219,21 @@ object LlmPipeline {
           (least(col("comp"), coalesce(col("jumped"), col("comp"))) < col("old_comp"))
             .cast("long").as("chg"))
         .localCheckpoint()
+      pinned = next :: pinned // pin BEFORE the agg so a failure there cleans it
       changed = Option(next.agg(sum("chg")).head().get(0))
         .map(_.asInstanceOf[Long]).getOrElse(0L)
-      backing.unpersist()
+      pinned.tail.foreach(_.unpersist())
+      pinned = List(next)
       // no re-checkpoint: the lazy select reads next's cached blocks
-      backing = next
       labels = next.select("id", "comp")
       steps += 1
       }
       require(changed == 0, s"component propagation did not converge in $steps supersteps")
     } catch { case e: Throwable =>
       // don't pin blocks for the session's lifetime on a failed run
-      // (on success `backing` stays persisted deliberately: the
+      // (on success the final frame stays persisted deliberately: the
       // returned frame reads its checkpoint blocks)
-      backing.unpersist(); edges.unpersist(); throw e
+      pinned.foreach(_.unpersist()); edges.unpersist(); throw e
     }
     edges.unpersist()
     val sizes = labels.groupBy("comp").agg(count(lit(1)).as("csize"))

@@ -492,6 +492,11 @@ object TrainingData {
 
   // ---- B39: PII masking ----------------------------------------------------
 
+  /** Shared PII patterns — referenced by B39 AND the composed pipeline
+    * (B42) so the policy cannot silently drift between them. */
+  private[graft] val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[graft] val NumRe = "[0-9]{6,}"
+
   /** PII scrubbing — emails and long digit runs replaced by typed
     * placeholders before text ships to training. PII is planted on a
     * quarter of the docs (address + 9-digit id) so masking provably
@@ -501,24 +506,17 @@ object TrainingData {
     * 100 TB shape: pure map-side projection (regexp inside codegen);
     * counts are emitted per doc so a pipeline can quarantine
     * high-PII-density sources instead of silently rewriting them. */
-  /** Shared PII patterns — referenced by B39 AND the composed pipeline
-    * (B42) so the policy cannot silently drift between them. */
-  private[graft] val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-  private[graft] val NumRe = "[0-9]{6,}"
-
   def textPiiMask(sp: SparkSession, dir: String): DataFrame = {
-    val emailRe = EmailRe
-    val numRe = NumRe
     val planted = docs(sp, dir).select(col("doc_id"),
       when(col("doc_id") % 4 === 0,
         concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
           lit("@example.com id 123456789")))
         .otherwise(col("text")).as("text"))
     planted
-      .withColumn("n_emails", regexp_count(col("text"), lit(emailRe)))
-      .withColumn("n_nums", regexp_count(col("text"), lit(numRe)))
+      .withColumn("n_emails", regexp_count(col("text"), lit(EmailRe)))
+      .withColumn("n_nums", regexp_count(col("text"), lit(NumRe)))
       .withColumn("masked",
-        regexp_replace(regexp_replace(col("text"), emailRe, "<EMAIL>"), numRe, "<NUM>"))
+        regexp_replace(regexp_replace(col("text"), EmailRe, "<EMAIL>"), NumRe, "<NUM>"))
       .select(col("doc_id"), col("n_emails"), col("n_nums"), md5(col("masked")).as("masked_md5"))
       .orderBy("doc_id")
   }

@@ -98,6 +98,16 @@ class DedupCcSpec extends AnyFunSuite {
       s"singletons must not appear in cluster output: $out")
   }
 
+  test("nearDupClusters fails fast on non-castable ids (never silent empties)") {
+    val corpus = Seq(("u-1", "some text here right now"), ("u-2", "other words entirely"))
+      .toDF("my_id", "body")
+    // ANSI mode throws on the cast itself; non-ANSI hits the raise_error
+    // guard — either way the job FAILS instead of returning zero rows
+    intercept[Exception] {
+      graft.api.Graft.nearDupClusters(corpus, col("my_id"), col("body")).collect()
+    }
+  }
+
   test("op output on the corpus: every cluster has exactly one canonical keeper") {
     val dir = "/root/testdata/sf0.001"
     val out = LlmPipeline.dedupCc(spark, dir)

@@ -23,10 +23,12 @@ import graft.operators.{LlmPipeline, TrainingData}
   *    inflation);
   *  - embeddings: copy k flips the sign of dim i iff
   *    `(i+1)*(k+2) % 23 < 9` — cosine within a copy is invariant
-  *    (s_i² = 1), cross-copy cosines are far from 1, and all flip
-  *    patterns are distinct for k ≤ 9.
+  *    (s_i² = 1), cross-copy cosines are far from 1, and flip
+  *    patterns are distinct while k+2 stays distinct mod 23, i.e.
+  *    k ≤ 21 — above that only the text ops run.
   *
-  * Run: `Test/runMain graft.ScaleSmoke` (results → PLANS.md).
+  * Run: `Test/runMain graft.ScaleSmoke [copies]` (default 10; the
+  * 10× and 100× tables live in PLANS.md).
   */
 object ScaleSmoke {
   private val Base = "/root/testdata/sf0.1"
