@@ -214,6 +214,30 @@ object Relational {
           col("exact_parts").cast("double") * 0.05).as("within_5pct"))
       .orderBy("l_returnflag")
 
+  // ---- B4b: salted join (known-skew mitigation) ------------------------------
+
+  /** The deterministic skew answer as a graded operator: lineitem's
+    * orders join keyed with an 8-way salt ([[Skew.saltedJoin]] — fact
+    * rows spread by `pmod(hash(uniqueish), 8)`, dim exploded 8×, join
+    * on (key, salt)). Salting is RESULT-invariant, so the oracle is
+    * the plain equi-join — the hash-match proves the mitigation
+    * changes the shuffle layout and nothing else. AQE's runtime skew
+    * split covers unknown skew; this is the plan-time form for skew
+    * known in advance (SURVEY §6). */
+  def joinSkewSalted(s: SparkSession, dir: String): DataFrame = {
+    val fact = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+    val dim = Tables.orders(s, dir)
+      .select(col("o_orderkey").as("l_orderkey"), col("o_orderdate"), col("o_totalprice"))
+    Skew.saltedJoin(fact, dim, "l_orderkey", salts = 8,
+        saltBy = col("l_linenumber"))
+      .select(col("l_orderkey"), col("l_linenumber"),
+        round(col("l_quantity"), 2).as("qty"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("odate"),
+        round(col("o_totalprice"), 2).as("oprice"))
+      .orderBy("l_orderkey", "l_linenumber", "qty")
+  }
+
   // ---- B12b: time-RANGE window frame -----------------------------------------
 
   /** Trailing-hour rolling aggregates per event type — the RANGE
@@ -456,6 +480,14 @@ object Relational {
         |       round(sum(o_totalprice), 2) AS sum_price, count(*) AS n
         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
         |ORDER BY status, priority""".stripMargin)(aggCube),
+
+    OpQuery("op_join_skew_salted",
+      """SELECT l.l_orderkey, l.l_linenumber,
+        |  round(l.l_quantity, 2) AS qty,
+        |  strftime(o.o_orderdate, '%Y-%m-%d') AS odate,
+        |  round(o.o_totalprice, 2) AS oprice
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |ORDER BY l.l_orderkey, l.l_linenumber, qty""".stripMargin)(joinSkewSalted),
 
     OpQuery("op_window_range_frame",
       """WITH e AS (
