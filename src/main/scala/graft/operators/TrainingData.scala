@@ -237,6 +237,49 @@ object TrainingData {
       .orderBy("q_id", "rank")
   }
 
+  // ---- B28c: product quantization ------------------------------------------
+
+  /** Product quantization — the standard 100 TB embedding-compression
+    * layout (IVF-PQ): each 64-dim vector splits into 8 contiguous
+    * 8-dim blocks, each block coded as its nearest of 4 codebook
+    * entries (the matching blocks of corpus vectors 100–103 — fixed
+    * corpus centroids, same determinism trick as B28b's IVF; a real
+    * deployment trains per-block codebooks with
+    * [[graft.functions.KMeansLite]]). Output: the 8-digit code word
+    * (64 dims → 8 bytes, an 8× compression at k=4 / 256× at k=256
+    * with the identical plan) and the reconstruction MSE the code
+    * implies. Argmin uses RAW distances (rounding could flip a
+    * near-tie vs the oracle's unrounded ordering); MSE is rounded.
+    *
+    * Scale: codebooks broadcast (k×blocks×dim doubles — KBs); the
+    * vector side is one explode to blocks×k rows, a per-(vec, block)
+    * argmin window sharing the groupBy's partitioning, and one
+    * vec_id-keyed aggregation. No corpus self-join anywhere. */
+  def vectorPq(sp: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(sp, dir)
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("e"))
+    val cents = emb.filter(col("vec_id").between(100, 103))
+      .select((col("vec_id") - 100).as("c_id"), col("e").as("ce"))
+    val blocks = emb
+      .select(col("vec_id"), col("e"), explode(sequence(lit(0), lit(7))).as("b"))
+      .withColumn("sub", slice(col("e"), col("b") * 8 + 1, lit(8)))
+    val wBlock = Window.partitionBy("vec_id", "b").orderBy(col("d2").asc, col("c_id").asc)
+    val coded = blocks.join(broadcast(cents))
+      .withColumn("csub", slice(col("ce"), col("b") * 8 + 1, lit(8)))
+      .withColumn("d2", aggregate(zip_with(col("sub"), col("csub"),
+        (x, y) => (x - y) * (x - y)), lit(0.0), (acc, v) => acc + v))
+      .withColumn("rn", row_number().over(wBlock))
+      .filter(col("rn") === 1)
+    coded.groupBy("vec_id")
+      .agg(sort_array(collect_list(struct(col("b"), col("c_id")))).as("bc"),
+        sum(col("d2")).as("sum_d2"))
+      .select(col("vec_id"),
+        concat_ws("", transform(col("bc"), s => s.getField("c_id").cast("string")))
+          .as("code"),
+        round(col("sum_d2") / 64.0, 6).as("recon_mse"))
+      .orderBy("vec_id")
+  }
+
   // ---- B29: language identification ----------------------------------------
 
   /** Marker-token language ID: score = marker hits per language over
@@ -905,6 +948,33 @@ object TrainingData {
         |    regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
         |    '[0-9]{6,}', '<NUM>', 'g')) AS masked_md5
         |FROM planted ORDER BY doc_id""".stripMargin)(textPiiMask),
+
+    OpQuery("op_vector_pq",
+      """WITH emb AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |  FROM embeddings),
+        |cents AS (
+        |  SELECT vec_id - 100 AS c_id, e AS ce FROM emb
+        |  WHERE vec_id BETWEEN 100 AND 103),
+        |blocks AS (
+        |  SELECT vec_id, e, b.b,
+        |    list_slice(e, b.b * 8 + 1, b.b * 8 + 8) AS sub
+        |  FROM emb, (SELECT unnest(range(0, 8)) AS b) b),
+        |scored AS (
+        |  SELECT bl.vec_id, bl.b, c.c_id,
+        |    list_sum(list_transform(range(1, 9),
+        |      i -> (bl.sub[i] - list_slice(c.ce, bl.b * 8 + 1, bl.b * 8 + 8)[i]) *
+        |           (bl.sub[i] - list_slice(c.ce, bl.b * 8 + 1, bl.b * 8 + 8)[i]))) AS d2
+        |  FROM blocks bl, cents c),
+        |best AS (
+        |  SELECT vec_id, b, c_id, d2,
+        |    row_number() OVER (PARTITION BY vec_id, b ORDER BY d2 ASC, c_id ASC) AS rn
+        |  FROM scored)
+        |SELECT vec_id,
+        |  string_agg(CAST(c_id AS VARCHAR), '' ORDER BY b) AS code,
+        |  round(sum(d2) / 64.0, 6) AS recon_mse
+        |FROM best WHERE rn = 1
+        |GROUP BY vec_id ORDER BY vec_id""".stripMargin)(vectorPq),
 
     OpQuery("op_text_repetition",
       """WITH planted AS (
