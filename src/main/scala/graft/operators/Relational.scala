@@ -259,6 +259,42 @@ object Relational {
       .orderBy("event_type", "tsf", "event_id")
   }
 
+  // ---- B10d: funnel analysis -------------------------------------------------
+
+  /** Ordered-funnel conversion — how many users progressed
+    * view → click within 1 h of it → purchase within 1 h of that click
+    * (event ORDER and the per-step conversion window both matter: a
+    * click before the first view, or hours after it, does not count).
+    * Stage milestones chain as three conditional min-aggregations,
+    * each keyed on user_id — the first groupBy's hash partitioning is
+    * reused by every later join and aggregation on the same key, so
+    * the chain costs one logical user_id shuffle of skinny
+    * (user_id, ts) rows, then a broadcast-sized stage rollup. */
+  def funnel(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), date_trunc("second", col("ts")).as("tsec"))
+    val hour = expr("INTERVAL 1 HOUR")
+    val v = e.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("tsec").as("t1"))
+    val c = e.join(v, "user_id")
+      .filter(col("event_type") === "click" &&
+        col("tsec") > col("t1") && col("tsec") <= col("t1") + hour)
+      .groupBy("user_id").agg(min("tsec").as("t2"))
+    val p = e.join(c, "user_id")
+      .filter(col("event_type") === "purchase" &&
+        col("tsec") > col("t2") && col("tsec") <= col("t2") + hour)
+      .groupBy("user_id").agg(min("tsec").as("t3"))
+    e.select("user_id").distinct()
+      .join(v, Seq("user_id"), "left")
+      .join(c, Seq("user_id"), "left")
+      .join(p, Seq("user_id"), "left")
+      .select(col("user_id"),
+        when(col("t3").isNotNull, 3).when(col("t2").isNotNull, 2)
+          .when(col("t1").isNotNull, 1).otherwise(0).as("stage"))
+      .groupBy("stage").agg(count(lit(1)).as("n_users"))
+      .orderBy("stage")
+  }
+
   // ---- B10c: time-series gap fill -------------------------------------------
 
   /** Dense hourly series per event type with ZERO-FILLED missing hours
@@ -502,6 +538,29 @@ object Relational {
         |WINDOW w AS (PARTITION BY event_type ORDER BY es
         |             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
         |ORDER BY event_type, tsf, event_id""".stripMargin)(windowRangeFrame),
+
+    OpQuery("op_funnel",
+      """WITH e AS (
+        |  SELECT user_id, event_type, date_trunc('second', ts) AS tsec FROM events),
+        |v AS (SELECT user_id, min(tsec) AS t1 FROM e WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(e.tsec) AS t2
+        |      FROM e JOIN v USING (user_id)
+        |      WHERE e.event_type = 'click'
+        |        AND e.tsec > v.t1 AND e.tsec <= v.t1 + INTERVAL 1 HOUR
+        |      GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(e.tsec) AS t3
+        |      FROM e JOIN c USING (user_id)
+        |      WHERE e.event_type = 'purchase'
+        |        AND e.tsec > c.t2 AND e.tsec <= c.t2 + INTERVAL 1 HOUR
+        |      GROUP BY e.user_id),
+        |staged AS (
+        |  SELECT u.user_id,
+        |    CASE WHEN p.t3 IS NOT NULL THEN 3 WHEN c.t2 IS NOT NULL THEN 2
+        |         WHEN v.t1 IS NOT NULL THEN 1 ELSE 0 END AS stage
+        |  FROM (SELECT DISTINCT user_id FROM e) u
+        |  LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id))
+        |SELECT CAST(stage AS INTEGER) AS stage, count(*) AS n_users
+        |FROM staged GROUP BY stage ORDER BY stage""".stripMargin)(funnel),
 
     OpQuery("op_ts_gapfill",
       """WITH e AS (
