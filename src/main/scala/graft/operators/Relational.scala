@@ -217,19 +217,23 @@ object Relational {
   // ---- B4b: salted join (known-skew mitigation) ------------------------------
 
   /** The deterministic skew answer as a graded operator: lineitem's
-    * orders join keyed with an 8-way salt ([[Skew.saltedJoin]] — fact
-    * rows spread by `pmod(hash(uniqueish), 8)`, dim exploded 8×, join
+    * orders join keyed with a 4-way salt ([[Skew.saltedJoin]] — fact
+    * rows spread by `pmod(hash(uniqueish), 4)`, dim exploded 4×, join
     * on (key, salt)). Salting is RESULT-invariant, so the oracle is
     * the plain equi-join — the hash-match proves the mitigation
     * changes the shuffle layout and nothing else. AQE's runtime skew
     * split covers unknown skew; this is the plan-time form for skew
-    * known in advance (SURVEY §6). */
+    * known in advance (SURVEY §6). The bench corpus is NOT skewed, so
+    * this row pays the dim-inflation price without the hot-reducer
+    * win it buys on real skew — 4 salts keeps the demonstration
+    * honest without overpaying (a real deployment sizes salts to the
+    * observed hot-key multiplicity). */
   def joinSkewSalted(s: SparkSession, dir: String): DataFrame = {
     val fact = Tables.lineitem(s, dir)
       .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
     val dim = Tables.orders(s, dir)
       .select(col("o_orderkey").as("l_orderkey"), col("o_orderdate"), col("o_totalprice"))
-    Skew.saltedJoin(fact, dim, "l_orderkey", salts = 8,
+    Skew.saltedJoin(fact, dim, "l_orderkey", salts = 4,
         saltBy = col("l_linenumber"))
       .select(col("l_orderkey"), col("l_linenumber"),
         round(col("l_quantity"), 2).as("qty"),
