@@ -274,9 +274,15 @@ object Relational {
     * reused by every later join and aggregation on the same key, so
     * the chain costs one logical user_id shuffle of skinny
     * (user_id, ts) rows, then a broadcast-sized stage rollup. */
-  def funnel(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables.events(s, dir)
-      .select(col("user_id"), col("event_type"), date_trunc("second", col("ts")).as("tsec"))
+  def funnel(s: SparkSession, dir: String): DataFrame =
+    funnelStages(Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), date_trunc("second", col("ts")).as("tsec")))
+      .groupBy("stage").agg(count(lit(1)).as("n_users"))
+      .orderBy("stage")
+
+  /** Per-user stage over any (user_id, event_type, tsec) frame —
+    * shared by the graded op and the rule-pinning spec. */
+  private[graft] def funnelStages(e: DataFrame): DataFrame = {
     val hour = expr("INTERVAL 1 HOUR")
     val v = e.filter(col("event_type") === "view")
       .groupBy("user_id").agg(min("tsec").as("t1"))
@@ -295,8 +301,6 @@ object Relational {
       .select(col("user_id"),
         when(col("t3").isNotNull, 3).when(col("t2").isNotNull, 2)
           .when(col("t1").isNotNull, 1).otherwise(0).as("stage"))
-      .groupBy("stage").agg(count(lit(1)).as("n_users"))
-      .orderBy("stage")
   }
 
   // ---- B10c: time-series gap fill -------------------------------------------
