@@ -33,12 +33,22 @@ class PlanEvidenceSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), s"top-k materialized a global sort:\n$p")
   }
 
-  test("near-dup ops: no cartesian or nested-loop join anywhere") {
-    for (name <- Seq("op_dedup_minhash", "op_dedup_simhash", "op_dedup_embedding",
-        "op_dedup_exact", "op_dedup_ngram_jaccard")) {
-      val p = plan(name)
-      assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product")
-      assert(!p.contains("BroadcastNestedLoopJoin"), s"$name plans a nested-loop join")
+  test("NO query in the registry plans an unbounded cartesian/nested-loop join") {
+    // ops whose plan DELIBERATELY cross-expands against a broadcast side
+    // that is dimension-sized by construction (query rows, centroids,
+    // codebooks, an hour/type grid) — bounded, never corpus × corpus
+    val deliberateBroadcastExpand = Set(
+      "op_similarity_topk",  // 10 broadcast query rows — documented exact baseline
+      "op_similarity_ivf",   // 8 broadcast centroids (cell assign)
+      "op_vector_pq",        // 4 broadcast codebook entries per block
+      "op_ts_gapfill")       // hour×type grid, volume-independent
+    for (q <- Registry.all) {
+      val p = plan(q.name)
+      assert(!p.contains("CartesianProduct"),
+        s"${q.name} plans an unbroadcast cartesian product:\n$p")
+      if (!deliberateBroadcastExpand(q.name))
+        assert(!p.contains("BroadcastNestedLoopJoin"),
+          s"${q.name} plans a nested-loop join:\n$p")
     }
   }
 
