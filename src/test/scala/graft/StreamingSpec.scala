@@ -106,6 +106,54 @@ class StreamingSpec extends AnyFunSuite {
     assert(total === base.size * 4L)
   }
 
+  test("B22b sliding append mode: closed windows emit once the watermark passes") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val name = s"sink_${System.nanoTime()}"
+    val q = Streaming.slidingPlan(mem.toDF(), streaming = true).writeStream
+      .format("memory").queryName(name).outputMode("append").start()
+    try {
+      mem.addData(base: _*)
+      q.processAllAvailable()
+      // append emits nothing until windows CLOSE; push the watermark
+      // (max 12:40 + far jump - 1h delay) past every base window's end
+      mem.addData(Ev(100, t("2024-01-02 20:00:00"), 9, "view", 0.1, "{}"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val emitted = spark.table(name)
+    // the closed windows match the batch plan over the base events
+    val batch = Streaming.slidingPlan(base.toDF(), streaming = false)
+    assert(sortedRows(emitted) === sortedRows(batch),
+      "append-mode emissions after watermark advance must equal the batch windows")
+  }
+
+  test("B24c interval join: a click arriving after state eviction does not match") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val name = s"sink_${System.nanoTime()}"
+    val q = Streaming.intervalJoinPlan(mem.toDF(), mem.toDF(), streaming = true)
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      mem.addData(Ev(1, t("2024-01-01 10:00:00"), 1, "view", 0.0, "{}"))
+      q.processAllAvailable()
+      // push both watermarks far past the view's join window (1h delay
+      // + 2h interval); the GLOBAL watermark is the min over both
+      // sides' nodes, so BOTH the view and click branches need a
+      // far-future row (different users — they must not match each
+      // other). The buffered view becomes unmatchable and is evicted.
+      mem.addData(
+        Ev(2, t("2024-01-02 10:00:00"), 2, "view", 0.0, "{}"),
+        Ev(99, t("2024-01-02 10:00:00"), 3, "click", 0.0, "{}"))
+      q.processAllAvailable()
+      // a matching click, but its event time is now far behind the
+      // watermark: late input is dropped, no pair may appear
+      mem.addData(Ev(3, t("2024-01-01 10:30:00"), 1, "click", 5.0, "{}"))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(spark.table(name).isEmpty,
+      "evicted state must not produce join output from late arrivals")
+  }
+
   test("B24c interval join: stream-stream self-join matches the batch join") {
     val events = Seq(
       Ev(1, t("2024-01-01 10:00:00"), 1, "view", 0.0, "{}"),
