@@ -18,16 +18,19 @@ import graft.functions.DataConverter
 class FuzzConverterSpec extends AnyFunSuite {
 
   private val mapper = new ObjectMapper()
+  // two independent seeds (tools/fuzz_gen2.py defaults + seed 20260812)
   private val docs = {
     import scala.jdk.CollectionConverters._
-    val in = getClass.getResourceAsStream("/fuzz_converter.json")
-    require(in != null, "fuzz_converter.json missing from test resources")
-    val root = try mapper.readTree(in) finally in.close()
-    root.get("docs").elements().asScala.toSeq
+    Seq("/fuzz_converter.json", "/fuzz_converter_s2.json").flatMap { res =>
+      val in = getClass.getResourceAsStream(res)
+      require(in != null, s"$res missing from test resources")
+      val root = try mapper.readTree(in) finally in.close()
+      root.get("docs").elements().asScala.toSeq
+    }
   }
 
-  test("fixture sanity: 140 reference-parsed documents") {
-    assert(docs.size == 140)
+  test("fixture sanity: 280 reference-parsed documents over two seeds") {
+    assert(docs.size == 280)
   }
 
   test("DataConverter.parse matches the executed reference on every fuzz document") {

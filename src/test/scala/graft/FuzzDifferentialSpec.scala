@@ -20,21 +20,22 @@ import graft.functions.Fragments
 class FuzzDifferentialSpec extends AnyFunSuite {
 
   private val mapper = new ObjectMapper()
-  private val root = {
-    val in = getClass.getResourceAsStream("/fuzz_detector.json")
-    require(in != null, "fuzz_detector.json missing from test resources")
-    try mapper.readTree(in) finally in.close()
-  }
+  // two independent seeds (tools/fuzz_gen.py defaults + seed 424242)
   private val docs = {
     import scala.jdk.CollectionConverters._
-    root.get("docs").elements().asScala.toSeq
+    Seq("/fuzz_detector.json", "/fuzz_detector_s2.json").flatMap { res =>
+      val in = getClass.getResourceAsStream(res)
+      require(in != null, s"$res missing from test resources")
+      val root = try mapper.readTree(in) finally in.close()
+      root.get("docs").elements().asScala.toSeq
+    }
   }
 
-  test("fixture sanity: 160 docs (80 adversarial incl. unicode), >1000 reference fragments") {
-    assert(docs.size == 160)
-    assert(docs.map(_.get("fragments").size()).sum > 1000)
+  test("fixture sanity: 320 docs over two seeds, >2000 reference fragments") {
+    assert(docs.size == 320)
+    assert(docs.map(_.get("fragments").size()).sum > 2000)
     // unicode guard: the corpus must exercise Python-\w-vs-Java-\w paths
-    assert(docs.count(_.get("text").asText.exists(_ > 127)) >= 10)
+    assert(docs.count(_.get("text").asText.exists(_ > 127)) >= 20)
   }
 
   test("detector reproduces every reference fragment span, type and confidence") {
