@@ -263,6 +263,40 @@ object Relational {
       .orderBy("event_type", "tsf", "event_id")
   }
 
+  // ---- B14b: pivot / unpivot (reshape) ---------------------------------------
+
+  /** Wide-format reshape: per-source document counts and char sums
+    * pivoted into one column per language. The pivot values are an
+    * EXPLICIT list — Spark otherwise runs an extra distinct pass to
+    * discover them, and an unbounded value set would mint unbounded
+    * columns; a 100 TB pipeline pins the dictionary. One shuffle
+    * (groupBy source), pivot cells are ordinary conditional
+    * aggregates inside the same hash agg. */
+  def pivotLang(sp: SparkSession, dir: String): DataFrame =
+    Tables.documents(sp, dir)
+      .groupBy("source")
+      .pivot("lang", Seq("de", "en", "es", "fr", "zh"))
+      .agg(count(lit(1)))
+      .select(col("source") +: Seq("de", "en", "es", "fr", "zh")
+        .map(l => coalesce(col(l), lit(0L)).as(s"n_$l")): _*)
+      .orderBy("source")
+
+  /** Long-format reshape (melt): the per-flag aggregate battery
+    * unpivoted to (flag, measure, value) rows via `stack` — the
+    * inverse of [[pivotLang]], used when downstream wants
+    * measure-generic processing. Map-side expansion after one
+    * aggregation; row count = groups × measures. */
+  def unpivotMeasures(sp: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(sp, dir)
+      .groupBy("l_returnflag")
+      .agg(round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_price"),
+        round(avg("l_discount"), 6).as("avg_disc"))
+      .select(col("l_returnflag"), expr(
+        "stack(3, 'sum_qty', sum_qty, 'sum_price', sum_price, 'avg_disc', avg_disc)"
+      ).as(Seq("measure", "value")))
+      .orderBy("l_returnflag", "measure")
+
   // ---- B10d: funnel analysis -------------------------------------------------
 
   /** Ordered-funnel conversion — how many users progressed
@@ -546,6 +580,28 @@ object Relational {
         |WINDOW w AS (PARTITION BY event_type ORDER BY es
         |             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
         |ORDER BY event_type, tsf, event_id""".stripMargin)(windowRangeFrame),
+
+    OpQuery("op_pivot",
+      """SELECT source,
+        |  count(*) FILTER (lang = 'de') AS n_de,
+        |  count(*) FILTER (lang = 'en') AS n_en,
+        |  count(*) FILTER (lang = 'es') AS n_es,
+        |  count(*) FILTER (lang = 'fr') AS n_fr,
+        |  count(*) FILTER (lang = 'zh') AS n_zh
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin)(pivotLang),
+
+    OpQuery("op_unpivot",
+      """WITH agg AS (
+        |  SELECT l_returnflag,
+        |    round(sum(l_quantity), 2) AS sum_qty,
+        |    round(sum(l_extendedprice), 2) AS sum_price,
+        |    round(avg(l_discount), 6) AS avg_disc
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, measure, value FROM (
+        |  SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS value FROM agg
+        |  UNION ALL SELECT l_returnflag, 'sum_price', sum_price FROM agg
+        |  UNION ALL SELECT l_returnflag, 'avg_disc', avg_disc FROM agg)
+        |ORDER BY l_returnflag, measure""".stripMargin)(unpivotMeasures),
 
     OpQuery("op_funnel",
       """WITH e AS (
