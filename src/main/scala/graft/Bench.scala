@@ -73,8 +73,14 @@ object Bench {
       case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
       case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
     } + "\""
-    val errJson = errors.toSeq.sortBy(_._1)
-      .map { case (k, v) => jq(k) + ":" + jq(v) }.mkString("{", ",", "}")
+    // errLen bounds each error string so a few verbose failures cannot
+    // blow the stdout line past the driver's capture window (full
+    // detail is always in the side file); 0 drops the bodies entirely
+    // (n_failed still reports the count)
+    def errJson(errLen: Int): String =
+      if (errLen == 0) "{}"
+      else errors.toSeq.sortBy(_._1)
+        .map { case (k, v) => jq(k) + ":" + jq(v.take(errLen)) }.mkString("{", ",", "}")
     val total = best.values.sum
 
     // Locale.ROOT: a de_DE-style default locale would render "39,938"
@@ -89,7 +95,8 @@ object Bench {
       * (if set) keeps only the slowest N per-query entries and folds
       * the rest into `_others_n`/`_others_sec` (full detail is always
       * in the side file). */
-    def render(stripPrefix: Boolean, dec: Int, topN: Option[Int] = None): String = {
+    def render(stripPrefix: Boolean, dec: Int, topN: Option[Int] = None,
+        errLen: Int = 120): String = {
       val fmt = fmtAt(dec) _
       val kept = topN match {
         case Some(k) => names.sortBy(n => -best.getOrElse(n, -1.0)).take(k).sorted
@@ -111,7 +118,7 @@ object Bench {
       val prefix = if (stripPrefix) ""","key_prefix":"op_"""" else ""
       s"""{"metric":"total","value":${fmtAt(3)(total)},"unit":"sec",""" +
         s""""queries":${entries.mkString("{", ",", "}")}$others,"sf":"$sfDir","runs":$runs,""" +
-        s""""n_failed":${errors.size},"errors":$errJson$prefix}"""
+        s""""n_failed":${errors.size},"errors":${errJson(errLen)}$prefix}"""
     }
 
     // Full precision always goes to the side file (BENCH_r02/r03 lesson:
@@ -120,7 +127,7 @@ object Bench {
     // "[success] Total time" line). Degrade the stdout line until it
     // fits: full keys -> strip the op_ prefix -> coarser decimals ->
     // slowest-N entries plus an _others rollup.
-    val full = render(stripPrefix = false, dec = 6)
+    val full = render(stripPrefix = false, dec = 6, errLen = 200)
     try Files.writeString(Paths.get(outPath), full + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] write $outPath: $e") }
     val budget = 1900
@@ -128,9 +135,9 @@ object Bench {
       Seq((false, 3), (true, 3), (true, 2), (true, 1)).iterator
         .map { case (p, d) => render(p, d) } ++
       Iterator.iterate(names.size - 5)(_ - 5).takeWhile(_ > 0)
-        .map(k => render(stripPrefix = true, dec = 2, topN = Some(k)))
+        .map(k => render(stripPrefix = true, dec = 2, topN = Some(k), errLen = 0))
     val line = ladder.find(_.length <= budget)
-      .getOrElse(render(stripPrefix = true, dec = 1, topN = Some(10)))
+      .getOrElse(render(stripPrefix = true, dec = 1, topN = Some(10), errLen = 0))
     println(line)
     spark.stop()
   }

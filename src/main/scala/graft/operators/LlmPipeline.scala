@@ -28,13 +28,17 @@ object LlmPipeline {
   /** Exact dedup by digest of whitespace/case-normalized text. The
     * corpus is unioned with an uppercased copy of the even docs, so the
     * dedup provably collapses real duplicates (n_dups=2) while keeping
-    * singletons. At 100 TB: one hash-partitioned aggregation on a
+    * singletons. Planted copies are re-keyed odd/even (originals 2·id,
+    * copies 2·id+1) — collision-free at ANY corpus size, where a fixed
+    * +K offset would silently duplicate keys once real ids reach K.
+    * At 100 TB: one hash-partitioned aggregation on a
     * 32-char digest — no window, no skew (digests are uniform), partial
     * aggs map-side. */
   def dedupExact(sp: SparkSession, dir: String): DataFrame = {
-    val base = docs(sp, dir).select(col("doc_id"), col("text"))
-    val dups = base.filter(col("doc_id") % 2 === 0)
-      .select((col("doc_id") + 10000).as("doc_id"), upper(col("text")).as("text"))
+    val base = docs(sp, dir)
+      .select((col("doc_id") * 2).as("doc_id"), col("text"))
+    val dups = base.filter(col("doc_id") % 4 === 0)
+      .select((col("doc_id") + 1).as("doc_id"), upper(col("text")).as("text"))
     val all = base.union(dups)
     val normed = all.withColumn("key",
       md5(lower(trim(regexp_replace(col("text"), "\\s+", " ")))))
@@ -80,11 +84,15 @@ object LlmPipeline {
           element_at(col("sig"), b * BandSize + 2)))
       }: _*)).as(Seq("band_id", "band_key")))
 
-  /** The minhash corpus (base ∪ planted variants) for a dir. */
+  /** The minhash corpus (base ∪ planted variants) for a dir. Originals
+    * are re-keyed 2·id and planted variants 2·id+1 (odd/even — unique
+    * at any corpus size, unlike a fixed +K offset that collides once
+    * real ids reach K). */
   private[graft] def minhashCorpus(sp: SparkSession, dir: String): DataFrame = {
-    val base = docs(sp, dir).select(col("doc_id"), col("text"))
-    val variants = base.filter(col("doc_id") % 5 === 0)
-      .select((col("doc_id") + 10000).as("doc_id"),
+    val base = docs(sp, dir)
+      .select((col("doc_id") * 2).as("doc_id"), col("text"))
+    val variants = base.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 1).as("doc_id"),
         concat(col("text"), lit(" extraneous")).as("text"))
     base.union(variants)
   }
@@ -315,9 +323,9 @@ object LlmPipeline {
   val queries: Seq[OpQuery] = Seq(
     OpQuery("op_dedup_exact",
       """WITH unioned AS (
-        |  SELECT doc_id, text FROM documents
+        |  SELECT doc_id * 2 AS doc_id, text FROM documents
         |  UNION ALL
-        |  SELECT doc_id + 10000, upper(text) FROM documents WHERE doc_id % 2 = 0)
+        |  SELECT doc_id * 2 + 1, upper(text) FROM documents WHERE doc_id % 2 = 0)
         |SELECT min(doc_id) AS keep_id, count(*) AS n_dups
         |FROM (SELECT doc_id, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS key
         |      FROM unioned)
@@ -325,9 +333,9 @@ object LlmPipeline {
 
     OpQuery("op_dedup_minhash",
       """WITH unioned AS (
-        |  SELECT doc_id, text FROM documents
+        |  SELECT doc_id * 2 AS doc_id, text FROM documents
         |  UNION ALL
-        |  SELECT doc_id + 10000, concat(text, ' extraneous') FROM documents WHERE doc_id % 5 = 0),
+        |  SELECT doc_id * 2 + 1, concat(text, ' extraneous') FROM documents WHERE doc_id % 5 = 0),
         |shingled AS (
         |  SELECT doc_id,
         |    list_transform(range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
@@ -361,9 +369,9 @@ object LlmPipeline {
     // by recursive CTE where Spark runs BSP label propagation
     OpQuery("op_dedup_cc",
       """WITH RECURSIVE unioned AS (
-        |  SELECT doc_id, text FROM documents
+        |  SELECT doc_id * 2 AS doc_id, text FROM documents
         |  UNION ALL
-        |  SELECT doc_id + 10000, concat(text, ' extraneous') FROM documents WHERE doc_id % 5 = 0),
+        |  SELECT doc_id * 2 + 1, concat(text, ' extraneous') FROM documents WHERE doc_id % 5 = 0),
         |shingled AS (
         |  SELECT doc_id,
         |    list_transform(range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),

@@ -94,15 +94,19 @@ object TrainingData {
     * truth the MinHash/SimHash approximations are judged against. At
     * scale this runs on CANDIDATE pairs from B17/B25, never all-pairs. */
   def dedupNgramJaccard(sp: SparkSession, dir: String): DataFrame = {
+    // odd/even re-keying: originals 2·id, planted variants 2·id+1 —
+    // collision-free at any corpus size (a fixed +K offset would
+    // silently duplicate keys once real ids reach K)
     val base = TextShingles.withShingles(
-      docs(sp, dir).select(col("doc_id"), col("text")), col("text"))
+      docs(sp, dir).select((col("doc_id") * 2).as("doc_id"), col("text")), col("text"))
       .select(col("doc_id"), array_distinct(col("shingles")).as("sa"))
     val variants = TextShingles.withShingles(
       docs(sp, dir).filter(col("doc_id") % 5 === 0)
-        .select(col("doc_id"), concat(col("text"), lit(" extraneous")).as("text")),
+        .select((col("doc_id") * 2 + 1).as("doc_id"),
+          concat(col("text"), lit(" extraneous")).as("text")),
       col("text"))
-      .select((col("doc_id") + 10000).as("doc_b"), array_distinct(col("shingles")).as("sb"))
-    base.join(variants, col("doc_b") === col("doc_id") + 10000)
+      .select(col("doc_id").as("doc_b"), array_distinct(col("shingles")).as("sb"))
+    base.join(variants, col("doc_b") === col("doc_id") + 1)
       .withColumn("ni", size(array_intersect(col("sa"), col("sb"))))
       .select(col("doc_id").as("doc_a"), col("doc_b"),
         round(col("ni").cast("double") /
@@ -145,10 +149,13 @@ object TrainingData {
     * (vec_id, e, bk), exposed so tests can measure real bucket sizes
     * against the cap. */
   private[graft] def embeddingBucketed(sp: SparkSession, dir: String): DataFrame = {
+    // odd/even re-keying (originals 2·id, perturbed copies 2·id+1):
+    // unique at any corpus size, unlike a fixed +K offset
     val base = Tables.embeddings(sp, dir)
-      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("e"))
-    val variants = base.filter(col("vec_id") % 5 === 0)
-      .select((col("vec_id") + 10000).as("vec_id"),
+      .select((col("vec_id") * 2).as("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("e"))
+    val variants = base.filter(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + 1).as("vec_id"),
         transform(col("e"), (x, i) => when(i === 0, x + 0.01).otherwise(x)).as("e"))
     base.union(variants).withColumn("bk", bucketOf(col("e")))
   }
@@ -452,7 +459,7 @@ object TrainingData {
     * answers out of the training set: flag every training document
     * sharing a word 3-gram with a held-out eval set. Corpus: docs with
     * doc_id % 25 == 0 are the eval set; the rest train, plus planted
-    * leaks (each eval doc re-keyed +20000 with a 2-word prefix) so the
+    * leaks (each eval doc re-keyed odd/even, 2·id+1, with a 2-word prefix) so the
     * detection is provably non-vacuous.
     *
     * 100 TB shape: the eval side of a decontamination pass is always
@@ -463,10 +470,14 @@ object TrainingData {
     * n-grams travel as md5 digests, not text, keeping the exchange
     * narrow and engine-portable. */
   def decontaminate(sp: SparkSession, dir: String): DataFrame = {
-    val base = docs(sp, dir).select(col("doc_id"), col("text"))
-    val heldout = base.filter(col("doc_id") % 25 === 0)
-    val train = base.filter(col("doc_id") % 25 =!= 0)
-      .union(heldout.select((col("doc_id") + 20000).as("doc_id"),
+    // odd/even re-keying: every real doc carries 2·id, every planted
+    // leak 2·id+1 — ids stay unique at ANY corpus size, so the train
+    // left-join below cannot silently change cardinality (a fixed +K
+    // offset would collide once real ids reach K)
+    val base = docs(sp, dir).select((col("doc_id") * 2).as("doc_id"), col("text"))
+    val heldout = base.filter(col("doc_id") % 50 === 0)
+    val train = base.filter(col("doc_id") % 50 =!= 0)
+      .union(heldout.select((col("doc_id") + 1).as("doc_id"),
         concat(lit("leaked copy "), col("text")).as("text")))
     val evalGrams = TextShingles.withShingles(heldout, col("text"))
       .select(explode(col("shingles")).as("sh"))
@@ -703,9 +714,9 @@ object TrainingData {
   val queries: Seq[OpQuery] = Seq(
     OpQuery("op_dedup_simhash",
       s"""WITH unioned AS (
-        |  SELECT doc_id, text FROM documents
+        |  SELECT doc_id * 2 AS doc_id, text FROM documents
         |  UNION ALL
-        |  SELECT doc_id + 10000, concat(text, ' extraneous') FROM documents WHERE doc_id % 5 = 0),
+        |  SELECT doc_id * 2 + 1, concat(text, ' extraneous') FROM documents WHERE doc_id % 5 = 0),
         |shingled AS (SELECT doc_id, $shSql AS sh FROM unioned),
         |hashes AS (SELECT doc_id, unnest(list_transform(sh, x -> md5(x))) AS h FROM shingled),
         |bits AS (
@@ -732,23 +743,23 @@ object TrainingData {
 
     OpQuery("op_dedup_ngram_jaccard",
       s"""WITH base AS (
-        |  SELECT doc_id, list_distinct($shSql) AS sa FROM documents),
+        |  SELECT doc_id * 2 AS doc_id, list_distinct($shSql) AS sa FROM documents),
         |vars AS (
-        |  SELECT doc_id + 10000 AS doc_b, list_distinct($shSql) AS sb
+        |  SELECT doc_id * 2 + 1 AS doc_b, list_distinct($shSql) AS sb
         |  FROM (SELECT doc_id, concat(text, ' extraneous') AS text
         |        FROM documents WHERE doc_id % 5 = 0)),
         |joined AS (
         |  SELECT base.doc_id AS doc_a, vars.doc_b,
         |    len(list_intersect(sa, sb)) AS ni, len(sa) AS la, len(sb) AS lb
-        |  FROM base JOIN vars ON vars.doc_b = base.doc_id + 10000)
+        |  FROM base JOIN vars ON vars.doc_b = base.doc_id + 1)
         |SELECT doc_a, doc_b, round(CAST(ni AS DOUBLE) / (la + lb - ni), 6) AS jaccard
         |FROM joined ORDER BY doc_a""".stripMargin)(dedupNgramJaccard),
 
     OpQuery("op_dedup_embedding",
       s"""WITH corpus AS (
-        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        |  SELECT vec_id * 2 AS vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
         |  UNION ALL
-        |  SELECT vec_id + 10000,
+        |  SELECT vec_id * 2 + 1,
         |    list_transform(CAST(embedding AS DOUBLE[]),
         |      (x, i) -> CASE WHEN i = 1 THEN x + 0.01 ELSE x END)
         |  FROM embeddings WHERE vec_id % 5 = 0),
@@ -894,11 +905,11 @@ object TrainingData {
         |FROM documents ORDER BY doc_id""".stripMargin)(multimodalFeatures),
 
     OpQuery("op_decontaminate",
-      s"""WITH heldout AS (SELECT doc_id, text FROM documents WHERE doc_id % 25 = 0),
+      s"""WITH heldout AS (SELECT doc_id * 2 AS doc_id, text FROM documents WHERE doc_id % 25 = 0),
         |train AS (
-        |  SELECT doc_id, text FROM documents WHERE doc_id % 25 <> 0
+        |  SELECT doc_id * 2 AS doc_id, text FROM documents WHERE doc_id % 25 <> 0
         |  UNION ALL
-        |  SELECT doc_id + 20000, concat('leaked copy ', text) FROM heldout),
+        |  SELECT doc_id + 1, concat('leaked copy ', text) FROM heldout),
         |eg AS (SELECT DISTINCT md5(g) AS g
         |       FROM (SELECT unnest($shSql) AS g FROM heldout)),
         |tg AS (SELECT doc_id, md5(g) AS g

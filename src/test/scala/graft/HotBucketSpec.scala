@@ -40,22 +40,30 @@ class HotBucketSpec extends AnyFunSuite {
 
   // the op unions a variant cluster (text + " extraneous") onto the
   // base cluster, so the degenerate corpus has TWO all-identical
-  // clusters, each independently capped: bound = 2 × C(cap, 2).
-  // Uncapped, the base cluster alone would emit C(500,2) = 124,750.
+  // clusters. Every band bucket is capped to C(cap, 2) pairs, and a
+  // band holds at most 2 buckets here, so the distinct union over all
+  // bands is ≤ bands × 2 × C(cap, 2). The per-band keep-sets can
+  // DIFFER (the odd/even planted ids interleave with base ids, so a
+  // band where the clusters share a bucket keeps a different
+  // 64-smallest-id set than a band where they don't), which is why
+  // the bound is per band, not per cluster. Uncapped, the base
+  // cluster alone would emit C(500,2) = 124,750.
 
-  test("minhash: N identical docs yield at most 2*C(cap,2) candidate pairs") {
+  test("minhash: N identical docs yield bounded candidate pairs (≤ 4 bands × 2 × C(cap,2))") {
     val n = LlmPipeline.dedupMinhash(spark, dir).count()
-    assert(n > 0 && n <= 2 * maxPairs(LlmPipeline.MaxBucketDocs),
+    assert(n > 0 && n <= 4 * 2 * maxPairs(LlmPipeline.MaxBucketDocs),
       s"candidate pairs $n exceed the bucket-cap bound")
   }
 
-  test("simhash: N identical docs yield at most 2*C(cap,2) confirmed pairs") {
+  test("simhash: N identical docs yield bounded confirmed pairs (≤ 6 combos × 2 × C(cap,2))") {
     val n = TrainingData.dedupSimhash(spark, dir).count()
-    assert(n > 0 && n <= 2 * maxPairs(LlmPipeline.MaxBucketDocs),
+    assert(n > 0 && n <= 6 * 2 * maxPairs(LlmPipeline.MaxBucketDocs),
       s"candidate pairs $n exceed the bucket-cap bound")
   }
 
   test("embedding: N identical vectors yield at most 2*C(cap,2) pairs") {
+    // one sign bucket per cluster (the bucket key is the embedding's
+    // sign pattern, not a band) — the 2-cluster bound stays exact
     val n = TrainingData.dedupEmbedding(spark, dir).count()
     assert(n > 0 && n <= 2 * maxPairs(TrainingData.MaxBucketVecs),
       s"candidate pairs $n exceed the bucket-cap bound")

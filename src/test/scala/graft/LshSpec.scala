@@ -76,8 +76,9 @@ class LshSpec extends AnyFunSuite {
   test("planted embedding near-dups are found with cosine ~1") {
     val pairs = TrainingData.dedupEmbedding(spark, dir).collect()
     assert(pairs.nonEmpty)
-    val planted = pairs.filter(r => r.getLong(1) == r.getLong(0) + 10000)
-    assert(planted.nonEmpty, "some planted (v, v+10000) perturbed pairs must survive bucketing")
+    // planted perturbed copies carry 2·v+1 against the original's 2·v
+    val planted = pairs.filter(r => r.getLong(0) % 2 == 0 && r.getLong(1) == r.getLong(0) + 1)
+    assert(planted.nonEmpty, "some planted (2v, 2v+1) perturbed pairs must survive bucketing")
     planted.foreach(r => assert(r.getAs[Double]("cos") >= 0.995))
   }
 }

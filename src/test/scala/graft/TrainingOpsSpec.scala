@@ -16,7 +16,8 @@ class TrainingOpsSpec extends AnyFunSuite {
   test("decontaminate: every planted leak is flagged, via a broadcast join") {
     val out = TrainingData.decontaminate(spark, dir)
     val rows = out.collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
-    val leaks = rows.filter(_._1 >= 20000)
+    // planted leaks carry odd ids (2·id+1); real docs are even (2·id)
+    val leaks = rows.filter(_._1 % 2 == 1)
     assert(leaks.nonEmpty, "no planted leaks in the corpus")
     assert(leaks.forall(_._3), "a planted leak escaped detection")
     assert(leaks.forall(_._2 >= 1))
