@@ -195,8 +195,18 @@ object LlmPipeline {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .cache()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("comp", col("id"))
+    // Seed comp = min(id, min neighbor) instead of comp = id: one
+    // aggregation over the edge list (no jump join, no changed-agg —
+    // cheaper than a superstep) that completes every single-bucket
+    // CLIQUE immediately. Near-dup graphs are overwhelmingly such
+    // cliques, so the loop's first changed-count is usually already 0
+    // and the whole closure costs ONE superstep instead of a
+    // propagate+confirm pair; multi-bucket clusters start one hop
+    // ahead. Both directions are in `edges`, so every node appears as
+    // src and no node is lost by the groupBy.
+    var labels = edges.groupBy(col("src").as("id"))
+      .agg(min(col("dst")).as("nbr"))
+      .select(col("id"), least(col("id"), col("nbr")).as("comp"))
       .localCheckpoint()
     // every currently-persisted label frame (at most 2 mid-superstep);
     // the failure path unpersists them ALL, the success path keeps only

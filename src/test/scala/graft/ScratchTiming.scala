@@ -1,0 +1,23 @@
+package graft
+
+/** Scratch point-measure for a single query at a given SF (dev only). */
+object ScratchTiming {
+  def main(args: Array[String]): Unit = {
+    val name = args(0)
+    val dir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val runs = if (args.length > 2) args(2).toInt else 3
+    val spark = api.GraftSession.builder("local[32]", 32)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    sources.Tables.all.filterNot(_ == "events").foreach { t =>
+      try sources.Tables(spark, dir, t).cache().count()
+      catch { case _: Throwable => () }
+    }
+    for (i <- 1 to runs) {
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, dir).write.format("noop").mode("overwrite").save()
+      println(f"[scratch] $name run $i: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+    }
+    spark.stop()
+  }
+}
