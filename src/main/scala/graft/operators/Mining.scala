@@ -1,0 +1,331 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.OpQuery
+import graft.functions.KMeansLite
+import graft.plans.VectorKernels
+import graft.sources.Tables
+
+/** Distributed data-mining operators over the documents/embeddings/
+  * lineitem corpora: the model-adjacent passes a training-data platform
+  * runs AFTER the cleaning ops (clustering the embedding space, ranking
+  * documents for retrieval, statistical language-model scoring, graph
+  * centrality, robust outlier detection).
+  *
+  * Determinism contract (same as the LSH family): every
+  * order-sensitive float (a distributed mean, an in-neighbor sum) is
+  * quantized with `round` at the point where accumulation order could
+  * diverge between engines, so the DuckDB oracle hash-matches exactly.
+  */
+object Mining {
+
+  private def docs(sp: SparkSession, dir: String): DataFrame =
+    Tables.documents(sp, dir)
+
+  // ---- kmeans: graded Lloyd training (the IVF coarse quantizer) -----------
+
+  /** `op_kmeans_train` — 2 Lloyd iterations, k=4, over the embedding
+    * corpus, then the final cell assignment per vector. This grades the
+    * production path `op_similarity_ivf` only points at (its centroids
+    * are fixed corpus vectors so the oracle can derive the cells; HERE
+    * the training loop itself is under the hash check).
+    *
+    * Scale shape (KMeansLite): per iteration one broadcast argmax
+    * assignment (map-side) + one (cell, dim)-keyed partial-avg shuffle
+    * whose payload is k×dims doubles regardless of corpus size; only
+    * the k×dims centroid matrix reaches the driver. Centroid means are
+    * quantized to 6 decimals per iteration (`meanScale`) — the one
+    * order-sensitive accumulation in the loop — which makes every
+    * downstream cosine bit-equal across engines. */
+  def kmeansTrain(sp: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(sp, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val cents = KMeansLite.train(emb, "e", "vec_id", k = 4, iters = 2, meanScale = 6)
+    // final assignment: argmax cosine, ties -> lower cell id (greatest()
+    // over (cos, -cell) structs, the KMeansLite assignment rule)
+    val scored = cents.zipWithIndex.map { case (c, i) =>
+      struct(VectorKernels.cosine(col("e"), array(c.map(lit): _*)).as("cos"),
+        lit(-i).as("negid"))
+    }
+    emb.withColumn("best", greatest(scored: _*))
+      .select(col("vec_id"),
+        (-col("best.negid")).cast("int").as("cell"),
+        round(col("best.cos"), 4).as("cos4"))
+      .orderBy("vec_id")
+  }
+
+  /** DuckDB cosine between a vector column and a centroid list column. */
+  private def cosSql(v: String, c: String): String =
+    s"list_dot_product($v, $c) / (sqrt(list_dot_product($v, $v)) * sqrt(list_dot_product($c, $c)))"
+
+  /** One oracle Lloyd round: assignment CTE against `centIn`, rounded
+    * means, empty-cell fallback to the previous per-dim rows `cIn`. */
+  private def lloydRoundSql(a: String, m: String, cOut: String, centOut: String,
+      centIn: String, cIn: String): String =
+    s"""$a AS (SELECT vec_id, cell FROM (
+      |  SELECT emb.vec_id, $centIn.cell,
+      |    row_number() OVER (PARTITION BY emb.vec_id ORDER BY
+      |      ${cosSql("emb.e", s"$centIn.ce")} DESC, $centIn.cell ASC) AS rn
+      |  FROM emb, $centIn) WHERE rn = 1),
+      |$m AS (SELECT $a.cell, x.d, round(avg(x.v), 6) AS v
+      |  FROM $a JOIN x USING (vec_id) GROUP BY $a.cell, x.d),
+      |$cOut AS (SELECT $cIn.cell, $cIn.d, coalesce($m.v, $cIn.v) AS v
+      |  FROM $cIn LEFT JOIN $m ON $m.cell = $cIn.cell AND $m.d = $cIn.d),
+      |$centOut AS (SELECT cell, list(v ORDER BY d) AS ce FROM $cOut GROUP BY cell)""".stripMargin
+
+  private val kmeansOracle: String =
+    s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      |init AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell, e
+      |  FROM (SELECT vec_id, e FROM emb ORDER BY vec_id LIMIT 4)),
+      |c0 AS (SELECT cell, generate_subscripts(e, 1) AS d, unnest(e) AS v FROM init),
+      |cent0 AS (SELECT cell, list(v ORDER BY d) AS ce FROM c0 GROUP BY cell),
+      |x AS (SELECT vec_id, generate_subscripts(e, 1) AS d, unnest(e) AS v FROM emb),
+      |${lloydRoundSql("a1", "m1", "c1", "cent1", "cent0", "c0")},
+      |${lloydRoundSql("a2", "m2", "c2", "cent2", "cent1", "c1")},
+      |fin AS (SELECT vec_id, cell, cos FROM (
+      |  SELECT emb.vec_id, cent2.cell, ${cosSql("emb.e", "cent2.ce")} AS cos,
+      |    row_number() OVER (PARTITION BY emb.vec_id ORDER BY
+      |      ${cosSql("emb.e", "cent2.ce")} DESC, cent2.cell ASC) AS rn
+      |  FROM emb, cent2) WHERE rn = 1)
+      |SELECT vec_id, cell, round(cos, 4) AS cos4 FROM fin ORDER BY vec_id""".stripMargin
+
+  // ---- pagerank: 3 power iterations on the supplier-part graph ------------
+
+  /** `op_graph_pagerank` — PageRank (damping 0.85, 3 fixed power
+    * iterations) over the undirected supplier↔part bipartite graph from
+    * distinct lineitem pairs; node ids are odd/even re-keyed (2·suppkey
+    * / 2·partkey+1 — the collision-free keying, never a fixed offset).
+    *
+    * Scale shape: the canonical Spark iterative-graph loop — edges
+    * cached once, each iteration is ONE contribution join (edge src ⋈
+    * rank) + ONE dst-keyed min-shuffle-width sum; ranks are
+    * `localCheckpoint`ed per iteration so iteration N never replays
+    * 1..N-1 (same discipline as the CC closure). Undirected edges mean
+    * every node has degree ≥ 1 — no dangling-mass redistribution
+    * term. The in-neighbor sum is the order-sensitive accumulation:
+    * quantized to 9 decimals per iteration. */
+  def graphPagerank(sp: SparkSession, dir: String): DataFrame = {
+    val d = 0.85
+    val pairs = Tables.lineitem(sp, dir)
+      .select((col("l_suppkey") * 2).as("a"), (col("l_partkey") * 2 + 1).as("b"))
+      .distinct()
+    val edges = pairs
+      .union(pairs.select(col("b").as("a"), col("a").as("b")))
+      .cache()
+    val deg = edges.groupBy("a").agg(count(lit(1)).as("deg")).localCheckpoint()
+    var pinned: List[DataFrame] = List(deg)
+    try {
+      val n = deg.count()
+      // the rank frame CARRIES its degree so no iteration ever joins a
+      // frame against its own lineage ancestor (self-join ambiguity)
+      var pr = deg.select(col("a").as("id"), lit(1.0 / n).as("pr"), col("deg"))
+      for (_ <- 1 to 3) {
+        val next = edges
+          .join(pr.select(col("id").as("a"), (col("pr") / col("deg")).as("w")), "a")
+          .groupBy(col("b").as("id"))
+          // 0.15 spelled as a literal, NOT (1 - 0.85): the subtraction
+          // lands one ulp off the 0.15 the oracle parses
+          .agg(round(lit(0.15 / n) + lit(d) * sum(col("w")), 9).as("pr"))
+          .join(deg.select(col("a").as("id"), col("deg")), "id")
+          .localCheckpoint()
+        pinned = next :: pinned
+        pinned.tail.foreach(_.unpersist())
+        pinned = List(next)
+        pr = next
+      }
+      edges.unpersist()
+      pr.select(col("id").as("node_id"), round(col("pr"), 6).as("pr6"))
+        .orderBy("node_id")
+    } catch { case e: Throwable =>
+      pinned.foreach(_.unpersist()); edges.unpersist(); throw e
+    }
+  }
+
+  private val pagerankOracle: String =
+    """WITH e0 AS (SELECT DISTINCT l_suppkey * 2 AS a, l_partkey * 2 + 1 AS b FROM lineitem),
+      |e AS (SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0),
+      |deg AS (SELECT a AS id, count(*) AS deg FROM e GROUP BY a),
+      |nn AS (SELECT count(*) AS n FROM deg),
+      |p0 AS (SELECT id, CAST(1.0 AS DOUBLE) / nn.n AS pr FROM deg, nn),
+      |p1 AS (SELECT s.id, round(CAST(0.15 AS DOUBLE) / s.n + CAST(0.85 AS DOUBLE) * s.w, 9) AS pr FROM (
+      |  SELECT e.b AS id, any_value(nn.n) AS n, sum(p0.pr / deg.deg) AS w
+      |  FROM e JOIN p0 ON e.a = p0.id JOIN deg ON e.a = deg.id, nn GROUP BY e.b) s),
+      |p2 AS (SELECT s.id, round(CAST(0.15 AS DOUBLE) / s.n + CAST(0.85 AS DOUBLE) * s.w, 9) AS pr FROM (
+      |  SELECT e.b AS id, any_value(nn.n) AS n, sum(p1.pr / deg.deg) AS w
+      |  FROM e JOIN p1 ON e.a = p1.id JOIN deg ON e.a = deg.id, nn GROUP BY e.b) s),
+      |p3 AS (SELECT s.id, round(CAST(0.15 AS DOUBLE) / s.n + CAST(0.85 AS DOUBLE) * s.w, 9) AS pr FROM (
+      |  SELECT e.b AS id, any_value(nn.n) AS n, sum(p2.pr / deg.deg) AS w
+      |  FROM e JOIN p2 ON e.a = p2.id JOIN deg ON e.a = deg.id, nn GROUP BY e.b) s)
+      |SELECT id AS node_id, round(pr, 6) AS pr6 FROM p3 ORDER BY node_id""".stripMargin
+
+  // ---- bm25: retrieval ranking over the document corpus -------------------
+
+  private val bm25Terms = Seq("spark", "vector", "hash")
+
+  /** `op_bm25` — Okapi BM25 (k1=1.2, b=0.75) document ranking for a
+    * fixed query term set, top 20. The textbook retrieval scorer a
+    * training-data platform uses for targeted corpus slicing.
+    *
+    * Scale shape: tokenize map-side → one (doc, term) partial-agg
+    * shuffle for tf (query terms only — the filter prunes the explode
+    * output to ~|q| rows per doc BEFORE the shuffle); df and corpus
+    * stats are term-/scalar-sized and broadcast; final top-k is
+    * TakeOrderedAndProject, never a global sort. Ranks are computed on
+    * the ROUNDED score (ties broken by doc_id) so ordering is
+    * cross-engine stable. */
+  def bm25(sp: SparkSession, dir: String): DataFrame = {
+    val toks = docs(sp, dir).select(col("doc_id"),
+      explode(filter(split(col("text"), " "), t => t =!= "")).as("term"))
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val corpus = dl.agg(count(lit(1)).as("n_docs"), avg("dl").as("avgdl"))
+    val tf = toks.filter(col("term").isin(bm25Terms: _*))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val contrib = tf
+      .join(dl, "doc_id")
+      .join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(corpus))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .withColumn("c", col("idf") * (col("tf") * lit(2.2)) /
+        (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+    val scored = contrib.groupBy("doc_id").agg(round(sum("c"), 4).as("score"))
+    val top = scored.orderBy(col("score").desc, col("doc_id").asc).limit(20)
+    top.withColumn("rank",
+        row_number().over(Window.orderBy(col("score").desc, col("doc_id").asc)))
+      .select(col("doc_id"), col("rank"), col("score"))
+      .orderBy("rank")
+  }
+
+  private val bm25Oracle: String =
+    """WITH toks AS (SELECT doc_id,
+      |    unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+      |  FROM documents),
+      |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+      |corpus AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+      |  WHERE term IN ('spark', 'vector', 'hash') GROUP BY doc_id, term),
+      |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      |contrib AS (SELECT tf.doc_id,
+      |    ln(CAST(1.0 AS DOUBLE) + (corpus.n_docs - dfreq.df + CAST(0.5 AS DOUBLE))
+      |       / (dfreq.df + CAST(0.5 AS DOUBLE)))
+      |      * (tf.tf * CAST(2.2 AS DOUBLE))
+      |      / (tf.tf + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE)
+      |         + CAST(0.75 AS DOUBLE) * dl.dl / corpus.avgdl)) AS c
+      |  FROM tf JOIN dl USING (doc_id) JOIN dfreq USING (term), corpus),
+      |scored AS (SELECT doc_id, round(sum(c), 4) AS score FROM contrib GROUP BY doc_id),
+      |ranked AS (SELECT doc_id, score,
+      |    CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank
+      |  FROM scored)
+      |SELECT doc_id, rank, score FROM ranked WHERE rank <= 20 ORDER BY rank""".stripMargin
+
+  // ---- ngram_lm: bigram language-model scoring -----------------------------
+
+  /** `op_ngram_lm` — train a corpus bigram LM (add-1 smoothing) and
+    * score every document by its mean log-probability: the classic
+    * cheap perplexity proxy for quality filtering (docs whose bigrams
+    * are globally rare score low; spammy repetition scores high).
+    *
+    * Scale shape: bigrams are built map-side from the token array
+    * (slice+zip — no positional self-join); the model IS two count
+    * aggregations (bigram, unigram-prefix) with map-side partials; the
+    * scoring join streams bigram instances against the model (the c1
+    * table is vocabulary-sized → broadcast; c2 joins on the natural
+    * (w1, w2) shuffle key). The per-doc mean is the order-sensitive
+    * sum: final `round(4)`. */
+  def ngramLm(sp: SparkSession, dir: String): DataFrame = {
+    val toks = docs(sp, dir)
+      .select(col("doc_id"), filter(split(col("text"), " "), t => t =!= "").as("ts"))
+      .filter(size(col("ts")) >= 2)
+    val big = toks
+      .select(col("doc_id"), explode(arrays_zip(
+        slice(col("ts"), 1, size(col("ts")) - 1).as("w1"),
+        slice(col("ts"), 2, size(col("ts")) - 1).as("w2"))).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val c2 = big.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val c1 = big.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val vocab = toks.select(explode(col("ts")).as("t"))
+      .agg(countDistinct(col("t")).as("v"))
+    big
+      .join(c2, Seq("w1", "w2"))
+      .join(broadcast(c1), Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("logp", log((col("c2") + lit(1.0)) / (col("c1") + col("v"))))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), round(avg("logp"), 4).as("avg_logp"))
+      .orderBy("doc_id")
+  }
+
+  private val ngramLmOracle: String =
+    """WITH ts AS (SELECT doc_id,
+      |    list_filter(string_split(text, ' '), x -> x <> '') AS ts
+      |  FROM documents),
+      |toks AS (SELECT doc_id, unnest(ts) AS t, generate_subscripts(ts, 1) AS pos FROM ts),
+      |big AS (SELECT a.doc_id, a.t AS w1, b.t AS w2
+      |  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+      |c2 AS (SELECT w1, w2, count(*) AS c2 FROM big GROUP BY w1, w2),
+      |c1 AS (SELECT w1, count(*) AS c1 FROM big GROUP BY w1),
+      |vocab AS (SELECT count(DISTINCT t) AS v FROM toks)
+      |SELECT big.doc_id, count(*) AS n_bigrams,
+      |  round(avg(ln((c2.c2 + CAST(1.0 AS DOUBLE)) / (c1.c1 + vocab.v))), 4) AS avg_logp
+      |FROM big JOIN c2 USING (w1, w2) JOIN c1 USING (w1), vocab
+      |GROUP BY big.doc_id ORDER BY doc_id""".stripMargin
+
+  // ---- anomaly_mad: robust outlier detection -------------------------------
+
+  /** `op_anomaly_mad` — median/MAD outlier counts per event type over
+    * `events.value`: the robust (quartile-free) anomaly screen for
+    * metric streams, immune to the outliers it is hunting (unlike
+    * mean/stddev z-scores).
+    *
+    * Scale shape: two exact per-group percentile passes (group-local
+    * sort — the same contract `op_agg_quantiles` grades, with
+    * `approx_percentile` as the documented 100 TB path) with the
+    * group-count-sized med/mad frames broadcast back; medians are
+    * quantized to 6 decimals before the comparison so the 3×MAD
+    * threshold test is cross-engine exact. */
+  def anomalyMad(sp: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(sp, dir).select(col("event_type"), col("value"))
+    val med = ev.groupBy("event_type")
+      .agg(round(percentile(col("value"), lit(0.5)), 6).as("med"))
+    val dev = ev.join(broadcast(med), "event_type")
+      .withColumn("dev", abs(col("value") - col("med")))
+    val mad = dev.groupBy("event_type")
+      .agg(round(percentile(col("dev"), lit(0.5)), 6).as("mad"))
+    dev.join(broadcast(mad), "event_type")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        max("med").as("med"),
+        max("mad").as("mad"),
+        sum(when(col("dev") > lit(3.0) * col("mad"), 1L).otherwise(0L)).as("n_outliers"),
+        round(max("dev"), 6).as("max_dev"))
+      .orderBy("event_type")
+  }
+
+  private val anomalyMadOracle: String =
+    """WITH ev AS (SELECT event_type, value FROM events),
+      |med AS (SELECT event_type, round(quantile_cont(value, 0.5), 6) AS med
+      |  FROM ev GROUP BY event_type),
+      |dev AS (SELECT ev.event_type, ev.value, med.med,
+      |    abs(ev.value - med.med) AS dev
+      |  FROM ev JOIN med USING (event_type)),
+      |mad AS (SELECT event_type, round(quantile_cont(dev, 0.5), 6) AS mad
+      |  FROM dev GROUP BY event_type)
+      |SELECT dev.event_type, count(*) AS n, max(dev.med) AS med, max(mad.mad) AS mad,
+      |  CAST(sum(CASE WHEN dev.dev > 3 * mad.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+      |  round(max(dev.dev), 6) AS max_dev
+      |FROM dev JOIN mad USING (event_type)
+      |GROUP BY dev.event_type ORDER BY event_type""".stripMargin
+
+  // ---- registry ------------------------------------------------------------
+
+  val queries: Seq[OpQuery] = Seq(
+    OpQuery("op_kmeans_train", kmeansOracle)(kmeansTrain),
+    OpQuery("op_graph_pagerank", pagerankOracle)(graphPagerank),
+    OpQuery("op_bm25", bm25Oracle)(bm25),
+    OpQuery("op_ngram_lm", ngramLmOracle)(ngramLm),
+    OpQuery("op_anomaly_mad", anomalyMadOracle)(anomalyMad))
+}
