@@ -17,7 +17,8 @@ object Registry {
       operators.LlmPipeline.queries ++
       operators.TrainingData.queries ++
       operators.SchemaInfer.queries ++
-      operators.Streaming.queries
+      operators.Streaming.queries ++
+      operators.Mining.queries
     // fail loudly on a duplicated key: SparkEntry.queries builds a Map
     // that would otherwise silently drop one of the two operators
     require(qs.map(_.name).distinct.size == qs.size,

@@ -232,18 +232,22 @@ object Mining {
     * Scale shape: bigrams are built map-side from the token array
     * (slice+zip — no positional self-join); the model IS two count
     * aggregations (bigram, unigram-prefix) with map-side partials; the
-    * scoring join streams bigram instances against the model (the c1
-    * table is vocabulary-sized → broadcast; c2 joins on the natural
-    * (w1, w2) shuffle key). The per-doc mean is the order-sensitive
-    * sum: final `round(4)`. */
+    * scoring join streams bigram instances against the model. Both
+    * model joins are shuffle joins on their natural keys: c1 and c2
+    * are VOCABULARY-sized (unbounded at 100 TB — billions of distinct
+    * tokens), so neither gets a broadcast hint; AQE picks from runtime
+    * stats at small SF. The (w1, w2) key is Zipf-skewed ("the …"
+    * bigrams dominate) — at scale AQE's skew-join split (documented in
+    * PLANS.md) or `Skew.saltedJoin` handles the hot keys. The per-doc
+    * mean is the order-sensitive sum: final `round(4)`. */
   def ngramLm(sp: SparkSession, dir: String): DataFrame = {
     val toks = docs(sp, dir)
       .select(col("doc_id"), filter(split(col("text"), " "), t => t =!= "").as("ts"))
       .filter(size(col("ts")) >= 2)
     val big = toks
       .select(col("doc_id"), explode(arrays_zip(
-        slice(col("ts"), 1, size(col("ts")) - 1).as("w1"),
-        slice(col("ts"), 2, size(col("ts")) - 1).as("w2"))).as("bg"))
+        slice(col("ts"), lit(1), size(col("ts")) - 1).as("w1"),
+        slice(col("ts"), lit(2), size(col("ts")) - 1).as("w2"))).as("bg"))
       .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
     val c2 = big.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
     val c1 = big.groupBy("w1").agg(count(lit(1)).as("c1"))
@@ -251,7 +255,7 @@ object Mining {
       .agg(countDistinct(col("t")).as("v"))
     big
       .join(c2, Seq("w1", "w2"))
-      .join(broadcast(c1), Seq("w1"))
+      .join(c1, Seq("w1"))
       .crossJoin(broadcast(vocab))
       .withColumn("logp", log((col("c2") + lit(1.0)) / (col("c1") + col("v"))))
       .groupBy("doc_id")
