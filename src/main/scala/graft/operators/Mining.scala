@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.OpQuery
@@ -40,12 +39,18 @@ object Mining {
     * quantized to 6 decimals per iteration (`meanScale`) — the one
     * order-sensitive accumulation in the loop — which makes every
     * downstream cosine bit-equal across engines. */
-  def kmeansTrain(sp: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.embeddings(sp, dir)
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
-    val cents = KMeansLite.train(emb, "e", "vec_id", k = 4, iters = 2, meanScale = 6)
-    // final assignment: argmax cosine, ties -> lower cell id (greatest()
-    // over (cos, -cell) structs, the KMeansLite assignment rule)
+  def kmeansTrain(sp: SparkSession, dir: String): DataFrame =
+    kmeansAssign(Tables.embeddings(sp, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e")),
+      k = 4, iters = 2, meanScale = 6)
+
+  /** Core: train `k` centroids over `emb(vec_id, e)` and return the
+    * final per-vector cell assignment (argmax cosine, ties -> lower
+    * cell id — greatest() over (cos, -cell) structs, the KMeansLite
+    * assignment rule). Exposed separately so known-answer specs can run
+    * the full train+assign path on a hand-built corpus. */
+  def kmeansAssign(emb: DataFrame, k: Int, iters: Int, meanScale: Int = 6): DataFrame = {
+    val cents = KMeansLite.train(emb, "e", "vec_id", k, iters, meanScale)
     val scored = cents.zipWithIndex.map { case (c, i) =>
       struct(VectorKernels.cosine(col("e"), array(c.map(lit): _*)).as("cos"),
         lit(-i).as("negid"))
@@ -107,11 +112,16 @@ object Mining {
     * every node has degree ≥ 1 — no dangling-mass redistribution
     * term. The in-neighbor sum is the order-sensitive accumulation:
     * quantized to 9 decimals per iteration. */
-  def graphPagerank(sp: SparkSession, dir: String): DataFrame = {
-    val d = 0.85
-    val pairs = Tables.lineitem(sp, dir)
+  def graphPagerank(sp: SparkSession, dir: String): DataFrame =
+    pagerankRanks(Tables.lineitem(sp, dir)
       .select((col("l_suppkey") * 2).as("a"), (col("l_partkey") * 2 + 1).as("b"))
-      .distinct()
+      .distinct(), iters = 3)
+
+  /** Core: PageRank over the undirected closure of `pairs(a, b)` (each
+    * input pair contributes both directions; pairs must be distinct).
+    * Exposed separately for known-answer specs on planted graphs. */
+  def pagerankRanks(pairs: DataFrame, iters: Int): DataFrame = {
+    val d = 0.85
     val edges = pairs
       .union(pairs.select(col("b").as("a"), col("a").as("b")))
       .cache()
@@ -122,7 +132,7 @@ object Mining {
       // the rank frame CARRIES its degree so no iteration ever joins a
       // frame against its own lineage ancestor (self-join ambiguity)
       var pr = deg.select(col("a").as("id"), lit(1.0 / n).as("pr"), col("deg"))
-      for (_ <- 1 to 3) {
+      for (_ <- 1 to iters) {
         val next = edges
           .join(pr.select(col("id").as("a"), (col("pr") / col("deg")).as("w")), "a")
           .groupBy(col("b").as("id"))
@@ -176,12 +186,18 @@ object Mining {
     * TakeOrderedAndProject, never a global sort. Ranks are computed on
     * the ROUNDED score (ties broken by doc_id) so ordering is
     * cross-engine stable. */
-  def bm25(sp: SparkSession, dir: String): DataFrame = {
-    val toks = docs(sp, dir).select(col("doc_id"),
+  def bm25(sp: SparkSession, dir: String): DataFrame =
+    bm25Rank(docs(sp, dir), bm25Terms, topK = 20)
+
+  /** Core: BM25 top-`topK` ranking of `corpus(doc_id, text)` for the
+    * fixed `terms`. Exposed separately for known-answer specs on a
+    * hand-computable corpus. */
+  def bm25Rank(corpus0: DataFrame, terms: Seq[String], topK: Int): DataFrame = {
+    val toks = corpus0.select(col("doc_id"),
       explode(filter(split(col("text"), " "), t => t =!= "")).as("term"))
     val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
     val corpus = dl.agg(count(lit(1)).as("n_docs"), avg("dl").as("avgdl"))
-    val tf = toks.filter(col("term").isin(bm25Terms: _*))
+    val tf = toks.filter(col("term").isin(terms: _*))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val contrib = tf
@@ -193,10 +209,18 @@ object Mining {
       .withColumn("c", col("idf") * (col("tf") * lit(2.2)) /
         (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
     val scored = contrib.groupBy("doc_id").agg(round(sum("c"), 4).as("score"))
-    val top = scored.orderBy(col("score").desc, col("doc_id").asc).limit(20)
-    top.withColumn("rank",
-        row_number().over(Window.orderBy(col("score").desc, col("doc_id").asc)))
-      .select(col("doc_id"), col("rank"), col("score"))
+    val top = scored.orderBy(col("score").desc, col("doc_id").asc).limit(topK)
+    // rank WITHOUT a partition-less window (which would move all data to
+    // a single partition — fine on these topK rows, but WindowExec warns
+    // and a literal partition key gets constant-folded away): pack the
+    // bounded top-k into one sorted array and rank = array position.
+    // struct sorts ascending, so negate the score for desc-score order.
+    top.agg(sort_array(collect_list(struct((-col("score")).as("ns"), col("doc_id"))))
+        .as("arr"))
+      .select(posexplode(col("arr")).as(Seq("i", "r")))
+      .select(col("r.doc_id").as("doc_id"),
+        (col("i") + 1).cast("int").as("rank"),
+        (-col("r.ns")).as("score"))
       .orderBy("rank")
   }
 
@@ -240,8 +264,13 @@ object Mining {
     * bigrams dominate) — at scale AQE's skew-join split (documented in
     * PLANS.md) or `Skew.saltedJoin` handles the hot keys. The per-doc
     * mean is the order-sensitive sum: final `round(4)`. */
-  def ngramLm(sp: SparkSession, dir: String): DataFrame = {
-    val toks = docs(sp, dir)
+  def ngramLm(sp: SparkSession, dir: String): DataFrame =
+    ngramLmScores(docs(sp, dir))
+
+  /** Core: bigram-LM mean log-prob per document over
+    * `corpus(doc_id, text)`. Exposed for known-answer specs. */
+  def ngramLmScores(corpus: DataFrame): DataFrame = {
+    val toks = corpus
       .select(col("doc_id"), filter(split(col("text"), " "), t => t =!= "").as("ts"))
       .filter(size(col("ts")) >= 2)
     val big = toks
@@ -291,8 +320,12 @@ object Mining {
     * group-count-sized med/mad frames broadcast back; medians are
     * quantized to 6 decimals before the comparison so the 3×MAD
     * threshold test is cross-engine exact. */
-  def anomalyMad(sp: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(sp, dir).select(col("event_type"), col("value"))
+  def anomalyMad(sp: SparkSession, dir: String): DataFrame =
+    madScreen(Tables.events(sp, dir).select(col("event_type"), col("value")))
+
+  /** Core: median/MAD outlier screen over `ev(event_type, value)`.
+    * Exposed for known-answer specs on planted-outlier groups. */
+  def madScreen(ev: DataFrame): DataFrame = {
     val med = ev.groupBy("event_type")
       .agg(round(percentile(col("value"), lit(0.5)), 6).as("med"))
     val dev = ev.join(broadcast(med), "event_type")

@@ -41,7 +41,9 @@ class PlanEvidenceSpec extends AnyFunSuite {
       "op_similarity_topk",  // 10 broadcast query rows — documented exact baseline
       "op_similarity_ivf",   // 8 broadcast centroids (cell assign)
       "op_vector_pq",        // 4 broadcast codebook entries per block
-      "op_ts_gapfill")       // hour×type grid, volume-independent
+      "op_ts_gapfill",       // hour×type grid, volume-independent
+      "op_bm25",             // 1-row corpus stats (n_docs, avgdl) crossJoin — bounded by construction
+      "op_ngram_lm")         // 1-row vocabulary-count crossJoin — bounded by construction
     for (q <- Registry.all) {
       val p = plan(q.name)
       assert(!p.contains("CartesianProduct"),
