@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.OpQuery
+import graft.plans.ZOrderKey
 import graft.sources.Tables
 
 /** Tier-B relational battery (SURVEY.md §2 B1–B15).
@@ -443,6 +444,37 @@ object Relational {
   def setExcept(s: SparkSession, dir: String): DataFrame =
     buildingCust(s, dir).except(richCust(s, dir)).orderBy("c_custkey")
 
+  // ---- B43: Z-order clustering layout (multi-dimensional data skipping) ----
+
+  /** `op_zorder` — Morton (Z-order) clustering of lineitem on
+    * (l_partkey, l_suppkey): the codegen'd `ZOrderKey` interleave keys
+    * the space-filling curve, `z >> 10` buckets it into the curve
+    * ranges a writer's `repartitionByRange(zorder).sortWithinPartitions`
+    * would lay files out by, and the graded output is the per-range
+    * min/max stats of BOTH dimensions — exactly the footer stats a scan
+    * planner prunes on (Delta/Iceberg `OPTIMIZE ZORDER BY`).
+    *
+    * Why these stats ARE the op: a z-range fixes the high bits of both
+    * keys simultaneously, so each bucket's span is ≤ 2^5-1 = 31 in BOTH
+    * dimensions (asserted in ZOrderKeySpec) — a predicate on EITHER
+    * column prunes to a contiguous sliver of buckets, which a
+    * single-column sort cannot do for the second column. 100 TB shape:
+    * the key is a map-side codegen'd projection; the only shuffle is
+    * the bucket-stat aggregation (bucket-count-sized, ≤ 2^22 rows by
+    * key-space construction, volume-independent); the demonstration
+    * interleaves the low 16 bits — production widens the kernel to
+    * 32-bit inputs, same plan. */
+  def zorderLayout(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
+      .withColumn("z", ZOrderKey.zorder(col("pk"), col("sk")))
+      .withColumn("zbucket", shiftright(col("z"), 10))
+      .groupBy("zbucket")
+      .agg(count(lit(1)).as("n"),
+        min("pk").as("pk_min"), max("pk").as("pk_max"),
+        min("sk").as("sk_min"), max("sk").as("sk_max"))
+      .orderBy("zbucket")
+
   // ---- B15: scalar function battery (string/date/math, all codegen'd) -------
   def scalarFuncs(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir)
@@ -702,6 +734,14 @@ object Relational {
         |EXCEPT
         |SELECT c_custkey FROM customer WHERE c_acctbal > 5000
         |ORDER BY c_custkey""".stripMargin)(setExcept),
+
+    OpQuery("op_zorder",
+      s"""WITH z AS (SELECT l_partkey AS pk, l_suppkey AS sk,
+        |  ${ZOrderKey.sql("l_partkey", "l_suppkey")} AS z FROM lineitem)
+        |SELECT z >> 10 AS zbucket, count(*) AS n,
+        |  min(pk) AS pk_min, max(pk) AS pk_max,
+        |  min(sk) AS sk_min, max(sk) AS sk_max
+        |FROM z GROUP BY zbucket ORDER BY zbucket""".stripMargin)(zorderLayout),
 
     OpQuery("op_scalar_funcs",
       """SELECT o_orderkey,

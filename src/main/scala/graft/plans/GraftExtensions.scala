@@ -106,6 +106,13 @@ object GraftExtensions {
         require(args.length == 2, "graft_hamming takes (string, string)")
         HammingDistance(args(0), args(1), 32)
       }),
+    (FunctionIdentifier("graft_zorder"),
+      info("graft_zorder",
+        "graft_zorder(x, y) - Morton (Z-order) interleave of the low 16 bits of two bigints"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_zorder takes (bigint, bigint)")
+        ZOrderKey(args(0), args(1))
+      }),
     (FunctionIdentifier("graft_cosine"),
       info("graft_cosine",
         "graft_cosine(a, b) - cosine similarity of two float/double arrays"),

@@ -65,6 +65,15 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(row.getDouble(1) == 1.0)
   }
 
+  test("graft_zorder callable from SQL") {
+    // 3 interleaved with 3: x bits -> positions 1,3; y bits -> 0,2 = 0b1111
+    val z = spark.sql("SELECT graft_zorder(3L, 3L)").head().getLong(0)
+    assert(z == 15L)
+    // type guard: ints are not bigints
+    val e = intercept[Exception](spark.sql("SELECT graft_zorder(3, 3)").head())
+    assert(e.getMessage.contains("graft_zorder"))
+  }
+
   test("wrong arity fails loudly at analysis") {
     val e = intercept[Exception](spark.sql("SELECT graft_minhash_sig(array('x'), 2)").head())
     assert(e.getMessage.contains("graft_minhash_sig"))
