@@ -261,9 +261,15 @@ object Mining {
     * are VOCABULARY-sized (unbounded at 100 TB — billions of distinct
     * tokens), so neither gets a broadcast hint; AQE picks from runtime
     * stats at small SF. The (w1, w2) key is Zipf-skewed ("the …"
-    * bigrams dominate) — at scale AQE's skew-join split (documented in
-    * PLANS.md) or `Skew.saltedJoin` handles the hot keys. The per-doc
-    * mean is the order-sensitive sum: final `round(4)`. */
+    * bigrams dominate) — MEASURED story (SkewProbe, PLANS.md r7): at
+    * 10× sf0.1 the 32-partition shuffle histogram is max/median 2.03
+    * — hash partitioning spreads the many hot keys, so no partition
+    * skew exists to mitigate; and AQE's OptimizeSkewedJoin declines
+    * this shape even when forced, because the model joins REUSE the
+    * count-aggregation exchanges. If a single bigram ever dominates a
+    * partition (100 TB regime), the escape is `Skew.saltedJoin` on the
+    * hot prefixes — AQE won't save this plan, by construction. The
+    * per-doc mean is the order-sensitive sum: final `round(4)`. */
   def ngramLm(sp: SparkSession, dir: String): DataFrame =
     ngramLmScores(docs(sp, dir))
 
