@@ -64,6 +64,15 @@ class PlanEvidenceSpec extends AnyFunSuite {
     }
   }
 
+  test("op_zorder: map-side key, ONE bucket-stat shuffle, pruned scan") {
+    val p = plan("op_zorder")
+    val hashExchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hashExchanges == 1,
+      s"expected only the zbucket partial-agg shuffle ($hashExchanges):\n$p")
+    assert(p.contains("partial"), "bucket stats must partial-aggregate map-side")
+    assert(!p.contains("l_orderkey"), "scan reads columns the layout never uses")
+  }
+
   test("op_join_asof: two skinny hash shuffles, ONE fused Window node") {
     val p = plan("op_join_asof")
     val hashExchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
