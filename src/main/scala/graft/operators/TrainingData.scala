@@ -440,6 +440,69 @@ object TrainingData {
         round(length(col("text")).cast("double") / col("n_bpe"), 4).as("chars_per_tok"))
       .orderBy("doc_id")
 
+  /** B49 — `op_mixture_weights`: per-language token mass → temperature-
+    * scaled (α = 0.5) sampling weights, the standard multilingual
+    * mixture rule w_l ∝ p_l^α renormalized — low-resource languages
+    * oversampled, high-resource capped. Since Σ√(n/tot) = Σ√n / √tot,
+    * the weight simplifies to √n_l / Σ√n — ONE 1-row normalizer join.
+    *
+    * Scale shape: map-side token-count projection + one lang-keyed
+    * partial-agg shuffle (output = |languages| rows); the normalizer
+    * crossJoin broadcasts a single row — bounded by construction, same
+    * class as op_bm25's corpus stats. Σ√n is the only order-sensitive
+    * accumulation: |languages| terms, final round(6). */
+  def mixtureWeights(sp: SparkSession, dir: String): DataFrame =
+    mixtureWeightsOf(docs(sp, dir))
+
+  /** Core over `corpus(lang, text)` for known-answer specs. */
+  def mixtureWeightsOf(corpus: DataFrame): DataFrame = {
+    val perLang = corpus
+      .select(col("lang"),
+        size(filter(split(col("text"), " "), t => t =!= "")).cast("long").as("n"))
+      .groupBy("lang").agg(count(lit(1)).as("n_docs"), sum("n").as("n_tok"))
+    val tot = perLang.agg(sum("n_tok").as("tot"), sum(sqrt(col("n_tok"))).as("s"))
+    perLang.crossJoin(broadcast(tot))
+      .select(col("lang"), col("n_docs"), col("n_tok"),
+        round(col("n_tok") / col("tot"), 6).as("share"),
+        round(sqrt(col("n_tok")) / col("s"), 6).as("weight"),
+        round((sqrt(col("n_tok")) / col("s")) / (col("n_tok") / col("tot")), 4)
+          .as("oversample"))
+      .orderBy("lang")
+  }
+
+  /** B50 — `op_quality_classifier`: linear quality-model INFERENCE as a
+    * pure codegen projection — fixed literal weights over the B30
+    * features, graded on the exact logit. The keep/drop label is
+    * `logit >= 0` (sigmoid is monotone), so no transcendental `exp`
+    * reaches the graded output — engines differ in exp's last ulp.
+    *
+    * Scale shape: ZERO shuffles beyond the output sort — model
+    * inference rides the scan's whole-stage codegen, which is what
+    * makes classifier-gating effectively free at 100 TB. Features are
+    * quantized to 6 decimals BEFORE the dot product so both engines
+    * compute the logit from bit-identical inputs; the dot product is
+    * written left-associated the same way in both engines. */
+  def qualityClassifier(sp: SparkSession, dir: String): DataFrame =
+    qualityClassifierOf(docs(sp, dir))
+
+  /** Core over `corpus(doc_id, text)` for known-answer specs. */
+  def qualityClassifierOf(corpus: DataFrame): DataFrame =
+    corpus
+      .withColumn("len", length(col("text")))
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_tok", size(col("toks")))
+      .withColumn("mtl",
+        round((col("len") - col("n_tok") + 1).cast("double") / col("n_tok"), 6))
+      .withColumn("ar",
+        round(length(regexp_replace(col("text"), "[^a-z]", "")).cast("double") / col("len"), 6))
+      .withColumn("sr",
+        round(size(filter(col("toks"), t => t.isin("the", "a"))).cast("double") / col("n_tok"), 6))
+      .withColumn("logit", round(lit(-1.2) + lit(2.5) * col("ar")
+        + lit(1.5) * col("sr") + lit(0.05) * col("mtl"), 6))
+      .select(col("doc_id"), col("mtl"), col("ar"), col("sr"),
+        col("logit"), (col("logit") >= 0).as("keep"))
+      .orderBy("doc_id")
+
   /** B33 — frame-sampling analog: every 8th byte of the payload is a
     * "frame"; emits the sample vector head. Pure projection. */
   def multimodalFeatures(sp: SparkSession, dir: String): DataFrame =
@@ -903,6 +966,41 @@ object TrainingData {
         |  CAST(ord(substring(text, 17, 1)) AS INTEGER) AS f2,
         |  CAST(ord(substring(text, 25, 1)) AS INTEGER) AS f3
         |FROM documents ORDER BY doc_id""".stripMargin)(multimodalFeatures),
+
+    OpQuery("op_mixture_weights",
+      """WITH t AS (SELECT lang,
+        |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n
+        |  FROM documents),
+        |agg AS (SELECT lang, count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS n_tok
+        |  FROM t GROUP BY lang),
+        |tot AS (SELECT CAST(sum(n_tok) AS BIGINT) AS tot, sum(sqrt(n_tok)) AS s FROM agg)
+        |SELECT lang, n_docs, n_tok,
+        |  round(n_tok / tot.tot, 6) AS share,
+        |  round(sqrt(n_tok) / tot.s, 6) AS weight,
+        |  round((sqrt(n_tok) / tot.s) / (n_tok / tot.tot), 4) AS oversample
+        |FROM agg, tot ORDER BY lang""".stripMargin)(mixtureWeights),
+
+    OpQuery("op_quality_classifier",
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    CAST(length(text) AS INTEGER) AS len,
+        |    CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tok,
+        |    CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE) AS n_alpha,
+        |    CAST(len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a'))) AS DOUBLE) AS n_stop
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    round(CAST(len - n_tok + 1 AS DOUBLE) / n_tok, 6) AS mtl,
+        |    round(n_alpha / len, 6) AS ar,
+        |    round(n_stop / n_tok, 6) AS sr
+        |  FROM f),
+        |z AS (
+        |  SELECT doc_id, mtl, ar, sr,
+        |    round(CAST(-1.2 AS DOUBLE) + CAST(2.5 AS DOUBLE) * ar
+        |      + CAST(1.5 AS DOUBLE) * sr + CAST(0.05 AS DOUBLE) * mtl, 6) AS logit
+        |  FROM g)
+        |SELECT doc_id, mtl, ar, sr, logit, logit >= 0 AS keep
+        |FROM z ORDER BY doc_id""".stripMargin)(qualityClassifier),
 
     OpQuery("op_decontaminate",
       s"""WITH heldout AS (SELECT doc_id * 2 AS doc_id, text FROM documents WHERE doc_id % 25 = 0),

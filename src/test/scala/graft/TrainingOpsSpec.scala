@@ -142,4 +142,35 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(manifest.keys.forall(s => s.length == 1 && "0123456789abcdef".contains(s)))
     assert(manifest.values.sum === written.count())
   }
+
+  // ---- B49 mixture weights: hand-computed temperature scaling -------------
+  // lang aa: 9 tokens, lang bb: 16 tokens. tot=25 -> shares .36/.64;
+  // alpha=0.5 weights = sqrt(n)/(3+4): 3/7=.428571, 4/7=.571429;
+  // oversample = weight/share: 1.1905 (low-resource UP), 0.8929 (capped).
+  test("mixture weights: alpha=0.5 oversamples the low-resource language") {
+    import spark.implicits._
+    val corpus = Seq(
+      ("aa", "t1 t2 t3 t4 t5 t6 t7 t8 t9"),
+      ("bb", "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10 u11 u12 u13 u14 u15 u16"))
+      .toDF("lang", "text")
+    val got = TrainingData.mixtureWeightsOf(corpus).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    assert(got.toSeq === Seq(
+      ("aa", 1L, 9L, 0.36, 0.428571, 1.1905),
+      ("bb", 1L, 16L, 0.64, 0.571429, 0.8929)))
+  }
+
+  // ---- B50 quality classifier: hand-computed logits -----------------------
+  // "the cat": mtl=(7-2+1)/2=3.0, ar=6/7=.857143, sr=1/2=.5 ->
+  //   logit = -1.2 + 2.5*.857143 + 1.5*.5 + .05*3 = 1.842858 -> keep
+  // "XYZ QQQ": ar=0 (no lowercase), sr=0, mtl=3.0 ->
+  //   logit = -1.2 + .15 = -1.05 -> drop
+  test("quality classifier: hand-computed logits, threshold at logit 0") {
+    import spark.implicits._
+    val corpus = Seq((1L, "the cat"), (2L, "XYZ QQQ")).toDF("doc_id", "text")
+    val got = TrainingData.qualityClassifierOf(corpus).collect()
+      .map(r => (r.getLong(0), r.getDouble(4), r.getBoolean(5)))
+    assert(got.toSeq === Seq((1L, 1.842858, true), (2L, -1.05, false)))
+  }
 }
