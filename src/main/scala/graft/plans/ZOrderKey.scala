@@ -8,8 +8,11 @@ import org.apache.spark.sql.graftbridge.bridge
 import org.apache.spark.sql.types.{DataType, LongType}
 
 /** Native Catalyst expression: Morton (Z-order) interleave of the low
-  * 16 bits of two long keys — `x` occupies the odd bit positions, `y`
-  * the even ones, producing a 32-bit space-filling-curve value.
+  * `bits` bits (default 16, max 32) of two long keys — `x` occupies the
+  * odd bit positions, `y` the even ones, producing a `2*bits`-wide
+  * space-filling-curve value. `op_zorder` grades the 16-bit form
+  * (demonstration key ranges); production tables with wider keys pass
+  * `bits = 32` for a full 64-bit curve — same plan, same kernel shape.
   *
   * This is the clustering key `op_zorder` sorts/buckets by: rows close
   * in BOTH dimensions land in the same z-range, so a scan with
@@ -23,8 +26,9 @@ import org.apache.spark.sql.types.{DataType, LongType}
   * `transform`+`aggregate` formulation would run interpreted lambdas
   * per row (and drop the whole stage out of codegen).
   */
-case class ZOrderKey(left: Expression, right: Expression)
+case class ZOrderKey(left: Expression, right: Expression, bits: Int = 16)
     extends BinaryExpression {
+  require(bits >= 1 && bits <= 32, s"bits must be in [1, 32], got $bits")
 
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_zorder"
@@ -36,14 +40,14 @@ case class ZOrderKey(left: Expression, right: Expression)
       "(bigint, bigint)")
 
   override protected def nullSafeEval(x: Any, y: Any): Any =
-    ZOrderKey.kernel(x.asInstanceOf[Long], y.asInstanceOf[Long])
+    ZOrderKey.kernel(x.asInstanceOf[Long], y.asInstanceOf[Long], bits)
 
   // companion entry point is NOT named like any inherited member
   // (static-forwarder trap: scalac emits no forwarder for a name the
   // class also inherits, and codegen would silently fall back to
   // interpreted eval)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (x, y) => s"graft.plans.ZOrderKey.kernel($x, $y)")
+    defineCodeGen(ctx, ev, (x, y) => s"graft.plans.ZOrderKey.kernel($x, $y, $bits)")
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): ZOrderKey =
@@ -51,11 +55,11 @@ case class ZOrderKey(left: Expression, right: Expression)
 }
 
 object ZOrderKey {
-  /** Interleave the low 16 bits: x -> odd positions, y -> even. */
-  def kernel(x: Long, y: Long): Long = {
+  /** Interleave the low `bits` bits: x -> odd positions, y -> even. */
+  def kernel(x: Long, y: Long, bits: Int = 16): Long = {
     var r = 0L
     var i = 0
-    while (i < 16) {
+    while (i < bits) {
       r |= ((x >> i) & 1L) << (2 * i + 1)
       r |= ((y >> i) & 1L) << (2 * i)
       i += 1
@@ -63,14 +67,15 @@ object ZOrderKey {
     r
   }
 
-  /** DataFrame-API entry point. */
-  def zorder(x: Column, y: Column): Column =
-    bridge.column(ZOrderKey(bridge.expression(x), bridge.expression(y)))
+  /** DataFrame-API entry point (`bits = 32` for production key widths —
+    * a full 64-bit curve over two 32-bit dimensions). */
+  def zorder(x: Column, y: Column, bits: Int = 16): Column =
+    bridge.column(ZOrderKey(bridge.expression(x), bridge.expression(y), bits))
 
   /** The same interleave as portable SQL (for the DuckDB oracle): a
-    * 16-term shift/mask OR chain over `x` and `y` SQL fragments. */
-  def sql(x: String, y: String): String =
-    (0 until 16).map { i =>
+    * `bits`-term shift/mask OR chain over `x` and `y` SQL fragments. */
+  def sql(x: String, y: String, bits: Int = 16): String =
+    (0 until bits).map { i =>
       s"((($x >> $i) & 1) << ${2 * i + 1}) | ((($y >> $i) & 1) << ${2 * i})"
     }.mkString("(", " | ", ")")
 }

@@ -17,8 +17,28 @@ class ZOrderKeySpec extends AnyFunSuite {
     assert(ZOrderKey.kernel(3L, 3L) == 15L)  // both low 2 bits -> 0b1111
     assert(ZOrderKey.kernel(0xFFFFL, 0L) == 0xAAAAAAAAL)
     assert(ZOrderKey.kernel(0L, 0xFFFFL) == 0x55555555L)
-    // only the LOW 16 bits participate
+    // only the LOW 16 bits participate at the default width
     assert(ZOrderKey.kernel(0x10000L, 0L) == 0L)
+  }
+
+  test("kernel at bits=32: the production width covers the full 64-bit curve") {
+    // 32 ones in x -> all odd positions of a 64-bit word = 0xAAAA...AA
+    assert(ZOrderKey.kernel(0xFFFFFFFFL, 0L, 32) == 0xAAAAAAAAAAAAAAAAL)
+    assert(ZOrderKey.kernel(0L, 0xFFFFFFFFL, 32) == 0x5555555555555555L)
+    // bit 16 participates at width 32 (it did not at width 16)
+    assert(ZOrderKey.kernel(0x10000L, 0L, 32) == (1L << 33))
+    // expression + oracle-SQL parity at the production width
+    val sql32 = ZOrderKey.sql("x", "y", bits = 32)
+    val rows = spark.range(64)
+      .selectExpr("(id * 67108879) % 4294967296 AS x", "(id * 2654435761) % 4294967296 AS y")
+      .select(col("x"), col("y"),
+        ZOrderKey.zorder(col("x"), col("y"), bits = 32).as("z"))
+      .selectExpr("x", "y", "z", s"$sql32 AS zsql")
+      .collect()
+    rows.foreach { r =>
+      assert(r.getLong(2) == ZOrderKey.kernel(r.getLong(0), r.getLong(1), 32))
+      assert(r.getLong(3) == r.getLong(2))
+    }
   }
 
   test("expression matches the local kernel over a codegen'd range") {
