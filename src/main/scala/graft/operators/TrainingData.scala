@@ -244,6 +244,45 @@ object TrainingData {
       .orderBy("q_id", "rank")
   }
 
+  // ---- B51: ANN recall contract --------------------------------------------
+
+  /** B51 — `op_ann_recall`: measured recall@3 of the LSH index (B28)
+    * against the exact brute-force top-3 (B18's kernel), per query —
+    * the contract that keeps an approximate index honest ("measure,
+    * don't guess"): an index rebuild that silently collapses recall
+    * fails the oracle hash instead of shipping.
+    *
+    * Scale shape: the exact side is the documented small-query-set
+    * baseline (10 broadcast query rows — the op_similarity_topk
+    * pattern); the LSH side probes buckets only. The graded artifact is
+    * query-count-sized. At 100 TB recall is estimated over a SAMPLED
+    * query set with this same plan — recall estimation never needs
+    * every query, only an unbiased panel. */
+  def annRecall(sp: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(sp, dir)
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("e"))
+      .withColumn("bk", bucketOf(col("e")))
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("e").as("qe"), col("bk").as("qbk"))
+    val w = Window.partitionBy("q_id").orderBy(col("score").desc, col("vec_id").asc)
+    val exact = emb
+      .join(broadcast(queries.select(col("q_id"), col("qe"))), col("vec_id") =!= col("q_id"))
+      .withColumn("score", cosine(col("qe"), col("e")))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= 3)
+      .select(col("q_id"), col("vec_id"))
+    val lsh = emb
+      .join(broadcast(queries), col("bk") === col("qbk") && col("vec_id") =!= col("q_id"))
+      .withColumn("score", cosine(col("qe"), col("e")))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= 3)
+      .select(col("q_id"), col("vec_id"), lit(1).as("hit"))
+    exact.join(lsh, Seq("q_id", "vec_id"), "left")
+      .groupBy("q_id")
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hit"))
+      .withColumn("recall", round(col("n_hit") / col("n_exact"), 4))
+      .orderBy("q_id")
+  }
+
   // ---- B28c: product quantization ------------------------------------------
 
   /** Product quantization — the standard 100 TB embedding-compression
@@ -851,6 +890,33 @@ object TrainingData {
         |  FROM scored)
         |SELECT q_id, rank, vec_id, score FROM ranked WHERE rank <= 3
         |ORDER BY q_id, rank""".stripMargin)(similarityLsh),
+
+    OpQuery("op_ann_recall",
+      s"""WITH emb AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |bucketed AS (SELECT vec_id, e, ${bucketSql("e")} AS bk FROM emb),
+        |q AS (SELECT vec_id AS q_id, e AS qe, bk AS qbk FROM bucketed WHERE vec_id < 10),
+        |ex AS (SELECT q_id, vec_id FROM (
+        |  SELECT q.q_id, c.vec_id,
+        |    row_number() OVER (PARTITION BY q.q_id ORDER BY
+        |      round(list_dot_product(q.qe, c.e) /
+        |        (sqrt(list_dot_product(q.qe, q.qe)) * sqrt(list_dot_product(c.e, c.e))), 4) DESC,
+        |      c.vec_id ASC) AS rank
+        |  FROM emb c, q WHERE c.vec_id <> q.q_id) WHERE rank <= 3),
+        |ls AS (SELECT q_id, vec_id FROM (
+        |  SELECT q.q_id, c.vec_id,
+        |    row_number() OVER (PARTITION BY q.q_id ORDER BY
+        |      round(list_dot_product(q.qe, c.e) /
+        |        (sqrt(list_dot_product(q.qe, q.qe)) * sqrt(list_dot_product(c.e, c.e))), 4) DESC,
+        |      c.vec_id ASC) AS rank
+        |  FROM bucketed c JOIN q ON c.bk = q.qbk AND c.vec_id <> q.q_id) WHERE rank <= 3),
+        |agg AS (
+        |  SELECT ex.q_id, count(*) AS n_exact,
+        |    CAST(sum(CASE WHEN ls.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+        |  FROM ex LEFT JOIN ls ON ex.q_id = ls.q_id AND ex.vec_id = ls.vec_id
+        |  GROUP BY ex.q_id)
+        |SELECT q_id, n_exact, n_hit, round(n_hit / n_exact, 4) AS recall
+        |FROM agg ORDER BY q_id""".stripMargin)(annRecall),
 
     OpQuery("op_similarity_ivf",
       """WITH emb AS (

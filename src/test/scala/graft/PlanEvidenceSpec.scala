@@ -39,6 +39,7 @@ class PlanEvidenceSpec extends AnyFunSuite {
     // codebooks, an hour/type grid) — bounded, never corpus × corpus
     val deliberateBroadcastExpand = Set(
       "op_similarity_topk",  // 10 broadcast query rows — documented exact baseline
+      "op_ann_recall",       // same 10-query exact baseline, graded against the LSH probe
       "op_similarity_ivf",   // 8 broadcast centroids (cell assign)
       "op_vector_pq",        // 4 broadcast codebook entries per block
       "op_ts_gapfill",       // hour×type grid, volume-independent
