@@ -48,6 +48,68 @@ object LlmPipeline {
       .orderBy("keep_id")
   }
 
+  // ---- B52: incremental dedup against a historical index -------------------
+
+  /** B52 — `op_dedup_incremental`: dedup the NEW batch against an
+    * existing corpus digest index — the shape production actually runs
+    * at 100 TB (nobody re-deduplicates the historical corpus daily; the
+    * increment joins the index). History = a quarter of the corpus
+    * (orig doc_id % 4 == 0), keyed by the B16 normalized digest; batch
+    * = the rest, plus planted re-posts of history docs (odd re-key
+    * 2·id+1) that MUST flag as known.
+    *
+    * Scale shape: the digest index is corpus-sized — NEVER broadcast;
+    * this is a digest-keyed shuffle join where the increment side is
+    * the small one, and AQE picks the strategy from runtime stats.
+    * Uniform md5 keys mean no skew by construction. Output is
+    * batch-sized. */
+  def dedupIncremental(sp: SparkSession, dir: String): DataFrame =
+    dedupIncrementalOf(docs(sp, dir))
+
+  /** Core over `corpus(doc_id, text)` for known-answer specs. */
+  def dedupIncrementalOf(corpus: DataFrame): DataFrame = {
+    val normed = corpus.select(col("doc_id"),
+      md5(lower(trim(regexp_replace(col("text"), "\\s+", " ")))).as("key"))
+    val history = normed.filter(col("doc_id") % 4 === 0)
+      .groupBy("key").agg(min(col("doc_id") * 2).as("hist_id"))
+    val batch = normed.filter(col("doc_id") % 4 =!= 0)
+      .select((col("doc_id") * 2).as("doc_id"), col("key"))
+      .union(normed.filter(col("doc_id") % 8 === 0)
+        .select((col("doc_id") * 2 + 1).as("doc_id"), col("key")))
+    batch.join(history, Seq("key"), "left")
+      .select(col("doc_id"),
+        col("hist_id").isNotNull.as("dup_of_history"),
+        coalesce(col("hist_id"), lit(-1L)).as("hist_id"))
+      .orderBy("doc_id")
+  }
+
+  // ---- B53: vocabulary frequency histogram ---------------------------------
+
+  /** B53 — `op_token_histogram`: vocabulary mass by frequency decade
+    * (digit count of the term frequency — integer-exact in both
+    * engines, unlike `floor(log10(f))` whose last-ulp placement at
+    * exact powers of ten is engine-dependent): how many term TYPES and
+    * how much token MASS sit in each order of magnitude — the
+    * head/torso/tail statistic a tokenizer/vocab design reads first.
+    *
+    * Scale shape: explode → (term) vocabulary-keyed count with map-side
+    * partials (the op_text_tokenize_tf shuffle class) → decade agg
+    * whose output is ≤ #digits rows. Nothing corpus-sized leaves the
+    * first aggregation. */
+  def tokenHistogram(sp: SparkSession, dir: String): DataFrame =
+    tokenHistogramOf(docs(sp, dir))
+
+  /** Core over `corpus(text)` for known-answer specs. */
+  def tokenHistogramOf(corpus: DataFrame): DataFrame =
+    corpus
+      .select(explode(filter(split(col("text"), " "), t => t =!= "")).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("f"))
+      .withColumn("decade", (length(col("f").cast("string")) - 1).cast("int"))
+      .groupBy("decade")
+      .agg(count(lit(1)).as("n_types"), sum("f").as("n_tokens"),
+        min("f").as("min_f"), max("f").as("max_f"))
+      .orderBy("decade")
+
   // ---- B17: MinHash near-dup candidates ------------------------------------
 
   private val NumHashes = 8
@@ -437,6 +499,32 @@ object LlmPipeline {
         |  FROM scored)
         |SELECT q_id, rank, vec_id, score FROM ranked WHERE rank <= 5
         |ORDER BY q_id, rank""".stripMargin)(similarityTopk),
+
+    OpQuery("op_dedup_incremental",
+      """WITH normed AS (
+        |  SELECT doc_id, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS key
+        |  FROM documents),
+        |history AS (
+        |  SELECT key, min(doc_id * 2) AS hist_id FROM normed WHERE doc_id % 4 = 0 GROUP BY key),
+        |batch AS (
+        |  SELECT doc_id * 2 AS doc_id, key FROM normed WHERE doc_id % 4 <> 0
+        |  UNION ALL
+        |  SELECT doc_id * 2 + 1, key FROM normed WHERE doc_id % 8 = 0)
+        |SELECT b.doc_id, h.hist_id IS NOT NULL AS dup_of_history,
+        |  COALESCE(h.hist_id, -1) AS hist_id
+        |FROM batch b LEFT JOIN history h USING (key)
+        |ORDER BY b.doc_id""".stripMargin)(dedupIncremental),
+
+    OpQuery("op_token_histogram",
+      """WITH freq AS (
+        |  SELECT term, count(*) AS f
+        |  FROM (SELECT unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS term
+        |        FROM documents)
+        |  GROUP BY term)
+        |SELECT CAST(length(CAST(f AS VARCHAR)) - 1 AS INTEGER) AS decade,
+        |  count(*) AS n_types, CAST(sum(f) AS BIGINT) AS n_tokens,
+        |  CAST(min(f) AS BIGINT) AS min_f, CAST(max(f) AS BIGINT) AS max_f
+        |FROM freq GROUP BY decade ORDER BY decade""".stripMargin)(tokenHistogram),
 
     OpQuery("op_text_tokenize_tf",
       """SELECT term, count(*) AS n

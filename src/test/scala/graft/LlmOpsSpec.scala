@@ -1,0 +1,46 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.LlmPipeline
+
+/** Known-answer tests for the incremental-dedup and vocabulary-histogram
+  * operators (B52/B53) on hand-built corpora. */
+class LlmOpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // history = ids {0,4,8}; batch = {1,2,3,5,6,7} re-keyed 2·id;
+  // planted re-posts of {0,8} re-keyed 2·id+1 -> MUST flag against
+  // hist_id 0 and 16; everything else is novel (unique texts).
+  test("incremental dedup: planted re-posts flag against history, novel docs pass") {
+    val corpus = (0L to 8L).map(i => (i, s"unique doc number $i")).toDF("doc_id", "text")
+    val got = LlmPipeline.dedupIncrementalOf(corpus).collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2)))
+    assert(got.toSeq === Seq(
+      (1L, true, 0L), (2L, false, -1L), (4L, false, -1L), (6L, false, -1L),
+      (10L, false, -1L), (12L, false, -1L), (14L, false, -1L), (17L, true, 16L)))
+  }
+
+  // tokens: a×10, b×2, c×1 -> decade 1 holds {a} (10 tokens),
+  // decade 0 holds {b, c} (3 tokens)
+  test("token histogram: hand-computed decade masses") {
+    val corpus = Seq("a a a a a a a a a a b b c").toDF("text")
+    val got = LlmPipeline.tokenHistogramOf(corpus).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq === Seq((0, 2L, 3L, 1L, 2L), (1, 1L, 10L, 10L, 10L)))
+  }
+
+  test("incremental dedup on the real corpus: every planted odd id flags") {
+    val out = LlmPipeline.dedupIncremental(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2)))
+    val planted = out.filter(_._1 % 2 == 1)
+    assert(planted.nonEmpty, "no planted re-posts")
+    planted.foreach { case (id, flag, hist) =>
+      assert(flag, s"planted re-post $id escaped the index")
+      assert(hist % 2 == 0 && hist >= 0 && hist <= id - 1,
+        s"planted $id matched an impossible history id $hist")
+    }
+    assert(out.exists(!_._2), "everything flagged — the join is vacuous")
+  }
+}
