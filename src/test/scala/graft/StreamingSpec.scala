@@ -12,6 +12,8 @@ import graft.operators.Streaming
 final case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
     event_type: String, value: Double, props: String)
 
+final case class Doc(doc_id: Long, text: String)
+
 /** Batch ≡ streaming parity for B22–B24 (SURVEY.md §2): the SAME plan
   * builders run over a MemoryStream with watermarks and over a batch
   * DataFrame of the same rows, and must agree. Plus a genuine
@@ -193,5 +195,35 @@ class StreamingSpec extends AnyFunSuite {
     val kept = Streaming.dedupLatePlan(doubled, streaming = false)
       .filter(col("event_id") === 1).select("value").as[Double].collect()
     assert(kept === Array(1.0))
+  }
+
+  test("B54 stream-static join: streamed docs anti-join the static index, stream ≡ batch") {
+    implicit val sqlCtx = spark.sqlContext
+    // static history: docs A and B (normalized digests)
+    val history = Seq(Doc(0L, "alpha beta gamma"), Doc(4L, "delta epsilon"))
+      .toDF("doc_id", "text")
+      .select(md5(lower(trim(regexp_replace(col("text"), "\\s+", " ")))).as("key"),
+        (col("doc_id") * 2).as("hist_id"))
+    val arrivals = Seq(
+      Doc(101L, "alpha   beta gamma"),   // whitespace variant of A -> known, rejected
+      Doc(102L, "totally novel one"),    // admitted
+      Doc(103L, "DELTA epsilon"),        // case variant of B -> known, rejected
+      Doc(104L, "another novel doc"))    // admitted
+    val mem = MemoryStream[Doc]
+    val name = s"sink_${System.nanoTime()}"
+    val q = Streaming.staticJoinPlan(mem.toDF(), history)
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      mem.addData(arrivals(0), arrivals(1))   // micro-batch 1
+      q.processAllAvailable()
+      mem.addData(arrivals(2), arrivals(3))   // micro-batch 2
+      q.processAllAvailable()
+    } finally q.stop()
+    val admitted = spark.table(name).select("doc_id").as[Long].collect().sorted
+    assert(admitted === Array(102L, 104L), "only novel docs may be admitted")
+    // unified API: the same builder over a batch DataFrame agrees
+    val batch = Streaming.staticJoinPlan(arrivals.toDF(), history)
+      .select("doc_id").as[Long].collect().sorted
+    assert(batch === admitted)
   }
 }
