@@ -495,10 +495,15 @@ object TrainingData {
 
   /** Core over `corpus(lang, text)` for known-answer specs. */
   def mixtureWeightsOf(corpus: DataFrame): DataFrame = {
+    // localCheckpoint the |languages|-row aggregate: it feeds BOTH the
+    // output rows and the 1-row normalizer, and a broadcast consumer
+    // does not reuse the other side's exchange (SKILL.md) — without the
+    // checkpoint the full corpus token-count pass runs TWICE
     val perLang = corpus
       .select(col("lang"),
         size(filter(split(col("text"), " "), t => t =!= "")).cast("long").as("n"))
       .groupBy("lang").agg(count(lit(1)).as("n_docs"), sum("n").as("n_tok"))
+      .localCheckpoint()
     val tot = perLang.agg(sum("n_tok").as("tot"), sum(sqrt(col("n_tok"))).as("s"))
     perLang.crossJoin(broadcast(tot))
       .select(col("lang"), col("n_docs"), col("n_tok"),

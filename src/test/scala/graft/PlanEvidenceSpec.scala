@@ -75,6 +75,26 @@ class PlanEvidenceSpec extends AnyFunSuite {
     assert(!p.contains("l_orderkey"), "scan reads columns the layout never uses")
   }
 
+  test("op_quality_classifier: inference rides the scan — zero hash shuffles") {
+    val p = plan("op_quality_classifier")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"model inference should be a pure projection, no shuffle:\n$p")
+    // (no WholeStageCodegen assert: the stop-word `filter` lambda is a
+    // higher-order function — CodegenFallback by design, see SKILL.md)
+  }
+
+  test("op_mixture_weights: the corpus token-count pass runs ONCE, not per consumer") {
+    // the |languages|-row aggregate is localCheckpointed; both consumers
+    // (output rows + 1-row normalizer) must read the materialized RDD —
+    // a lang-keyed hashpartitioning exchange in the graded plan means
+    // the corpus pass leaked back in and would run twice at 100 TB
+    val p = plan("op_mixture_weights")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"corpus aggregation re-entered the plan (runs once per consumer):\n$p")
+    assert(p.contains("ExistingRDD") || p.contains("Scan ExistingRDD"),
+      s"expected the checkpointed per-language frame:\n$p")
+  }
+
   test("op_join_asof: two skinny hash shuffles, ONE fused Window node") {
     val p = plan("op_join_asof")
     val hashExchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
