@@ -219,19 +219,26 @@ object TrainingData {
     * candidate set ~1/K of the corpus, like LSH's bucket trade
     * (`similarityLsh`); IVF's cells adapt to the data distribution
     * where LSH's hyperplanes are oblivious. */
-  def similarityIvf(sp: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.embeddings(sp, dir)
-      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("e"))
+  /** IVF coarse-quantizer cell assignment over `emb(vec_id, e)`:
+    * argmax RAW cosine against the 8 fixed centroid vectors (the
+    * rounded form could flip a near-tie vs the oracle's unrounded
+    * ordering); ties break on lower c_id. Shared by `similarityIvf`
+    * and the `annRecall` contract. */
+  private def ivfAssign(emb: DataFrame): DataFrame = {
     val cents = emb.filter(col("vec_id").between(100, 107))
       .select(col("vec_id").as("c_id"), col("e").as("ce"))
     val wCell = Window.partitionBy("vec_id").orderBy(col("cos_c").desc, col("c_id").asc)
-    val assigned = emb.join(broadcast(cents))
-      // RAW cosine for the argmax (the rounded form could flip a
-      // near-tie vs the oracle's unrounded ordering)
+    emb.join(broadcast(cents))
       .withColumn("cos_c", graft.plans.VectorKernels.cosine(col("e"), col("ce")))
       .withColumn("rn", row_number().over(wCell))
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("e"), col("c_id").as("cell"))
+  }
+
+  def similarityIvf(sp: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(sp, dir)
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("e"))
+    val assigned = ivfAssign(emb)
     val queries = assigned.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("e").as("qe"), col("cell").as("qcell"))
     val scored = assigned.join(broadcast(queries),
@@ -274,13 +281,24 @@ object TrainingData {
       .join(broadcast(queries), col("bk") === col("qbk") && col("vec_id") =!= col("q_id"))
       .withColumn("score", cosine(col("qe"), col("e")))
       .withColumn("rank", row_number().over(w)).filter(col("rank") <= 3)
-      .select(col("q_id"), col("vec_id"), lit(1).as("hit"))
-    exact.join(lsh, Seq("q_id", "vec_id"), "left")
-      .groupBy("q_id")
+      .select(lit("lsh").as("method"), col("q_id"), col("vec_id"))
+    val assigned = ivfAssign(emb.select(col("vec_id"), col("e")))
+    val qIvf = assigned.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("e").as("qe"), col("cell").as("qcell"))
+    val ivf = assigned
+      .join(broadcast(qIvf), col("cell") === col("qcell") && col("vec_id") =!= col("q_id"))
+      .withColumn("score", cosine(col("qe"), col("e")))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= 3)
+      .select(lit("ivf").as("method"), col("q_id"), col("vec_id"))
+    val hits = lsh.union(ivf).withColumn("hit", lit(1))
+    exact
+      .withColumn("method", explode(array(lit("ivf"), lit("lsh"))))
+      .join(hits, Seq("method", "q_id", "vec_id"), "left")
+      .groupBy("method", "q_id")
       .agg(count(lit(1)).as("n_exact"),
         sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hit"))
       .withColumn("recall", round(col("n_hit") / col("n_exact"), 4))
-      .orderBy("q_id")
+      .orderBy("method", "q_id")
   }
 
   // ---- B28c: product quantization ------------------------------------------
@@ -915,13 +933,39 @@ object TrainingData {
         |        (sqrt(list_dot_product(q.qe, q.qe)) * sqrt(list_dot_product(c.e, c.e))), 4) DESC,
         |      c.vec_id ASC) AS rank
         |  FROM bucketed c JOIN q ON c.bk = q.qbk AND c.vec_id <> q.q_id) WHERE rank <= 3),
+        |cents AS (
+        |  SELECT vec_id AS c_id, e AS ce FROM emb WHERE vec_id BETWEEN 100 AND 107),
+        |assigned AS (
+        |  SELECT vec_id, e, c_id AS cell FROM (
+        |    SELECT emb.vec_id, emb.e, cents.c_id,
+        |      row_number() OVER (PARTITION BY emb.vec_id ORDER BY
+        |        list_dot_product(emb.e, cents.ce) /
+        |          (sqrt(list_dot_product(emb.e, emb.e)) * sqrt(list_dot_product(cents.ce, cents.ce))) DESC,
+        |        cents.c_id ASC) AS rn
+        |    FROM emb, cents)
+        |  WHERE rn = 1),
+        |qi AS (SELECT vec_id AS q_id, e AS qe, cell AS qcell FROM assigned WHERE vec_id < 10),
+        |iv AS (SELECT q_id, vec_id FROM (
+        |  SELECT qi.q_id, a.vec_id,
+        |    row_number() OVER (PARTITION BY qi.q_id ORDER BY
+        |      round(list_dot_product(qi.qe, a.e) /
+        |        (sqrt(list_dot_product(qi.qe, qi.qe)) * sqrt(list_dot_product(a.e, a.e))), 4) DESC,
+        |      a.vec_id ASC) AS rank
+        |  FROM assigned a JOIN qi ON a.cell = qi.qcell AND a.vec_id <> qi.q_id) WHERE rank <= 3),
+        |hits AS (
+        |  SELECT 'lsh' AS method, q_id, vec_id FROM ls
+        |  UNION ALL SELECT 'ivf', q_id, vec_id FROM iv),
+        |ex2 AS (
+        |  SELECT 'ivf' AS method, q_id, vec_id FROM ex
+        |  UNION ALL SELECT 'lsh', q_id, vec_id FROM ex),
         |agg AS (
-        |  SELECT ex.q_id, count(*) AS n_exact,
-        |    CAST(sum(CASE WHEN ls.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
-        |  FROM ex LEFT JOIN ls ON ex.q_id = ls.q_id AND ex.vec_id = ls.vec_id
-        |  GROUP BY ex.q_id)
-        |SELECT q_id, n_exact, n_hit, round(n_hit / n_exact, 4) AS recall
-        |FROM agg ORDER BY q_id""".stripMargin)(annRecall),
+        |  SELECT e.method, e.q_id, count(*) AS n_exact,
+        |    CAST(sum(CASE WHEN h.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+        |  FROM ex2 e LEFT JOIN hits h
+        |    ON e.method = h.method AND e.q_id = h.q_id AND e.vec_id = h.vec_id
+        |  GROUP BY e.method, e.q_id)
+        |SELECT method, q_id, n_exact, n_hit, round(n_hit / n_exact, 4) AS recall
+        |FROM agg ORDER BY method, q_id""".stripMargin)(annRecall),
 
     OpQuery("op_similarity_ivf",
       """WITH emb AS (

@@ -73,22 +73,27 @@ class LshSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1))).toSet, "deterministic across runs")
   }
 
-  test("op_ann_recall agrees with recall composed from the two certified ops") {
-    // independent derivation: exact top-3 = op_similarity_topk at rank<=3,
-    // LSH top-3 = op_similarity_lsh; recall = per-query intersection / 3
+  test("op_ann_recall agrees with recall composed from the certified index ops") {
+    // independent derivation: exact top-3 = op_similarity_topk at rank<=3;
+    // index top-3 = op_similarity_lsh / op_similarity_ivf; recall =
+    // per-query intersection / 3
     val exact3 = LlmPipeline.similarityTopk(spark, dir).filter(col("rank") <= 3)
       .select("q_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val lsh3 = TrainingData.similarityLsh(spark, dir)
-      .select("q_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val byMethod = Map(
+      "lsh" -> TrainingData.similarityLsh(spark, dir),
+      "ivf" -> TrainingData.similarityIvf(spark, dir)).map { case (m, df) =>
+      m -> df.select("q_id", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
     val out = TrainingData.annRecall(spark, dir).collect()
-    assert(out.length == 10)
+    assert(out.length == 20, "10 queries x 2 index methods")
     out.foreach { r =>
-      val q = r.getLong(0)
-      assert(r.getLong(1) == 3L, s"query $q graded against ${r.getLong(1)} exact neighbors")
-      val expectHits = exact3.filter(_._1 == q).count(lsh3.contains)
-      assert(r.getLong(2) == expectHits.toLong,
-        s"query $q: op says ${r.getLong(2)} hits, composition says $expectHits")
-      assert(r.getDouble(3) == math.rint(expectHits / 3.0 * 10000) / 10000)
+      val (m, q) = (r.getString(0), r.getLong(1))
+      assert(r.getLong(2) == 3L, s"$m/$q graded against ${r.getLong(2)} exact neighbors")
+      val expectHits = exact3.filter(_._1 == q).count(byMethod(m).contains)
+      assert(r.getLong(3) == expectHits.toLong,
+        s"$m/$q: op says ${r.getLong(3)} hits, composition says $expectHits")
+      assert(r.getDouble(4) == math.rint(expectHits / 3.0 * 10000) / 10000)
     }
   }
 
