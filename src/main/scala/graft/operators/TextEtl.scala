@@ -59,6 +59,40 @@ object TextEtl {
       col("n_chars"), length(col("text")).as("text_len"))
       .orderBy("doc_id")
 
+  /** A1b — `op_source_textdir`: the reference's NATIVE input shape
+    * (one messy text file per document, `script.py:562-563`) read
+    * through the custom DataSource V2 provider
+    * [[graft.sources.v2.TextDirSource]] — per-file partition planning +
+    * column pruning, i.e. a real Spark source, not a parquet wrapper.
+    *
+    * The graded query materializes a BOUNDED 100-doc slice as text
+    * files once (driver-side, marker-guarded — the same bounded-panel
+    * pattern as the 10-query ANN baselines), reads them back through
+    * the V2 source, and re-derives each doc's id + code-point length;
+    * the oracle reads the same facts straight from the parquet table,
+    * so a round-trip corruption (encoding, truncation, ordering) fails
+    * the hash. */
+  def sourceTextdir(sp: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val out = Paths.get(s"/tmp/graft_textdir_${java.lang.Integer.toHexString(dir.hashCode)}")
+    val marker = out.resolve("_SUCCESS")
+    if (!Files.exists(marker)) {
+      Files.createDirectories(out)
+      docs(sp, dir).filter(col("doc_id") < 100)
+        .select("doc_id", "text").collect()   // bounded: 100 docs
+        .foreach { r =>
+          Files.writeString(out.resolve(f"${r.getLong(0)}%05d.txt"), r.getString(1))
+        }
+      Files.createFile(marker)
+    }
+    sp.read.format("graft.sources.v2.TextDirSource")
+      .option("path", out.toString).load()
+      .filter(col("path").endsWith(".txt"))
+      .withColumn("doc_id", regexp_extract(col("path"), "(\\d+)\\.txt$", 1).cast("long"))
+      .select(col("doc_id"), col("length").cast("int").as("text_len"))
+      .orderBy("doc_id")
+  }
+
   /** A2 — JSON sink projection (`script.py:572-573`): the engine's JSON
     * serialization of a record, verified against an independently
     * constructed JSON string. `df.write.json` uses the same `to_json`
@@ -559,6 +593,10 @@ object TextEtl {
     OpQuery("op_source_text",
       """SELECT doc_id, lang, source, n_chars, CAST(length(text) AS INTEGER) AS text_len
         |FROM documents ORDER BY doc_id""".stripMargin)(sourceText),
+
+    OpQuery("op_source_textdir",
+      """SELECT doc_id, CAST(length(text) AS INTEGER) AS text_len
+        |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin)(sourceTextdir),
 
     OpQuery("op_sink_json",
       """SELECT doc_id, concat('{"doc_id":', doc_id, ',"lang":"', lang, '"}') AS js

@@ -1,0 +1,120 @@
+package graft.sources.v2
+
+import java.nio.file.{Files, Paths}
+import java.util.{Map => JMap}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.types.{DataType, LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 provider for the reference's NATIVE input shape — a
+  * directory of whole-document text files (the reference reads one messy
+  * text file per process, `script.py:562-563` / `etl_parser.py:1093`;
+  * here a directory of those files is one distributed table).
+  *
+  * `spark.read.format("graft.sources.v2.TextDirSource")
+  *   .option("path", dir).load()` →
+  * `(path string, text string, length bigint)` — one row per file,
+  * `length` in Unicode code points (matches both engines' `length()`).
+  *
+  * Spark-native behaviors implemented (not just a wrapper):
+  *  - PARTITION PLANNING: one `InputPartition` per file, sorted by path
+  *    — files read in parallel across executors, locality-free (works
+  *    against any shared filesystem);
+  *  - COLUMN PRUNING (`SupportsPushDownRequiredColumns`): a projection
+  *    that drops `text` never materializes file contents — `length`
+  *    still requires one read, but the pruned row carries only the
+  *    requested fields (asserted in TextDirSourceSpec via the scan's
+  *    ReadSchema).
+  *
+  * 100 TB note: per-file partitions are the correct granularity for
+  * whole-document semantics (a document must not split); a production
+  * variant adds file-size bin packing of SMALL files into composite
+  * partitions — the planning hook is the same `planInputPartitions`.
+  */
+class TextDirSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    TextDirSource.Schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: JMap[String, String]): Table =
+    new TextDirTable(properties.get("path"))
+  override def supportsExternalMetadata(): Boolean = false
+}
+
+object TextDirSource {
+  val Schema: StructType = StructType(Seq(
+    StructField("path", StringType, nullable = false),
+    StructField("text", StringType, nullable = false),
+    StructField("length", LongType, nullable = false)))
+}
+
+private[v2] class TextDirTable(dir: String) extends Table with SupportsRead {
+  require(dir != null && dir.nonEmpty, "TextDirSource requires .option(\"path\", dir) / load(dir)")
+  override def name(): String = s"textdir:$dir"
+  override def schema(): StructType = TextDirSource.Schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new TextDirScanBuilder(dir)
+}
+
+private[v2] class TextDirScanBuilder(dir: String)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = TextDirSource.Schema
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    // Catalyst hands back the subset it needs; keep source column order
+    required = StructType(TextDirSource.Schema.fields.filter(f =>
+      requiredSchema.fieldNames.contains(f.name)))
+  override def build(): Scan = new TextDirScan(dir, required)
+}
+
+private[v2] case class TextFilePartition(path: String) extends InputPartition
+
+private[v2] class TextDirScan(dir: String, required: StructType) extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def description(): String = s"TextDirScan(dir=$dir, cols=${required.fieldNames.mkString(",")})"
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val p = Paths.get(dir)
+    if (!Files.isDirectory(p)) Array.empty
+    else Files.list(p).iterator().asScala
+      .filter(f => Files.isRegularFile(f))
+      .map(_.toString).toArray.sorted
+      .map(TextFilePartition(_): InputPartition)
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new TextDirReaderFactory(required.fieldNames)
+}
+
+/** One row per partition (= per file); only the pruned columns are
+  * built. Serializable: carries just the column-name list. */
+private[v2] class TextDirReaderFactory(cols: Array[String])
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val path = partition.asInstanceOf[TextFilePartition].path
+    new PartitionReader[InternalRow] {
+      private var done = false
+      override def next(): Boolean = if (done) false else { done = true; true }
+      override def get(): InternalRow = {
+        lazy val text = Files.readString(Paths.get(path))
+        val values: Array[Any] = cols.map {
+          case "path" => UTF8String.fromString(path)
+          case "text" => UTF8String.fromString(text)
+          // code points, not UTF-16 units: matches length() in both engines
+          case "length" => text.codePointCount(0, text.length).toLong
+          case other => throw new IllegalStateException(s"unknown column $other")
+        }
+        InternalRow.fromSeq(values.toIndexedSeq)
+      }
+      override def close(): Unit = ()
+    }
+  }
+}
