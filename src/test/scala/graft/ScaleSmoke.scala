@@ -96,7 +96,10 @@ object ScaleSmoke {
       // per-iteration overhead + data-linear join/agg work, so the wall
       // ratio should sit well UNDER Copies at this absolute scale
       Seq("op_graph_pagerank" -> (Mining.graphPagerank _)) ++
-      (if (withEmb) Seq("op_kmeans_train" -> (Mining.kmeansTrain _)) else Nil)
+      (if (withEmb) Seq("op_kmeans_train" -> (Mining.kmeansTrain _)) else Nil) ++
+      // digest-keyed shuffle join: batch AND history both scale with the
+      // corpus, so wall growth tracks the join's linear work
+      Seq("op_dedup_incremental" -> (LlmPipeline.dedupIncremental _))
 
     def run(dir: String, label: String): Map[String, (Double, Long)] =
       ops.map { case (name, f) =>
