@@ -84,10 +84,15 @@ private[v2] class TextDirScan(dir: String, required: StructType) extends Scan wi
   override def planInputPartitions(): Array[InputPartition] = {
     val p = Paths.get(dir)
     if (!Files.isDirectory(p)) Array.empty
-    else Files.list(p).iterator().asScala
-      .filter(f => Files.isRegularFile(f))
-      .map(_.toString).toArray.sorted
-      .map(TextFilePartition(_): InputPartition)
+    else {
+      // Files.list holds a directory handle until closed — leak-free
+      val stream = Files.list(p)
+      try stream.iterator().asScala
+        .filter(f => Files.isRegularFile(f))
+        .map(_.toString).toArray.sorted
+        .map(TextFilePartition(_): InputPartition)
+      finally stream.close()
+    }
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
