@@ -83,6 +83,44 @@ object LlmPipeline {
       .orderBy("doc_id")
   }
 
+  // ---- B55: index update (the write half of incremental dedup) -------------
+
+  /** B55 — `op_index_update`: merge the batch's NOVEL digests back into
+    * the history index — the write half of the daily dedup loop that
+    * [[dedupIncremental]] (the read half) left open. Within-batch
+    * keep-first: a key seen several times in the batch enters the index
+    * once, under its smallest doc_id. Output is the full UPDATED index
+    * (`is_new` marks the merged rows), so the grade pins both halves:
+    * history rows must survive untouched and exactly the novel keys
+    * must be added.
+    *
+    * Scale shape: `left_anti` against the corpus-sized index is the
+    * same digest-keyed shuffle join class as the B52 lookup (never
+    * broadcast the index; uniform md5 keys, no skew), the keep-first is
+    * a map-side-partial min on the batch only, and the union is
+    * plan-level (no shuffle). At 100 TB the updated index is written
+    * back BUCKETED by `key` so tomorrow's lookup and anti-join are
+    * co-located reads with no index-side shuffle at all. */
+  def indexUpdate(sp: SparkSession, dir: String): DataFrame =
+    indexUpdateOf(docs(sp, dir))
+
+  /** Core over `corpus(doc_id, text)` for known-answer specs. */
+  def indexUpdateOf(corpus: DataFrame): DataFrame = {
+    val normed = corpus.select(col("doc_id"),
+      md5(lower(trim(regexp_replace(col("text"), "\\s+", " ")))).as("key"))
+    val history = normed.filter(col("doc_id") % 4 === 0)
+      .groupBy("key").agg(min(col("doc_id") * 2).as("hist_id"))
+    val batch = normed.filter(col("doc_id") % 4 =!= 0)
+      .select((col("doc_id") * 2).as("doc_id"), col("key"))
+      .union(normed.filter(col("doc_id") % 8 === 0)
+        .select((col("doc_id") * 2 + 1).as("doc_id"), col("key")))
+    val novel = batch.join(history, Seq("key"), "left_anti")
+      .groupBy("key").agg(min("doc_id").as("entry_id"))
+    history.select(col("key"), col("hist_id").as("entry_id"), lit(false).as("is_new"))
+      .union(novel.select(col("key"), col("entry_id"), lit(true).as("is_new")))
+      .orderBy("key")
+  }
+
   // ---- B53: vocabulary frequency histogram ---------------------------------
 
   /** B53 — `op_token_histogram`: vocabulary mass by frequency decade
@@ -514,6 +552,25 @@ object LlmPipeline {
         |  COALESCE(h.hist_id, -1) AS hist_id
         |FROM batch b LEFT JOIN history h USING (key)
         |ORDER BY b.doc_id""".stripMargin)(dedupIncremental),
+
+    OpQuery("op_index_update",
+      """WITH normed AS (
+        |  SELECT doc_id, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS key
+        |  FROM documents),
+        |history AS (
+        |  SELECT key, min(doc_id * 2) AS hist_id FROM normed WHERE doc_id % 4 = 0 GROUP BY key),
+        |batch AS (
+        |  SELECT doc_id * 2 AS doc_id, key FROM normed WHERE doc_id % 4 <> 0
+        |  UNION ALL
+        |  SELECT doc_id * 2 + 1, key FROM normed WHERE doc_id % 8 = 0),
+        |novel AS (
+        |  SELECT key, min(doc_id) AS entry_id FROM batch b
+        |  WHERE NOT EXISTS (SELECT 1 FROM history h WHERE h.key = b.key)
+        |  GROUP BY key)
+        |SELECT key, hist_id AS entry_id, FALSE AS is_new FROM history
+        |UNION ALL
+        |SELECT key, entry_id, TRUE FROM novel
+        |ORDER BY key""".stripMargin)(indexUpdate),
 
     OpQuery("op_token_histogram",
       """WITH freq AS (

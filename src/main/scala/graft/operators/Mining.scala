@@ -266,16 +266,33 @@ object Mining {
     * — hash partitioning spreads the many hot keys, so no partition
     * skew exists to mitigate; and AQE's OptimizeSkewedJoin declines
     * this shape even when forced, because the model joins REUSE the
-    * count-aggregation exchanges. If a single bigram ever dominates a
-    * partition (100 TB regime), the escape is `Skew.saltedJoin` on the
-    * hot prefixes — AQE won't save this plan, by construction. The
-    * per-doc mean is the order-sensitive sum: final `round(4)`. */
+    * count-aggregation exchanges. Because AQE won't save this plan by
+    * construction, the 100 TB escape is WIRED IN, not a comment: any
+    * prefix whose instance count crosses `HotPrefixInstances` routes
+    * through `Skew.saltedJoin` on both model joins (hot-key split
+    * salting; result-invariant, SkewProbe measures it firing on a
+    * planted hot bigram), while the cold tail keeps the plain
+    * exchange-reusing joins. On healthy corpora the hot set is empty
+    * and AQE's empty-relation propagation erases the salted branch.
+    * The per-doc mean is the order-sensitive sum: final `round(4)`. */
   def ngramLm(sp: SparkSession, dir: String): DataFrame =
     ngramLmScores(docs(sp, dir))
 
+  /** Instance-count threshold above which a bigram PREFIX takes the
+    * salted-join path: sized so it only trips when one prefix rivals a
+    * healthy production shuffle partition (~10^7 instances ≈ hundreds
+    * of MB of instance rows), far above any test-SF count — test-scale
+    * plans are unchanged; SkewProbe passes a low threshold explicitly. */
+  val HotPrefixInstances: Long = 10000000L
+
+  /** Salt fan-out for the hot-prefix branch. */
+  private val NgramSalts = 8
+
   /** Core: bigram-LM mean log-prob per document over
-    * `corpus(doc_id, text)`. Exposed for known-answer specs. */
-  def ngramLmScores(corpus: DataFrame): DataFrame = {
+    * `corpus(doc_id, text)`. Exposed for known-answer specs and (with
+    * a low `hotPrefixInstances`) for SkewProbe's salted-path run. */
+  def ngramLmScores(corpus: DataFrame,
+      hotPrefixInstances: Long = HotPrefixInstances): DataFrame = {
     val toks = corpus
       .select(col("doc_id"), filter(split(col("text"), " "), t => t =!= "").as("ts"))
       .filter(size(col("ts")) >= 2)
@@ -288,9 +305,23 @@ object Mining {
     val c1 = big.groupBy("w1").agg(count(lit(1)).as("c1"))
     val vocab = toks.select(explode(col("ts")).as("t"))
       .agg(countDistinct(col("t")).as("v"))
-    big
-      .join(c2, Seq("w1", "w2"))
-      .join(c1, Seq("w1"))
+    // hot-prefix split: the hot SET is by construction tiny (keys above
+    // a partition-sized count — Zipf head), so tagging is a broadcast
+    // join; instance rows route by tag, model sides are filtered to
+    // hot keys before the salts-x explode so the fan-out cost is
+    // hot-set-sized, never vocabulary-sized.
+    val hot = c1.filter(col("c1") >= hotPrefixInstances)
+      .select(col("w1"), lit(true).as("__hot"))
+    val tagged = big.join(broadcast(hot), Seq("w1"), "left")
+    val coldB = tagged.filter(col("__hot").isNull).drop("__hot")
+    val hotB = tagged.filter(col("__hot") === true).drop("__hot")
+    val c2Hot = c2.join(broadcast(hot.select("w1")), Seq("w1"))
+    val c1Hot = c1.join(broadcast(hot.select("w1")), Seq("w1"))
+    val cold = coldB.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
+    val hotJ = Skew.saltedJoin(
+      Skew.saltedJoin(hotB, c2Hot, Seq("w1", "w2"), NgramSalts, col("doc_id")),
+      c1Hot, Seq("w1"), NgramSalts, col("doc_id"))
+    cold.unionByName(hotJ)
       .crossJoin(broadcast(vocab))
       .withColumn("logp", log((col("c2") + lit(1.0)) / (col("c1") + col("v"))))
       .groupBy("doc_id")

@@ -28,8 +28,14 @@ import org.apache.spark.sql.functions._
 object Skew {
 
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
+      salts: Int, saltBy: Column): DataFrame =
+    saltedJoin(fact, dim, Seq(key), salts, saltBy)
+
+  /** Composite-key form (e.g. the (w1, w2) bigram-model join). */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, keys: Seq[String],
       salts: Int, saltBy: Column): DataFrame = {
     require(salts > 0, "salts must be positive")
+    require(keys.nonEmpty, "saltedJoin needs at least one key column")
     // a user column named __salt would be silently overwritten (and
     // dropped from the output) — grow the name until it is free. (If
     // BOTH inputs carry a same-named user column the join output keeps
@@ -40,6 +46,6 @@ object Skew {
     val saltedFact = fact.withColumn(salt, pmod(hash(saltBy), lit(salts)))
     val explodedDim = dim.withColumn(salt,
       explode(sequence(lit(0), lit(salts - 1))))
-    saltedFact.join(explodedDim, Seq(key, salt)).drop(salt)
+    saltedFact.join(explodedDim, keys :+ salt).drop(salt)
   }
 }

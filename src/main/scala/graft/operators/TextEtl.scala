@@ -71,19 +71,46 @@ object TextEtl {
     * the V2 source, and re-derives each doc's id + code-point length;
     * the oracle reads the same facts straight from the parquet table,
     * so a round-trip corruption (encoding, truncation, ordering) fails
-    * the hash. */
+    * the hash.
+    *
+    * The panel cache is keyed on the CONTENT of the parquet dataset
+    * (an MD5 over each part-file's name+size+mtime), so regenerating
+    * the dataset at the same path gets a fresh panel, and is published
+    * by atomic rename of a fully-written temp dir — concurrent graders
+    * either see nothing or a complete panel, never a partial one. */
   def sourceTextdir(sp: SparkSession, dir: String): DataFrame = {
-    import java.nio.file.{Files, Paths}
-    val out = Paths.get(s"/tmp/graft_textdir_${java.lang.Integer.toHexString(dir.hashCode)}")
-    val marker = out.resolve("_SUCCESS")
-    if (!Files.exists(marker)) {
-      Files.createDirectories(out)
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val key = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.update(dir.getBytes("UTF-8"))
+      val parquet = Paths.get(dir, "documents.parquet")
+      if (Files.isDirectory(parquet)) {
+        val walk = Files.walk(parquet)
+        try walk.sorted().forEach { p =>
+          md.update(s"${p.getFileName}:${Files.size(p)}:${Files.getLastModifiedTime(p).toMillis}"
+            .getBytes("UTF-8"))
+        } finally walk.close()
+      }
+      md.digest().take(6).map(b => f"$b%02x").mkString
+    }
+    val out = Paths.get(s"/tmp/graft_textdir_$key")
+    if (!Files.exists(out)) {
+      val tmp = Files.createTempDirectory(Paths.get("/tmp"), "graft_textdir_build")
       docs(sp, dir).filter(col("doc_id") < 100)
         .select("doc_id", "text").collect()   // bounded: 100 docs
         .foreach { r =>
-          Files.writeString(out.resolve(f"${r.getLong(0)}%05d.txt"), r.getString(1))
+          Files.writeString(tmp.resolve(f"${r.getLong(0)}%05d.txt"), r.getString(1))
         }
-      Files.createFile(marker)
+      try Files.move(tmp, out, StandardCopyOption.ATOMIC_MOVE)
+      catch { case _: java.nio.file.FileAlreadyExistsException |
+                   _: java.nio.file.AccessDeniedException =>
+        // lost the publish race: another grader already installed an
+        // identical panel; discard ours
+        val walk = Files.walk(tmp)
+        try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(p => Files.delete(p))
+        finally walk.close()
+      }
     }
     sp.read.format("graft.sources.v2.TextDirSource")
       .option("path", out.toString).load()

@@ -108,10 +108,19 @@ object GraftExtensions {
       }),
     (FunctionIdentifier("graft_zorder"),
       info("graft_zorder",
-        "graft_zorder(x, y) - Morton (Z-order) interleave of the low 16 bits of two bigints"),
+        "graft_zorder(x, y[, bits]) - Morton (Z-order) interleave of the low `bits` " +
+          "(default 16, max 32 - the production key width) bits of two bigints"),
       (args: Seq[Expression]) => {
-        require(args.length == 2, "graft_zorder takes (bigint, bigint)")
-        ZOrderKey(args(0), args(1))
+        require(args.length == 2 || args.length == 3,
+          "graft_zorder takes (bigint, bigint[, bits int literal])")
+        val bits = if (args.length == 2) 16 else args(2) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case e if e.foldable && e.dataType == org.apache.spark.sql.types.IntegerType =>
+            e.eval().asInstanceOf[Int]
+          case other => throw new IllegalArgumentException(
+            s"graft_zorder bits must be a foldable int literal, got $other")
+        }
+        ZOrderKey(args(0), args(1), bits)
       }),
     (FunctionIdentifier("graft_cosine"),
       info("graft_cosine",

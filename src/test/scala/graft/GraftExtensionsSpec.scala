@@ -74,6 +74,16 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("graft_zorder"))
   }
 
+  test("graft_zorder SQL reaches the production 32-bit width via the bits arg") {
+    // bit 16 participates at width 32 (it does not at the default 16)
+    val r = spark.sql(
+      "SELECT graft_zorder(65536L, 0L, 32) AS wide, graft_zorder(65536L, 0L) AS narrow").head()
+    assert(r.getLong(0) == (1L << 33) && r.getLong(1) == 0L)
+    // bits must be a foldable int literal
+    val e = intercept[Exception](spark.sql("SELECT graft_zorder(1L, 1L, CAST(rand()*16 AS INT))").head())
+    assert(e.getMessage.contains("graft_zorder"))
+  }
+
   test("wrong arity fails loudly at analysis") {
     val e = intercept[Exception](spark.sql("SELECT graft_minhash_sig(array('x'), 2)").head())
     assert(e.getMessage.contains("graft_minhash_sig"))

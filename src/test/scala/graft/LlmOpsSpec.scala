@@ -22,6 +22,25 @@ class LlmOpsSpec extends AnyFunSuite {
       (10L, false, -1L), (12L, false, -1L), (14L, false, -1L), (17L, true, 16L)))
   }
 
+  // same corpus SHAPE as above but docs 1 and 2 share a text: the
+  // updated index must keep history rows {0,8,16} untouched, add each
+  // novel key once (keep-first: the shared key enters under min id 2,
+  // not 4), and must NOT re-add the re-posted history keys.
+  test("index update: history survives, novel keys merge keep-first, re-posts excluded") {
+    val corpus = (0L to 8L).map { i =>
+      val text = if (i == 2) "unique doc number 1" else s"unique doc number $i"
+      (i, text)
+    }.toDF("doc_id", "text")
+    val got = LlmPipeline.indexUpdateOf(corpus).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getBoolean(2)))
+    assert(got.length == 8 && got.map(_._1).distinct.length == 8,
+      s"index keys must be unique: ${got.toSeq}")
+    assert(got.filter(!_._3).map(_._2).sorted.toSeq === Seq(0L, 8L, 16L),
+      "history rows changed")
+    assert(got.filter(_._3).map(_._2).sorted.toSeq === Seq(2L, 6L, 10L, 12L, 14L),
+      "novel keys wrong (keep-first should pick 2 for the shared text; re-posts excluded)")
+  }
+
   // tokens: a×10, b×2, c×1 -> decade 1 holds {a} (10 tokens),
   // decade 0 holds {b, c} (3 tokens)
   test("token histogram: hand-computed decade masses") {

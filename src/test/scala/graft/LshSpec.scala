@@ -79,14 +79,42 @@ class LshSpec extends AnyFunSuite {
     // per-query intersection / 3
     val exact3 = LlmPipeline.similarityTopk(spark, dir).filter(col("rank") <= 3)
       .select("q_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // pq top-3 recomputed LOCALLY from raw embeddings: per-block L2
+    // argmin against the vec-100..103 codebook, then ADC cosine of the
+    // query against the reconstruction — independent of the op's plan
+    val vecs = graft.sources.Tables.embeddings(spark, dir)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    val cb = (100L to 103L).map(vecs)
+    def code(e: Array[Double], b: Int): Array[Double] = {
+      val sub = e.slice(b * 8, b * 8 + 8)
+      // minBy takes the FIRST minimum over ascending c — the op's
+      // (d2 asc, c_id asc) tie rule
+      val best = cb.indices.minBy { c =>
+        val cs = cb(c).slice(b * 8, b * 8 + 8)
+        sub.zip(cs).map { case (x, y) => (x - y) * (x - y) }.sum
+      }
+      cb(best).slice(b * 8, b * 8 + 8)
+    }
+    val pqTop3: Set[(Long, Long)] = (0L until 10L).flatMap { q =>
+      val qe = vecs(q)
+      val qn = math.sqrt(qe.map(x => x * x).sum)
+      vecs.keys.filter(_ != q).toSeq.map { v =>
+        val recon = (0 until 8).flatMap(code(vecs(v), _)).toArray
+        val dot = qe.zip(recon).map { case (x, y) => x * y }.sum
+        val rn = math.sqrt(recon.map(x => x * x).sum)
+        val score = math.rint(dot / (qn * rn) * 10000) / 10000
+        (v, score)
+      }.sortBy { case (v, s) => (-s, v) }.take(3).map(p => (q, p._1))
+    }.toSet
     val byMethod = Map(
       "lsh" -> TrainingData.similarityLsh(spark, dir),
       "ivf" -> TrainingData.similarityIvf(spark, dir)).map { case (m, df) =>
       m -> df.select("q_id", "vec_id").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
-    }
+    } + ("pq" -> pqTop3)
     val out = TrainingData.annRecall(spark, dir).collect()
-    assert(out.length == 20, "10 queries x 2 index methods")
+    assert(out.length == 30, "10 queries x 3 index methods")
     out.foreach { r =>
       val (m, q) = (r.getString(0), r.getLong(1))
       assert(r.getLong(2) == 3L, s"$m/$q graded against ${r.getLong(2)} exact neighbors")

@@ -81,6 +81,32 @@ object SkewProbe {
       println(s"[skew] (w1,w2) 32-partition histogram: max=${counts.head} " +
         s"median=${counts(counts.length / 2)} min=${counts.last} " +
         f"max/median=${counts.head.toDouble / counts(counts.length / 2)}%.2f")
+
+      // --- the wired-in escape: hot-prefix salting fires and is
+      // result-invariant. Plant a hot bigram (every doc gains 3
+      // ("zqhot","zqhot") instances -> the zqhot prefix count is
+      // ~3x the corpus size, far past the probe threshold).
+      val planted = rep.withColumn("text",
+        concat(col("text"), lit(" zqhot zqhot zqhot zqhot"))).cache()
+      planted.count()
+      val t0 = System.nanoTime()
+      val salted = Mining.ngramLmScores(planted, hotPrefixInstances = 100000L)
+      val saltedRows = salted.collect()
+      val tSalted = (System.nanoTime() - t0) / 1e9
+      val saltedPlan = salted.queryExecution.executedPlan.toString
+      assert(saltedPlan.contains("__salt"),
+        "planted hot bigram did not trip the salted path")
+      val t1 = System.nanoTime()
+      val plainRows = Mining.ngramLmScores(planted, hotPrefixInstances = Long.MaxValue)
+        .collect()
+      val tPlain = (System.nanoTime() - t1) / 1e9
+      assert(saltedRows.length == plainRows.length &&
+        saltedRows.zip(plainRows).forall { case (a, b) => a == b },
+        "salted and plain plans disagree — salting must be result-invariant")
+      println(f"[skew] hot-prefix escape: salted path FIRED on planted bigram " +
+        f"(${saltedRows.length} rows, salted ${tSalted}%.2f s vs plain ${tPlain}%.2f s, " +
+        "results identical)")
+      planted.unpersist()
     } finally {
       spark.conf.unset("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes")
       spark.conf.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")

@@ -1,12 +1,13 @@
 package graft
 
 import java.nio.file.{Files, Path}
+import java.util.Comparator
 
-import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-/** The custom DataSource V2 provider: partition planning (one per
-  * file), column pruning, code-point length semantics, and round-trip
+/** The custom DataSource V2 provider: size-budgeted bin-packing of
+  * small files into composite partitions, recursive listing + glob,
+  * column pruning, code-point length semantics, and round-trip
   * fidelity for messy multi-line content. */
 class TextDirSourceSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
@@ -15,14 +16,25 @@ class TextDirSourceSpec extends AnyFunSuite {
     val dir = Files.createTempDirectory("textdir")
     try test(dir)
     finally {
-      Files.list(dir).forEach(p => Files.delete(p))
-      Files.delete(dir)
+      // depth-first delete; stream closed via try/finally (directory
+      // handles leak otherwise — same class of bug as the planner fix)
+      val walk = Files.walk(dir)
+      try walk.sorted(Comparator.reverseOrder[Path]()).forEach(p => Files.delete(p))
+      finally walk.close()
     }
   }
 
-  private def load(dir: Path) =
-    spark.read.format("graft.sources.v2.TextDirSource")
-      .option("path", dir.toString).load()
+  private def load(dir: Path, opts: (String, String)*) = {
+    val r = spark.read.format("graft.sources.v2.TextDirSource")
+      .option("path", dir.toString)
+    opts.foldLeft(r)((acc, kv) => acc.option(kv._1, kv._2)).load()
+  }
+
+  /** Deterministic packing for assertions: raw-bytes budget, no
+    * parallelism floor. */
+  private def packed(dir: Path, budget: Long) =
+    load(dir, "maxPartitionBytes" -> budget.toString,
+      "openCostInBytes" -> "0", "minPartitionNum" -> "1")
 
   test("one row per file; content round-trips incl. newlines and quotes") {
     withDir { dir =>
@@ -43,13 +55,59 @@ class TextDirSourceSpec extends AnyFunSuite {
     }
   }
 
-  test("partition planning: one input partition per file, path-sorted") {
+  test("default budget keeps tiny-file fixtures at per-file granularity, path-sorted") {
     withDir { dir =>
+      // openCostInBytes (4 KiB) dominates 5-byte files, so the default
+      // budget still plans one partition per file here — tiny fixtures
+      // keep full parallelism; packing kicks in for real corpora below.
       (1 to 5).foreach(i => Files.writeString(dir.resolve(s"f$i.txt"), s"doc $i"))
       val df = load(dir)
       assert(df.rdd.getNumPartitions == 5, "expected one partition per file")
       assert(df.select("path").as(org.apache.spark.sql.Encoders.STRING)
         .collect().toSeq == df.select("path").collect().map(_.getString(0)).toSeq.sorted)
+    }
+  }
+
+  test("bin-packing: N small files collapse into <= ceil(bytes/budget) partitions") {
+    withDir { dir =>
+      (1 to 20).foreach(i => Files.writeString(dir.resolve(f"s$i%02d.txt"), "0123456789")) // 10 B each
+      val df = packed(dir, budget = 50)  // 200 B total / 50 B budget
+      assert(df.rdd.getNumPartitions == 4,
+        s"20x10B files under a 50B budget must pack to 4 partitions, got ${df.rdd.getNumPartitions}")
+      assert(df.count() == 20)
+    }
+  }
+
+  test("bin-packing: a file bigger than the budget stays alone (documents never split)") {
+    withDir { dir =>
+      (1 to 10).foreach(i => Files.writeString(dir.resolve(f"a$i%02d.txt"), "0123456789"))
+      Files.writeString(dir.resolve("m_big.txt"), "x" * 120)  // > 50 B budget
+      val parts = packed(dir, budget = 50).select("path")
+        .rdd.map(_.getString(0)).glom().collect()
+      val withBig = parts.filter(_.exists(_.endsWith("m_big.txt")))
+      assert(withBig.length == 1 && withBig.head.length == 1,
+        s"oversized file must get its own partition: ${withBig.map(_.toSeq).toSeq}")
+      assert(parts.map(_.length).sum == 11)
+    }
+  }
+
+  test("recursive listing by default; recursive=false restricts to top level") {
+    withDir { dir =>
+      Files.writeString(dir.resolve("top.txt"), "t")
+      val sub = Files.createDirectories(dir.resolve("nested/deeper"))
+      Files.writeString(sub.resolve("leaf.txt"), "l")
+      assert(load(dir).count() == 2)
+      val top = load(dir, "recursive" -> "false").select("path").collect().map(_.getString(0))
+      assert(top.length == 1 && top.head.endsWith("top.txt"))
+    }
+  }
+
+  test("pathGlobFilter filters by file name") {
+    withDir { dir =>
+      Files.writeString(dir.resolve("keep.txt"), "k")
+      Files.writeString(dir.resolve("skip.md"), "s")
+      val got = load(dir, "pathGlobFilter" -> "*.txt").select("path").collect().map(_.getString(0))
+      assert(got.length == 1 && got.head.endsWith("keep.txt"))
     }
   }
 

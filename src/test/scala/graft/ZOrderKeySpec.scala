@@ -65,6 +65,50 @@ class ZOrderKeySpec extends AnyFunSuite {
     }
   }
 
+  test("rank normalization fixes the asymmetric-cardinality failure mode at 32-bit width") {
+    // Skewed pair: x spans the full 32-bit space, y has 16 distinct
+    // values. RAW interleave at bits=32 puts all of y's variation in
+    // the low 8 z-bits, so every coarse z-range cut is an x-only cut:
+    // y's min/max stats are table-wide in every range — pruning on y is
+    // dead. Rank-normalizing both dims first restores the guarantee.
+    val df = spark.range(4096).selectExpr(
+      "(id * 2654435761) % 4294967296 AS x", "id % 16 AS y")
+    val raw = df
+      .select(col("y"), ZOrderKey.zorder(col("x"), col("y"), bits = 32).as("z"))
+      .groupBy(shiftright(col("z"), 58).as("zb"))
+      .agg(min("y").as("lo"), max("y").as("hi"))
+      .collect()
+    assert(raw.length > 1)
+    raw.foreach(r => assert(r.getLong(1) == 0L && r.getLong(2) == 15L,
+      s"expected y unconstrained in every raw coarse range, got $r"))
+
+    // rank-normalized: zbucket = z >> 6 fixes all but 3 low bits per
+    // dim, so each dim's RANK span is <= 7 in every bucket — structural
+    // (a property of the interleave), not distribution luck.
+    val zr = ZOrderKey.rankNormalized(df, "x", "y", rankBits = 8)
+    def deinterleave(z: Long, odd: Boolean): Long =
+      (0 until 8).map(i => ((z >> (2 * i + (if (odd) 1 else 0))) & 1L) << i).sum
+    val ranked = df.select(zr.as("z")).collect().map(_.getLong(0))
+    val spans = ranked.groupBy(_ >> 6).values.map { zs =>
+      val rx = zs.map(deinterleave(_, odd = true))
+      val ry = zs.map(deinterleave(_, odd = false))
+      (rx.max - rx.min, ry.max - ry.min)
+    }
+    assert(spans.nonEmpty)
+    spans.foreach { case (sx, sy) =>
+      assert(sx <= 7 && sy <= 7, s"rank span leaked past the bucket: x=$sx y=$sy")
+    }
+  }
+
+  test("QuantileBucket kernel: count of splits <= v, ties deterministic") {
+    val s = Array(1.0, 3.0, 7.0)
+    assert(graft.plans.QuantileBucket.kernel(0.5, s) == 0L)
+    assert(graft.plans.QuantileBucket.kernel(1.0, s) == 1L)  // tie -> upper
+    assert(graft.plans.QuantileBucket.kernel(2.9, s) == 1L)
+    assert(graft.plans.QuantileBucket.kernel(3.0, s) == 2L)
+    assert(graft.plans.QuantileBucket.kernel(100.0, s) == 3L)
+  }
+
   test("op_zorder: every z-range bounds BOTH dimensions (the pruning property)") {
     // bucket = z >> 10 fixes bits 5..15 of both keys, so within a bucket
     // each dimension spans at most 2^5 - 1 = 31 — the footer-stat
