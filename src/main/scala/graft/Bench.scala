@@ -69,6 +69,38 @@ object Bench {
       }
     }
 
+    // --- regression tripwire (r7 lesson: a +12% driver-run drift went
+    // unexplained for a round): compare this run's per-query bests
+    // against the committed reference numbers and flag >1.5x jumps so
+    // silent environment drift is caught in-round, not at judging.
+    // Sub-second queries are exempt (up to 2x ambient noise on this
+    // box); a missing/unreadable ref file disables the check (-1).
+    val refPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_REF", "bench_ref.json")
+    val tripped: Option[Seq[(String, Double, Double)]] =
+      try {
+        val f = Paths.get(refPath)
+        if (!Files.exists(f)) None
+        else {
+          val q = new com.fasterxml.jackson.databind.ObjectMapper()
+            .readTree(Files.readString(f)).get("queries")
+          if (q == null) None
+          else Some(names.flatMap { n =>
+            Option(q.get(n)).map(_.asDouble).filter(_ > 0).flatMap { ref =>
+              val cur = best.getOrElse(n, -1.0)
+              if (cur >= 0.5 && cur > ref * 1.5) Some((n, ref, cur)) else None
+            }
+          })
+        }
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] tripwire disabled: $e"); None
+      }
+    tripped.foreach(_.foreach { case (n, r, c) =>
+      System.err.println(
+        f"[bench] TRIPWIRE $n: $c%.2f s vs ref $r%.2f s (${c / r}%.2fx) — " +
+          "rerun at a quiet time before trusting any round-over-round delta")
+    })
+    val trippedCount = tripped.map(_.size).getOrElse(-1)
+
     def jq(s: String): String = "\"" + s.flatMap {
       case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
       case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
@@ -118,7 +150,7 @@ object Bench {
       val prefix = if (stripPrefix) ""","key_prefix":"op_"""" else ""
       s"""{"metric":"total","value":${fmtAt(3)(total)},"unit":"sec",""" +
         s""""queries":${entries.mkString("{", ",", "}")}$others,"sf":"$sfDir","runs":$runs,""" +
-        s""""n_failed":${errors.size},"errors":${errJson(errLen)}$prefix}"""
+        s""""n_failed":${errors.size},"tripped":$trippedCount,"errors":${errJson(errLen)}$prefix}"""
     }
 
     // Full precision always goes to the side file (BENCH_r02/r03 lesson:

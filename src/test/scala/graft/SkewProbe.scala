@@ -93,9 +93,13 @@ object SkewProbe {
       val salted = Mining.ngramLmScores(planted, hotPrefixInstances = 100000L)
       val saltedRows = salted.collect()
       val tSalted = (System.nanoTime() - t0) / 1e9
+      // the executedPlan dump includes the pre-AQE "Initial Plan",
+      // where __salt always appears structurally — only the FINAL
+      // section proves the branch survived empty-relation pruning
       val saltedPlan = salted.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
       assert(saltedPlan.contains("__salt"),
-        "planted hot bigram did not trip the salted path")
+        "planted hot bigram did not trip the salted path in the FINAL plan")
       val t1 = System.nanoTime()
       val plainRows = Mining.ngramLmScores(planted, hotPrefixInstances = Long.MaxValue)
         .collect()
