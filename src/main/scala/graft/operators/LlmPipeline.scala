@@ -121,6 +121,35 @@ object LlmPipeline {
       .orderBy("key")
   }
 
+  // ---- B57: deterministic train/val/test holdout split ---------------------
+
+  /** B57 — `op_split_holdout`: the deterministic dataset split every
+    * training pipeline needs — assignment must be a PURE FUNCTION of
+    * the stable document id (never `rand()`: reruns, late-arriving
+    * shards, and engine changes must not reshuffle the holdout), here
+    * `md5("split:" || doc_id)` with LEXICOGRAPHIC hex-prefix
+    * thresholds (`< "03"` → test, `< "06"` → val, else train —
+    * ~1.17% each; string compare is engine-portable where hex→int
+    * parsing is not). The salt pins seed-stability: a different salt
+    * is a different (still deterministic) split. The graded artifact
+    * is the per-(split, lang) count/char-mass/id-range profile — the
+    * leakage check run before any training job (a doc in two splits or
+    * a language missing from val shows up here).
+    *
+    * Scale shape: assignment is a map-side codegen'd projection riding
+    * the scan (zero extra passes at 100 TB — it composes into any
+    * write); the grade's aggregation is |splits × languages|-sized. */
+  def splitHoldout(sp: SparkSession, dir: String): DataFrame =
+    docs(sp, dir)
+      .withColumn("h", substring(md5(concat(lit("split:"), col("doc_id").cast("string"))), 1, 2))
+      .withColumn("split",
+        when(col("h") < "03", "test").when(col("h") < "06", "val").otherwise("train"))
+      .groupBy("split", "lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_chars").as("sum_chars"),
+        min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+      .orderBy("split", "lang")
+
   // ---- B53: vocabulary frequency histogram ---------------------------------
 
   /** B53 — `op_token_histogram`: vocabulary mass by frequency decade
@@ -195,6 +224,48 @@ object LlmPipeline {
       .select((col("doc_id") + 1).as("doc_id"),
         concat(col("text"), lit(" extraneous")).as("text"))
     base.union(variants)
+  }
+
+  // ---- B56: incremental near-dup against a historical LSH index ------------
+
+  /** B56 — `op_dedup_minhash_incremental`: the NEAR-DUP twin of B52 —
+    * the new batch probes a HISTORICAL band-bucket index instead of
+    * re-banding the whole corpus (nobody re-LSHes 100 TB daily).
+    * History = a quarter of the corpus (orig doc_id % 4 == 0, re-keyed
+    * 2·id) banded into the (band_id, band_key) index; batch = the rest
+    * plus planted NEAR-posts of history docs (2·id+1, one appended
+    * token → shingle Jaccard ≈ 0.9 → a shared band with p ≈ 0.999)
+    * that must surface as (batch_id, hist_id) candidates. Within-batch
+    * near-dup is deliberately out of scope here (that is B17's job on
+    * the increment); this op is the index PROBE.
+    *
+    * Scale shape: at 100 TB the history index is PRECOMPUTED and
+    * stored bucketed by (band_id, band_key) — probing is a shuffle
+    * join where only the batch side moves; output is linear in true
+    * collisions, never batch × history. The index side of each bucket
+    * is capped at [[MaxBucketDocs]] by a DETERMINISTIC rank (hist_id
+    * order — same rule in the oracle, so capped ≡ uncapped at verify
+    * SF where HotBucketSpec certifies no bucket nears the cap, and a
+    * degenerate bucket stays bounded instead of exploding the probe). */
+  def dedupMinhashIncremental(sp: SparkSession, dir: String): DataFrame = {
+    val base = docs(sp, dir).select(col("doc_id"), col("text"))
+    val history = base.filter(col("doc_id") % 4 === 0)
+      .select((col("doc_id") * 2).as("doc_id"), col("text"))
+    val batch = base.filter(col("doc_id") % 4 =!= 0)
+      .select((col("doc_id") * 2).as("doc_id"), col("text"))
+      .union(base.filter(col("doc_id") % 8 === 0)
+        .select((col("doc_id") * 2 + 1).as("doc_id"),
+          concat(col("text"), lit(" extraneous")).as("text")))
+    val wBucket = Window.partitionBy("band_id", "band_key").orderBy("hist_id")
+    val histIdx = minhashBanded(history)
+      .select(col("band_id"), col("band_key"), col("doc_id").as("hist_id"))
+      .withColumn("rn", row_number().over(wBucket))
+      .filter(col("rn") <= MaxBucketDocs)
+      .drop("rn")
+    minhashBanded(batch)
+      .join(histIdx, Seq("band_id", "band_key"))
+      .select(col("doc_id").as("batch_id"), col("hist_id")).distinct()
+      .orderBy("batch_id", "hist_id")
   }
 
   /** Per-document MinHash signature over word 3-gram shingles, banded
@@ -553,6 +624,47 @@ object LlmPipeline {
         |FROM batch b LEFT JOIN history h USING (key)
         |ORDER BY b.doc_id""".stripMargin)(dedupIncremental),
 
+    OpQuery("op_dedup_minhash_incremental",
+      """WITH corpus AS (
+        |  SELECT 'h' AS side, doc_id * 2 AS doc_id, text FROM documents WHERE doc_id % 4 = 0
+        |  UNION ALL
+        |  SELECT 'b', doc_id * 2, text FROM documents WHERE doc_id % 4 <> 0
+        |  UNION ALL
+        |  SELECT 'b', doc_id * 2 + 1, concat(text, ' extraneous') FROM documents WHERE doc_id % 8 = 0),
+        |shingled AS (
+        |  SELECT side, doc_id,
+        |    list_transform(range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
+        |      i -> concat_ws(' ', string_split(text, ' ')[i],
+        |                          string_split(text, ' ')[i+1],
+        |                          string_split(text, ' ')[i+2])) AS sh
+        |  FROM corpus),
+        |hashed AS (
+        |  SELECT side, doc_id, list_transform(sh, x -> md5(x)) AS hs FROM shingled),
+        |sigs AS (
+        |  SELECT side, doc_id,
+        |    [list_min(hs),
+        |     list_min(list_transform(hs, h -> substring(h, 5, 28) || substring(h, 1, 4))),
+        |     list_min(list_transform(hs, h -> substring(h, 9, 24) || substring(h, 1, 8))),
+        |     list_min(list_transform(hs, h -> substring(h, 13, 20) || substring(h, 1, 12))),
+        |     list_min(list_transform(hs, h -> substring(h, 17, 16) || substring(h, 1, 16))),
+        |     list_min(list_transform(hs, h -> substring(h, 21, 12) || substring(h, 1, 20))),
+        |     list_min(list_transform(hs, h -> substring(h, 25, 8) || substring(h, 1, 24))),
+        |     list_min(list_transform(hs, h -> substring(h, 29, 4) || substring(h, 1, 28)))] AS sig
+        |  FROM hashed),
+        |bands AS (
+        |  SELECT side, doc_id, b.band_id,
+        |    md5(concat_ws('|', sig[b.band_id * 2 + 1], sig[b.band_id * 2 + 2])) AS band_key
+        |  FROM sigs, (SELECT 0 AS band_id UNION ALL SELECT 1 UNION ALL SELECT 2 UNION ALL SELECT 3) b),
+        |hcap AS (
+        |  SELECT band_id, band_key, hist_id FROM (
+        |    SELECT band_id, band_key, doc_id AS hist_id,
+        |      row_number() OVER (PARTITION BY band_id, band_key ORDER BY doc_id) AS rn
+        |    FROM bands WHERE side = 'h') WHERE rn <= 64)
+        |SELECT DISTINCT bb.doc_id AS batch_id, h.hist_id
+        |FROM bands bb JOIN hcap h ON bb.band_id = h.band_id AND bb.band_key = h.band_key
+        |WHERE bb.side = 'b'
+        |ORDER BY batch_id, hist_id""".stripMargin)(dedupMinhashIncremental),
+
     OpQuery("op_index_update",
       """WITH normed AS (
         |  SELECT doc_id, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS key
@@ -571,6 +683,19 @@ object LlmPipeline {
         |UNION ALL
         |SELECT key, entry_id, TRUE FROM novel
         |ORDER BY key""".stripMargin)(indexUpdate),
+
+    OpQuery("op_split_holdout",
+      """WITH assigned AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    CASE WHEN substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2) < '03' THEN 'test'
+        |         WHEN substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2) < '06' THEN 'val'
+        |         ELSE 'train' END AS split
+        |  FROM documents)
+        |SELECT split, lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM assigned GROUP BY split, lang
+        |ORDER BY split, lang""".stripMargin)(splitHoldout),
 
     OpQuery("op_token_histogram",
       """WITH freq AS (

@@ -475,6 +475,56 @@ object Relational {
         min("sk").as("sk_min"), max("sk").as("sk_max"))
       .orderBy("zbucket")
 
+  // ---- B48b: rank-normalized Z-order (asymmetric key cardinalities) --------
+
+  /** Quantile resolution for `op_zorder_ranked`: 6 bits → 63 exact
+    * percentile boundaries per dimension (a driver array of doubles),
+    * shared between the Spark builder and the DuckDB oracle SQL. */
+  private val RankBits = 6
+  private val RankProbsSql =
+    (1 to (1 << RankBits) - 1).map(i => i.toDouble / (1 << RankBits)).mkString(", ")
+
+  /** `op_zorder_ranked` — the FIX for raw z-order's asymmetric-
+    * cardinality failure: on (l_partkey, l_quantity) — thousands of
+    * part keys vs ~50 quantity values — the narrow dimension occupies
+    * only the low interleave bits, so every coarse raw-z cut is a
+    * partkey-only cut and quantity min/max pruning is dead (the
+    * failure is asserted, not assumed: ZOrderKeySpec). Rank-normalize
+    * first: each dimension maps to its 6-bit EXACT-percentile index
+    * (the codegen'd `QuantileBucket` binary search over 63 boundaries
+    * — `Spark percentile == DuckDB quantile_cont`, so the oracle
+    * reproduces the boundaries bit-for-bit), then interleave the rank
+    * coordinates. Graded output = per-z-range count + min/max RANK of
+    * both dims: the structural guarantee (each span ≤ 3 inside a
+    * `z >> 4` range) fails the hash if the normalization regresses.
+    *
+    * Scale shape: one exact-percentile pass (the op_agg_quantiles
+    * contract; production swaps `approxQuantile`'s GK sketch — same
+    * downstream plan), a 63-double driver array per dim, then a pure
+    * map-side codegen'd projection + one bucket-keyed agg whose output
+    * is ≤ 256 rows by key-space construction. The layout write is
+    * `repartitionByRange(z)`, same as op_zorder. */
+  def zorderRankedLayout(s: SparkSession, dir: String): DataFrame = {
+    import graft.plans.QuantileBucket
+    val li = Tables.lineitem(s, dir).select(
+      col("l_partkey").cast("double").as("pk"),
+      col("l_quantity").cast("double").as("qty"))
+    // bounded driver materialization: 2 × 63 boundary doubles
+    val row = li.agg(
+      expr(s"percentile(pk, array($RankProbsSql))").as("bx"),
+      expr(s"percentile(qty, array($RankProbsSql))").as("by")).head()
+    def splits(i: Int): Array[Double] = row.getSeq[Double](i).toArray.distinct.sorted
+    val (bx, by) = (splits(0), splits(1))
+    li.withColumn("rx", QuantileBucket.bucket(col("pk"), bx))
+      .withColumn("ry", QuantileBucket.bucket(col("qty"), by))
+      .withColumn("z", ZOrderKey.zorder(col("rx"), col("ry"), bits = RankBits))
+      .groupBy(shiftright(col("z"), 4).as("zbucket"))
+      .agg(count(lit(1)).as("n"),
+        min("rx").as("rx_min"), max("rx").as("rx_max"),
+        min("ry").as("ry_min"), max("ry").as("ry_max"))
+      .orderBy("zbucket")
+  }
+
   // ---- B15: scalar function battery (string/date/math, all codegen'd) -------
   def scalarFuncs(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir)
@@ -742,6 +792,21 @@ object Relational {
         |  min(pk) AS pk_min, max(pk) AS pk_max,
         |  min(sk) AS sk_min, max(sk) AS sk_max
         |FROM z GROUP BY zbucket ORDER BY zbucket""".stripMargin)(zorderLayout),
+
+    OpQuery("op_zorder_ranked",
+      s"""WITH li AS (SELECT CAST(l_partkey AS DOUBLE) AS pk,
+        |                   CAST(l_quantity AS DOUBLE) AS qty FROM lineitem),
+        |bnd AS (SELECT list_sort(list_distinct(quantile_cont(pk, [$RankProbsSql]))) AS bx,
+        |               list_sort(list_distinct(quantile_cont(qty, [$RankProbsSql]))) AS by
+        |        FROM li),
+        |ranked AS (SELECT len(list_filter(bnd.bx, b -> b <= li.pk)) AS rx,
+        |                  len(list_filter(bnd.by, b -> b <= li.qty)) AS ry
+        |           FROM li, bnd),
+        |z AS (SELECT rx, ry, ${ZOrderKey.sql("rx", "ry", RankBits)} AS z FROM ranked)
+        |SELECT z >> 4 AS zbucket, count(*) AS n,
+        |  min(rx) AS rx_min, max(rx) AS rx_max,
+        |  min(ry) AS ry_min, max(ry) AS ry_max
+        |FROM z GROUP BY zbucket ORDER BY zbucket""".stripMargin)(zorderRankedLayout),
 
     OpQuery("op_scalar_funcs",
       """SELECT o_orderkey,

@@ -145,4 +145,8 @@ object QuantileBucket {
     val idx = java.util.Arrays.binarySearch(splits, v)
     if (idx >= 0) idx + 1L else (-idx - 1).toLong
   }
+
+  /** DataFrame-API entry point (splits must be sorted-distinct). */
+  def bucket(c: Column, splits: Array[Double]): Column =
+    bridge.column(QuantileBucket(bridge.expression(c), splits))
 }

@@ -41,6 +41,40 @@ class LlmOpsSpec extends AnyFunSuite {
       "novel keys wrong (keep-first should pick 2 for the shared text; re-posts excluded)")
   }
 
+  test("minhash incremental: planted near-posts pair with their history originals") {
+    val pairs = LlmPipeline.dedupMinhashIncremental(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "no candidates at all")
+    // membership: history ids are 2*(4k) (== 0 mod 8); batch ids are
+    // everything else (evens not 0 mod 8, plus odd planted re-posts)
+    pairs.foreach { case (b, h) =>
+      assert(h % 8 == 0, s"hist_id $h is not a history doc")
+      assert(b % 8 != 0, s"batch_id $b is a history doc")
+    }
+    // planted near-post 2k+1 of history doc 2k: one appended token ->
+    // band collision w.p. ~0.999 each; the fixed corpus must surface
+    // the overwhelming majority, each against its own original
+    val planted = pairs.filter(_._1 % 2 == 1)
+    val selfPairs = planted.count { case (b, h) => h == b - 1 }
+    assert(planted.nonEmpty && selfPairs * 10 >= planted.length * 8,
+      s"planted near-posts not pairing with originals: $selfPairs of ${planted.length}")
+  }
+
+  test("holdout split: partitions the corpus, all three splits populated, rerun-stable") {
+    val dir = "/root/testdata/sf0.001"
+    val out = LlmPipeline.splitHoldout(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val bySplit = out.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    assert(bySplit.keySet == Set("train", "val", "test"), s"splits: ${bySplit.keySet}")
+    val total = graft.sources.Tables.documents(spark, dir).count()
+    assert(bySplit.values.sum == total, "splits must partition the corpus exactly")
+    assert(bySplit("train") > bySplit("val") && bySplit("train") > bySplit("test"))
+    // pure function of doc_id: a second evaluation is bit-identical
+    val again = LlmPipeline.splitHoldout(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq == again.toSeq)
+  }
+
   // tokens: a×10, b×2, c×1 -> decade 1 holds {a} (10 tokens),
   // decade 0 holds {b, c} (3 tokens)
   test("token histogram: hand-computed decade masses") {

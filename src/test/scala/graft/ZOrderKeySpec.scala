@@ -109,6 +109,20 @@ class ZOrderKeySpec extends AnyFunSuite {
     assert(graft.plans.QuantileBucket.kernel(100.0, s) == 3L)
   }
 
+  test("op_zorder_ranked: every z-range bounds BOTH rank spans (pruning alive on the narrow dim)") {
+    // z >> 4 fixes all but 2 low bits per dim -> rank span <= 3 in every
+    // range, structurally — including l_quantity, whose VALUE pruning
+    // raw z-order leaves table-wide (the failure mode asserted above).
+    val out = Registry.byName("op_zorder_ranked")
+      .build(spark, "/root/testdata/sf0.001").collect()
+    assert(out.length > 1, "degenerate layout: a single z-range")
+    out.foreach { r =>
+      assert(r.getLong(3) - r.getLong(2) <= 3, s"pk rank span leaks: $r")
+      assert(r.getLong(5) - r.getLong(4) <= 3, s"qty rank span leaks: $r")
+    }
+    assert(out.map(_.getLong(1)).sum == 6000L, "bucket stats must cover every row")
+  }
+
   test("op_zorder: every z-range bounds BOTH dimensions (the pruning property)") {
     // bucket = z >> 10 fixes bits 5..15 of both keys, so within a bucket
     // each dimension spans at most 2^5 - 1 = 31 — the footer-stat
