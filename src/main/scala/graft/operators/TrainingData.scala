@@ -224,15 +224,63 @@ object TrainingData {
     * rounded form could flip a near-tie vs the oracle's unrounded
     * ordering); ties break on lower c_id. Shared by `similarityIvf`
     * and the `annRecall` contract. */
-  private def ivfAssign(emb: DataFrame): DataFrame = {
-    val cents = emb.filter(col("vec_id").between(100, 107))
-      .select(col("vec_id").as("c_id"), col("e").as("ce"))
+  private def ivfAssign(emb: DataFrame): DataFrame =
+    ivfAssignWith(emb, emb.filter(col("vec_id").between(100, 107))
+      .select(col("vec_id").as("c_id"), col("e").as("ce")))
+
+  /** Cell assignment against an EXPLICIT (c_id, ce) codebook — the
+    * incremental probe assigns history and batch against the same
+    * fixed coarse quantizer, not one derived from each subset. */
+  private def ivfAssignWith(emb: DataFrame, cents: DataFrame): DataFrame = {
     val wCell = Window.partitionBy("vec_id").orderBy(col("cos_c").desc, col("c_id").asc)
     emb.join(broadcast(cents))
       .withColumn("cos_c", graft.plans.VectorKernels.cosine(col("e"), col("ce")))
       .withColumn("rn", row_number().over(wCell))
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("e"), col("c_id").as("cell"))
+  }
+
+  // ---- B58: incremental ANN against a historical IVF index -----------------
+
+  /** B58 — `op_ann_incremental`: the EMBEDDING leg of the incremental
+    * family (B52 exact digests, B56 minhash bands, B58 vectors) — a
+    * new embedding batch probes the HISTORICAL IVF index for its top-3
+    * nearest history vectors inside its coarse cell (nprobe=1), never
+    * re-indexing the corpus. History = orig vec_id % 4 == 0 (re-keyed
+    * 2·id); batch = the rest plus planted RE-POSTS of history vectors
+    * (2·id+1, identical embedding → same cell, cosine 1.0, rank 1)
+    * that must surface against their originals. Both sides assign
+    * cells against the SAME fixed coarse quantizer (the base-corpus
+    * 100–107 centroids — conceptually the stored, pre-trained
+    * codebook).
+    *
+    * Scale shape: at 100 TB the index is STORED partitioned by cell,
+    * so the probe is a cell-keyed shuffle join where only the batch
+    * moves (the B52/B56 contract); candidate volume ≈ batch × cell
+    * occupancy (~1/K corpus), never batch × corpus; per-batch-vector
+    * top-3 window shares the join's partitioning. */
+  def annIncremental(sp: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(sp, dir)
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("e"))
+    val cents = emb.filter(col("vec_id").between(100, 107))
+      .select(col("vec_id").as("c_id"), col("e").as("ce"))
+    val history = emb.filter(col("vec_id") % 4 === 0)
+      .select((col("vec_id") * 2).as("vec_id"), col("e"))
+    val batch = emb.filter(col("vec_id") % 4 =!= 0)
+      .select((col("vec_id") * 2).as("vec_id"), col("e"))
+      .union(emb.filter(col("vec_id") % 8 === 0)
+        .select((col("vec_id") * 2 + 1).as("vec_id"), col("e")))
+    val histIdx = ivfAssignWith(history, cents)
+      .select(col("cell"), col("vec_id").as("hist_id"), col("e").as("he"))
+    val probe = ivfAssignWith(batch, cents)
+      .select(col("cell"), col("vec_id").as("batch_id"), col("e").as("be"))
+    val w = Window.partitionBy("batch_id").orderBy(col("score").desc, col("hist_id").asc)
+    probe.join(histIdx, Seq("cell"))
+      .withColumn("score", round(cosine(col("be"), col("he")), 4))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("batch_id"), col("rank"), col("hist_id"), col("score"))
+      .orderBy("batch_id", "rank")
   }
 
   def similarityIvf(sp: SparkSession, dir: String): DataFrame = {
@@ -1062,6 +1110,39 @@ object TrainingData {
         |  FROM scored)
         |SELECT q_id, rank, vec_id, score FROM ranked WHERE rank <= 3
         |ORDER BY q_id, rank""".stripMargin)(similarityIvf),
+
+    OpQuery("op_ann_incremental",
+      """WITH emb AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |cents AS (
+        |  SELECT vec_id AS c_id, e AS ce FROM emb WHERE vec_id BETWEEN 100 AND 107),
+        |corpus AS (
+        |  SELECT 'h' AS side, vec_id * 2 AS vid, e FROM emb WHERE vec_id % 4 = 0
+        |  UNION ALL
+        |  SELECT 'b', vec_id * 2, e FROM emb WHERE vec_id % 4 <> 0
+        |  UNION ALL
+        |  SELECT 'b', vec_id * 2 + 1, e FROM emb WHERE vec_id % 8 = 0),
+        |assigned AS (
+        |  SELECT side, vid, e, c_id AS cell FROM (
+        |    SELECT corpus.side, corpus.vid, corpus.e, cents.c_id,
+        |      row_number() OVER (PARTITION BY corpus.side, corpus.vid ORDER BY
+        |        list_dot_product(corpus.e, cents.ce) /
+        |          (sqrt(list_dot_product(corpus.e, corpus.e)) * sqrt(list_dot_product(cents.ce, cents.ce))) DESC,
+        |        cents.c_id ASC) AS rn
+        |    FROM corpus, cents)
+        |  WHERE rn = 1),
+        |scored AS (
+        |  SELECT b.vid AS batch_id, h.vid AS hist_id,
+        |    round(list_dot_product(b.e, h.e) /
+        |      (sqrt(list_dot_product(b.e, b.e)) * sqrt(list_dot_product(h.e, h.e))), 4) AS score
+        |  FROM assigned b JOIN assigned h
+        |    ON b.cell = h.cell AND b.side = 'b' AND h.side = 'h'),
+        |ranked AS (
+        |  SELECT batch_id, hist_id, score,
+        |    CAST(row_number() OVER (PARTITION BY batch_id ORDER BY score DESC, hist_id ASC) AS INTEGER) AS rank
+        |  FROM scored)
+        |SELECT batch_id, rank, hist_id, score FROM ranked WHERE rank <= 3
+        |ORDER BY batch_id, rank""".stripMargin)(annIncremental),
 
     OpQuery("op_text_langid",
       """SELECT doc_id, lang AS pred, CAST(3 AS INTEGER) AS n_hits, true AS is_match

@@ -125,6 +125,26 @@ class LshSpec extends AnyFunSuite {
     }
   }
 
+  test("ann incremental: planted re-posts hit their history original at rank 1, score 1") {
+    val out = TrainingData.annIncremental(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(out.nonEmpty)
+    // membership: history ids are 2*(4k) (== 0 mod 8); batch ids are not
+    out.foreach { case (b, _, h, _) =>
+      assert(h % 8 == 0, s"hist_id $h is not a history vector")
+      assert(b % 8 != 0, s"batch_id $b is a history vector")
+    }
+    // planted re-post 2k+1 carries the IDENTICAL embedding as history
+    // vector 2k: same cell by construction, cosine exactly 1 -> its
+    // rank-1 hit must be its own original
+    val planted = out.filter(t => t._1 % 2 == 1 && t._2 == 1)
+    assert(planted.nonEmpty, "no planted re-posts surfaced")
+    planted.foreach { case (b, _, h, s) =>
+      assert(h == b - 1 && s == 1.0,
+        s"re-post $b should top-match its original ${b - 1} at 1.0, got ($h, $s)")
+    }
+  }
+
   test("planted embedding near-dups are found with cosine ~1") {
     val pairs = TrainingData.dedupEmbedding(spark, dir).collect()
     assert(pairs.nonEmpty)

@@ -41,6 +41,7 @@ class PlanEvidenceSpec extends AnyFunSuite {
       "op_similarity_topk",  // 10 broadcast query rows — documented exact baseline
       "op_ann_recall",       // same 10-query exact baseline, graded against the LSH probe
       "op_similarity_ivf",   // 8 broadcast centroids (cell assign)
+      "op_ann_incremental",  // same 8 broadcast centroids assigning history + batch cells
       "op_vector_pq",        // 4 broadcast codebook entries per block
       "op_ts_gapfill",       // hour×type grid, volume-independent
       "op_bm25",             // 1-row corpus stats (n_docs, avgdl) crossJoin — bounded by construction
