@@ -99,7 +99,13 @@ object ScaleSmoke {
       (if (withEmb) Seq("op_kmeans_train" -> (Mining.kmeansTrain _)) else Nil) ++
       // digest-keyed shuffle join: batch AND history both scale with the
       // corpus, so wall growth tracks the join's linear work
-      Seq("op_dedup_incremental" -> (LlmPipeline.dedupIncremental _))
+      Seq("op_dedup_incremental" -> (LlmPipeline.dedupIncremental _)) ++
+      // r8 incremental family: index-probe shapes — history index and
+      // batch both scale linearly; candidates stay linear in true
+      // matches (band/cell collisions), never batch x history
+      Seq("op_index_update" -> (LlmPipeline.indexUpdate _),
+        "op_dedup_minhash_incr" -> (LlmPipeline.dedupMinhashIncremental _)) ++
+      (if (withEmb) Seq("op_ann_incremental" -> (TrainingData.annIncremental _)) else Nil)
 
     def run(dir: String, label: String): Map[String, (Double, Long)] =
       ops.map { case (name, f) =>

@@ -91,6 +91,22 @@ class TextDirSourceSpec extends AnyFunSuite {
     }
   }
 
+  test("bin-packing at volume: 2000 tiny files plan ~parallelism partitions, not 2000") {
+    withDir { dir =>
+      (1 to 2000).foreach(i => Files.writeString(dir.resolve(f"d$i%04d.txt"), s"doc $i"))
+      val df = load(dir)
+      val parts = df.rdd.getNumPartitions
+      // default budget = max(openCost, totalWeighted/defaultParallelism):
+      // 2000 x (5B + 4KiB) packs to ~defaultParallelism partitions — the
+      // whole point (per-file planning would be 2000 driver-side
+      // partitions and 2000 scheduler rounds)
+      val p = spark.sparkContext.defaultParallelism
+      assert(parts >= p && parts <= 2 * p + 2,
+        s"expected ~$p packed partitions for 2000 tiny files, got $parts")
+      assert(df.count() == 2000)
+    }
+  }
+
   test("recursive listing by default; recursive=false restricts to top level") {
     withDir { dir =>
       Files.writeString(dir.resolve("top.txt"), "t")
