@@ -128,5 +128,24 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.length == 2, "graft_cosine takes (array, array)")
         CosineSimilarity(args(0), args(1))
+      }),
+    (FunctionIdentifier("graft_quantile_bucket"),
+      info("graft_quantile_bucket",
+        "graft_quantile_bucket(x, splits) - count of splits <= x over a foldable sorted " +
+          "double array: the rank coordinate for rank-normalized z-order"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_quantile_bucket takes (double, array<double> literal)")
+        val splits = args(1) match {
+          case e if e.foldable && (e.dataType match {
+              case org.apache.spark.sql.types.ArrayType(
+                org.apache.spark.sql.types.DoubleType, _) => true
+              case _ => false
+            }) =>
+            e.eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+              .toDoubleArray().distinct.sorted
+          case other => throw new IllegalArgumentException(
+            s"graft_quantile_bucket splits must be a foldable array<double> literal, got $other")
+        }
+        QuantileBucket(args(0), splits)
       }))
 }

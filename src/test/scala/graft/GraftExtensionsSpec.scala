@@ -84,6 +84,18 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("graft_zorder"))
   }
 
+  test("graft_quantile_bucket callable from SQL with a foldable splits array") {
+    val r = spark.sql(
+      """SELECT graft_quantile_bucket(CAST(2.9 AS DOUBLE), array(1.0D, 3.0D, 7.0D)) AS lo,
+        |       graft_quantile_bucket(CAST(3.0 AS DOUBLE), array(1.0D, 3.0D, 7.0D)) AS tie,
+        |       graft_quantile_bucket(CAST(9.0 AS DOUBLE), array(1.0D, 3.0D, 7.0D)) AS hi""".stripMargin).head()
+    assert(r.getLong(0) == 1L && r.getLong(1) == 2L && r.getLong(2) == 3L)
+    // splits must be foldable
+    val e = intercept[Exception](
+      spark.sql("SELECT graft_quantile_bucket(1.0D, array(rand()))").head())
+    assert(e.getMessage.contains("graft_quantile_bucket"))
+  }
+
   test("wrong arity fails loudly at analysis") {
     val e = intercept[Exception](spark.sql("SELECT graft_minhash_sig(array('x'), 2)").head())
     assert(e.getMessage.contains("graft_minhash_sig"))
