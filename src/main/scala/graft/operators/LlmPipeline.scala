@@ -659,11 +659,14 @@ object LlmPipeline {
         |  SELECT band_id, band_key, hist_id FROM (
         |    SELECT band_id, band_key, doc_id AS hist_id,
         |      row_number() OVER (PARTITION BY band_id, band_key ORDER BY doc_id) AS rn
-        |    FROM bands WHERE side = 'h') WHERE rn <= 64)
+        |    FROM bands WHERE side = 'h') WHERE rn <= MAX_BUCKET_DOCS)
         |SELECT DISTINCT bb.doc_id AS batch_id, h.hist_id
         |FROM bands bb JOIN hcap h ON bb.band_id = h.band_id AND bb.band_key = h.band_key
         |WHERE bb.side = 'b'
-        |ORDER BY batch_id, hist_id""".stripMargin)(dedupMinhashIncremental),
+        |ORDER BY batch_id, hist_id""".stripMargin
+        // interpolated, not hardcoded: a MaxBucketDocs change must reach
+        // BOTH the Spark cap and this oracle or they silently desync
+        .replace("MAX_BUCKET_DOCS", MaxBucketDocs.toString))(dedupMinhashIncremental),
 
     OpQuery("op_index_update",
       """WITH normed AS (

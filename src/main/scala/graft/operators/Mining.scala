@@ -105,13 +105,17 @@ object Mining {
     * / 2·partkey+1 — the collision-free keying, never a fixed offset).
     *
     * Scale shape: the canonical Spark iterative-graph loop — edges
-    * cached once, each iteration is ONE contribution join (edge src ⋈
-    * rank) + ONE dst-keyed min-shuffle-width sum; ranks are
-    * `localCheckpoint`ed per iteration so iteration N never replays
-    * 1..N-1 (same discipline as the CC closure). Undirected edges mean
-    * every node has degree ≥ 1 — no dangling-mass redistribution
-    * term. The in-neighbor sum is the order-sensitive accumulation:
-    * quantized to 9 decimals per iteration. */
+    * cached once WITH the destination degree folded in (`edges(a, b,
+    * deg_b)`), so each iteration is ONE contribution join (edge src ⋈
+    * rank) + ONE dst-keyed min-shuffle-width sum that carries `deg_b`
+    * through the agg — no per-iteration re-attach join against `deg`
+    * (2 Exchanges per superstep, not 3; at 100× with more iterations
+    * that third shuffle dominates). Ranks are `localCheckpoint`ed per
+    * iteration so iteration N never replays 1..N-1 (same discipline as
+    * the CC closure). Undirected edges mean every node has degree
+    * ≥ 1 — no dangling-mass redistribution term. The in-neighbor sum
+    * is the order-sensitive accumulation: quantized to 9 decimals per
+    * iteration. */
   def graphPagerank(sp: SparkSession, dir: String): DataFrame =
     pagerankRanks(Tables.lineitem(sp, dir)
       .select((col("l_suppkey") * 2).as("a"), (col("l_partkey") * 2 + 1).as("b"))
@@ -122,10 +126,16 @@ object Mining {
     * Exposed separately for known-answer specs on planted graphs. */
   def pagerankRanks(pairs: DataFrame, iters: Int): DataFrame = {
     val d = 0.85
-    val edges = pairs
+    val rawEdges = pairs
       .union(pairs.select(col("b").as("a"), col("a").as("b")))
+    val deg = rawEdges.groupBy("a").agg(count(lit(1)).as("deg")).localCheckpoint()
+    // fold the DESTINATION degree into the edge list once, before the
+    // loop: the dst-keyed agg can then carry deg_b through (all rows in
+    // a dst group share it), so no iteration re-joins deg
+    val edges = rawEdges
+      .join(deg.select(col("a").as("b"), col("deg").as("deg_b")), "b")
+      .select("a", "b", "deg_b")
       .cache()
-    val deg = edges.groupBy("a").agg(count(lit(1)).as("deg")).localCheckpoint()
     var pinned: List[DataFrame] = List(deg)
     try {
       val n = deg.count()
@@ -138,8 +148,8 @@ object Mining {
           .groupBy(col("b").as("id"))
           // 0.15 spelled as a literal, NOT (1 - 0.85): the subtraction
           // lands one ulp off the 0.15 the oracle parses
-          .agg(round(lit(0.15 / n) + lit(d) * sum(col("w")), 9).as("pr"))
-          .join(deg.select(col("a").as("id"), col("deg")), "id")
+          .agg(round(lit(0.15 / n) + lit(d) * sum(col("w")), 9).as("pr"),
+            max(col("deg_b")).as("deg"))
           .localCheckpoint()
         pinned = next :: pinned
         pinned.tail.foreach(_.unpersist())

@@ -101,16 +101,7 @@ object TextEtl {
         .foreach { r =>
           Files.writeString(tmp.resolve(f"${r.getLong(0)}%05d.txt"), r.getString(1))
         }
-      try Files.move(tmp, out, StandardCopyOption.ATOMIC_MOVE)
-      catch { case _: java.nio.file.FileAlreadyExistsException |
-                   _: java.nio.file.AccessDeniedException =>
-        // lost the publish race: another grader already installed an
-        // identical panel; discard ours
-        val walk = Files.walk(tmp)
-        try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-          .forEach(p => Files.delete(p))
-        finally walk.close()
-      }
+      publishPanel(tmp, out)
     }
     sp.read.format("graft.sources.v2.TextDirSource")
       .option("path", out.toString).load()
@@ -118,6 +109,29 @@ object TextEtl {
       .withColumn("doc_id", regexp_extract(col("path"), "(\\d+)\\.txt$", 1).cast("long"))
       .select(col("doc_id"), col("length").cast("int").as("text_len"))
       .orderBy("doc_id")
+  }
+
+  /** Publish a fully-written panel dir by atomic rename. Losing the
+    * race is fine — another grader installed an identical panel (the
+    * path is content-keyed) — but the loser's exception varies by OS
+    * and filesystem: `FileAlreadyExistsException` (POSIX rename onto a
+    * file), `DirectoryNotEmptyException` (Linux rename onto a
+    * non-empty dir), `AccessDeniedException` (Windows). All extend
+    * `FileSystemException`, so catch that and re-check the target: if
+    * `out` exists the race was lost (discard ours, no temp-dir leak);
+    * if it doesn't, the failure is real — clean up and rethrow. */
+  private[graft] def publishPanel(tmp: java.nio.file.Path,
+      out: java.nio.file.Path): Unit = {
+    import java.nio.file.{Files, StandardCopyOption}
+    try Files.move(tmp, out, StandardCopyOption.ATOMIC_MOVE)
+    catch { case e: java.nio.file.FileSystemException =>
+      val lostRace = Files.exists(out)
+      val walk = Files.walk(tmp)
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => Files.delete(p))
+      finally walk.close()
+      if (!lostRace) throw e
+    }
   }
 
   /** A2 — JSON sink projection (`script.py:572-573`): the engine's JSON

@@ -75,6 +75,40 @@ object TextDirSource {
     StructField("path", StringType, nullable = false),
     StructField("text", StringType, nullable = false),
     StructField("length", LongType, nullable = false)))
+
+  /** `pathGlobFilter` supports the usual `*` / `?` / `[abc]` /
+    * `[a-z]` / `[!abc]` file-name wildcards; everything else is
+    * matched literally. Hardened against glob-ish garbage: a `[` with
+    * no closing `]` (or an empty class) is a LITERAL bracket, never a
+    * `PatternSyntaxException` at planning time, and `^` / `]` / `-`
+    * outside a class are literals, never regex anchors. */
+  private[graft] def globToRegex(glob: String): String = {
+    val sb = new StringBuilder
+    def classBody(raw: String): String = raw.flatMap {
+      case c if "\\[]&^".contains(c) => "\\" + c   // class metachars; '-' kept for ranges
+      case c => c.toString
+    }
+    var i = 0
+    while (i < glob.length) {
+      glob.charAt(i) match {
+        case '*' => sb.append("[^/]*"); i += 1
+        case '?' => sb.append("[^/]"); i += 1
+        case '[' =>
+          val j = glob.indexOf(']', i + 2)         // i+2: class body must be non-empty
+          val body0 = if (j < 0) "" else glob.substring(i + 1, j)
+          val neg = body0.startsWith("!") || body0.startsWith("^")
+          val body = if (neg) body0.substring(1) else body0
+          if (j < 0 || body.isEmpty) { sb.append("\\["); i += 1 }  // unbalanced/empty: literal
+          else {
+            sb.append('[').append(if (neg) "^" else "").append(classBody(body)).append(']')
+            i = j + 1
+          }
+        case c if "\\.()+|{}$^]-".contains(c) => sb.append('\\').append(c); i += 1
+        case c => sb.append(c); i += 1
+      }
+    }
+    sb.toString
+  }
 }
 
 private[v2] case class TextDirOptions(
@@ -157,7 +191,7 @@ private[v2] class TextDirScan(dir: String, required: StructType, opts: TextDirOp
     // HDFS/S3 this is the batched listing RPC, not a per-file stat).
     val files = ArrayBuffer.empty[TextFileSlice]
     val glob = opts.pathGlobFilter.map(g =>
-      java.util.regex.Pattern.compile(globToRegex(g)))
+      java.util.regex.Pattern.compile(TextDirSource.globToRegex(g)))
     val it = fs.listFiles(root, opts.recursive)
     while (it.hasNext) {
       val st: FileStatus = it.next()
@@ -191,20 +225,6 @@ private[v2] class TextDirScan(dir: String, required: StructType, opts: TextDirOp
     }
     close()
     bins.toArray
-  }
-
-  /** `pathGlobFilter` supports the usual `*` / `?` / `[abc]` file-name
-    * wildcards; everything else is matched literally. */
-  private def globToRegex(glob: String): String = {
-    val sb = new StringBuilder
-    glob.foreach {
-      case '*' => sb.append("[^/]*")
-      case '?' => sb.append("[^/]")
-      case c @ ('[' | ']' | '-' | '^') => sb.append(c)
-      case c if "\\.()+|{}$".contains(c) => sb.append('\\').append(c)
-      case c => sb.append(c)
-    }
-    sb.toString
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

@@ -57,11 +57,14 @@ class TextDirSourceSpec extends AnyFunSuite {
 
   test("default budget keeps tiny-file fixtures at per-file granularity, path-sorted") {
     withDir { dir =>
-      // openCostInBytes (4 KiB) dominates 5-byte files, so the default
-      // budget still plans one partition per file here — tiny fixtures
-      // keep full parallelism; packing kicks in for real corpora below.
+      // openCostInBytes (4 KiB) dominates 5-byte files, so the budget
+      // still plans one partition per file here — tiny fixtures keep
+      // full parallelism; packing kicks in for real corpora below.
+      // minPartitionNum pinned: the default floor is
+      // defaultParallelism, which on a 1-core runner packs all 5 files
+      // into one bin and the assertion would be core-count-dependent.
       (1 to 5).foreach(i => Files.writeString(dir.resolve(s"f$i.txt"), s"doc $i"))
-      val df = load(dir)
+      val df = load(dir, "minPartitionNum" -> "8")
       assert(df.rdd.getNumPartitions == 5, "expected one partition per file")
       assert(df.select("path").as(org.apache.spark.sql.Encoders.STRING)
         .collect().toSeq == df.select("path").collect().map(_.getString(0)).toSeq.sorted)
@@ -124,6 +127,67 @@ class TextDirSourceSpec extends AnyFunSuite {
       Files.writeString(dir.resolve("skip.md"), "s")
       val got = load(dir, "pathGlobFilter" -> "*.txt").select("path").collect().map(_.getString(0))
       assert(got.length == 1 && got.head.endsWith("keep.txt"))
+    }
+  }
+
+  test("globToRegex: hostile globs are literals, never PatternSyntaxException") {
+    import graft.sources.v2.TextDirSource.globToRegex
+    import java.util.regex.Pattern
+    // literal ^ outside a class must match, not anchor
+    assert(Pattern.matches(globToRegex("a^b.txt"), "a^b.txt"))
+    // unbalanced [ is a literal bracket, and still compiles
+    assert(Pattern.matches(globToRegex("a[b.txt"), "a[b.txt"))
+    assert(!Pattern.matches(globToRegex("a[b.txt"), "ab.txt"))
+    // empty class is a literal bracket pair
+    assert(Pattern.matches(globToRegex("a[].txt"), "a[].txt"))
+    // stray ] and - outside a class are literals
+    assert(Pattern.matches(globToRegex("a]b-c.txt"), "a]b-c.txt"))
+    // real classes still work: set, range, negation (both spellings)
+    assert(Pattern.matches(globToRegex("f[abc].txt"), "fb.txt"))
+    assert(Pattern.matches(globToRegex("f[a-z]*.txt"), "fqueue.txt"))
+    assert(!Pattern.matches(globToRegex("f[!0-9].txt"), "f7.txt"))
+    assert(Pattern.matches(globToRegex("f[^0-9].txt"), "fx.txt"))
+    // * and ? never cross a path separator
+    assert(!Pattern.matches(globToRegex("*.txt"), "sub/a.txt"))
+  }
+
+  test("hostile pathGlobFilter end-to-end: lone [ filters literally, no crash") {
+    withDir { dir =>
+      Files.writeString(dir.resolve("a[b.txt"), "x")
+      Files.writeString(dir.resolve("ab.txt"), "y")
+      val got = load(dir, "pathGlobFilter" -> "a[b.txt").select("path")
+        .collect().map(_.getString(0))
+      assert(got.length == 1 && got.head.endsWith("a[b.txt"))
+    }
+  }
+
+  test("panel publish: losing the rename race discards the temp dir, keeps the winner") {
+    withDir { dir =>
+      val winner = dir.resolve("panel")
+      Files.createDirectories(winner)
+      Files.writeString(winner.resolve("00001.txt"), "installed first")
+      val tmp = Files.createTempDirectory(dir, "panel_build")
+      Files.writeString(tmp.resolve("00001.txt"), "loser's copy")
+      // out exists and is non-empty: on Linux ATOMIC_MOVE throws
+      // DirectoryNotEmptyException — the exact crash this guards
+      graft.operators.TextEtl.publishPanel(tmp, winner)
+      assert(!Files.exists(tmp), "loser must clean up its temp dir")
+      assert(Files.readString(winner.resolve("00001.txt")) == "installed first",
+        "winner's panel must be untouched")
+    }
+  }
+
+  test("panel publish: a real failure (target absent) still surfaces") {
+    withDir { dir =>
+      val tmp = Files.createTempDirectory(dir, "panel_build")
+      Files.writeString(tmp.resolve("00001.txt"), "content")
+      // moving INTO a missing parent fails with NoSuchFileException —
+      // out does not exist, so publishPanel must rethrow, not swallow
+      val out = dir.resolve("missing_parent/panel")
+      intercept[java.nio.file.FileSystemException] {
+        graft.operators.TextEtl.publishPanel(tmp, out)
+      }
+      assert(!Files.exists(tmp), "temp dir cleaned up even on rethrow")
     }
   }
 
