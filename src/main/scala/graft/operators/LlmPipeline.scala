@@ -204,8 +204,14 @@ object LlmPipeline {
     * values are bit-identical to the 8x aggregate/least fold, so the
     * oracle SQL still states the same rotations. */
   private[graft] def minhashBanded(all: DataFrame): DataFrame =
-    graft.functions.TextShingles.withShingles(
-        graft.functions.TextShingles.spreadForCpu(all), col("text"))
+    minhashBandedRaw(graft.functions.TextShingles.spreadForCpu(all))
+
+  /** [[minhashBanded]] minus the batch-only repartition probe
+    * (`spreadForCpu` inspects `df.rdd`, which a STREAMING DataFrame
+    * rejects) — every stage here is a stateless per-row projection, so
+    * this form serves the streaming band probe unchanged. */
+  private[graft] def minhashBandedRaw(all: DataFrame): DataFrame =
+    graft.functions.TextShingles.withShingles(all, col("text"))
       .withColumn("hs", transform(col("shingles"), sh => md5(sh)))
       .withColumn("sig", graft.plans.MinHashSignature.minhashSig(col("hs"), NumHashes, 4))
       .select(col("doc_id"), posexplode(array((0 until NumHashes / BandSize).map { b =>
@@ -256,16 +262,70 @@ object LlmPipeline {
       .union(base.filter(col("doc_id") % 8 === 0)
         .select((col("doc_id") * 2 + 1).as("doc_id"),
           concat(col("text"), lit(" extraneous")).as("text")))
+    minhashBanded(batch)
+      .join(minhashHistoryIndex(history), Seq("band_id", "band_key"))
+      .select(col("doc_id").as("batch_id"), col("hist_id")).distinct()
+      .orderBy("batch_id", "hist_id")
+  }
+
+  /** DuckDB oracle fragment: the CTE chain `shingled → hashed → sigs →
+    * bands` over a preceding `corpus(side, doc_id, text)` CTE — the
+    * SQL statement of [[minhashBanded]]'s rotation-minhash banding,
+    * shared by every oracle that probes or builds a band index.
+    * Pre-stripped: embed after a `|` margin in the enclosing oracle. */
+  private[graft] val MinhashBandsSql: String =
+    """shingled AS (
+      |  SELECT side, doc_id,
+      |    list_transform(range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
+      |      i -> concat_ws(' ', string_split(text, ' ')[i],
+      |                          string_split(text, ' ')[i+1],
+      |                          string_split(text, ' ')[i+2])) AS sh
+      |  FROM corpus),
+      |hashed AS (
+      |  SELECT side, doc_id, list_transform(sh, x -> md5(x)) AS hs FROM shingled),
+      |sigs AS (
+      |  SELECT side, doc_id,
+      |    [list_min(hs),
+      |     list_min(list_transform(hs, h -> substring(h, 5, 28) || substring(h, 1, 4))),
+      |     list_min(list_transform(hs, h -> substring(h, 9, 24) || substring(h, 1, 8))),
+      |     list_min(list_transform(hs, h -> substring(h, 13, 20) || substring(h, 1, 12))),
+      |     list_min(list_transform(hs, h -> substring(h, 17, 16) || substring(h, 1, 16))),
+      |     list_min(list_transform(hs, h -> substring(h, 21, 12) || substring(h, 1, 20))),
+      |     list_min(list_transform(hs, h -> substring(h, 25, 8) || substring(h, 1, 24))),
+      |     list_min(list_transform(hs, h -> substring(h, 29, 4) || substring(h, 1, 28)))] AS sig
+      |  FROM hashed),
+      |bands AS (
+      |  SELECT side, doc_id, b.band_id,
+      |    md5(concat_ws('|', sig[b.band_id * 2 + 1], sig[b.band_id * 2 + 2])) AS band_key
+      |  FROM sigs, (SELECT 0 AS band_id UNION ALL SELECT 1 UNION ALL SELECT 2 UNION ALL SELECT 3) b)"""
+      .stripMargin
+
+  /** DuckDB oracle fragment: the capped history band index over the
+    * `bands` CTE — the SQL statement of [[minhashHistoryIndex]], with
+    * [[MaxBucketDocs]] interpolated (not hardcoded: a cap change must
+    * reach BOTH the Spark side and the oracle or they silently
+    * desync). Pre-stripped, same embedding rule as
+    * [[MinhashBandsSql]]. */
+  private[graft] val MinhashHcapSql: String =
+    """hcap AS (
+      |  SELECT band_id, band_key, hist_id FROM (
+      |    SELECT band_id, band_key, doc_id AS hist_id,
+      |      row_number() OVER (PARTITION BY band_id, band_key ORDER BY doc_id) AS rn
+      |    FROM bands WHERE side = 'h') WHERE rn <= MAX_BUCKET_DOCS)""".stripMargin
+      .replace("MAX_BUCKET_DOCS", MaxBucketDocs.toString)
+
+  /** The stored (band_id, band_key) → hist_id index a probe runs
+    * against: banded history, each bucket capped at [[MaxBucketDocs]]
+    * by deterministic hist_id rank (shared by B56, the streaming band
+    * probe, and the composed incremental e2e — at 100 TB this frame is
+    * PRECOMPUTED and stored bucketed by its key). */
+  private[graft] def minhashHistoryIndex(history: DataFrame): DataFrame = {
     val wBucket = Window.partitionBy("band_id", "band_key").orderBy("hist_id")
-    val histIdx = minhashBanded(history)
+    minhashBanded(history)
       .select(col("band_id"), col("band_key"), col("doc_id").as("hist_id"))
       .withColumn("rn", row_number().over(wBucket))
       .filter(col("rn") <= MaxBucketDocs)
       .drop("rn")
-    minhashBanded(batch)
-      .join(histIdx, Seq("band_id", "band_key"))
-      .select(col("doc_id").as("batch_id"), col("hist_id")).distinct()
-      .orderBy("batch_id", "hist_id")
   }
 
   /** Per-document MinHash signature over word 3-gram shingles, banded
@@ -407,7 +467,13 @@ object LlmPipeline {
           least(col("comp"), coalesce(col("jumped"), col("comp"))).as("comp"),
           (least(col("comp"), coalesce(col("jumped"), col("comp"))) < col("old_comp"))
             .cast("long").as("chg"))
-        .localCheckpoint()
+        // LAZY checkpoint: the convergence probe right below is the
+        // superstep's action anyway, so it materializes the blocks AND
+        // folds the change count in ONE job — an eager checkpoint here
+        // would run a second job per superstep just to re-scan blocks
+        // the probe could have produced (measured ~2 jobs -> 1 per
+        // round; the lineage truncation is identical)
+        .localCheckpoint(eager = false)
       pinned = next :: pinned // pin BEFORE the agg so a failure there cleans it
       changed = Option(next.agg(sum("chg")).head().get(0))
         .map(_.asInstanceOf[Long]).getOrElse(0L)
@@ -625,48 +691,18 @@ object LlmPipeline {
         |ORDER BY b.doc_id""".stripMargin)(dedupIncremental),
 
     OpQuery("op_dedup_minhash_incremental",
-      """WITH corpus AS (
+      s"""WITH corpus AS (
         |  SELECT 'h' AS side, doc_id * 2 AS doc_id, text FROM documents WHERE doc_id % 4 = 0
         |  UNION ALL
         |  SELECT 'b', doc_id * 2, text FROM documents WHERE doc_id % 4 <> 0
         |  UNION ALL
         |  SELECT 'b', doc_id * 2 + 1, concat(text, ' extraneous') FROM documents WHERE doc_id % 8 = 0),
-        |shingled AS (
-        |  SELECT side, doc_id,
-        |    list_transform(range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
-        |      i -> concat_ws(' ', string_split(text, ' ')[i],
-        |                          string_split(text, ' ')[i+1],
-        |                          string_split(text, ' ')[i+2])) AS sh
-        |  FROM corpus),
-        |hashed AS (
-        |  SELECT side, doc_id, list_transform(sh, x -> md5(x)) AS hs FROM shingled),
-        |sigs AS (
-        |  SELECT side, doc_id,
-        |    [list_min(hs),
-        |     list_min(list_transform(hs, h -> substring(h, 5, 28) || substring(h, 1, 4))),
-        |     list_min(list_transform(hs, h -> substring(h, 9, 24) || substring(h, 1, 8))),
-        |     list_min(list_transform(hs, h -> substring(h, 13, 20) || substring(h, 1, 12))),
-        |     list_min(list_transform(hs, h -> substring(h, 17, 16) || substring(h, 1, 16))),
-        |     list_min(list_transform(hs, h -> substring(h, 21, 12) || substring(h, 1, 20))),
-        |     list_min(list_transform(hs, h -> substring(h, 25, 8) || substring(h, 1, 24))),
-        |     list_min(list_transform(hs, h -> substring(h, 29, 4) || substring(h, 1, 28)))] AS sig
-        |  FROM hashed),
-        |bands AS (
-        |  SELECT side, doc_id, b.band_id,
-        |    md5(concat_ws('|', sig[b.band_id * 2 + 1], sig[b.band_id * 2 + 2])) AS band_key
-        |  FROM sigs, (SELECT 0 AS band_id UNION ALL SELECT 1 UNION ALL SELECT 2 UNION ALL SELECT 3) b),
-        |hcap AS (
-        |  SELECT band_id, band_key, hist_id FROM (
-        |    SELECT band_id, band_key, doc_id AS hist_id,
-        |      row_number() OVER (PARTITION BY band_id, band_key ORDER BY doc_id) AS rn
-        |    FROM bands WHERE side = 'h') WHERE rn <= MAX_BUCKET_DOCS)
+        |$MinhashBandsSql,
+        |$MinhashHcapSql
         |SELECT DISTINCT bb.doc_id AS batch_id, h.hist_id
         |FROM bands bb JOIN hcap h ON bb.band_id = h.band_id AND bb.band_key = h.band_key
         |WHERE bb.side = 'b'
-        |ORDER BY batch_id, hist_id""".stripMargin
-        // interpolated, not hardcoded: a MaxBucketDocs change must reach
-        // BOTH the Spark cap and this oracle or they silently desync
-        .replace("MAX_BUCKET_DOCS", MaxBucketDocs.toString))(dedupMinhashIncremental),
+        |ORDER BY batch_id, hist_id""".stripMargin)(dedupMinhashIncremental),
 
     OpQuery("op_index_update",
       """WITH normed AS (

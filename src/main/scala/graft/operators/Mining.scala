@@ -110,16 +110,30 @@ object Mining {
     * rank) + ONE dst-keyed min-shuffle-width sum that carries `deg_b`
     * through the agg — no per-iteration re-attach join against `deg`
     * (2 Exchanges per superstep, not 3; at 100× with more iterations
-    * that third shuffle dominates). Ranks are `localCheckpoint`ed per
-    * iteration so iteration N never replays 1..N-1 (same discipline as
-    * the CC closure). Undirected edges mean every node has degree
-    * ≥ 1 — no dangling-mass redistribution term. The in-neighbor sum
-    * is the order-sensitive accumulation: quantized to 9 decimals per
+    * that third shuffle dominates). Each rank frame has exactly ONE
+    * consumer (the next iteration) and the loop body runs no actions,
+    * so iterations chain LAZILY — one downstream action executes every
+    * superstep exactly once and per-iteration eager checkpoints would
+    * be pure block-write overhead (unlike the CC closure, whose
+    * per-superstep convergence probe IS an action and therefore needs
+    * materialization). Lineage is truncated every
+    * [[CheckpointEvery]] iterations — bounding plan size for
+    * many-iteration runs — and at the last, so the returned frame
+    * reads materialized blocks and the loop caches can be dropped.
+    * Undirected edges mean every node has degree ≥ 1 — no
+    * dangling-mass redistribution term. The in-neighbor sum is the
+    * order-sensitive accumulation: quantized to 9 decimals per
     * iteration. */
   def graphPagerank(sp: SparkSession, dir: String): DataFrame =
     pagerankRanks(Tables.lineitem(sp, dir)
       .select((col("l_suppkey") * 2).as("a"), (col("l_partkey") * 2 + 1).as("b"))
       .distinct(), iters = 3)
+
+  /** Lineage-truncation cadence for iterative rank loops: checkpoint
+    * every 8th iteration (plan depth stays bounded for long runs)
+    * instead of every iteration (pointless eager materialization for
+    * the common few-iteration case — see [[graphPagerank]]). */
+  private val CheckpointEvery = 8
 
   /** Core: PageRank over the undirected closure of `pairs(a, b)` (each
     * input pair contributes both directions; pairs must be distinct).
@@ -131,10 +145,16 @@ object Mining {
     val deg = rawEdges.groupBy("a").agg(count(lit(1)).as("deg")).localCheckpoint()
     // fold the DESTINATION degree into the edge list once, before the
     // loop: the dst-keyed agg can then carry deg_b through (all rows in
-    // a dst group share it), so no iteration re-joins deg
+    // a dst group share it), so no iteration re-joins deg. The cache is
+    // REPARTITIONED ON THE JOIN KEY `a` (the deg join left it keyed on
+    // b): InMemoryRelation preserves its partitioning, so every
+    // iteration's contribution join reuses it and only the NODE-sized
+    // rank frame shuffles — the edge list (the corpus-sized side)
+    // crosses the wire once at setup, not once per superstep.
     val edges = rawEdges
       .join(deg.select(col("a").as("b"), col("deg").as("deg_b")), "b")
       .select("a", "b", "deg_b")
+      .repartition(col("a"))
       .cache()
     var pinned: List[DataFrame] = List(deg)
     try {
@@ -142,18 +162,23 @@ object Mining {
       // the rank frame CARRIES its degree so no iteration ever joins a
       // frame against its own lineage ancestor (self-join ambiguity)
       var pr = deg.select(col("a").as("id"), lit(1.0 / n).as("pr"), col("deg"))
-      for (_ <- 1 to iters) {
-        val next = edges
+      for (i <- 1 to iters) {
+        var next = edges
           .join(pr.select(col("id").as("a"), (col("pr") / col("deg")).as("w")), "a")
           .groupBy(col("b").as("id"))
           // 0.15 spelled as a literal, NOT (1 - 0.85): the subtraction
           // lands one ulp off the 0.15 the oracle parses
           .agg(round(lit(0.15 / n) + lit(d) * sum(col("w")), 9).as("pr"),
             max(col("deg_b")).as("deg"))
-          .localCheckpoint()
-        pinned = next :: pinned
-        pinned.tail.foreach(_.unpersist())
-        pinned = List(next)
+        // truncate only at the cadence boundary and at the END (the
+        // eager final checkpoint runs the whole lazy chain once; the
+        // returned frame then reads its blocks, so deg/edges can drop)
+        if (i % CheckpointEvery == 0 || i == iters) {
+          next = next.localCheckpoint()
+          pinned = next :: pinned
+          pinned.tail.foreach(_.unpersist())
+          pinned = List(next)
+        }
         pr = next
       }
       edges.unpersist()
@@ -282,9 +307,13 @@ object Mining {
     * through `Skew.saltedJoin` on both model joins (hot-key split
     * salting; result-invariant, SkewProbe measures it firing on a
     * planted hot bigram), while the cold tail keeps the plain
-    * exchange-reusing joins. On healthy corpora the hot set is empty
-    * and AQE's empty-relation propagation erases the salted branch.
-    * The per-doc mean is the order-sensitive sum: final `round(4)`. */
+    * exchange-reusing joins. Hot prefixes are detected by one bounded
+    * probe of the cached unigram model and routed as literal
+    * predicates, so on healthy corpora the OPTIMIZER erases the salted
+    * branch at plan time (no gate joins, no reliance on AQE
+    * empty-relation propagation, which pins already-created stages on
+    * large plans). The per-doc mean is the order-sensitive sum: final
+    * `round(4)`. */
   def ngramLm(sp: SparkSession, dir: String): DataFrame =
     ngramLmScores(docs(sp, dir))
 
@@ -297,6 +326,12 @@ object Mining {
 
   /** Salt fan-out for the hot-prefix branch. */
   private val NgramSalts = 8
+
+  /** Cap on hot prefixes routed as LITERAL predicates: above this the
+    * isin plan would bloat, so routing falls back to the broadcast-set
+    * formulation. A Zipf head above `HotPrefixInstances` holds a
+    * handful of keys on any real corpus; 64 is far past that. */
+  private val MaxHotPrefixLiterals = 64
 
   /** Core: bigram-LM mean log-prob per document over
     * `corpus(doc_id, text)`. Exposed for known-answer specs and (with
@@ -312,37 +347,57 @@ object Mining {
         slice(col("ts"), lit(2), size(col("ts")) - 1).as("w2"))).as("bg"))
       .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
     val c2 = big.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
-    val c1 = big.groupBy("w1").agg(count(lit(1)).as("c1"))
+    // the unigram MODEL is cached: the hot-set probe below and the
+    // scoring join read the same frame instead of re-aggregating the
+    // corpus per consumer (vocabulary-sized — the LM model itself, the
+    // thing a production run persists anyway; spills to disk at 100 TB)
+    val c1 = big.groupBy("w1").agg(count(lit(1)).as("c1")).cache()
     val vocab = toks.select(explode(col("ts")).as("t"))
       .agg(countDistinct(col("t")).as("v"))
-    // hot-prefix split: route by SPLITTING THE MODEL SIDES, never by
-    // tagging the instance stream — a tag join on `big` would gate the
-    // corpus pipeline behind the c1 broadcast (measured +60% wall on
-    // the no-hot-keys common case). Inner-join semantics do the
-    // routing: c2Cold/c2Hot partition the bigram model by prefix
-    // hotness, so each instance row survives exactly one branch. The
-    // hot SET is tiny by construction (prefixes above a partition-
-    // sized count — the Zipf head), so both model splits are map-side
-    // broadcast (anti-)joins; when it is EMPTY — every healthy corpus
-    // — AQE's empty-relation propagation collapses the salted branch
-    // before its shuffles run.
-    val hotSet = c1.filter(col("c1") >= hotPrefixInstances).select("w1")
-    val c1Cold = c1.filter(col("c1") < hotPrefixInstances)
-    val c1Hot = c1.filter(col("c1") >= hotPrefixInstances)
-    val c2Cold = c2.join(broadcast(hotSet), Seq("w1"), "left_anti")
-    val c2Hot = c2.join(broadcast(hotSet), Seq("w1"))
-    val cold = big.join(c2Cold, Seq("w1", "w2")).join(c1Cold, Seq("w1"))
-    // the semi-join both gates the salted shuffle behind the hot-set
-    // broadcast (so AQE collapses the branch BEFORE shuffle-writing the
-    // corpus when the set is empty — without it the salted map stage is
-    // a leaf and runs eagerly; measured +0.5 s of pure waste at sf0.1)
-    // and, when hot keys DO exist, shrinks the salted shuffle to the
-    // hot rows instead of the whole instance stream.
-    val hotB = big.join(broadcast(hotSet), Seq("w1"), "left_semi")
-    val hotJ = Skew.saltedJoin(
-      Skew.saltedJoin(hotB, c2Hot, Seq("w1", "w2"), NgramSalts, col("doc_id")),
-      c1Hot, Seq("w1"), NgramSalts, col("doc_id"))
-    cold.unionByName(hotJ)
+    // hot-prefix detection: one bounded probe of the cached model. The
+    // hot SET is tiny by construction (prefixes above a partition-sized
+    // instance count — the Zipf head), so collect at most
+    // MaxHotPrefixLiterals+1 keys and route by LITERAL predicate:
+    // on every healthy corpus the probe returns EMPTY, the filters
+    // constant-fold, and the OPTIMIZER erases the entire salted branch
+    // at plan time — guaranteed at any scale, where the old
+    // broadcast-set routing left a semi-join gate + two model
+    // (anti-)joins in every plan and relied on AQE empty-relation
+    // propagation, which does NOT collapse already-created stages on
+    // large plans (measured at 10x sf0.1). A degenerate corpus with
+    // more hot prefixes than the literal cap falls back to that
+    // broadcast-set routing, which never collects more than the cap.
+    val hotKeys = c1.filter(col("c1") >= hotPrefixInstances)
+      .select("w1").limit(MaxHotPrefixLiterals + 1).collect().map(_.getString(0))
+    val scored =
+      if (hotKeys.length <= MaxHotPrefixLiterals) {
+        val isHot = if (hotKeys.isEmpty) lit(false)
+                    else col("w1").isin(hotKeys.toSeq: _*)
+        // inner-join semantics route each instance row through exactly
+        // one branch; the model sides only need filtering where the
+        // salted explode must stay hot-set-sized
+        val cold = big.filter(!isHot).join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
+        val hotJ = Skew.saltedJoin(
+          Skew.saltedJoin(big.filter(isHot), c2.filter(isHot), Seq("w1", "w2"),
+            NgramSalts, col("doc_id")),
+          c1.filter(isHot), Seq("w1"), NgramSalts, col("doc_id"))
+        cold.unionByName(hotJ)
+      } else {
+        val hotSet = c1.filter(col("c1") >= hotPrefixInstances).select("w1")
+        val c1Cold = c1.filter(col("c1") < hotPrefixInstances)
+        val c1Hot = c1.filter(col("c1") >= hotPrefixInstances)
+        val c2Cold = c2.join(broadcast(hotSet), Seq("w1"), "left_anti")
+        val c2Hot = c2.join(broadcast(hotSet), Seq("w1"))
+        val cold = big.join(c2Cold, Seq("w1", "w2")).join(c1Cold, Seq("w1"))
+        // the semi-join gates the salted shuffle behind the hot-set
+        // broadcast and shrinks it to the hot rows
+        val hotB = big.join(broadcast(hotSet), Seq("w1"), "left_semi")
+        val hotJ = Skew.saltedJoin(
+          Skew.saltedJoin(hotB, c2Hot, Seq("w1", "w2"), NgramSalts, col("doc_id")),
+          c1Hot, Seq("w1"), NgramSalts, col("doc_id"))
+        cold.unionByName(hotJ)
+      }
+    scored
       .crossJoin(broadcast(vocab))
       .withColumn("logp", log((col("c2") + lit(1.0)) / (col("c1") + col("v"))))
       .groupBy("doc_id")

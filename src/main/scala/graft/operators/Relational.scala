@@ -525,6 +525,78 @@ object Relational {
       .orderBy("zbucket")
   }
 
+  /** `op_zorder_sketch` — B48b's declared 100 TB production path made
+    * GRADED instead of documented: the rank boundaries come from the
+    * single-pass Greenwald-Khanna sketch (`df.stat.approxQuantile`,
+    * relErr 1e-3) rather than the exact-percentile aggregation, and
+    * the op certifies the swap with the `op_agg_quantiles` contract:
+    *  - `within_1pct` — every sketch boundary lands within 1% of the
+    *    dimension's BOUNDARY SPAN (floored at one boundary grid step —
+    *    see the tolerance comment in the body) of the exact boundary
+    *    at the same probe (driver-compared over the 2×63-double
+    *    arrays; exact boundaries are the oracle-checkable side,
+    *    identical in DuckDB via `quantile_cont`);
+    *  - `span_ok` — the SKETCH-bucketed z-layout still meets the
+    *    ≤3-rank-span guarantee per z>>4 range in BOTH dims (the whole
+    *    point of the layout; computed over the full sketch-bucketed
+    *    pass, so a sketch regression that breaks the layout fails the
+    *    hash, not just a comment).
+    * The oracle asserts both flags TRUE and reproduces the exact-side
+    * facts (distinct-boundary counts, row count) — the sketch can
+    * drift silently by at most the certified 1%.
+    *
+    * Scale shape: GK is ONE pass + a 2×63-double driver array (vs the
+    * exact percentile's per-group sort) — at 100 TB the sketch pass is
+    * the only affordable one, which is exactly why its accuracy is
+    * under the hash here. The layout pass is the B48b plan unchanged:
+    * map-side codegen'd bucket+interleave, one ≤256-row agg. */
+  def zorderSketchLayout(s: SparkSession, dir: String): DataFrame = {
+    import graft.plans.QuantileBucket
+    val li = Tables.lineitem(s, dir).select(
+      col("l_partkey").cast("double").as("pk"),
+      col("l_quantity").cast("double").as("qty"))
+    val probs = (1 to (1 << RankBits) - 1).map(_.toDouble / (1 << RankBits)).toArray
+    // exact boundaries: the oracle-reproducible yardstick
+    val row = li.agg(
+      expr(s"percentile(pk, array($RankProbsSql))").as("bx"),
+      expr(s"percentile(qty, array($RankProbsSql))").as("by")).head()
+    val (exPk, exQty) = (row.getSeq[Double](0).toArray, row.getSeq[Double](1).toArray)
+    // sketch boundaries: the graded production path
+    val skPk = li.stat.approxQuantile("pk", probs, 1e-3)
+    val skQty = li.stat.approxQuantile("qty", probs, 1e-3)
+    // tolerance is RANGE-relative (1% of the boundary span), floored at
+    // one exact-boundary grid step: GK's guarantee is a RANK bound, so
+    // value-relative 1% would fail spuriously at the low end of a
+    // uniform key (2 grid steps of pk ≈ 6% of its value), and on
+    // integer-valued dims (qty) the exact side INTERPOLATES between
+    // data values while the sketch returns a data value — one grid
+    // step apart by construction, not a regression.
+    def dsort(a: Array[Double]): Array[Double] = a.distinct.sorted
+    def within(ex: Array[Double], sk: Array[Double]): Boolean = {
+      val ds = dsort(ex)
+      val minGap = if (ds.length < 2) 0.0
+        else ds.sliding(2).map(p => p(1) - p(0)).min
+      val tol = math.max(0.01 * (ds.last - ds.head), minGap)
+      ex.zip(sk).forall { case (e, a) => math.abs(a - e) <= tol }
+    }
+    val spans = li
+      .withColumn("rx", QuantileBucket.bucket(col("pk"), dsort(skPk)))
+      .withColumn("ry", QuantileBucket.bucket(col("qty"), dsort(skQty)))
+      .withColumn("z", ZOrderKey.zorder(col("rx"), col("ry"), bits = RankBits))
+      .groupBy(shiftright(col("z"), 4).as("zbucket"))
+      .agg(count(lit(1)).as("n"),
+        (max("rx") - min("rx")).as("sx"), (max("ry") - min("ry")).as("sy"))
+      .agg(sum("n").as("n"), max("sx").as("msx"), max("sy").as("msy"))
+      .head()
+    val n = spans.getLong(0)
+    import s.implicits._
+    Seq(
+      ("pk", dsort(exPk).length.toLong, within(exPk, skPk), spans.getLong(1) <= 3L, n),
+      ("qty", dsort(exQty).length.toLong, within(exQty, skQty), spans.getLong(2) <= 3L, n))
+      .toDF("dim", "n_splits", "within_1pct", "span_ok", "n")
+      .orderBy("dim")
+  }
+
   // ---- B15: scalar function battery (string/date/math, all codegen'd) -------
   def scalarFuncs(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir)
@@ -807,6 +879,19 @@ object Relational {
         |  min(rx) AS rx_min, max(rx) AS rx_max,
         |  min(ry) AS ry_min, max(ry) AS ry_max
         |FROM z GROUP BY zbucket ORDER BY zbucket""".stripMargin)(zorderRankedLayout),
+
+    OpQuery("op_zorder_sketch",
+      s"""WITH li AS (SELECT CAST(l_partkey AS DOUBLE) AS pk,
+        |                   CAST(l_quantity AS DOUBLE) AS qty FROM lineitem),
+        |q AS (SELECT quantile_cont(pk, [$RankProbsSql]) AS bx,
+        |             quantile_cont(qty, [$RankProbsSql]) AS by,
+        |             count(*) AS n
+        |      FROM li)
+        |SELECT 'pk' AS dim, CAST(len(list_distinct(bx)) AS BIGINT) AS n_splits,
+        |  TRUE AS within_1pct, TRUE AS span_ok, n FROM q
+        |UNION ALL
+        |SELECT 'qty', CAST(len(list_distinct(by)) AS BIGINT), TRUE, TRUE, n FROM q
+        |ORDER BY dim""".stripMargin)(zorderSketchLayout),
 
     OpQuery("op_scalar_funcs",
       """SELECT o_orderkey,

@@ -215,6 +215,27 @@ object Streaming {
         col("doc_id"))
       .groupBy("key").agg(min(col("doc_id") * 2).as("hist_id"))
 
+  /** B56s: STREAMING MinHash-band probe — arriving documents are
+    * shingled, signed, and banded entirely map-side (stateless
+    * per-row projections: the codegen'd shingle + rotation-minhash
+    * kernels, no watermark, no state store) and probe the STATIC
+    * historical band-bucket index on `(band_id, band_key)`: the
+    * NEAR-DUP ingest filter, completing the stream-ingest pair B54
+    * started with exact digests. Emits one row per (batch doc, band,
+    * history member) collision — Append-mode-safe (no dedup state;
+    * the downstream batch triage dedups, as in B56's graded form).
+    *
+    * Scale: the static index side is corpus-sized and digest-bucketed
+    * — production pins it as a cached/bucketed table so micro-batches
+    * probe without a rescan, and it is NEVER broadcast-hinted; the
+    * stream side is micro-batch-sized and moves alone. Unified API:
+    * this SAME builder serves the t2 batch grade and the MemoryStream
+    * parity spec. */
+  def minhashProbePlan(batch: DataFrame, histIdx: DataFrame): DataFrame =
+    LlmPipeline.minhashBandedRaw(batch)
+      .join(histIdx, Seq("band_id", "band_key"))
+      .select(col("doc_id").as("batch_id"), col("band_id"), col("hist_id"))
+
   // ---- t2 batch-mode queries ----------------------------------------------
 
   def streamStaticJoin(sp: SparkSession, dir: String): DataFrame = {
@@ -224,6 +245,23 @@ object Streaming {
       .union(d.filter(col("doc_id") % 8 === 0)
         .select((col("doc_id") * 2 + 1).as("doc_id"), col("text")))
     staticJoinPlan(batch, historyIndex(sp, dir)).orderBy("doc_id")
+  }
+
+  /** Batch grade of [[minhashProbePlan]] on B56's exact corpus split
+    * (history %4==0 re-keyed 2·id; batch = rest + planted near-posts),
+    * so the streaming builder's semantics hash-check against the same
+    * banding oracle as the batch op. */
+  def streamMinhashProbe(sp: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(sp, dir).select(col("doc_id"), col("text"))
+    val history = d.filter(col("doc_id") % 4 === 0)
+      .select((col("doc_id") * 2).as("doc_id"), col("text"))
+    val batch = d.filter(col("doc_id") % 4 =!= 0)
+      .select((col("doc_id") * 2).as("doc_id"), col("text"))
+      .union(d.filter(col("doc_id") % 8 === 0)
+        .select((col("doc_id") * 2 + 1).as("doc_id"),
+          concat(col("text"), lit(" extraneous")).as("text")))
+    minhashProbePlan(batch, LlmPipeline.minhashHistoryIndex(history))
+      .orderBy("batch_id", "band_id", "hist_id")
   }
 
   def streamTumbling(sp: SparkSession, dir: String): DataFrame =
@@ -348,6 +386,20 @@ object Streaming {
         |FROM batch b LEFT JOIN history h ON b.key = h.key
         |WHERE h.key IS NULL
         |ORDER BY b.doc_id""".stripMargin)(streamStaticJoin),
+
+    OpQuery("op_stream_minhash_probe",
+      s"""WITH corpus AS (
+        |  SELECT 'h' AS side, doc_id * 2 AS doc_id, text FROM documents WHERE doc_id % 4 = 0
+        |  UNION ALL
+        |  SELECT 'b', doc_id * 2, text FROM documents WHERE doc_id % 4 <> 0
+        |  UNION ALL
+        |  SELECT 'b', doc_id * 2 + 1, concat(text, ' extraneous') FROM documents WHERE doc_id % 8 = 0),
+        |${LlmPipeline.MinhashBandsSql},
+        |${LlmPipeline.MinhashHcapSql}
+        |SELECT bb.doc_id AS batch_id, bb.band_id, h.hist_id
+        |FROM bands bb JOIN hcap h ON bb.band_id = h.band_id AND bb.band_key = h.band_key
+        |WHERE bb.side = 'b'
+        |ORDER BY batch_id, bb.band_id, hist_id""".stripMargin)(streamMinhashProbe),
 
     OpQuery("op_stream_custom_state",
       """WITH e AS (

@@ -146,6 +146,6 @@ object GraftExtensions {
           case other => throw new IllegalArgumentException(
             s"graft_quantile_bucket splits must be a foldable array<double> literal, got $other")
         }
-        QuantileBucket(args(0), splits)
+        QuantileBucket(args(0), splits.toIndexedSeq)
       }))
 }

@@ -105,20 +105,27 @@ object ZOrderKey {
       df.stat.approxQuantile(c, probs, relErr).distinct.sorted
     }
     def bucket(c: String, s: Array[Double]): Column =
-      bridge.column(QuantileBucket(bridge.expression(df(c).cast("double")), s))
+      bridge.column(QuantileBucket(bridge.expression(df(c).cast("double")), s.toIndexedSeq))
     zorder(bucket(xCol, splits(xCol)), bucket(yCol, splits(yCol)), bits = rankBits)
   }
 }
 
 /** Codegen'd quantile-bucket index: binary search of a double value
-  * into an embedded sorted-distinct split array (from
+  * into an embedded sorted-distinct split list (from
   * `df.stat.approxQuantile`), returning the bucket in
   * `[0, splits.length]` — `count of splits <= value`. The rank-space
   * coordinate for [[ZOrderKey.rankNormalized]]; branch-free enough to
-  * live inside whole-stage codegen next to the interleave. */
-case class QuantileBucket(child: Expression, splits: Array[Double])
+  * live inside whole-stage codegen next to the interleave.
+  *
+  * `splits` is a `Seq`, NOT an `Array`: a case class over an Array
+  * compares by reference, which defeats Catalyst canonicalization and
+  * common-subexpression elimination for semantically equal instances
+  * (two buckets built from the same boundaries would never dedupe). */
+case class QuantileBucket(child: Expression, splits: Seq[Double])
     extends UnaryExpression {
   require(splits.nonEmpty, "QuantileBucket needs at least one split")
+
+  private lazy val splitsArr: Array[Double] = splits.toArray
 
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_quantile_bucket"
@@ -128,10 +135,10 @@ case class QuantileBucket(child: Expression, splits: Array[Double])
       child.dataType == DoubleType, "(double)")
 
   override protected def nullSafeEval(input: Any): Any =
-    QuantileBucket.kernel(input.asInstanceOf[Double], splits)
+    QuantileBucket.kernel(input.asInstanceOf[Double], splitsArr)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val ref = ctx.addReferenceObj("splits", splits, "double[]")
+    val ref = ctx.addReferenceObj("splits", splitsArr, "double[]")
     defineCodeGen(ctx, ev, v => s"graft.plans.QuantileBucket.kernel($v, $ref)")
   }
 
@@ -148,5 +155,5 @@ object QuantileBucket {
 
   /** DataFrame-API entry point (splits must be sorted-distinct). */
   def bucket(c: Column, splits: Array[Double]): Column =
-    bridge.column(QuantileBucket(bridge.expression(c), splits))
+    bridge.column(QuantileBucket(bridge.expression(c), splits.toIndexedSeq))
 }

@@ -1,0 +1,84 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Incremental
+
+/** Semantic pins for the composed daily-ingest pipeline
+  * (`op_incremental_e2e`): the oracle hash proves cross-engine
+  * equality; THIS spec pins the triage semantics a reader should be
+  * able to rely on — planted exact re-posts die in stage 1 against
+  * their own originals, planted near-posts die in stage 2, admitted
+  * docs (and only they) get index entries, and the per-stage evidence
+  * columns are mutually consistent. */
+class IncrementalE2eSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private lazy val rows = Incremental.incrementalE2e(spark, dir).collect().map { r =>
+    (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4),
+      r.getLong(5), r.getDouble(6))
+  }
+
+  test("planted exact re-posts are exact_dups of their own originals") {
+    // exact re-posts are 2·id+1 for id % 8 == 0; their original is 2·id
+    val reposts = rows.filter(r => r._1 % 2 == 1 && (r._1 - 1) / 2 % 8 == 0)
+    assert(reposts.nonEmpty)
+    reposts.foreach { r =>
+      assert(r._2 == "exact_dup", s"re-post ${r._1} must die in stage 1: $r")
+      assert(r._3 == r._1 - 1, s"re-post ${r._1} must match its original ${r._1 - 1}")
+    }
+  }
+
+  test("planted near-posts die in the band probe, against their own originals") {
+    val nearPosts = rows.filter(r => r._1 % 2 == 1 && (r._1 - 1) / 2 % 8 == 4)
+    assert(nearPosts.nonEmpty)
+    // one appended token slips the digest but shares a band with
+    // p ≈ 0.999 per doc — a fixed function of each text, so allow the
+    // rare structural miss but require the plant to work overall
+    val caught = nearPosts.filter(_._2 == "near_dup")
+    assert(caught.length * 10 >= nearPosts.length * 8,
+      s"only ${caught.length}/${nearPosts.length} near-posts caught")
+    caught.foreach { r =>
+      // near_hist is the MIN candidate: the original (2·id) is always a
+      // candidate, but the synthetic corpus repeats templates, so an
+      // even-nearer-keyed history doc may win the min. Pin what is
+      // structural: the evidence is a real history id (history =
+      // 2·(id % 4 == 0) ⇒ ≡ 0 mod 8) no later than the original.
+      assert(r._4 % 8 == 0 && r._4 <= r._1 - 1,
+        s"near-post ${r._1} must surface a history doc ≤ its original: $r")
+    }
+  }
+
+  test("evidence columns are consistent with the fate triage") {
+    assert(rows.nonEmpty)
+    rows.foreach { case r @ (_, fate, exactH, nearH, entry, nnH, nnS) =>
+      fate match {
+        case "exact_dup" =>
+          assert(exactH >= 0 && nearH == -1 && entry == -1 && nnH == -1 && nnS == -2.0,
+            s"exact_dup row carries non-stage-1 evidence: $r")
+        case "near_dup" =>
+          assert(exactH == -1 && nearH >= 0 && entry == -1 && nnH == -1 && nnS == -2.0,
+            s"near_dup row carries wrong evidence: $r")
+        case "admitted" =>
+          assert(exactH == -1 && nearH == -1 && entry >= 0,
+            s"admitted row must be novel and indexed: $r")
+          // the vector probe only covers admitted docs whose original
+          // id has an embedding; when it fires, the score is a cosine
+          assert(nnH == -1 || (nnS >= -1.0 && nnS <= 1.0), s"bad nn evidence: $r")
+        case other => fail(s"unknown fate $other in $r")
+      }
+    }
+  }
+
+  test("admitted docs' index entries are keep-first within the batch") {
+    val admitted = rows.filter(_._2 == "admitted")
+    assert(admitted.nonEmpty)
+    // entry_id must itself be an admitted batch doc, no later than the row
+    val ids = admitted.map(_._1).toSet
+    admitted.foreach { r =>
+      assert(ids.contains(r._5), s"entry ${r._5} is not an admitted doc: $r")
+      assert(r._5 <= r._1, s"entry must be the keep-FIRST doc: $r")
+    }
+  }
+}

@@ -42,6 +42,7 @@ class PlanEvidenceSpec extends AnyFunSuite {
       "op_ann_recall",       // same 10-query exact baseline, graded against the LSH probe
       "op_similarity_ivf",   // 8 broadcast centroids (cell assign)
       "op_ann_incremental",  // same 8 broadcast centroids assigning history + batch cells
+      "op_incremental_e2e",  // same 8 broadcast centroids in its gated B58 vector stage
       "op_vector_pq",        // 4 broadcast codebook entries per block
       "op_ts_gapfill",       // hour×type grid, volume-independent
       "op_bm25",             // 1-row corpus stats (n_docs, avgdl) crossJoin — bounded by construction

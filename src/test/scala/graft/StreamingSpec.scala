@@ -226,4 +226,46 @@ class StreamingSpec extends AnyFunSuite {
       .select("doc_id").as[Long].collect().sorted
     assert(batch === admitted)
   }
+
+  test("B56s streaming minhash-band probe: stream ≡ batch against the static band index") {
+    implicit val sqlCtx = spark.sqlContext
+    val history = Seq(
+      Doc(0L, "the quick brown fox jumps over the lazy dog tonight"),
+      Doc(4L, "pack my box with five dozen liquor jugs again today"))
+      .toDF("doc_id", "text")
+      .select((col("doc_id") * 2).as("doc_id"), col("text"))
+    val histIdx = graft.operators.LlmPipeline.minhashHistoryIndex(history)
+    val arrivals = Seq(
+      // exact re-post of history doc 0: ALL 8 minhashes equal -> all 4
+      // bands must collide (deterministic, unlike a near-post whose
+      // band survival is a fixed-but-unknown function of the text)
+      Doc(101L, "the quick brown fox jumps over the lazy dog tonight"),
+      Doc(102L, "completely disjoint vocabulary sentence number one here now"),
+      // near-post of history doc 4 (one appended token): whatever
+      // bands it shares, stream and batch must agree exactly
+      Doc(103L, "pack my box with five dozen liquor jugs again today extraneous"),
+      Doc(104L, "utterly different wording sharing zero trigrams with anything"))
+    val mem = MemoryStream[Doc]
+    val name = s"sink_${System.nanoTime()}"
+    val q = Streaming.minhashProbePlan(mem.toDF(), histIdx)
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      mem.addData(arrivals(0), arrivals(1))   // micro-batch 1
+      q.processAllAvailable()
+      mem.addData(arrivals(2), arrivals(3))   // micro-batch 2
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table(name)
+      .select("batch_id", "band_id", "hist_id")
+      .as[(Long, Int, Long)].collect().sorted.toSeq
+    // the exact re-post collides in every band, only against its original
+    assert(streamed.filter(_._1 == 101L).map(_._2).sorted == Seq(0, 1, 2, 3))
+    assert(streamed.filter(_._1 == 101L).forall(_._3 == 0L))
+    // disjoint-vocabulary docs share no shingles, hence no bands
+    assert(streamed.forall(r => r._1 == 101L || r._1 == 103L))
+    // unified API: the same builder over a batch DataFrame agrees
+    val batch = Streaming.minhashProbePlan(arrivals.toDF(), histIdx)
+      .as[(Long, Int, Long)].collect().sorted.toSeq
+    assert(batch == streamed)
+  }
 }
