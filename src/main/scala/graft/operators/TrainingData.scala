@@ -452,23 +452,37 @@ object TrainingData {
     "fr" -> Seq("bonjour", "monde", "vraiment"),
     "zh" -> Seq("nihao", "shijie", "queshi"))
 
+  /** Marker-scoring CORE over any `corpus(..., body)`: per-language
+    * evidence counts (marker-token instances in the whitespace token
+    * stream), argmax via the greatest-struct rule (higher count wins;
+    * an all-zero tie deterministically falls to the lexicographically
+    * greatest language code). All non-`body` columns pass through.
+    * Exposed so the known-answer spec can grade MARKER-FREE
+    * adversarial texts — prose in each language with cross-language
+    * distractor tokens and no planted marker string — proving the
+    * classifier reads real token evidence, not the plant. */
+  private[graft] def langIdCore(corpus: DataFrame): DataFrame = {
+    val keep = corpus.columns.filterNot(_ == "body").map(col)
+    val scored = corpus.withColumn("toks", split(col("body"), " "))
+      .select(keep ++ LangMarkers.map { case (l, ms) =>
+        size(filter(col("toks"), t => t.isin(ms.map(lit(_)): _*))).as(s"s_$l")
+      }: _*)
+    val best = greatest(LangMarkers.map { case (l, _) =>
+      struct(col(s"s_$l").as("s"), lit(l).as("l"))
+    }: _*)
+    scored.withColumn("pred", best.getField("l"))
+      .withColumn("n_hits", best.getField("s"))
+      .select(keep :+ col("pred") :+ col("n_hits"): _*)
+  }
+
   def textLangId(sp: SparkSession, dir: String): DataFrame = {
     val markers = LangMarkers.map { case (l, ms) => (l, ms.mkString(" ")) }.toMap
     val markerCol = LangMarkers.foldLeft(lit(markers("en"))) { case (acc, (l, _)) =>
       when(col("lang") === l, lit(markers(l))).otherwise(acc)
     }
-    val withDoc = docs(sp, dir)
-      .withColumn("body", concat(col("text"), lit(" "), markerCol))
-      .withColumn("toks", split(col("body"), " "))
-    val scoreCols = LangMarkers.map { case (l, ms) =>
-      size(filter(col("toks"), t => t.isin(ms.map(lit(_)): _*))).as(s"s_$l")
-    }
-    val best = greatest(LangMarkers.map { case (l, _) =>
-      struct(col(s"s_$l").as("s"), lit(l).as("l"))
-    }: _*)
-    withDoc.select(Seq(col("doc_id"), col("lang")) ++ scoreCols: _*)
-      .withColumn("pred", best.getField("l"))
-      .withColumn("n_hits", best.getField("s"))
+    langIdCore(docs(sp, dir)
+        .select(col("doc_id"), col("lang"),
+          concat(col("text"), lit(" "), markerCol).as("body")))
       .select(col("doc_id"), col("pred"), col("n_hits"),
         (col("pred") === col("lang")).as("is_match"))
       .orderBy("doc_id")

@@ -107,6 +107,53 @@ class PlanEvidenceSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("incremental probes: the index side is NEVER broadcast-hinted (batch-only-moves)") {
+    // The 100 TB contract for every index probe (digest, band, cell):
+    // the stored index side reaches the join through a plain exchange
+    // (re-plannable to a bucketed-table co-located read), and only the
+    // batch moves. With auto-broadcast disabled, a non-hinted equi-join
+    // MUST plan as a shuffle join — so a BroadcastHashJoin here can
+    // only mean someone HINTED a corpus-sized side. (The deliberate
+    // 8-centroid cell assigns are BroadcastNestedLoopJoins — different
+    // node, still caught by the registry-wide sweep's allowlist.)
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    // op_incremental_e2e caches its triage frames: a cached subtree
+    // PLANNED earlier (under the default threshold, by another test)
+    // would print its auto-broadcast joins inside InMemoryRelation and
+    // false-positive this sweep — drop all cache entries so every
+    // subtree re-plans under the no-broadcast conf, and again on exit
+    // so later tests re-cache under the default conf.
+    spark.sharedState.cacheManager.clearCache()
+    try {
+      for (n <- Seq("op_dedup_incremental", "op_dedup_minhash_incremental",
+          "op_index_update", "op_ann_incremental", "op_stream_minhash_probe",
+          "op_incremental_e2e")) {
+        val p = plan(n).split("== Initial Plan ==").head
+        assert(!p.contains("BroadcastHashJoin"),
+          s"$n broadcast-hints a corpus-sized index side:\n$p")
+      }
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+      spark.sharedState.cacheManager.clearCache()
+    }
+  }
+
+  test("op_split_holdout: assignment rides the scan — no join anywhere in the plan") {
+    val p = plan("op_split_holdout").split("== Initial Plan ==").head
+    assert(!p.contains("Join"), s"holdout assignment must be a pure projection + agg:\n$p")
+    assert(p.contains("partial_"), s"grade agg lost its map-side partial:\n$p")
+  }
+
+  test("op_zorder_ranked: bucket+interleave are map-side, ONE wide stat shuffle") {
+    val p = plan("op_zorder_ranked").split("== Initial Plan ==").head
+    assert(p.contains("graft_quantile_bucket"),
+      s"codegen'd QuantileBucket missing from the projection:\n$p")
+    assert(p.contains("graft_zorder"), s"codegen'd interleave missing:\n$p")
+    val wide = "Exchange hashpartitioning".r.findAllMatchIn(p).size
+    assert(wide == 1, s"expected exactly ONE wide shuffle (bucket stats), got $wide:\n$p")
+  }
+
   test("op_dedup_minhash: only the band shuffle and the output-linear pair distinct") {
     val p = plan("op_dedup_minhash")
     val hashExchanges = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq

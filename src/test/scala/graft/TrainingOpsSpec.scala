@@ -13,6 +13,29 @@ class TrainingOpsSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
   private val dir = "/root/testdata/sf0.001"
 
+  test("langid core: marker-free adversarial texts classify on real token evidence") {
+    import spark.implicits._
+    // NO planted marker strings: natural-ish prose per language, each
+    // salted with a cross-language distractor token that must lose to
+    // the majority evidence; counts are token INSTANCES (multiplicity)
+    val fixtures = Seq(
+      (1L, "hello to the world indeed a fine world today hola"),       // en 4 > es 1
+      (2L, "hola amigos del mundo esto es ciertamente un gran mundo hello"), // es 4 > en 1
+      (3L, "hallo liebe welt das ist tatsaechlich ein tag bonjour monde"),   // de 3 > fr 2
+      (4L, "bonjour tout le monde ceci est vraiment un beau monde"),   // fr 4
+      (5L, "nihao pengyou shijie zhe queshi hao shijie"),              // zh 4
+      (6L, "nothing recognizable appears anywhere in this text"))      // all 0
+    val out = TrainingData.langIdCore(fixtures.toDF("doc_id", "body"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2)))).toMap
+    assert(out(1L) == (("en", 4)), s"got ${out(1L)}")
+    assert(out(2L) == (("es", 4)), s"got ${out(2L)}")
+    assert(out(3L) == (("de", 3)), s"got ${out(3L)}")
+    assert(out(4L) == (("fr", 4)), s"got ${out(4L)}")
+    assert(out(5L) == (("zh", 4)), s"got ${out(5L)}")
+    // the documented all-zero tie-break: lexicographically greatest code
+    assert(out(6L) == (("zh", 0)), s"got ${out(6L)}")
+  }
+
   test("decontaminate: every planted leak is flagged, via a broadcast join") {
     val out = TrainingData.decontaminate(spark, dir)
     val rows = out.collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
