@@ -146,6 +146,34 @@ object TextEtl {
     }
   }
 
+  /** A2b — `op_sink_textdir`: the WRITE half of the reference's native
+    * I/O shape (it writes one processed text file back per document,
+    * `script.py:572-573`) through the V2 sink
+    * ([[graft.sources.v2.TextDirSource]] `SupportsWrite`): the bounded
+    * 100-doc slice is written one-file-per-row with OVERWRITE
+    * semantics (truncate + task-temp dirs + driver-rename job commit —
+    * a real two-phase commit protocol, not a driver-side file loop),
+    * then read back through the V2 READ path and graded on
+    * (doc_id, code-point length) against the parquet facts — so an
+    * encoding, truncation, or commit-protocol corruption in EITHER
+    * direction fails the hash. Each run re-executes the full
+    * distributed write (overwrite truncates), unlike A1b's build-once
+    * panel — this op IS the sink's grade. */
+  def sinkTextdir(sp: SparkSession, dir: String): DataFrame = {
+    val out = "/tmp/graft_textdir_sink_" +
+      sp.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9_-]", "_")
+    docs(sp, dir).filter(col("doc_id") < 100)
+      .select(format_string("%05d.txt", col("doc_id")).as("path"), col("text"))
+      .write.format("graft.sources.v2.TextDirSource")
+      .option("path", out).mode("overwrite").save()
+    sp.read.format("graft.sources.v2.TextDirSource")
+      .option("path", out).load()
+      .filter(col("path").endsWith(".txt"))
+      .withColumn("doc_id", regexp_extract(col("path"), "(\\d+)\\.txt$", 1).cast("long"))
+      .select(col("doc_id"), col("length").cast("int").as("text_len"))
+      .orderBy("doc_id")
+  }
+
   /** A2 — JSON sink projection (`script.py:572-573`): the engine's JSON
     * serialization of a record, verified against an independently
     * constructed JSON string. `df.write.json` uses the same `to_json`
@@ -650,6 +678,10 @@ object TextEtl {
     OpQuery("op_source_textdir",
       """SELECT doc_id, CAST(length(text) AS INTEGER) AS text_len
         |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin)(sourceTextdir),
+
+    OpQuery("op_sink_textdir",
+      """SELECT doc_id, CAST(length(text) AS INTEGER) AS text_len
+        |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin)(sinkTextdir),
 
     OpQuery("op_sink_json",
       """SELECT doc_id, concat('{"doc_id":', doc_id, ',"lang":"', lang, '"}') AS js

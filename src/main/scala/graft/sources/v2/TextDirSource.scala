@@ -10,9 +10,10 @@ import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileStatus, Path => HPath}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -66,8 +67,11 @@ class TextDirSource extends TableProvider {
     TextDirSource.Schema
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: JMap[String, String]): Table =
-    new TextDirTable(properties.get("path"), TextDirOptions(properties))
-  override def supportsExternalMetadata(): Boolean = false
+    new TextDirTable(properties.get("path"), TextDirOptions(properties), schema)
+  // true so the WRITE path can present the query's own schema (e.g.
+  // (path, text)) instead of being forced to match the 3-column read
+  // schema; reads without a user schema still flow through inferSchema
+  override def supportsExternalMetadata(): Boolean = true
 }
 
 object TextDirSource {
@@ -130,15 +134,19 @@ private[v2] object TextDirOptions {
   }
 }
 
-private[v2] class TextDirTable(dir: String, opts: TextDirOptions)
-    extends Table with SupportsRead {
+private[v2] class TextDirTable(dir: String, opts: TextDirOptions,
+    tableSchema: StructType)
+    extends Table with SupportsRead with SupportsWrite {
   require(dir != null && dir.nonEmpty, "TextDirSource requires .option(\"path\", dir) / load(dir)")
   override def name(): String = s"textdir:$dir"
-  override def schema(): StructType = TextDirSource.Schema
+  override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new TextDirScanBuilder(dir, opts)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new TextDirWriteBuilder(dir, info)
 }
 
 private[v2] class TextDirScanBuilder(dir: String, opts: TextDirOptions)
@@ -267,4 +275,118 @@ private[v2] class TextDirReaderFactory(cols: Array[String], conf: SerializableHa
       override def close(): Unit = ()
     }
   }
+}
+
+/** Task commit message: the task-attempt temp dir plus the final file
+  * names it wrote there (driver renames on job commit). */
+private[v2] case class TextFilesCommit(tmpDir: String, files: Array[String])
+    extends WriterCommitMessage
+
+/** WRITE half of the source: one text FILE per input row — the
+  * reference's native OUTPUT shape, mirroring the read path. The input
+  * needs `path` (bare file name) and `text` string columns; `path` is
+  * validated to a bare name (no separators, no `.`/`..`) so a hostile
+  * row cannot escape the target directory.
+  *
+  * Commit protocol (the standard two-phase file-sink shape):
+  * each task writes to its own `_tmp_<queryId>_<partition>-<task>`
+  * attempt dir; task commit ships only the NAME LIST; job commit on
+  * the driver renames every committed attempt's files into the root
+  * (speculative/failed attempts never get renamed) and `abort` deletes
+  * attempt dirs. `SupportsTruncate` backs `mode("overwrite")`: job
+  * commit first deletes the root's existing FILES (attempt dirs are
+  * directories and survive). All I/O goes through the Hadoop
+  * `FileSystem`, so `file:`/`hdfs:`/`s3a:` targets all work — with
+  * the caveat that on object stores rename is a copy (the same
+  * trade-off Spark's own FileOutputCommitter v1 makes).
+  *
+  * Scale: writers stream rows to files with no buffering beyond one
+  * row; commit messages carry file NAMES only (bytes stay on the
+  * executors' target FS); a million-file write is a million renames on
+  * the driver — the known v1-committer bound, acceptable because the
+  * whole-document sink is for corpus EXPORT, not shuffle-sized data. */
+private[v2] class TextDirWriteBuilder(dir: String, info: LogicalWriteInfo)
+    extends WriteBuilder with SupportsTruncate {
+  private var truncateFirst = false
+  override def truncate(): WriteBuilder = { truncateFirst = true; this }
+  override def build(): Write = {
+    val schema = info.schema()
+    val pathIdx = schema.fieldNames.indexOf("path")
+    val textIdx = schema.fieldNames.indexOf("text")
+    require(pathIdx >= 0 && textIdx >= 0,
+      s"TextDirSource sink needs 'path' and 'text' columns, got ${schema.fieldNames.mkString(", ")}")
+    require(schema(pathIdx).dataType == StringType && schema(textIdx).dataType == StringType,
+      "TextDirSource sink 'path' and 'text' columns must be strings")
+    new TextDirWrite(dir, pathIdx, textIdx, truncateFirst, info.queryId())
+  }
+}
+
+private[v2] class TextDirWrite(dir: String, pathIdx: Int, textIdx: Int,
+    truncateFirst: Boolean, queryId: String) extends Write with BatchWrite {
+  private val conf =
+    new SerializableHadoopConf(SparkSession.active.sessionState.newHadoopConf())
+  override def toBatch: BatchWrite = this
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new TextDirWriterFactory(dir, pathIdx, textIdx, queryId, conf)
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val root = new HPath(dir)
+    val fs = root.getFileSystem(conf.value)
+    fs.mkdirs(root)
+    if (truncateFirst)
+      fs.listStatus(root).filter(_.isFile)
+        .foreach(st => fs.delete(st.getPath, false))
+    messages.foreach { case TextFilesCommit(tmp, files) =>
+      val tmpPath = new HPath(tmp)
+      files.foreach { name =>
+        val dst = new HPath(root, name)
+        // last-committer-wins on duplicate names (deterministic inputs
+        // should not produce any; see the writer's bare-name contract)
+        if (fs.exists(dst)) fs.delete(dst, false)
+        require(fs.rename(new HPath(tmpPath, name), dst),
+          s"TextDirSource sink: rename failed for $name into $dir")
+      }
+      fs.delete(tmpPath, true)
+    }
+  }
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val root = new HPath(dir)
+    val fs = root.getFileSystem(conf.value)
+    messages.foreach { case TextFilesCommit(tmp, _) =>
+      fs.delete(new HPath(tmp), true)
+    }
+    if (fs.exists(root))
+      fs.listStatus(root)
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith(s"_tmp_${queryId}"))
+        .foreach(st => fs.delete(st.getPath, true))
+  }
+}
+
+private[v2] class TextDirWriterFactory(dir: String, pathIdx: Int, textIdx: Int,
+    queryId: String, conf: SerializableHadoopConf) extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new TextDirDataWriter(dir, pathIdx, textIdx, queryId, partitionId, taskId, conf)
+}
+
+private[v2] class TextDirDataWriter(dir: String, pathIdx: Int, textIdx: Int,
+    queryId: String, partitionId: Int, taskId: Long, conf: SerializableHadoopConf)
+    extends DataWriter[InternalRow] {
+  private val tmp = new HPath(dir, s"_tmp_${queryId}_$partitionId-$taskId")
+  private lazy val fs = {
+    val f = tmp.getFileSystem(conf.value); f.mkdirs(tmp); f
+  }
+  private val written = scala.collection.mutable.ArrayBuffer.empty[String]
+  override def write(row: InternalRow): Unit = {
+    val name = row.getUTF8String(pathIdx).toString
+    require(name.nonEmpty && !name.contains("/") && !name.contains("\\") &&
+      name != "." && name != "..",
+      s"TextDirSource sink: file name must be a bare name, got '$name'")
+    val out = fs.create(new HPath(tmp, name), true)
+    // UTF8String.getBytes IS the utf-8 encoding — no transcode pass
+    try out.write(row.getUTF8String(textIdx).getBytes)
+    finally out.close()
+    written += name
+  }
+  override def commit(): WriterCommitMessage = TextFilesCommit(tmp.toString, written.toArray)
+  override def abort(): Unit = fs.delete(tmp, true)
+  override def close(): Unit = ()
 }

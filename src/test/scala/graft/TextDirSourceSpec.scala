@@ -3,6 +3,8 @@ package graft
 import java.nio.file.{Files, Path}
 import java.util.Comparator
 
+import scala.jdk.CollectionConverters._
+
 import org.scalatest.funsuite.AnyFunSuite
 
 /** The custom DataSource V2 provider: size-budgeted bin-packing of
@@ -188,6 +190,59 @@ class TextDirSourceSpec extends AnyFunSuite {
         graft.operators.TextEtl.publishPanel(tmp, out)
       }
       assert(!Files.exists(tmp), "temp dir cleaned up even on rethrow")
+    }
+  }
+
+  private def writeDocs(dir: Path, mode: String, docs: (String, String)*): Unit = {
+    val sp = spark
+    import sp.implicits._
+    docs.toSeq.toDF("path", "text")
+      .write.format("graft.sources.v2.TextDirSource")
+      .option("path", dir.toString).mode(mode).save()
+  }
+
+  test("V2 sink: one file per row, byte-exact round-trip incl. multiline + unicode") {
+    withDir { dir =>
+      val out = dir.resolve("sink")
+      writeDocs(out, "append",
+        "a.txt" -> "line one\nline \"two\"\n---\nk: v",
+        "zh.txt" -> "中文三字")
+      assert(Files.readString(out.resolve("a.txt")) == "line one\nline \"two\"\n---\nk: v")
+      assert(Files.readString(out.resolve("zh.txt")) == "中文三字")
+      // and back through the V2 READ path: content + code-point length
+      val rows = load(out).orderBy("path").collect()
+      assert(rows.length == 2)
+      assert(rows(0).getString(1) == "line one\nline \"two\"\n---\nk: v")
+      assert(rows(1).getLong(2) == 4L, "length must be code points after the round-trip")
+      // no task-temp litter after commit
+      val walk = Files.list(out)
+      try assert(!walk.iterator().asScala.exists(_.getFileName.toString.startsWith("_tmp_")))
+      finally walk.close()
+    }
+  }
+
+  test("V2 sink: overwrite truncates previous contents; append adds") {
+    withDir { dir =>
+      val out = dir.resolve("sink")
+      writeDocs(out, "append", "old1.txt" -> "old", "old2.txt" -> "old")
+      writeDocs(out, "overwrite", "new.txt" -> "new")
+      assert(load(out).select("path").collect().map(_.getString(0).split('/').last).sorted
+        === Array("new.txt"))
+      writeDocs(out, "append", "more.txt" -> "more")
+      assert(load(out).count() == 2)
+    }
+  }
+
+  test("V2 sink: a hostile file name cannot escape the target directory") {
+    withDir { dir =>
+      val out = dir.resolve("sink")
+      val e = intercept[Exception] {
+        writeDocs(out, "append", "../escape.txt" -> "x")
+      }
+      def messages(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+      assert(messages(e).exists(_.contains("bare name")), s"unexpected error: $e")
+      assert(!Files.exists(dir.resolve("escape.txt")), "row escaped the sink dir")
     }
   }
 
