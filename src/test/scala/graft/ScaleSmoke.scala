@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{LlmPipeline, Mining, TrainingData}
+import graft.operators.{Incremental, LlmPipeline, Mining, Streaming, TrainingData}
 
 /** 10× scale smoke for the near-dup family (VERDICT r2 item 7):
   * synthesize an sf1-equivalent corpus (10 copies of sf0.1 ≈ 50k docs /
@@ -105,7 +105,13 @@ object ScaleSmoke {
       // matches (band/cell collisions), never batch x history
       Seq("op_index_update" -> (LlmPipeline.indexUpdate _),
         "op_dedup_minhash_incr" -> (LlmPipeline.dedupMinhashIncremental _)) ++
-      (if (withEmb) Seq("op_ann_incremental" -> (TrainingData.annIncremental _)) else Nil)
+      (if (withEmb) Seq("op_ann_incremental" -> (TrainingData.annIncremental _)) else Nil) ++
+      // r10: the per-band streaming probe (same index-probe shape, one
+      // row per band collision) and the COMPOSED ingest pipeline —
+      // the e2e chains four probes, so its wall ratio should track its
+      // slowest stage (the band probe), not their sum
+      Seq("op_stream_minhash_probe" -> (Streaming.streamMinhashProbe _)) ++
+      (if (withEmb) Seq("op_incremental_e2e" -> (Incremental.incrementalE2e _)) else Nil)
 
     def run(dir: String, label: String): Map[String, (Double, Long)] =
       ops.map { case (name, f) =>
