@@ -75,6 +75,60 @@ object Graft {
       .withColumnRenamed("doc_id", "id")
   }
 
+  /** One-call incremental-ingest triage — the daily-ingest pipeline
+    * for any corpus: the new `batch` probes `history`'s exact-digest
+    * index (normalized-md5), the exact-novel docs probe its MinHash
+    * band index, and the survivors are admitted with keep-first index
+    * entries. Returns one row per batch doc:
+    * `(id, fate, exact_dup_of, near_dup_of, entry_id)` with fate in
+    * {'exact_dup', 'near_dup', 'admitted'} and null evidence where a
+    * stage did not apply. Both frames need a unique numeric id in
+    * `idCol` and the text in `textCol`.
+    *
+    * Scale: history-sized frames are the STORED side of natural-key
+    * shuffle joins — only the (shrinking) batch moves through the
+    * stages; nothing is broadcast. The graded end-to-end form (with
+    * the IVF vector-probe stage) is `op_incremental_e2e`. */
+  def ingestTriage(history: DataFrame, batch: DataFrame,
+      idCol: String = "id", textCol: String = "text"): DataFrame = {
+    def prep(df: DataFrame): DataFrame = {
+      val id = col(idCol)
+      df.select(when(id.cast("long").isNull,
+          raise_error(concat(lit("ingestTriage: id not castable to long: "),
+            id.cast("string"))))
+        .otherwise(id.cast("long")).as("doc_id"), col(textCol).as("text"))
+    }
+    val (probed, nearHits, admitted) =
+      graft.operators.Incremental.triageFrames(prep(history), prep(batch))
+    val entries = admitted.groupBy("key").agg(min("doc_id").as("entry_id"))
+    probed
+      .join(nearHits, Seq("doc_id"), "left")
+      .join(entries, Seq("key"), "left")
+      .select(col("doc_id").as("id"),
+        when(col("exact_hist").isNotNull, "exact_dup")
+          .when(col("near_hist").isNotNull, "near_dup")
+          .otherwise("admitted").as("fate"),
+        col("exact_hist").as("exact_dup_of"),
+        col("near_hist").as("near_dup_of"),
+        when(col("exact_hist").isNull && col("near_hist").isNull,
+          col("entry_id")).as("entry_id"))
+  }
+
+  /** Whole-file document SINK (the [[readDocuments]] counterpart, and
+    * the reference's native output shape — one processed text file per
+    * document): writes `df`'s `pathCol` (bare file name) / `textCol`
+    * rows through the V2 two-phase committer
+    * ([[graft.sources.v2.TextDirSource]] `SupportsWrite`) into `path`.
+    * `overwrite = true` truncates existing files at job commit. */
+  def writeDocuments(df: DataFrame, path: String,
+      pathCol: String = "path", textCol: String = "text",
+      overwrite: Boolean = false): Unit =
+    df.select(col(pathCol).as("path"), col(textCol).as("text"))
+      .write.format("graft.sources.v2.TextDirSource")
+      .option("path", path)
+      .mode(if (overwrite) "overwrite" else "append")
+      .save()
+
   /** Scala-side single-document convert (= `python script.py <file>`). */
   def convertText(text: String): String =
     graft.functions.DataConverter.parseToJson(text)

