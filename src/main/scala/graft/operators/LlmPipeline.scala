@@ -423,8 +423,14 @@ object LlmPipeline {
   /** The closure itself, over any (doc_a, doc_b) pair frame — see
     * [[dedupCc]] for the algorithm and scale notes. */
   private[graft] def connectedComponents(pairs: DataFrame): DataFrame = {
+    // cached CO-PARTITIONED on src: the seed aggregation and every
+    // superstep's labels⋈edges join key on src, so the corpus-sized
+    // edge list crosses the wire once here instead of once per
+    // consumer (InMemoryRelation preserves partitioning — the same
+    // repair as pagerank's edge cache, pinned by PlanEvidenceSpec)
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .repartition(col("src"))
       .cache()
     // Seed comp = min(id, min neighbor) instead of comp = id: one
     // aggregation over the edge list (no jump join, no changed-agg —
