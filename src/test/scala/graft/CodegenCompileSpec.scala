@@ -28,7 +28,8 @@ class CodegenCompileSpec extends AnyFunSuite {
   for (name <- Seq("op_detect_json", "op_fragment_priority_dedup",
       "op_parse_html_table", "op_merge_sections", "op_dedup_minhash",
       "op_dedup_simhash", "op_dedup_embedding", "op_text_fingerprint",
-      "op_similarity_topk", "op_parse_file", "op_zorder", "op_zorder_ranked"))
+      "op_similarity_topk", "op_parse_file", "op_zorder", "op_zorder_ranked",
+      "op_zorder_sketch", "op_stream_minhash_probe", "op_incremental_e2e"))
     test(s"$name executes with zero codegen compile failures") {
       assertCompiles(name)
     }
