@@ -454,6 +454,10 @@ object LlmPipeline {
     try {
       while (changed > 0 && steps < 40) {
       val msgs = edges
+        // no shuffle_hash hint here, unlike pagerankStep: CC usually
+        // converges in ONE superstep (the min-neighbor seed completes
+        // cliques), so the per-superstep edge re-sort SMJ pays is
+        // amortized once — measured a wash, not worth the SHJ rigidity
         .join(labels.select(col("id").as("src"), col("comp")), "src")
         .groupBy(col("dst").as("id"))
         .agg(min(col("comp")).as("nbr_min"))

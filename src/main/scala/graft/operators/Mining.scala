@@ -145,7 +145,12 @@ object Mining {
     * reshuffle fails CI, not a future 100 TB run. */
   private[graft] def pagerankStep(edges: DataFrame, pr: DataFrame, n: Long): DataFrame =
     edges
-      .join(pr.select(col("id").as("a"), (col("pr") / col("deg")).as("w")), "a")
+      // SHUFFLE_HASH, not sort-merge: SMJ would re-SORT the cached
+      // corpus-sized edge side every superstep (the cache stores rows,
+      // not sort order); hashing the NODE-sized rank frame instead
+      // streams edges unsorted — same exchanges, no per-iteration sort
+      .join(pr.select(col("id").as("a"), (col("pr") / col("deg")).as("w"))
+        .hint("shuffle_hash"), "a")
       .groupBy(col("b").as("id"))
       // 0.15 spelled as a literal, NOT (1 - 0.85): the subtraction
       // lands one ulp off the 0.15 the oracle parses
