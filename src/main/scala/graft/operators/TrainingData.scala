@@ -230,15 +230,22 @@ object TrainingData {
 
   /** Cell assignment against an EXPLICIT (c_id, ce) codebook — the
     * incremental probe assigns history and batch against the same
-    * fixed coarse quantizer, not one derived from each subset. */
-  private[operators] def ivfAssignWith(emb: DataFrame, cents: DataFrame): DataFrame = {
-    val wCell = Window.partitionBy("vec_id").orderBy(col("cos_c").desc, col("c_id").asc)
+    * fixed coarse quantizer, not one derived from each subset.
+    *
+    * The argmax is a `max_by` AGGREGATION, not a row_number window:
+    * the window would shuffle all K×N exploded (vector × centroid)
+    * rows and sort them per key, while the agg combines map-side
+    * partials so at most N rows cross the wire — K× less shuffle
+    * volume in every cell assign at any scale. Semantics identical:
+    * max raw cosine, ties to the LOWER c_id (the `-c_id` ordering
+    * component; struct comparison is lexicographic). */
+  private[operators] def ivfAssignWith(emb: DataFrame, cents: DataFrame): DataFrame =
     emb.join(broadcast(cents))
       .withColumn("cos_c", graft.plans.VectorKernels.cosine(col("e"), col("ce")))
-      .withColumn("rn", row_number().over(wCell))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("e"), col("c_id").as("cell"))
-  }
+      .groupBy("vec_id")
+      .agg(max_by(struct(col("e"), col("c_id")),
+        struct(col("cos_c"), (-col("c_id")).as("neg"))).as("m"))
+      .select(col("vec_id"), col("m.e").as("e"), col("m.c_id").as("cell"))
 
   // ---- B58: incremental ANN against a historical IVF index -----------------
 
