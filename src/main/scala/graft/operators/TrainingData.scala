@@ -366,10 +366,15 @@ object TrainingData {
     // pq: the B28c code assignment (L2 argmin per 8-dim block against
     // the broadcast codebook), then ADC scoring of exact query slices
     // against the reconstructed blocks; round-4 before ranking so the
-    // DuckDB oracle's rounded ordering is the same ordering.
+    // DuckDB oracle's rounded ordering is the same ordering. The
+    // argmin is a min_by AGGREGATION (the r10 IVF treatment): map-side
+    // partials mean at most N×blocks rows cross the wire, vs the
+    // window shuffling and sorting all N×blocks×k scored rows. The
+    // (d2, c_id) ordering struct is UNIQUE per group, so min_by's
+    // tie-break indeterminacy never applies (ties on d2 fall to the
+    // lower c_id, identical to the old window's ordering).
     val cents4 = emb.filter(col("vec_id").between(100, 103))
       .select((col("vec_id") - 100).as("c_id"), col("e").as("ce"))
-    val wBlock = Window.partitionBy("vec_id", "b").orderBy(col("d2").asc, col("c_id").asc)
     val coded = emb
       .select(col("vec_id"), col("e"), explode(sequence(lit(0), lit(7))).as("b"))
       .withColumn("sub", slice(col("e"), col("b") * 8 + 1, lit(8)))
@@ -377,8 +382,8 @@ object TrainingData {
       .withColumn("csub", slice(col("ce"), col("b") * 8 + 1, lit(8)))
       .withColumn("d2", aggregate(zip_with(col("sub"), col("csub"),
         (x, y) => (x - y) * (x - y)), lit(0.0), (acc, v) => acc + v))
-      .withColumn("rn", row_number().over(wBlock)).filter(col("rn") === 1)
-      .select(col("vec_id"), col("b"), col("csub"))
+      .groupBy("vec_id", "b")
+      .agg(min_by(col("csub"), struct(col("d2"), col("c_id"))).as("csub"))
     val qpq = emb.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("e").as("qe"))
     val pq = coded.join(broadcast(qpq), col("vec_id") =!= col("q_id"))
@@ -419,8 +424,11 @@ object TrainingData {
     *
     * Scale: codebooks broadcast (k×blocks×dim doubles — KBs); the
     * vector side is one explode to blocks×k rows, a per-(vec, block)
-    * argmin window sharing the groupBy's partitioning, and one
-    * vec_id-keyed aggregation. No corpus self-join anywhere. */
+    * argmin as a `min_by` AGGREGATION (map-side partials — at most
+    * N×blocks rows shuffle, k× less than a window over all scored
+    * rows; the (d2, c_id) ordering struct is unique per group so the
+    * argmin stays deterministic), and one vec_id-keyed aggregation.
+    * No corpus self-join anywhere. */
   def vectorPq(sp: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(sp, dir)
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("e"))
@@ -429,13 +437,13 @@ object TrainingData {
     val blocks = emb
       .select(col("vec_id"), col("e"), explode(sequence(lit(0), lit(7))).as("b"))
       .withColumn("sub", slice(col("e"), col("b") * 8 + 1, lit(8)))
-    val wBlock = Window.partitionBy("vec_id", "b").orderBy(col("d2").asc, col("c_id").asc)
     val coded = blocks.join(broadcast(cents))
       .withColumn("csub", slice(col("ce"), col("b") * 8 + 1, lit(8)))
       .withColumn("d2", aggregate(zip_with(col("sub"), col("csub"),
         (x, y) => (x - y) * (x - y)), lit(0.0), (acc, v) => acc + v))
-      .withColumn("rn", row_number().over(wBlock))
-      .filter(col("rn") === 1)
+      .groupBy("vec_id", "b")
+      .agg(min_by(struct(col("c_id"), col("d2")), struct(col("d2"), col("c_id"))).as("m"))
+      .select(col("vec_id"), col("b"), col("m.c_id").as("c_id"), col("m.d2").as("d2"))
     coded.groupBy("vec_id")
       .agg(sort_array(collect_list(struct(col("b"), col("c_id")))).as("bc"),
         sum(col("d2")).as("sum_d2"))

@@ -351,7 +351,11 @@ private[v2] class TextDirWrite(dir: String, pathIdx: Int, textIdx: Int,
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     val root = new HPath(dir)
     val fs = root.getFileSystem(conf.value)
-    messages.foreach { case TextFilesCommit(tmp, _) =>
+    // Spark passes a null slot for every task that never committed —
+    // `collect` skips those (a `foreach { case ... }` would MatchError
+    // before the queryId-prefix fallback sweep below ever ran, leaking
+    // _tmp_<queryId> dirs into the output directory).
+    messages.collect { case TextFilesCommit(tmp, _) =>
       fs.delete(new HPath(tmp), true)
     }
     if (fs.exists(root))
@@ -374,7 +378,11 @@ private[v2] class TextDirDataWriter(dir: String, pathIdx: Int, textIdx: Int,
   private lazy val fs = {
     val f = tmp.getFileSystem(conf.value); f.mkdirs(tmp); f
   }
-  private val written = scala.collection.mutable.ArrayBuffer.empty[String]
+  // LinkedHashSet: a duplicate name within one task overwrites the tmp
+  // file (fs.create overwrite=true) but must be committed ONCE — two
+  // entries would make job commit rename the same name twice and fail
+  // on the second (already-moved) source after files landed.
+  private val written = scala.collection.mutable.LinkedHashSet.empty[String]
   override def write(row: InternalRow): Unit = {
     val name = row.getUTF8String(pathIdx).toString
     require(name.nonEmpty && !name.contains("/") && !name.contains("\\") &&

@@ -108,6 +108,37 @@ class DedupCcSpec extends AnyFunSuite {
     }
   }
 
+  test("nearDupClusters rejects LOSSY numeric ids; integral doubles pass") {
+    // 3.2 and 3.7 both truncate to 3 — a silent merge of distinct docs
+    val lossy = Seq((3.2, "some text here right now"), (3.7, "other words entirely"))
+      .toDF("my_id", "body")
+    val e = intercept[Exception] {
+      graft.api.Graft.nearDupClusters(lossy, col("my_id"), col("body")).collect()
+    }
+    assert(e.getMessage != null && e.getMessage.contains("losslessly"),
+      s"expected the lossless-cast guard, got: ${e.getMessage}")
+    // integral doubles round-trip exactly and must NOT be rejected
+    val ok = Seq(
+      (1.0, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2.0, "the quick brown fox jumps over the lazy dog again and again today ok"))
+      .toDF("my_id", "body")
+    val out = graft.api.Graft.nearDupClusters(ok, col("my_id"), col("body")).collect()
+    assert(out.map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L), out.mkString(","))
+  }
+
+  test("nearDupClusters null id raises a READABLE message, not a null one") {
+    val corpus = Seq((java.lang.Long.valueOf(1L), "some text here right now"),
+      (null.asInstanceOf[java.lang.Long], "other words entirely"))
+      .toDF("my_id", "body")
+    val e = intercept[Exception] {
+      graft.api.Graft.nearDupClusters(corpus, col("my_id"), col("body")).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("NULL")),
+      s"null id must surface a readable error, got: ${messages(e)}")
+  }
+
   test("op output on the corpus: every cluster has exactly one canonical keeper") {
     val dir = "/root/testdata/sf0.001"
     val out = LlmPipeline.dedupCc(spark, dir)

@@ -95,6 +95,25 @@ class IncrementalE2eSpec extends AnyFunSuite {
       s"keep-first entry must point both same-key docs at 33: ${out(34L)}")
   }
 
+  test("ingestTriageManaged: release handle unpersists the triage caches") {
+    val sp = spark
+    import sp.implicits._
+    val history = Seq((10L, "the quick brown fox jumps over the lazy dog again today"))
+      .toDF("my_id", "body")
+    val batch = Seq((31L, "entirely novel musings about shuffle partitions and codegen"))
+      .toDF("my_id", "body")
+    val before = sp.sparkContext.getPersistentRDDs.size
+    val (out, release) =
+      graft.api.Graft.ingestTriageManaged(history, batch, "my_id", "body")
+    assert(out.collect().length == 1)
+    assert(sp.sparkContext.getPersistentRDDs.size > before,
+      "triage must have pinned its intermediate frames")
+    release()
+    // unpersist(blocking=false) unregisters synchronously; blocks drain async
+    assert(sp.sparkContext.getPersistentRDDs.size <= before,
+      "release() must unregister every triage cache entry")
+  }
+
   test("admitted docs' index entries are keep-first within the batch") {
     val admitted = rows.filter(_._2 == "admitted")
     assert(admitted.nonEmpty)
