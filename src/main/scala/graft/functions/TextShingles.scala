@@ -16,10 +16,18 @@ object TextShingles {
     * (1–2 input splits), which would pin the CPU-bound signature pass
     * to 1 of 32 cores. At production scale the scan already has more
     * partitions than cores and this is a no-op: no shuffle of the
-    * corpus text is ever added on the 100 TB path. */
-  def spreadForCpu(df: DataFrame): DataFrame = {
+    * corpus text is ever added on the 100 TB path.
+    *
+    * The spread HASH-partitions on `key` (doc_id — unique, so evenly
+    * spread) rather than round-robin: Spark's round-robin repartition
+    * binary-sorts every input partition first
+    * (`spark.sql.execution.sortBeforeRepartition`, for retry
+    * determinism) — a per-row cost on the corpus text that hash
+    * partitioning doesn't pay, and hash placement is deterministic by
+    * construction. */
+  def spreadForCpu(df: DataFrame, key: Column = col("doc_id")): DataFrame = {
     val cores = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < cores) df.repartition(cores) else df
+    if (df.rdd.getNumPartitions < cores) df.repartition(cores, key) else df
   }
 
   /** Adds `shingles` (word 3-grams; whole-text fallback for <3-word

@@ -441,10 +441,16 @@ object LlmPipeline {
     // propagate+confirm pair; multi-bucket clusters start one hop
     // ahead. Both directions are in `edges`, so every node appears as
     // src and no node is lost by the groupBy.
+    // LAZY checkpoint (one job saved per run): the first superstep's
+    // convergence probe is the next action anyway, and it reads the
+    // seed TWICE (the msgs join and the jump lookup) — the lazy
+    // persist materializes the seed blocks on first use inside that
+    // job, so the second consumer reads blocks, same as eager, without
+    // the separate up-front materialization job.
     var labels = edges.groupBy(col("src").as("id"))
       .agg(min(col("dst")).as("nbr"))
       .select(col("id"), least(col("id"), col("nbr")).as("comp"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     // every currently-persisted label frame (at most 2 mid-superstep);
     // the failure path unpersists them ALL, the success path keeps only
     // the final one (whose blocks the returned frame reads)

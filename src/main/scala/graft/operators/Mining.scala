@@ -171,7 +171,13 @@ object Mining {
   def pagerankRanks(pairs: DataFrame, iters: Int): DataFrame = {
     val rawEdges = pairs
       .union(pairs.select(col("b").as("a"), col("a").as("b")))
-    val deg = rawEdges.groupBy("a").agg(count(lit(1)).as("deg")).localCheckpoint()
+    // cache, not an eager localCheckpoint: the n-count right below is
+    // the first action and materializes the blocks — checkpointing
+    // here would run a separate job just to produce blocks the count
+    // was about to produce anyway (one job saved per run; lineage
+    // above deg is two narrow ops + one agg, so truncation buys
+    // nothing)
+    val deg = rawEdges.groupBy("a").agg(count(lit(1)).as("deg")).cache()
     // fold the DESTINATION degree into the edge list once, before the
     // loop: the dst-keyed agg can then carry deg_b through (all rows in
     // a dst group share it), so no iteration re-joins deg. The cache is

@@ -6,7 +6,9 @@ object ScratchTiming {
     val name = args(0)
     val dir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val runs = if (args.length > 2) args(2).toInt else 3
-    val spark = api.GraftSession.builder("local[32]", 32)
+    val cpus = if (args.length > 3) args(3).toInt
+      else sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val spark = api.GraftSession.builder(s"local[$cpus]", cpus)
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     sources.Tables.all.filterNot(_ == "events").foreach { t =>
