@@ -130,5 +130,36 @@ object ScaleSmoke {
       val (s10, r10) = at10(name)
       println(f"[scale] RATIO $name%-22s time ${s10 / s1}%5.2fx  pairs ${r10.toDouble / r1}%6.2fx (target ${Copies}x)")
     }
+
+    // r11: the V2 sink's two-phase commit at volume — every doc written
+    // as its own file (one rename per file fans in at job commit; the
+    // commit messages carry bare NAMES only, so driver memory stays
+    // flat in the file count). Run the whole smoke with
+    // SPARK_DRIVER_MEM=3g to assert the capped-heap contract: shuffles
+    // and caches must spill, never OOM — completion IS the assertion.
+    def sinkRun(dir: String, label: String): (Double, Long) = {
+      val out = "/tmp/scale_sink"
+      val t0 = System.nanoTime()
+      graft.api.Graft.writeDocuments(
+        graft.sources.Tables.documents(spark, dir)
+          .select(concat(col("doc_id").cast("string"), lit(".txt")).as("path"),
+            col("text")),
+        out, overwrite = true)
+      val secs = (System.nanoTime() - t0) / 1e9
+      val stream = java.nio.file.Files.list(java.nio.file.Paths.get(out))
+      val n = try stream.count() finally stream.close()
+      println(f"[scale] $label op_sink_textdir        $secs%7.2f s  files=$n")
+      (secs, n)
+    }
+    sinkRun(Base, "warm")
+    val (k1, n1) = sinkRun(Base, "  1x")
+    val (k10, n10) = sinkRun(Dir10, f"$Copies%3dx")
+    println(f"[scale] RATIO op_sink_textdir        time ${k10 / k1}%5.2fx  files ${n10.toDouble / n1}%6.2fx (target ${Copies}x)")
+    locally { // reclaim the file fan-out (inode pressure, not bytes)
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get("/tmp/scale_sink"))
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => java.nio.file.Files.delete(p))
+      finally walk.close()
+    }
   }
 }
