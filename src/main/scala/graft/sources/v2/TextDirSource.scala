@@ -332,9 +332,19 @@ private[v2] class TextDirWrite(dir: String, pathIdx: Int, textIdx: Int,
     val root = new HPath(dir)
     val fs = root.getFileSystem(conf.value)
     fs.mkdirs(root)
-    if (truncateFirst)
-      fs.listStatus(root).filter(_.isFile)
-        .foreach(st => fs.delete(st.getPath, false))
+    if (truncateFirst) {
+      // truncate through the RAW filesystem: a checksummed FS hides
+      // its .name.crc side files from listStatus, so a legacy output
+      // dir (written before checksums were disabled, or by another
+      // Hadoop writer) would keep stale .crc entries that poison later
+      // checksummed reads of the fresh same-named files
+      val raw = fs match {
+        case c: org.apache.hadoop.fs.ChecksumFileSystem => c.getRawFileSystem
+        case other => other
+      }
+      raw.listStatus(root).filter(_.isFile)
+        .foreach(st => raw.delete(st.getPath, false))
+    }
     messages.foreach { case TextFilesCommit(tmp, files) =>
       val tmpPath = new HPath(tmp)
       files.foreach { name =>
@@ -376,7 +386,13 @@ private[v2] class TextDirDataWriter(dir: String, pathIdx: Int, textIdx: Int,
     extends DataWriter[InternalRow] {
   private val tmp = new HPath(dir, s"_tmp_${queryId}_$partitionId-$taskId")
   private lazy val fs = {
-    val f = tmp.getFileSystem(conf.value); f.mkdirs(tmp); f
+    val f = tmp.getFileSystem(conf.value)
+    // no .name.crc side files: the sink's contract is BARE text files
+    // in the user's directory (the reference's native output shape),
+    // and on a checksummed FS every create/rename would otherwise run
+    // twice (data + crc) — pure metadata overhead for KB-sized docs
+    f.setWriteChecksum(false)
+    f.mkdirs(tmp); f
   }
   // LinkedHashSet: a duplicate name within one task overwrites the tmp
   // file (fs.create overwrite=true) but must be committed ONCE — two

@@ -233,6 +233,40 @@ class TextDirSourceSpec extends AnyFunSuite {
     }
   }
 
+  test("V2 sink: output dir holds BARE files only — no .crc side files") {
+    withDir { dir =>
+      val out = dir.resolve("sink")
+      writeDocs(out, "append", "a.txt" -> "alpha", "b.txt" -> "beta")
+      val walk = Files.list(out)
+      try {
+        val names = walk.iterator().asScala.map(_.getFileName.toString).toSeq
+        assert(names.sorted == Seq("a.txt", "b.txt"),
+          s"sink must write bare text files only (the reference's native " +
+            s"output shape), got: $names")
+      } finally walk.close()
+    }
+  }
+
+  test("V2 sink: overwrite sweeps STALE .crc leftovers from legacy output dirs") {
+    withDir { dir =>
+      val out = dir.resolve("sink")
+      Files.createDirectories(out)
+      // a legacy dir: data file + a checksum side file describing it
+      // (as the pre-r11 sink or any checksummed Hadoop writer leaves);
+      // the crc does NOT match the new content about to be written
+      Files.writeString(out.resolve("a.txt"), "legacy content")
+      Files.write(out.resolve(".a.txt.crc"), Array[Byte](1, 2, 3, 4))
+      writeDocs(out, "overwrite", "a.txt" -> "fresh")
+      val walk = Files.list(out)
+      try {
+        val names = walk.iterator().asScala.map(_.getFileName.toString).toSeq
+        assert(names == Seq("a.txt"), s"stale .crc must be swept, got: $names")
+      } finally walk.close()
+      // a checksummed read of the fresh file must not see the stale crc
+      assert(load(out).select("text").head().getString(0) == "fresh")
+    }
+  }
+
   test("V2 sink: a hostile file name cannot escape the target directory") {
     withDir { dir =>
       val out = dir.resolve("sink")
