@@ -27,8 +27,12 @@ import graft.operators.{Incremental, LlmPipeline, Mining, Streaming, TrainingDat
   *    patterns are distinct while k+2 stays distinct mod 23, i.e.
   *    k ≤ 21 — above that only the text ops run.
   *
-  * Run: `Test/runMain graft.ScaleSmoke [copies]` (default 10; the
-  * 10× and 100× tables live in PLANS.md).
+  * Run: `Test/runMain graft.ScaleSmoke [copies] [skip,list]` (default
+  * 10; the 10× and 100× tables live in PLANS.md). The optional second
+  * arg names ops to skip (substring match; `sink` skips the file-sink
+  * leg) so a 100× run can exclude the already-certified long poles
+  * (pagerank 211 s at 100×, the 500k-file sink) and still finish
+  * inside a capped window.
   */
 object ScaleSmoke {
   private val Base = "/root/testdata/sf0.1"
@@ -39,6 +43,8 @@ object ScaleSmoke {
     // construction), so only the text ops run — the word-suffix
     // transform is disjoint for ANY copy count.
     val Copies = args.headOption.map(_.toInt).getOrElse(10)
+    val skips: Seq[String] =
+      if (args.length > 1) args(1).split(",").toSeq.filter(_.nonEmpty) else Nil
     val Dir10 = s"/tmp/scale$Copies"
     val withEmb = Copies <= 21
     val spark = SparkTestSession.spark
@@ -113,8 +119,9 @@ object ScaleSmoke {
       Seq("op_stream_minhash_probe" -> (Streaming.streamMinhashProbe _)) ++
       (if (withEmb) Seq("op_incremental_e2e" -> (Incremental.incrementalE2e _)) else Nil)
 
+    val kept = ops.filterNot { case (name, _) => skips.exists(name.contains) }
     def run(dir: String, label: String): Map[String, (Double, Long)] =
-      ops.map { case (name, f) =>
+      kept.map { case (name, f) =>
         val t0 = System.nanoTime()
         val rows = f(spark, dir).count()
         val secs = (System.nanoTime() - t0) / 1e9
@@ -125,7 +132,7 @@ object ScaleSmoke {
     run(Base, "warm")     // unmeasured warm-up (codegen + footer caches)
     val at1 = run(Base, s"  1x")
     val at10 = run(Dir10, f"$Copies%3dx")
-    ops.foreach { case (name, _) =>
+    kept.foreach { case (name, _) =>
       val (s1, r1) = at1(name)
       val (s10, r10) = at10(name)
       println(f"[scale] RATIO $name%-22s time ${s10 / s1}%5.2fx  pairs ${r10.toDouble / r1}%6.2fx (target ${Copies}x)")
@@ -151,15 +158,17 @@ object ScaleSmoke {
       println(f"[scale] $label op_sink_textdir        $secs%7.2f s  files=$n")
       (secs, n)
     }
-    sinkRun(Base, "warm")
-    val (k1, n1) = sinkRun(Base, "  1x")
-    val (k10, n10) = sinkRun(Dir10, f"$Copies%3dx")
-    println(f"[scale] RATIO op_sink_textdir        time ${k10 / k1}%5.2fx  files ${n10.toDouble / n1}%6.2fx (target ${Copies}x)")
-    locally { // reclaim the file fan-out (inode pressure, not bytes)
-      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get("/tmp/scale_sink"))
-      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach(p => java.nio.file.Files.delete(p))
-      finally walk.close()
+    if (!skips.exists("op_sink_textdir".contains(_))) {
+      sinkRun(Base, "warm")
+      val (k1, n1) = sinkRun(Base, "  1x")
+      val (k10, n10) = sinkRun(Dir10, f"$Copies%3dx")
+      println(f"[scale] RATIO op_sink_textdir        time ${k10 / k1}%5.2fx  files ${n10.toDouble / n1}%6.2fx (target ${Copies}x)")
+      locally { // reclaim the file fan-out (inode pressure, not bytes)
+        val walk = java.nio.file.Files.walk(java.nio.file.Paths.get("/tmp/scale_sink"))
+        try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(p => java.nio.file.Files.delete(p))
+        finally walk.close()
+      }
     }
   }
 }
