@@ -8,8 +8,16 @@ object ScratchTiming {
     val runs = if (args.length > 2) args(2).toInt else 3
     val cpus = if (args.length > 3) args(3).toInt
       else sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val spark = api.GraftSession.builder(s"local[$cpus]", cpus)
-      .config("spark.ui.enabled", "false").getOrCreate()
+    // dev-only A/B hook: SPARK_GRAFT_SCRATCH_CONF="k=v;k=v" overlays
+    // session conf (e.g. spark.sql.adaptive.enabled=false)
+    val extra = sys.env.getOrElse("SPARK_GRAFT_SCRATCH_CONF", "")
+      .split(";").toSeq.filter(_.contains("=")).map { kv =>
+        val Array(k, v) = kv.split("=", 2); (k, v)
+      }
+    val spark = extra.foldLeft(
+        api.GraftSession.builder(s"local[$cpus]", cpus)
+          .config("spark.ui.enabled", "false")) { case (b, (k, v)) => b.config(k, v) }
+      .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     sources.Tables.all.filterNot(_ == "events").foreach { t =>
       try sources.Tables(spark, dir, t).cache().count()
