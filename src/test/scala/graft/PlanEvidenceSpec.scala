@@ -196,6 +196,19 @@ class PlanEvidenceSpec extends AnyFunSuite {
     }
   }
 
+  test("op_vector_pq: block argmin is a min_by aggregation, never a window") {
+    // the r11 shape: the per-(vec, block) code assignment combines
+    // map-side min_by partials (≤ N×blocks rows shuffle) — a
+    // row_number window here would shuffle and sort all N×blocks×k
+    // scored rows (the pre-r11 plan). ann_recall's pq branch shares
+    // this subtree; its OTHER branches keep their bounded top-3
+    // windows, so the pin lives on the window-free op.
+    val p = plan("op_vector_pq")
+    assert(!p.contains("Window"), s"PQ code assignment regressed to a window:\n$p")
+    assert(p.contains("min_by") || p.contains("partial_min_by"),
+      s"PQ argmin is not a min_by aggregation:\n$p")
+  }
+
   test("op_dedup_minhash: only the band shuffle and the output-linear pair distinct") {
     val p = plan("op_dedup_minhash")
     // the small-SF CPU-spread repartition (REPARTITION_BY_NUM — a
