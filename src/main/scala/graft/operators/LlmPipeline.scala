@@ -447,10 +447,11 @@ object LlmPipeline {
     // persist materializes the seed blocks on first use inside that
     // job, so the second consumer reads blocks, same as eager, without
     // the separate up-front materialization job.
-    var labels = edges.groupBy(col("src").as("id"))
-      .agg(min(col("dst")).as("nbr"))
-      .select(col("id"), least(col("id"), col("nbr")).as("comp"))
-      .localCheckpoint(eager = false)
+    var labels = graft.functions.Checkpoints.truncate(
+      edges.groupBy(col("src").as("id"))
+        .agg(min(col("dst")).as("nbr"))
+        .select(col("id"), least(col("id"), col("nbr")).as("comp")),
+      eager = false)
     // every currently-persisted label frame (at most 2 mid-superstep);
     // the failure path unpersists them ALL, the success path keeps only
     // the final one (whose blocks the returned frame reads)
@@ -488,8 +489,9 @@ object LlmPipeline {
         // folds the change count in ONE job — an eager checkpoint here
         // would run a second job per superstep just to re-scan blocks
         // the probe could have produced (measured ~2 jobs -> 1 per
-        // round; the lineage truncation is identical)
-        .localCheckpoint(eager = false)
+        // round; the lineage truncation is identical). Session-aware:
+        // reliable on a checkpoint-dir'd cluster session.
+        .transform(graft.functions.Checkpoints.truncate(_, eager = false))
       pinned = next :: pinned // pin BEFORE the agg so a failure there cleans it
       changed = Option(next.agg(sum("chg")).head().get(0))
         .map(_.asInstanceOf[Long]).getOrElse(0L)

@@ -199,7 +199,9 @@ object Mining {
         // eager final checkpoint runs the whole lazy chain once; the
         // returned frame then reads its blocks, so deg/edges can drop)
         if (i % CheckpointEvery == 0 || i == iters) {
-          next = next.localCheckpoint()
+          // session-aware: reliable on a checkpoint-dir'd cluster
+          // session, localCheckpoint otherwise (Checkpoints scaladoc)
+          next = graft.functions.Checkpoints.truncate(next)
           pinned = next :: pinned
           pinned.tail.foreach(_.unpersist())
           pinned = List(next)

@@ -645,7 +645,7 @@ object TrainingData {
       .select(col("lang"),
         size(filter(split(col("text"), " "), t => t =!= "")).cast("long").as("n"))
       .groupBy("lang").agg(count(lit(1)).as("n_docs"), sum("n").as("n_tok"))
-      .localCheckpoint()
+      .transform(graft.functions.Checkpoints.truncate(_))
     val tot = perLang.agg(sum("n_tok").as("tot"), sum(sqrt(col("n_tok"))).as("s"))
     perLang.crossJoin(broadcast(tot))
       .select(col("lang"), col("n_docs"), col("n_tok"),

@@ -1,0 +1,65 @@
+package graft
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Session-aware lineage truncation: local sessions keep the fast
+  * localCheckpoint; a checkpoint-dir'd (cluster-shaped) session gets
+  * RELIABLE checkpoints so a multi-hour iterative run survives
+  * executor loss.
+  *
+  * The SparkContext checkpoint dir cannot be unset once set, so this
+  * spec restores `spark.graft.checkpoint.reliable=never` afterward —
+  * later suites on the shared session keep localCheckpoint behavior
+  * regardless of suite order. */
+class CheckpointsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def rddDirs(dir: String): Set[String] = {
+    val s = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+    try s.iterator().asScala.map(_.getFileName.toString).filter(_.startsWith("rdd-")).toSet
+    finally s.close()
+  }
+
+  test("auto mode: local without a checkpoint dir, reliable with one; never overrides") {
+    val sp = spark
+    import sp.implicits._
+    val df = Seq(1L, 2L, 3L).toDF("x")
+    assert(sp.sparkContext.getCheckpointDir.isEmpty,
+      "shared-context assumption: no suite before this one sets a checkpoint dir")
+    // no dir: localCheckpoint — completes without any checkpoint FS at all
+    assert(graft.functions.Checkpoints.truncate(df.select(col("x") * 2)).count() == 3)
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    sp.sparkContext.setCheckpointDir(dir)
+    try {
+      assert(rddDirs(dir).isEmpty)
+      val reliable = graft.functions.Checkpoints.truncate(df.select(col("x") + 1))
+      assert(reliable.count() == 3)
+      assert(rddDirs(dir).nonEmpty,
+        "checkpoint-dir'd session must write a RELIABLE checkpoint (rdd-* dir)")
+
+      // the escape hatch returns to local even with the dir set
+      sp.conf.set("spark.graft.checkpoint.reliable", "never")
+      val before = rddDirs(dir)
+      assert(graft.functions.Checkpoints.truncate(df.select(col("x") + 2)).count() == 3)
+      assert(rddDirs(dir) == before, "'never' must not write checkpoint files")
+
+      // the real consumer end-to-end under reliable mode: the CC
+      // closure's supersteps checkpoint reliably and stay correct
+      sp.conf.set("spark.graft.checkpoint.reliable", "auto")
+      val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+      val comps = operators.LlmPipeline.connectedComponents(pairs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L),
+        s"closure wrong under reliable checkpoints: $comps")
+      assert(rddDirs(dir).size > before.size,
+        "the CC closure must have taken reliable checkpoints")
+    } finally {
+      // dir is sticky on the shared context — pin later suites to local
+      sp.conf.set("spark.graft.checkpoint.reliable", "never")
+    }
+  }
+}
