@@ -103,11 +103,16 @@ object Bench {
     catch { case _: Throwable => () }
 
     val sortedNames = SparkEntry.queries.keys.toSeq.sorted
+    // fail FAST on a bogus order mode: a typo silently falling back to
+    // sorted while the detail file records the bogus string would
+    // mislabel the run's methodology in a noise comparison
     val names = orderMode match {
+      case "sorted" => sortedNames
       case "reverse" => sortedNames.reverse
-      case s if s.startsWith("shuffle:") =>
+      case s if s.startsWith("shuffle:") && s.drop("shuffle:".length).matches("-?\\d+") =>
         new scala.util.Random(s.drop("shuffle:".length).toLong).shuffle(sortedNames)
-      case _ => sortedNames
+      case other =>
+        sys.error(s"SPARK_GRAFT_BENCH_ORDER '$other' is not sorted|reverse|shuffle:<seed>")
     }
     { // warm-up: JVM + codegen + parquet footer caches (unrecorded)
       val n = names.head

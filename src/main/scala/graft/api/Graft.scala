@@ -76,16 +76,23 @@ object Graft {
   /** Shared id guard for the corpus APIs: `id` must cast to long
     * LOSSLESSLY. Rejects nulls (with a readable message — a bare
     * `raise_error(concat(lit(...), null_col))` would raise a null
-    * message), and rejects lossy casts (e.g. doubles 3.2 and 3.7 both
-    * truncating to 3 would silently merge distinct docs) via a
-    * null-safe round-trip through the id's ORIGINAL type (an integral
-    * 3.0 survives; 3.2 does not). Non-numeric STRING ids fail the cast
-    * itself under ANSI mode with Spark's own cast error before this
-    * check runs — still an error, just Spark-worded. */
+    * message), and for NUMERIC ids rejects lossy casts (doubles 3.2
+    * and 3.7 both truncating to 3 would silently merge distinct docs)
+    * via a null-safe round-trip through the original type (an integral
+    * 3.0 survives; 3.2 does not). The round-trip applies to numeric
+    * types ONLY: a string id like "000123" or " 7" is numerically
+    * lossless but not textually canonical, and must not start failing
+    * jobs that accepted it before. Non-numeric STRING ids fail the
+    * cast itself under ANSI mode with Spark's own cast error before
+    * this check runs — still an error, just Spark-worded. */
   private def validatedId(idCol: Column,
       idType: org.apache.spark.sql.types.DataType, api: String): Column = {
     val asLong = idCol.cast("long")
-    when(idCol.isNull || asLong.isNull || !(asLong.cast(idType) <=> idCol),
+    val lossy = idType match {
+      case _: org.apache.spark.sql.types.NumericType => !(asLong.cast(idType) <=> idCol)
+      case _ => lit(false)
+    }
+    when(idCol.isNull || asLong.isNull || lossy,
       raise_error(concat(lit(s"$api: id not losslessly castable to long: "),
         coalesce(idCol.cast("string"), lit("NULL")))))
       .otherwise(asLong)

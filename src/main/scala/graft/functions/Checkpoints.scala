@@ -22,9 +22,17 @@ import org.apache.spark.sql.DataFrame
   *
   * Reliable-mode caveats (Spark's own): checkpoint files accumulate
   * until application end unless
-  * `spark.cleaner.referenceTracking.cleanCheckpoints=true`, and
-  * `eager = false` defers the write to the first action exactly like
-  * the local variant. */
+  * `spark.cleaner.referenceTracking.cleanCheckpoints=true`. Reliable
+  * truncation is always EAGER and persists the input around the write:
+  * a bare `checkpoint()` runs the lineage TWICE (once for the action,
+  * once when doCheckpoint re-executes the RDD to write files — the
+  * standard Spark caveat), which on the multi-hour runs this mode
+  * exists for would double every superstep; the transient
+  * MEMORY_AND_DISK pin makes the write job a cache read, and is
+  * released as soon as the checkpoint files exist. The `eager = false`
+  * deferral is honored in LOCAL mode only — it is a job-count
+  * optimization, and in reliable mode the extra cache-read job is the
+  * price of fault tolerance. */
 object Checkpoints {
   def truncate(df: DataFrame, eager: Boolean = true): DataFrame = {
     val sp = df.sparkSession
@@ -33,6 +41,10 @@ object Checkpoints {
       case "never" => false
       case _ => sp.sparkContext.getCheckpointDir.isDefined
     }
-    if (reliable) df.checkpoint(eager) else df.localCheckpoint(eager)
+    if (reliable) {
+      val pinned = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try pinned.checkpoint(eager = true)
+      finally pinned.unpersist(blocking = false)
+    } else df.localCheckpoint(eager)
   }
 }

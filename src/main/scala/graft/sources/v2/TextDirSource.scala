@@ -389,10 +389,17 @@ private[v2] class TextDirDataWriter(dir: String, pathIdx: Int, textIdx: Int,
     val f = tmp.getFileSystem(conf.value)
     // no .name.crc side files: the sink's contract is BARE text files
     // in the user's directory (the reference's native output shape),
-    // and on a checksummed FS every create/rename would otherwise run
-    // twice (data + crc) — pure metadata overhead for KB-sized docs
-    f.setWriteChecksum(false)
-    f.mkdirs(tmp); f
+    // and on a checksummed FS every create would otherwise run twice
+    // (data + crc) — pure metadata overhead for KB-sized docs. Write
+    // through the RAW filesystem rather than setWriteChecksum(false):
+    // getFileSystem returns the JVM-wide CACHED instance (keyed by
+    // scheme/authority/user), so mutating its flag would silently
+    // disable checksums for every other local-FS writer in the process.
+    val raw = f match {
+      case c: org.apache.hadoop.fs.ChecksumFileSystem => c.getRawFileSystem
+      case other => other
+    }
+    raw.mkdirs(tmp); raw
   }
   // LinkedHashSet: a duplicate name within one task overwrites the tmp
   // file (fs.create overwrite=true) but must be committed ONCE — two

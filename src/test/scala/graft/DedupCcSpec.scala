@@ -126,6 +126,18 @@ class DedupCcSpec extends AnyFunSuite {
     assert(out.map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L), out.mkString(","))
   }
 
+  test("nearDupClusters accepts non-canonical but lossless STRING ids") {
+    // "000123" and " 7" are numerically lossless; the numeric-only
+    // round-trip guard must not reject them (they cast cleanly and
+    // uniquely) — only numeric types get the textual round-trip.
+    val corpus = Seq(
+      ("000123", "the quick brown fox jumps over the lazy dog again and again today"),
+      (" 7", "the quick brown fox jumps over the lazy dog again and again today ok"))
+      .toDF("my_id", "body")
+    val out = graft.api.Graft.nearDupClusters(corpus, col("my_id"), col("body")).collect()
+    assert(out.map(_.getLong(0)).sorted.toSeq == Seq(7L, 123L), out.mkString(","))
+  }
+
   test("nearDupClusters null id raises a READABLE message, not a null one") {
     val corpus = Seq((java.lang.Long.valueOf(1L), "some text here right now"),
       (null.asInstanceOf[java.lang.Long], "other words entirely"))

@@ -75,8 +75,10 @@ def main(paths):
         per_run = " / ".join(f"{min(r['sec'] for r in d['reps'][q]):.2f}"
                              for _, d in runs if q in d["reps"])
         best = min(pooled[q])
-        print(f"| {q} | {ref[q]:.2f} | {best:.2f} | {best/ref[q]:.2f}x | "
-              f"{per_run} |")
+        fl = ref.get(q)
+        floor_s = f"{fl:.2f}" if fl else "-"
+        ratio = f"{best/fl:.2f}x" if fl else "-"
+        print(f"| {q} | {floor_s} | {best:.2f} | {ratio} | {per_run} |")
 
 
 if __name__ == "__main__":
