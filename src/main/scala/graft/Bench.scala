@@ -114,8 +114,14 @@ object Bench {
       case other =>
         sys.error(s"SPARK_GRAFT_BENCH_ORDER '$other' is not sorted|reverse|shuffle:<seed>")
     }
-    { // warm-up: JVM + codegen + parquet footer caches (unrecorded)
-      val n = names.head
+    // warm-up (unrecorded): one query for JVM + codegen + parquet
+    // footer caches, plus the ITERATIVE ops — they run 8-10 jobs per
+    // execution, so their JIT warm-up tail is the longest in the suite
+    // (scratch steady state arrives after ~4 dedicated runs; everything
+    // else is warm by measured round 2). Without this, their measured
+    // round 1 is pure warm-up and even best-of-3 sits ~1.5x above
+    // steady state.
+    for (n <- names.head +: Seq("op_graph_pagerank", "op_dedup_cc").filter(names.contains)) {
       try SparkEntry.queries(n)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
