@@ -117,13 +117,38 @@ object Graft {
     * frames (probe/band-hit/admit) with `.cache()` — each feeds two
     * consumers, and without the pin every consumer would replay all
     * stages above it. The entries are plan-keyed, so a long-lived
-    * session calling this once per daily batch accumulates one trio
-    * per distinct batch; after materializing the result, release them
-    * with the handle returned by [[ingestTriageManaged]] (or
-    * `spark.catalog.clearCache()` between batches). */
+    * session calling this once per daily batch would otherwise
+    * accumulate one trio per distinct batch. This overload is
+    * SELF-RELEASING: a one-shot listener unpersists the trio after the
+    * first terminal action whose plan reads the returned frame, so the
+    * default API does not leak. Re-running an action on the result
+    * after that recomputes the stages (correct, just slower) — callers
+    * that materialize the result more than once should hold the
+    * explicit release handle from [[ingestTriageManaged]] instead. */
   def ingestTriage(history: DataFrame, batch: DataFrame,
-      idCol: String = "id", textCol: String = "text"): DataFrame =
-    ingestTriageManaged(history, batch, idCol, textCol)._1
+      idCol: String = "id", textCol: String = "text"): DataFrame = {
+    val (result, release) = ingestTriageManaged(history, batch, idCol, textCol)
+    val sp = result.sparkSession
+    val target = result.queryExecution.logical
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      private val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+      private def maybeRelease(qe: org.apache.spark.sql.execution.QueryExecution): Unit =
+        // Terminal actions on the result (or any frame derived from it)
+        // carry its logical plan as a subtree; unrelated queries don't.
+        if (qe.logical.exists(_.sameResult(target)) && fired.compareAndSet(false, true)) {
+          release()
+          sp.listenerManager.unregister(this)
+        }
+      override def onSuccess(name: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+        maybeRelease(qe)
+      override def onFailure(name: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit =
+        maybeRelease(qe)
+    }
+    sp.listenerManager.register(listener)
+    result
+  }
 
   /** [[ingestTriage]] plus a release handle: `_2()` unpersists the
     * three cached triage frames backing the result. Call it AFTER the

@@ -39,7 +39,11 @@ object Checkpoints {
     val mode = sp.conf.get("spark.graft.checkpoint.reliable", "auto")
     val reliable = mode match {
       case "never" => false
-      case _ => sp.sparkContext.getCheckpointDir.isDefined
+      case "auto"  => sp.sparkContext.getCheckpointDir.isDefined
+      case other =>
+        // Fail fast on typos: a silent fallback to auto would re-enable
+        // per-superstep reliable checkpoints when the user asked "never".
+        sys.error(s"spark.graft.checkpoint.reliable must be 'auto' or 'never', got '$other'")
     }
     if (reliable) {
       val pinned = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -422,7 +422,13 @@ object LlmPipeline {
 
   /** The closure itself, over any (doc_a, doc_b) pair frame — see
     * [[dedupCc]] for the algorithm and scale notes. */
-  private[graft] def connectedComponents(pairs: DataFrame): DataFrame = {
+  private[graft] def connectedComponents(pairs: DataFrame): DataFrame =
+    // AQE pinned off for the loop: every superstep has the same fixed
+    // two-exchange shape, so AQE's per-stage re-planning only multiplies
+    // job barriers — with the pin, each superstep's probe is ONE job
+    // (LoopPlanning scaladoc). The returned frame reads checkpointed
+    // blocks and executes under the caller's unpinned conf.
+    graft.functions.LoopPlanning.pinned(pairs.sparkSession) {
     // cached CO-PARTITIONED on src: the seed aggregation and every
     // superstep's labels⋈edges join key on src, so the corpus-sized
     // edge list crosses the wire once here instead of once per
@@ -513,7 +519,7 @@ object LlmPipeline {
     labels.join(sizes, "comp")
       .select(col("id").as("doc_id"), col("comp").as("component"), col("csize"))
       .orderBy("doc_id")
-  }
+    }
 
   // ---- B18: cosine top-k similarity ----------------------------------------
 

@@ -168,7 +168,11 @@ object Mining {
   /** Core: PageRank over the undirected closure of `pairs(a, b)` (each
     * input pair contributes both directions; pairs must be distinct).
     * Exposed separately for known-answer specs on planted graphs. */
-  def pagerankRanks(pairs: DataFrame, iters: Int): DataFrame = {
+  def pagerankRanks(pairs: DataFrame, iters: Int): DataFrame =
+    // AQE pinned off for the loop: the superstep plan shape is fixed, so
+    // per-stage re-planning only adds job barriers (LoopPlanning scaladoc);
+    // the whole lazy chain executes as one job at the final checkpoint.
+    graft.functions.LoopPlanning.pinned(pairs.sparkSession) {
     val rawEdges = pairs
       .union(pairs.select(col("b").as("a"), col("a").as("b")))
     // cache, not an eager localCheckpoint: the n-count right below is
@@ -214,7 +218,7 @@ object Mining {
     } catch { case e: Throwable =>
       pinned.foreach(_.unpersist()); edges.unpersist(); throw e
     }
-  }
+    }
 
   private val pagerankOracle: String =
     """WITH e0 AS (SELECT DISTINCT l_suppkey * 2 AS a, l_partkey * 2 + 1 AS b FROM lineitem),

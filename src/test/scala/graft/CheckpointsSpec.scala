@@ -27,7 +27,9 @@ class CheckpointsSpec extends AnyFunSuite {
     val sp = spark
     import sp.implicits._
     val df = Seq(1L, 2L, 3L).toDF("x")
-    assert(sp.sparkContext.getCheckpointDir.isEmpty,
+    // Order-dependent shared-context precondition: cancel (not fail) if
+    // another suite set a dir first — the dir can never be unset.
+    assume(sp.sparkContext.getCheckpointDir.isEmpty,
       "shared-context assumption: no suite before this one sets a checkpoint dir")
     // no dir: localCheckpoint — completes without any checkpoint FS at all
     assert(graft.functions.Checkpoints.truncate(df.select(col("x") * 2)).count() == 3)
@@ -60,6 +62,8 @@ class CheckpointsSpec extends AnyFunSuite {
     } finally {
       // dir is sticky on the shared context — pin later suites to local
       sp.conf.set("spark.graft.checkpoint.reliable", "never")
+      // the checkpoint blocks are never read again — reclaim the temp dir
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
     }
   }
 }

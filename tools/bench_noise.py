@@ -17,7 +17,9 @@ def main(paths):
         with open(p) as f:
             runs.append((p, json.load(f)))
     with open("bench_ref.json") as f:
-        ref = json.load(f)["queries"]
+        raw = json.load(f)["queries"]
+    # v1 floors are scalars; v2 carries {best,p50,spread,reps} per query
+    ref = {q: (v["best"] if isinstance(v, dict) else v) for q, v in raw.items()}
 
     print("## Per-run environment summary\n")
     print("| run | order | total(best) s | wall s | gc s | proc-cpu s | "
@@ -52,10 +54,12 @@ def main(paths):
         print(f"| {q} | {n} | {best:.2f} | {med:.2f} | {worst:.2f} | "
               f"{spread:.2f}x | {vfs} |")
 
-    print("\n## Queries over 1.5x floor on pooled BEST (grading risk)\n")
-    flagged = [r for r in rows if r[5] and r[5] > 1.5 and r[1] >= 0.5]
+    print("\n## Queries over the trip line on pooled BEST (grading risk)\n")
+    # r12 trip line: max(1.5x floor, floor + 0.5s) — mirrors Bench.scala
+    flagged = [r for r in rows
+               if r[5] and r[1] > max(1.5 * ref[r[0]], ref[r[0]] + 0.5)]
     if not flagged:
-        print("(none — every query's pooled best is within 1.5x of its floor)")
+        print("(none — every query's pooled best is under its trip line)")
     else:
         print("| query | best s | floor s | ratio |")
         print("|---|---|---|---|")
@@ -67,13 +71,17 @@ def main(paths):
              "op_graph_pagerank", "op_dedup_minhash", "op_dedup_simhash",
              "op_ann_recall", "op_vector_pq"]
     print("\n## Watched ops (r10 weak set + r11 plan changes)\n")
-    print("| query | floor s | pooled best | ratio | per-run bests |")
+    # per-run bests carry their rep counts: adaptive retries make sample
+    # sizes vary run-to-run, so bests across runs are NOT same-protocol
+    # order statistics — compare only with n in view (ADVICE r11)
+    print("| query | floor s | pooled best | ratio | per-run best(n) |")
     print("|---|---|---|---|---|")
     for q in watch:
         if q not in pooled:
             continue
-        per_run = " / ".join(f"{min(r['sec'] for r in d['reps'][q]):.2f}"
-                             for _, d in runs if q in d["reps"])
+        per_run = " / ".join(
+            f"{min(r['sec'] for r in d['reps'][q]):.2f}(n={len(d['reps'][q])})"
+            for _, d in runs if q in d["reps"])
         best = min(pooled[q])
         fl = ref.get(q)
         floor_s = f"{fl:.2f}" if fl else "-"
