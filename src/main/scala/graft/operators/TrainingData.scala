@@ -775,19 +775,54 @@ object TrainingData {
     * (its whitespace-token offset ÷ 1024). Emits per-doc pack
     * assignments a loader materializes batches from.
     *
-    * 100 TB shape: the running token offset is a window sum
-    * PARTITIONED BY source — each stream packs independently and in
-    * parallel, exactly like sharded pretraining data; there is never a
-    * global single-partition sort. One shuffle on source, spillable
-    * window, map-side token counting. */
+    * 100 TB shape: a TWO-LEVEL prefix sum. A window partitioned only by
+    * source would funnel each source's entire stream through ONE task
+    * (sources number ~20; a source at 100 TB is terabytes), so the
+    * running offset is instead computed per (source, chunk) — chunk =
+    * `doc_id DIV chunkSpan`, an ORDERED doc_id range, so within a
+    * source every chunk-c doc precedes every chunk-(c+1) doc — and the
+    * per-chunk bases come from a prefix sum over the tiny
+    * (source, chunk, sum) frame. Parallelism is sources × chunks and
+    * chunk size is bounded by chunkSpan regardless of corpus size; the
+    * base frame is corpus/chunkSpan rows, joined back on
+    * (source, chunk). Both the inner window and the base aggregation
+    * hang off ONE explicit repartition on (source, chunk), so the
+    * exchange is planned once and reused — the map-side token counting
+    * (the dominant scan cost) runs exactly once; the inner window is
+    * spillable. */
   def packSequences(sp: SparkSession, dir: String): DataFrame = {
     val budget = 1024
-    val w = Window.partitionBy("source").orderBy("doc_id")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    docs(sp, dir)
+    val chunkSpan = 256
+    val toks = docs(sp, dir)
       .withColumn("n_tok",
         size(filter(split(col("text"), " "), t => t =!= "")).cast("long"))
-      .withColumn("tok_offset", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+      .withColumn("chunk", expr(s"doc_id DIV $chunkSpan"))
+      .select("doc_id", "source", "chunk", "n_tok")
+      // pre-assert the join keys non-null: the join below would push
+      // isnotnull(source, chunk) into ONE branch's scan but not below
+      // the other branch's window, de-canonicalizing the two copies of
+      // the exchange and breaking its reuse (both keys are non-null by
+      // construction, so this filters nothing)
+      .filter(col("source").isNotNull && col("chunk").isNotNull)
+      .repartition(col("source"), col("chunk"))
+    val wIn = Window.partitionBy("source", "chunk").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val within = toks
+      .withColumn("in_off", coalesce(sum(col("n_tok")).over(wIn), lit(0L)))
+    val wChunk = Window.partitionBy("source").orderBy("chunk")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // chunk total = the chunk's LAST offset + its tokens; deriving it
+    // from `within` (not `toks`) keeps the subtree below the window
+    // byte-identical in both join branches, so the shuffled tokenize
+    // stage is planned once and REUSED (deriving from `toks` directly
+    // lets column pruning specialize each branch's projection and the
+    // exchanges stop canonicalizing equal — tokenize would run twice).
+    val bases = within.groupBy("source", "chunk")
+      .agg(max(col("in_off") + col("n_tok")).as("chunk_tok"))
+      .withColumn("chunk_base", coalesce(sum(col("chunk_tok")).over(wChunk), lit(0L)))
+      .select("source", "chunk", "chunk_base")
+    within.join(bases, Seq("source", "chunk"))
+      .withColumn("tok_offset", col("chunk_base") + col("in_off"))
       .select(col("doc_id"), col("source"), col("n_tok"), col("tok_offset"),
         floor(col("tok_offset") / budget).cast("long").as("pack_id"))
       .orderBy("doc_id")

@@ -103,13 +103,25 @@ class TrainingOpsSpec extends AnyFunSuite {
     val sample = exchanges("op_sample_stratified")
     assert(sample.count(_.contains("hashpartitioning")) === 0,
       s"sampling must not hash-shuffle:\n${sample.mkString("\n")}")
-    // packing: one hash shuffle keyed on source for the window, plus the
-    // contract sort — never a global single-partition sort
-    val pack = exchanges("op_pack_sequences")
-    assert(pack.count(_.contains("hashpartitioning")) === 1,
-      s"packing should shuffle exactly once (on source):\n${pack.mkString("\n")}")
-    assert(pack.exists(_.contains("source")), s"window not keyed on source:\n$pack")
-    assert(!pack.exists(_.contains("SinglePartition")),
+    // two-level packing: the tokenized rows cross the wire ONCE — the
+    // explicit repartition on (source, chunk) that both the inner window
+    // and the chunk-base aggregation hang off — plus tiny base-frame
+    // exchanges; never a global single-partition sort. Reuse is an AQE
+    // runtime decision, so assert on the FINAL plan (collect first; the
+    // pre-execution plan legitimately shows both exchange copies).
+    val packDf = SparkEntry.queries("op_pack_sequences")(spark, dir)
+    packDf.collect()
+    val pack = packDf.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+      .linesIterator.map(_.trim).toSeq
+    val bigShuffles = pack.filter(l =>
+      l.contains("REPARTITION_BY_COL") && !l.contains("ReusedExchange"))
+    assert(bigShuffles.size === 1 &&
+      bigShuffles.head.contains("source") && bigShuffles.head.contains("chunk"),
+      s"packing should repartition the full rows exactly once, on (source, chunk):\n${pack.mkString("\n")}")
+    assert(pack.exists(_.contains("ReusedExchange")),
+      s"the tokenize shuffle must be reused, not recomputed, by the base branch:\n${pack.mkString("\n")}")
+    assert(!pack.exists(l => l.contains("Exchange") && l.contains("SinglePartition")),
       s"packing fell back to a global sort:\n${pack.mkString("\n")}")
   }
 

@@ -17,9 +17,18 @@ object PlanProbe {
     spark.sparkContext.setLogLevel("WARN")
     for (name <- args) {
       val df = graft.SparkEntry.queries(name)(spark, sfDir)
-      if (sys.env.get("SPARK_GRAFT_PROBE_PLAN").contains("1")) {
-        println(s"==== $name plan ====")
-        println(df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head)
+      // "1": pre-execution plan (isFinalPlan=false). "final": collect()
+      // first so AQE finalizes — reused exchanges/stages become visible
+      // (a count() would NOT do: it runs a separate query execution).
+      sys.env.get("SPARK_GRAFT_PROBE_PLAN") match {
+        case Some("1") =>
+          println(s"==== $name plan ====")
+          println(df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head)
+        case Some("final") =>
+          df.collect()
+          println(s"==== $name plan (final) ====")
+          println(df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head)
+        case _ => ()
       }
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
