@@ -33,17 +33,32 @@ object Tables {
     * mutate global session state as a side effect. */
   val eventsConf: (String, String) = "spark.sql.legacy.parquet.nanosAsLong" -> "true"
 
-  /** `events.ts` is TIMESTAMP(NANOS) parquet, which Spark's reader
-    * rejects. Read nanos as long ([[eventsConf]]) and floor-convert to
-    * the engine's microsecond TimestampType — integer arithmetic, no
-    * double round-trip (nanos epoch values exceed double's 53-bit
-    * mantissa), and FLOOR division (`div` truncates toward zero, which
-    * would be off by 1 µs on pre-epoch negative nanos; `pmod` makes the
-    * remainder non-negative first). */
+  /** `events.ts` has shipped as two parquet shapes across data drops,
+    * so the accessor adapts on the SCANNED type and always yields the
+    * engine's session-zoned microsecond TimestampType:
+    *
+    *  - TIMESTAMP(NANOS): Spark's reader rejects it outright; with
+    *    [[eventsConf]] it scans as LongType nanos, floor-converted here
+    *    to micros — integer arithmetic, no double round-trip (nanos
+    *    epoch values exceed double's 53-bit mantissa), and FLOOR
+    *    division (`div` truncates toward zero, which would be off by
+    *    1 µs on pre-epoch negative nanos; `pmod` makes the remainder
+    *    non-negative first).
+    *  - TIMESTAMP(MICROS, isAdjustedToUTC=false): scans natively as
+    *    TimestampNTZType; cast to TimestampType, which under the
+    *    recommended UTC session timezone preserves the wall-clock
+    *    values byte-for-byte (and matches what the oracle reads). */
   def events(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    apply(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("(ts - pmod(ts, 1000)) div 1000")))
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val raw = apply(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("(ts - pmod(ts, 1000)) div 1000")))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame  = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
