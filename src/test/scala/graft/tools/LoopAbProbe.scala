@@ -33,7 +33,7 @@ object LoopAbProbe {
           .write.format("noop").mode("overwrite").save()
         times(mode) = (System.nanoTime() - t0) / 1e9 :: times(mode)
       }
-      spark.conf.set("spark.graft.loop.planning", "pinned")
+      spark.conf.unset("spark.graft.loop.planning") // back to the default
       def s(xs: List[Double]) =
         f"best=${xs.min}%.3f med=${xs.sorted.apply(xs.size / 2)}%.3f all=${xs.reverse.map(t => f"$t%.2f").mkString(",")}"
       println(s"==== $name pinned:   ${s(times("pinned"))}")
