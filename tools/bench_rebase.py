@@ -1,0 +1,75 @@
+#!/usr/bin/env python3
+"""Build a v2 bench_ref.json (the drift-tripwire floor file) from N
+Bench detail files recorded at ONE commit under ONE protocol.
+
+The v1 floor file carried a scalar floor per query, accreted across
+harness eras (pre-warm-up, pre-retry); v2 records, per query, the
+pooled {best, p50, spread, reps} across every repetition of every
+input run, plus run-level provenance, so the tripwire compares
+like-to-like and a reader can judge how trustworthy each floor is.
+Bench.scala accepts both formats (it reads v2's `best`).
+
+Record floor runs with the tripwire DISABLED (SPARK_GRAFT_BENCH_REF=
+/nonexistent): no adaptive retries fire, so every query contributes a
+uniform best-of-RUNS per run — same-protocol order statistics
+(ADVICE r11: varying rep counts make cross-run bests incomparable).
+
+Usage: python3 tools/bench_rebase.py out.json detail1.json [detail2 ...]
+"""
+import json
+import statistics
+import subprocess
+import sys
+
+
+def main(out_path, detail_paths):
+    runs = []
+    for p in detail_paths:
+        with open(p) as f:
+            runs.append(json.load(f))
+
+    pooled = {}
+    for d in runs:
+        for q, rr in d["reps"].items():
+            pooled.setdefault(q, []).extend(r["sec"] for r in rr)
+
+    queries = {}
+    for q, ss in sorted(pooled.items()):
+        best = min(ss)
+        queries[q] = {
+            "best": round(best, 4),
+            "p50": round(statistics.median(ss), 4),
+            "spread": round(max(ss) / best, 2),
+            "reps": len(ss),
+        }
+
+    commit = subprocess.run(["git", "rev-parse", "--short", "HEAD"],
+                            capture_output=True, text=True).stdout.strip()
+    doc = {
+        "format": 2,
+        "commit": commit,
+        "protocol": {
+            "runs": len(runs),
+            "reps_per_run": runs[0]["runs"],
+            "order": sorted({d["order"] for d in runs}),
+            "sf": sorted({d["sf"] for d in runs}),
+            "cpus": sorted({d["cpus"] for d in runs}),
+            "warmup": "uniform full pass (unrecorded)",
+            "retries": "disabled (uniform rep counts)",
+            "run_totals_best_sec": [round(sum(d["best"].values()), 2)
+                                    for d in runs],
+        },
+        "value": round(sum(v["best"] for v in queries.values()), 3),
+        "queries": queries,
+    }
+    with open(out_path, "w") as f:
+        json.dump(doc, f, indent=1)
+        f.write("\n")
+    print(f"wrote {out_path}: {len(queries)} queries, "
+          f"total-of-bests {doc['value']} s")
+
+
+if __name__ == "__main__":
+    if len(sys.argv) < 3:
+        sys.exit(__doc__)
+    main(sys.argv[1], sys.argv[2:])
