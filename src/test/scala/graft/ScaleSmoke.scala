@@ -116,7 +116,12 @@ object ScaleSmoke {
       // row per band collision) and the COMPOSED ingest pipeline —
       // the e2e chains four probes, so its wall ratio should track its
       // slowest stage (the band probe), not their sum
-      Seq("op_stream_minhash_probe" -> (Streaming.streamMinhashProbe _)) ++
+      Seq("op_stream_minhash_probe" -> (Streaming.streamMinhashProbe _),
+        // r12: the digest-keyed stream-static triage probe — history
+        // index and batch both scale with the corpus (suffixed-word
+        // copies keep digests disjoint across copies), so anti-join
+        // survivors must scale ~linearly, never batch x history
+        "op_stream_static_join" -> (Streaming.streamStaticJoin _)) ++
       (if (withEmb) Seq("op_incremental_e2e" -> (Incremental.incrementalE2e _)) else Nil)
 
     val kept = ops.filterNot { case (name, _) => skips.exists(name.contains) }
