@@ -423,11 +423,10 @@ object LlmPipeline {
   /** The closure itself, over any (doc_a, doc_b) pair frame — see
     * [[dedupCc]] for the algorithm and scale notes. */
   private[graft] def connectedComponents(pairs: DataFrame): DataFrame =
-    // AQE pinned off for the loop: every superstep has the same fixed
-    // two-exchange shape, so AQE's per-stage re-planning only multiplies
-    // job barriers — with the pin, each superstep's probe is ONE job
-    // (LoopPlanning scaladoc). The returned frame reads checkpointed
-    // blocks and executes under the caller's unpinned conf.
+    // Loop planning mode hook: adaptive by default ('pinned' trades
+    // AQE's in-loop skew defense for one job per superstep probe — the
+    // A/B history is in the LoopPlanning scaladoc). The returned frame
+    // reads checkpointed blocks and executes under the caller's conf.
     graft.functions.LoopPlanning.pinned(pairs.sparkSession) {
     // cached CO-PARTITIONED on src: the seed aggregation and every
     // superstep's labels⋈edges join key on src, so the corpus-sized

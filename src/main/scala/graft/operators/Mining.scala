@@ -169,9 +169,10 @@ object Mining {
     * input pair contributes both directions; pairs must be distinct).
     * Exposed separately for known-answer specs on planted graphs. */
   def pagerankRanks(pairs: DataFrame, iters: Int): DataFrame =
-    // AQE pinned off for the loop: the superstep plan shape is fixed, so
-    // per-stage re-planning only adds job barriers (LoopPlanning scaladoc);
-    // the whole lazy chain executes as one job at the final checkpoint.
+    // Loop planning mode hook: adaptive by default (AQE's runtime
+    // re-plan is the only in-loop skew defense; the A/B history is in
+    // the LoopPlanning scaladoc), 'pinned' available where the fixed
+    // superstep shape makes per-stage re-planning pure overhead.
     graft.functions.LoopPlanning.pinned(pairs.sparkSession) {
     val rawEdges = pairs
       .union(pairs.select(col("b").as("a"), col("a").as("b")))
