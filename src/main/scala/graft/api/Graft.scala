@@ -129,13 +129,22 @@ object Graft {
       idCol: String = "id", textCol: String = "text"): DataFrame = {
     val (result, release) = ingestTriageManaged(history, batch, idCol, textCol)
     val sp = result.sparkSession
-    val target = result.queryExecution.logical
+    // The ANALYZED plan, not queryExecution.logical: a write action's
+    // QueryExecution wraps the frame's analyzed plan in a command, and
+    // derived frames (counts, projections) embed it as an analyzed
+    // subtree — the unanalyzed plan (unresolved attributes) never
+    // sameResult-matches either, so a logical-plan target would fire
+    // only for a bare collect() on the exact returned Dataset.
+    val target = result.queryExecution.analyzed
     val listener = new org.apache.spark.sql.util.QueryExecutionListener {
       private val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
       private def maybeRelease(qe: org.apache.spark.sql.execution.QueryExecution): Unit =
         // Terminal actions on the result (or any frame derived from it)
-        // carry its logical plan as a subtree; unrelated queries don't.
-        if (qe.logical.exists(_.sameResult(target)) && fired.compareAndSet(false, true)) {
+        // carry its analyzed plan as a subtree; unrelated queries
+        // don't. Guard the analyzed access: onFailure can deliver a
+        // query that never finished analysis.
+        if (scala.util.Try(qe.analyzed.exists(_.sameResult(target)))
+              .getOrElse(false) && fired.compareAndSet(false, true)) {
           release()
           sp.listenerManager.unregister(this)
         }

@@ -26,15 +26,19 @@ import org.apache.spark.sql.SparkSession
   * runtime re-plan is the only skew defense inside the loop (the
   * salting escape in `operators.Skew` is plan-time, per-op).
   *
-  * SCOPED, not global, in either mode: only actions executed inside
-  * `body` see the pin — the session's other queries keep AQE (its
-  * coalescing and skew-join split are load-bearing elsewhere; a
-  * controlled global AQE-off bench was SLOWER, PLANS.md). Both loops
-  * run their supersteps inside the op function (pagerank's eager final
-  * checkpoint, dedup-cc's per-superstep convergence probe), so the
-  * scope covers exactly the iteration jobs; the frames they RETURN
-  * read checkpointed blocks and execute later under the caller's
-  * unpinned conf.
+  * Scope caveat for `pinned`: the pin is a session-conf toggle, so it
+  * is scoped in TIME (set before the loop's actions, restored after),
+  * not by thread — an unrelated query another thread plans while a
+  * pinned loop runs is planned with AQE off. `pinned` is therefore a
+  * single-tenant knob (bench boxes, dedicated jobs); the adaptive
+  * default never touches the conf. Concurrent pinned loops in one
+  * session are serialized by a JVM-wide lock so the save/restore pairs
+  * cannot interleave and strand the session with AQE disabled. Both
+  * loops run their supersteps inside the op function (pagerank's eager
+  * final checkpoint, dedup-cc's per-superstep convergence probe), so
+  * the window covers exactly the iteration jobs; the frames they
+  * RETURN read checkpointed blocks and execute later under the
+  * caller's conf.
   *
   * Escape hatch (`spark.graft.loop.planning`, runtime-settable):
   * `adaptive` (default) | `pinned` — a quiet single-box run with no
@@ -42,15 +46,21 @@ import org.apache.spark.sql.SparkSession
   * fail-fast, like `spark.graft.checkpoint.reliable`: a typo must not
   * silently change the execution mode. */
 object LoopPlanning {
+  // serializes pinned sections: overlapping save/restore pairs from two
+  // loops would otherwise race (A saves true, B saves A's false, A
+  // restores true, B restores false) and strand the session AQE-off
+  private val pinLock = new Object
+
   def pinned[T](sp: SparkSession)(body: => T): T =
     sp.conf.get("spark.graft.loop.planning", "adaptive") match {
       case "adaptive" => body
-      case "pinned" =>
+      case "pinned" => pinLock.synchronized {
         val key = "spark.sql.adaptive.enabled"
         val saved = sp.conf.get(key, "true")
         sp.conf.set(key, "false")
         try body
         finally sp.conf.set(key, saved)
+      }
       case other =>
         sys.error(s"spark.graft.loop.planning must be 'pinned' or 'adaptive', got '$other'")
     }

@@ -95,6 +95,28 @@ class IncrementalE2eSpec extends AnyFunSuite {
       s"keep-first entry must point both same-key docs at 33: ${out(34L)}")
   }
 
+  test("ingestTriage self-release fires on a WRITE of the result, not just collect()") {
+    // Regression net for the r12 listener-target bug: with the
+    // unanalyzed logical plan as the match target, a write action's
+    // command-wrapped (analyzed) plan never matched and the cache trio
+    // leaked on exactly the daily-batch path the overload exists for.
+    val sp = spark
+    import sp.implicits._
+    val history = Seq((10L, "the quick brown fox jumps over the lazy dog again today"))
+      .toDF("my_id", "body")
+    val batch = Seq((31L, "entirely novel musings about shuffle partitions and codegen"))
+      .toDF("my_id", "body")
+    val before = sp.sparkContext.getPersistentRDDs.size
+    val out = graft.api.Graft.ingestTriage(history, batch, "my_id", "body")
+    out.write.format("noop").mode("overwrite").save()
+    // the QueryExecutionListener bus delivers asynchronously — poll
+    val deadline = System.nanoTime() + 10e9.toLong
+    while (sp.sparkContext.getPersistentRDDs.size > before &&
+        System.nanoTime() < deadline) Thread.sleep(50)
+    assert(sp.sparkContext.getPersistentRDDs.size <= before,
+      "the self-release listener must unpersist the triage caches after a write")
+  }
+
   test("ingestTriageManaged: release handle unpersists the triage caches") {
     val sp = spark
     import sp.implicits._

@@ -34,8 +34,16 @@ object LoopAbProbe {
         times(mode) = (System.nanoTime() - t0) / 1e9 :: times(mode)
       }
       spark.conf.unset("spark.graft.loop.planning") // back to the default
-      def s(xs: List[Double]) =
-        f"best=${xs.min}%.3f med=${xs.sorted.apply(xs.size / 2)}%.3f all=${xs.reverse.map(t => f"$t%.2f").mkString(",")}"
+      def s(xs: List[Double]) = {
+        // true median (even n averages the middle pair — the default 6
+        // reps/arm would otherwise report the upper-middle sample,
+        // biased high by one inter-sample gap on a noisy box)
+        val sorted = xs.sorted
+        val med =
+          if (sorted.size % 2 == 1) sorted(sorted.size / 2)
+          else (sorted(sorted.size / 2 - 1) + sorted(sorted.size / 2)) / 2
+        f"best=${xs.min}%.3f med=$med%.3f all=${xs.reverse.map(t => f"$t%.2f").mkString(",")}"
+      }
       println(s"==== $name pinned:   ${s(times("pinned"))}")
       println(s"==== $name adaptive: ${s(times("adaptive"))}")
     }

@@ -28,6 +28,20 @@ def main(out_path, detail_paths):
         with open(p) as f:
             runs.append(json.load(f))
 
+    # enforce the stated protocol instead of merely documenting it: a
+    # detail file recorded WITH adaptive retries gives its tripwired
+    # queries extra samples (non-same-protocol order statistics), and
+    # mixed reps-per-run would falsify the provenance block below
+    for p, d in zip(detail_paths, runs):
+        if d["retry_n"] != 0:
+            sys.exit(f"{p}: retry_n={d['retry_n']} — floor runs must be "
+                     "recorded with the tripwire disabled "
+                     "(SPARK_GRAFT_BENCH_REF=/nonexistent)")
+        if d["runs"] != runs[0]["runs"]:
+            sys.exit(f"{p}: runs={d['runs']} differs from "
+                     f"{detail_paths[0]}'s {runs[0]['runs']} — one protocol "
+                     "per floor file")
+
     pooled = {}
     for d in runs:
         for q, rr in d["reps"].items():
