@@ -67,10 +67,10 @@ def main(paths):
                 flagged, key=lambda r: -r[5]):
             print(f"| {q} | {best:.2f} | {ref[q]:.2f} | {vf:.2f}x |")
 
-    watch = ["op_decontaminate", "op_dedup_cc", "op_dedup_minhash_incremental",
-             "op_graph_pagerank", "op_dedup_minhash", "op_dedup_simhash",
-             "op_ann_recall", "op_vector_pq"]
-    print("\n## Watched ops (r10 weak set + r11 plan changes)\n")
+    watch = ["op_dedup_cc", "op_graph_pagerank", "op_dedup_simhash",
+             "op_pack_sequences", "op_incremental_e2e", "op_agg_quantiles"]
+    print("\n## Watched ops (r11 weak set cleared in r12 + the r12 "
+          "rewrite and the widest-spread floors)\n")
     # per-run bests carry their rep counts: adaptive retries make sample
     # sizes vary run-to-run, so bests across runs are NOT same-protocol
     # order statistics — compare only with n in view (ADVICE r11)
