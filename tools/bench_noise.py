@@ -67,10 +67,13 @@ def main(paths):
                 flagged, key=lambda r: -r[5]):
             print(f"| {q} | {best:.2f} | {ref[q]:.2f} | {vf:.2f}x |")
 
-    watch = ["op_dedup_cc", "op_graph_pagerank", "op_dedup_simhash",
-             "op_pack_sequences", "op_incremental_e2e", "op_agg_quantiles"]
-    print("\n## Watched ops (r11 weak set cleared in r12 + the r12 "
-          "rewrite and the widest-spread floors)\n")
+    watch = ["op_dedup_minhash_incremental", "op_dedup_minhash",
+             "op_stream_minhash_probe",
+             # r11 weak set, cleared in r12 — kept as regression canaries
+             "op_dedup_cc", "op_graph_pagerank", "op_dedup_simhash"]
+    print("\n## Watched ops (r12 driver ratio head: the minhash family "
+          "— 1.85x/1.68x/1.48x in BENCH_r12 vs <=1.39x local — plus "
+          "the cleared r11 weak set as canaries)\n")
     # per-run bests carry their rep counts: adaptive retries make sample
     # sizes vary run-to-run, so bests across runs are NOT same-protocol
     # order statistics — compare only with n in view (ADVICE r11)

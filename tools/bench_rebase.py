@@ -41,6 +41,17 @@ def main(out_path, detail_paths):
             sys.exit(f"{p}: runs={d['runs']} differs from "
                      f"{detail_paths[0]}'s {runs[0]['runs']} — one protocol "
                      "per floor file")
+        # sf/cpus/order are protocol too (ADVICE r12): a pool mixing a
+        # cpus=8 run into cpus=4 floors would deflate every floor with
+        # no trace beyond a multi-valued provenance array nobody gates on
+        for field in ("sf", "cpus", "order"):
+            if d[field] != runs[0][field]:
+                sys.exit(f"{p}: {field}={d[field]} differs from "
+                         f"{detail_paths[0]}'s {runs[0][field]} — one "
+                         "protocol per floor file")
+        if sorted(d["reps"].keys()) != sorted(runs[0]["reps"].keys()):
+            sys.exit(f"{p}: query set differs from {detail_paths[0]} — "
+                     "all floor runs must cover the same suite")
 
     pooled = {}
     for d in runs:
@@ -57,8 +68,14 @@ def main(out_path, detail_paths):
             "reps": len(ss),
         }
 
-    commit = subprocess.run(["git", "rev-parse", "--short", "HEAD"],
-                            capture_output=True, text=True).stdout.strip()
+    # fail, don't record commit "" — the provenance field is the whole
+    # point of the v2 format (ADVICE r12)
+    rev = subprocess.run(["git", "rev-parse", "--short", "HEAD"],
+                         capture_output=True, text=True)
+    if rev.returncode != 0:
+        sys.exit(f"git rev-parse failed ({rev.stderr.strip()}) — floor "
+                 "files must record the commit they were measured at")
+    commit = rev.stdout.strip()
     doc = {
         "format": 2,
         "commit": commit,
