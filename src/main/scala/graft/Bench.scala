@@ -142,6 +142,11 @@ object Bench {
     // file disables the check (-1). The ref file is either v1
     // ({"queries":{name:sec}}) or v2 ({"queries":{name:{"best":sec,
     // "p50":...,"spread":...}}}); the floor is v1's scalar or v2's best.
+    // Re-basing the floor file is governed by BENCH_NOISE.md
+    // §BENCH_POLICY (same protocol via tools/bench_rebase.py, total
+    // within a few % of the prior file or per-floor justification,
+    // old file kept) — a re-base outside those rules can launder a
+    // regression.
     val refPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_REF", "bench_ref.json")
     val refMap: Option[Map[String, Double]] =
       try {
