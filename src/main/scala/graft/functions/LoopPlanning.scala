@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.DataFrame
 
 /** Planning-mode switch for the iterative superstep loops (pagerank,
   * dedup-cc).
@@ -8,11 +8,11 @@ import org.apache.spark.sql.SparkSession
   * Two modes, both defensible: AQE (`adaptive`) materializes every
   * shuffle stage as its own job and re-optimizes at each boundary —
   * runtime coalescing plus the skew-join split, at the cost of 2-3
-  * stage jobs per superstep; `pinned` scopes
-  * `spark.sql.adaptive.enabled=false` to the loop body on the theory
-  * that the loop's per-iteration plan shape is FIXED (the same two
-  * exchanges every superstep — PlanEvidenceSpec pins it) so each extra
-  * stage job is pure scheduling overhead.
+  * stage jobs per superstep; `pinned` runs the loop with
+  * `spark.sql.adaptive.enabled=false` on the theory that the loop's
+  * per-iteration plan shape is FIXED (the same two exchanges every
+  * superstep — PlanEvidenceSpec pins it) so each extra stage job is
+  * pure scheduling overhead.
   *
   * The DEFAULT is `adaptive`, decided empirically and re-decided when
   * the evidence moved: on the r11 data drop an interleaved per-rep A/B
@@ -26,19 +26,25 @@ import org.apache.spark.sql.SparkSession
   * runtime re-plan is the only skew defense inside the loop (the
   * salting escape in `operators.Skew` is plan-time, per-op).
   *
-  * Scope caveat for `pinned`: the pin is a session-conf toggle, so it
-  * is scoped in TIME (set before the loop's actions, restored after),
-  * not by thread — an unrelated query another thread plans while a
-  * pinned loop runs is planned with AQE off. `pinned` is therefore a
-  * single-tenant knob (bench boxes, dedicated jobs); the adaptive
-  * default never touches the conf. Concurrent pinned loops in one
-  * session are serialized by a JVM-wide lock so the save/restore pairs
-  * cannot interleave and strand the session with AQE disabled. Both
-  * loops run their supersteps inside the op function (pagerank's eager
-  * final checkpoint, dedup-cc's per-superstep convergence probe), so
-  * the window covers exactly the iteration jobs; the frames they
-  * RETURN read checkpointed blocks and execute later under the
-  * caller's conf.
+  * Scoping (r13, VERDICT r12 task 2): `pinned` no longer toggles the
+  * CALLER's session conf inside a time window — it re-roots the
+  * loop's input frame onto a CLONED session (same SparkContext, same
+  * shared cache manager, copied session state) whose conf carries the
+  * pin, so a concurrent query another thread plans on the caller's
+  * session keeps AQE no matter what the loop is doing, and the old
+  * JVM-wide save/restore lock is gone (each loop owns its clone; the
+  * clone is garbage once the loop's frames are). The re-root rides a
+  * transient temp view: registered on the caller, copied into the
+  * clone by the clone itself, resolved EAGERLY by `table()` (Dataset
+  * analysis runs at construction, so both views can be dropped
+  * immediately — downstream supersteps build on the already-analyzed
+  * plan), and identical-plan cache lookups still hit because the
+  * cache manager lives in shared state. Both loops run their
+  * supersteps inside the op function (pagerank's eager final
+  * checkpoint, dedup-cc's per-superstep convergence probe), so the
+  * pin covers exactly the iteration jobs; the frames they RETURN read
+  * checkpointed blocks and carry only a block read + final
+  * projection, executed under the clone's conf.
   *
   * Escape hatch (`spark.graft.loop.planning`, runtime-settable):
   * `adaptive` (default) | `pinned` — a quiet single-box run with no
@@ -46,22 +52,25 @@ import org.apache.spark.sql.SparkSession
   * fail-fast, like `spark.graft.checkpoint.reliable`: a typo must not
   * silently change the execution mode. */
 object LoopPlanning {
-  // serializes pinned sections: overlapping save/restore pairs from two
-  // loops would otherwise race (A saves true, B saves A's false, A
-  // restores true, B restores false) and strand the session AQE-off
-  private val pinLock = new Object
 
-  def pinned[T](sp: SparkSession)(body: => T): T =
+  def pinned[T](input: DataFrame)(body: DataFrame => T): T = {
+    val sp = input.sparkSession
     sp.conf.get("spark.graft.loop.planning", "adaptive") match {
-      case "adaptive" => body
-      case "pinned" => pinLock.synchronized {
-        val key = "spark.sql.adaptive.enabled"
-        val saved = sp.conf.get(key, "true")
-        sp.conf.set(key, "false")
-        try body
-        finally sp.conf.set(key, saved)
-      }
+      case "adaptive" => body(input)
+      case "pinned" =>
+        val name = s"graft_loop_pin_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+        input.createOrReplaceTempView(name)
+        val rerooted =
+          try {
+            val clone = org.apache.spark.sql.graftbridge.bridge.cloneSession(sp)
+            clone.conf.set("spark.sql.adaptive.enabled", "false")
+            val df = clone.table(name) // analyzed eagerly — view droppable below
+            clone.catalog.dropTempView(name)
+            df
+          } finally sp.catalog.dropTempView(name)
+        body(rerooted)
       case other =>
         sys.error(s"spark.graft.loop.planning must be 'pinned' or 'adaptive', got '$other'")
     }
+  }
 }

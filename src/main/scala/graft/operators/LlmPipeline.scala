@@ -425,9 +425,11 @@ object LlmPipeline {
   private[graft] def connectedComponents(pairs: DataFrame): DataFrame =
     // Loop planning mode hook: adaptive by default ('pinned' trades
     // AQE's in-loop skew defense for one job per superstep probe — the
-    // A/B history is in the LoopPlanning scaladoc). The returned frame
-    // reads checkpointed blocks and executes under the caller's conf.
-    graft.functions.LoopPlanning.pinned(pairs.sparkSession) {
+    // A/B history is in the LoopPlanning scaladoc). The hook hands
+    // back `pairs` re-rooted on the pin-scoped session (identity under
+    // the adaptive default); the returned frame reads checkpointed
+    // blocks.
+    graft.functions.LoopPlanning.pinned(pairs) { pairs =>
     // cached CO-PARTITIONED on src: the seed aggregation and every
     // superstep's labels⋈edges join key on src, so the corpus-sized
     // edge list crosses the wire once here instead of once per

@@ -172,8 +172,10 @@ object Mining {
     // Loop planning mode hook: adaptive by default (AQE's runtime
     // re-plan is the only in-loop skew defense; the A/B history is in
     // the LoopPlanning scaladoc), 'pinned' available where the fixed
-    // superstep shape makes per-stage re-planning pure overhead.
-    graft.functions.LoopPlanning.pinned(pairs.sparkSession) {
+    // superstep shape makes per-stage re-planning pure overhead. The
+    // hook hands back `pairs` re-rooted on the pin-scoped session
+    // (identity under the adaptive default).
+    graft.functions.LoopPlanning.pinned(pairs) { pairs =>
     val rawEdges = pairs
       .union(pairs.select(col("b").as("a"), col("a").as("b")))
     // cache, not an eager localCheckpoint: the n-count right below is

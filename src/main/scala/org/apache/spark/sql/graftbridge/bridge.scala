@@ -16,6 +16,18 @@ object bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Identical copy of `spark` — session state (conf, temp views,
+    * registered functions) is copied, the SparkContext and shared
+    * state (cache manager, so cached frames stay visible) are shared.
+    * `cloneSession` went `private[sql]` in Spark 4 alongside the
+    * Column constructor; `newSession()` is public but starts from
+    * DEFAULT session state, which would drop the caller's runtime
+    * conf. Used by `graft.functions.LoopPlanning` to scope a
+    * planning-conf pin to one loop without mutating the caller's
+    * session. */
+  def cloneSession(spark: SparkSession): SparkSession =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].cloneSession()
+
   /** Register an expression builder on an EXISTING session (the
     * `spark.sql.extensions` conf only applies at session build time). */
   def registerFunction(
