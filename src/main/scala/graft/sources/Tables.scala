@@ -54,12 +54,43 @@ object Tables {
     val raw = apply(s, d, "events")
     raw.schema("ts").dataType match {
       case LongType =>
+        requireNanosRange(raw, d)
         raw.withColumn("ts", timestamp_micros(expr("(ts - pmod(ts, 1000)) div 1000")))
       case TimestampNTZType =>
         raw.withColumn("ts", col("ts").cast(TimestampType))
-      case _ => raw
+      case TimestampType => raw // already the engine type (UTC-adjusted micros)
+      case other =>
+        // fail FAST (ADVICE r12): a silent pass-through of a new shape
+        // would surface as cryptic analysis errors (or worse, wrong
+        // epochs) deep inside registry sweeps instead of here
+        sys.error(s"events.ts scanned as unexpected type ${other.simpleString} " +
+          s"from $d/events.parquet — new data-drop shape; teach Tables.events " +
+          "to normalize it (see TablesShapeSpec scaladoc)")
     }
   }
+
+  /** One-row sanity probe for the LongType branch (ADVICE r12): under
+    * [[eventsConf]] only TIMESTAMP(NANOS) scans as long, but a future
+    * drop shipping PLAIN int64 micros/millis would also scan as long
+    * and the nanos→micros floor would shift every timestamp by three
+    * or six orders of magnitude. Any plausible event epoch is
+    * ≥ ~1.5e18 ns (2017+) while micros stay ≤ ~4.1e15 through 2100,
+    * so one order-of-magnitude check on a single row separates the
+    * encodings. LIMIT-1 scan (one row group, any scale), memoized per
+    * dir so only the first accessor call per JVM pays the job. */
+  private val nanosProbed = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private def requireNanosRange(raw: DataFrame, d: String): Unit =
+    if (!nanosProbed.contains(d)) {
+      import org.apache.spark.sql.functions.col
+      raw.select(col("ts")).filter(col("ts").isNotNull).head(1).foreach { r =>
+        val v = r.getLong(0)
+        require(math.abs(v) >= 1e16.toLong,
+          s"events.ts in $d/events.parquet scans as long but |$v| is too " +
+            "small for an epoch in NANOS (plain int64 micros/millis drop?) — " +
+            "refusing to floor-divide; fix the Tables.events adaptation")
+      }
+      nanosProbed.add(d)
+    }
   def documents(s: SparkSession, d: String): DataFrame  = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
 }

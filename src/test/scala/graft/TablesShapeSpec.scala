@@ -63,4 +63,80 @@ class TablesShapeSpec extends AnyFunSuite {
     check("region", shape(graft.sources.Tables.region(sp, dir)), Map(
       "r_regionkey" -> "int", "r_name" -> "string"))
   }
+
+  /** Oracle-side contract (VERDICT r12 task 6): the driver's DuckDB
+    * oracle reads the same parquet files RAW, so any dtype the
+    * accessor adapts must be a VALUE-preserving view of the raw scan
+    * — the r12 nanos→micros class of drift would make Spark and the
+    * oracle disagree on every events timestamp while both sides'
+    * schemas look internally fine. One row per table: the raw scan
+    * must match the accessor byte-for-byte except where the accessor
+    * documents an adaptation (events.ts), and there the adapted
+    * values must equal the raw values under the documented mapping. */
+  test("raw parquet scan (what the oracle reads) agrees with the accessors") {
+    val sp = spark
+    import org.apache.spark.sql.functions._
+    for (t <- graft.sources.Tables.all) {
+      val raw = sp.read.parquet(s"$dir/$t.parquet")
+      val acc = graft.sources.Tables(sp, dir, t)
+      if (t != "events")
+        assert(shape(raw) == shape(acc),
+          s"$t: accessor reshapes a table it documents as pass-through")
+    }
+    // events: pin the adaptation itself, value by value at this SF
+    val raw = sp.read.parquet(s"$dir/events.parquet")
+    val adapted = graft.sources.Tables.events(sp, dir)
+      .select(col("event_id"), unix_micros(col("ts")).as("micros"))
+    val rawMicros = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => // nanos era: floor to micros
+        raw.select(col("event_id"),
+          expr("(ts - pmod(ts, 1000)) div 1000").as("raw_micros"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // NTZ wall-clock == UTC instant under the pinned UTC session tz
+        raw.select(col("event_id"),
+          unix_micros(col("ts").cast("timestamp")).as("raw_micros"))
+      case other => fail(s"events.ts raw scan is ${other.simpleString} — " +
+        "update this contract alongside Tables.events")
+    }
+    val mismatches = adapted.join(rawMicros, "event_id")
+      .filter(col("micros") =!= col("raw_micros")).count()
+    assert(mismatches == 0,
+      s"events.ts: accessor values diverge from the oracle's raw read on $mismatches rows")
+  }
+
+  /** The adaptive branches the CURRENT drop does not exercise, driven
+    * through synthetic parquet: the long branch must refuse values too
+    * small to be nanos (a plain int64 micros/millis drop would
+    * otherwise shift every epoch by 3-6 orders of magnitude), and an
+    * unknown ts dtype must fail fast instead of passing through raw
+    * (ADVICE r12). */
+  test("events adaptation: non-nanos longs and unknown ts dtypes fail fast") {
+    val sp = spark
+    import sp.implicits._
+    import org.apache.spark.sql.functions._
+    def writeEvents(df: org.apache.spark.sql.DataFrame): String = {
+      val d = java.nio.file.Files.createTempDirectory("graft_ts_probe").toString
+      df.write.mode("overwrite").parquet(s"$d/events.parquet")
+      d
+    }
+    // plausible NANOS longs (2024 epoch ≈ 1.7e18): adapts, floors to micros
+    val nanosDir = writeEvents(Seq((1L, 1700000000123456789L))
+      .toDF("event_id", "ts"))
+    val ok = graft.sources.Tables.events(sp, nanosDir)
+    assert(ok.schema("ts").dataType.simpleString == "timestamp")
+    assert(ok.select(unix_micros(col("ts"))).head.getLong(0) == 1700000000123456L)
+    // int64 MICROS magnitude: the one-row probe must refuse to floor
+    val microsDir = writeEvents(Seq((1L, 1700000000123456L))
+      .toDF("event_id", "ts"))
+    val e = intercept[IllegalArgumentException] {
+      graft.sources.Tables.events(sp, microsDir)
+    }
+    assert(e.getMessage.contains("NANOS"))
+    // unknown dtype (string): fail fast, never silent pass-through
+    val strDir = writeEvents(Seq((1L, "2024-01-01")).toDF("event_id", "ts"))
+    val e2 = intercept[RuntimeException] {
+      graft.sources.Tables.events(sp, strDir)
+    }
+    assert(e2.getMessage.contains("unexpected type"))
+  }
 }
