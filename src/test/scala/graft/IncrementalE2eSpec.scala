@@ -136,6 +136,40 @@ class IncrementalE2eSpec extends AnyFunSuite {
       "release() must unregister every triage cache entry")
   }
 
+  test("soak: sequential daily triage batches leave zero cache residue per batch") {
+    // The long-lived-session leak class this API has had twice (r10:
+    // no release at all; r12: the listener matched the unanalyzed plan
+    // so the WRITE path never released): cache entries are plan-keyed,
+    // so one leaked trio PER DAILY BATCH accumulates without bound in
+    // a real ingest service. Drive >=5 distinct batches through one
+    // session — history grows each day, so every day's plan (and cache
+    // keys) differ — and assert the storage level is clean after each
+    // day's terminal write, not just after the last.
+    val sp = spark
+    import sp.implicits._
+    val before = sp.sparkContext.getPersistentRDDs.size
+    var history = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog again today"),
+      (20L, "pack my box with five dozen liquor jugs right now please"))
+      .toDF("my_id", "body")
+    for (day <- 1 to 5) {
+      val batch = Seq(
+        (day * 100L + 1, s"entirely novel musings number $day about shuffle partitions"),
+        (day * 100L + 2, "the quick brown fox jumps over the lazy dog again today"))
+        .toDF("my_id", "body")
+      val out = graft.api.Graft.ingestTriage(history, batch, "my_id", "body")
+      out.write.format("noop").mode("overwrite").save()
+      // the QueryExecutionListener bus delivers asynchronously — poll
+      val deadline = System.nanoTime() + 10e9.toLong
+      while (sp.sparkContext.getPersistentRDDs.size > before &&
+          System.nanoTime() < deadline) Thread.sleep(50)
+      assert(sp.sparkContext.getPersistentRDDs.size <= before,
+        s"triage cache residue after day $day's write — the self-release " +
+          "listener is not keeping a long-lived session clean")
+      history = history.union(batch) // tomorrow's index includes today's admits
+    }
+  }
+
   test("admitted docs' index entries are keep-first within the batch") {
     val admitted = rows.filter(_._2 == "admitted")
     assert(admitted.nonEmpty)
