@@ -14,20 +14,63 @@ class LoopPlanningSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
   private val dir = "/root/testdata/sf0.001"
 
-  test("pinned mode: identical rows to adaptive, AQE conf untouched") {
+  test("pinned mode: identical rows to adaptive on BOTH loops, AQE conf untouched") {
     val sp = spark
     val aqeBefore = sp.conf.get("spark.sql.adaptive.enabled", "true")
-    val adaptive = SparkEntry.queries("op_dedup_cc")(sp, dir)
-      .collect().map(_.toString).sorted
-    sp.conf.set("spark.graft.loop.planning", "pinned")
-    try {
-      val pinned = SparkEntry.queries("op_dedup_cc")(sp, dir)
+    for (op <- Seq("op_dedup_cc", "op_graph_pagerank")) {
+      val adaptive = SparkEntry.queries(op)(sp, dir)
         .collect().map(_.toString).sorted
-      assert(pinned.sameElements(adaptive),
-        "pinned-mode rows differ from adaptive-mode rows")
-      assert(sp.conf.get("spark.sql.adaptive.enabled", "true") == aqeBefore,
-        "the pin leaked: spark.sql.adaptive.enabled changed on the caller's session")
-    } finally sp.conf.unset("spark.graft.loop.planning")
+      sp.conf.set("spark.graft.loop.planning", "pinned")
+      try {
+        val pinned = SparkEntry.queries(op)(sp, dir)
+          .collect().map(_.toString).sorted
+        assert(pinned.sameElements(adaptive),
+          s"$op: pinned-mode rows differ from adaptive-mode rows")
+        assert(sp.conf.get("spark.sql.adaptive.enabled", "true") == aqeBefore,
+          s"$op: the pin leaked: spark.sql.adaptive.enabled changed on the caller's session")
+      } finally sp.conf.unset("spark.graft.loop.planning")
+    }
+  }
+
+  test("the pin-scoped clone inherits the caller's runtime conf") {
+    // The interaction that would break silently: a pinned loop on a
+    // checkpoint-dir'd cluster session must still see
+    // spark.graft.checkpoint.reliable (Checkpoints.truncate reads the
+    // conf off the FRAME's session — the clone). A clone losing
+    // runtime conf would also drop shuffle.partitions sizing. The
+    // reliable end-to-end loop itself is certified by CheckpointsSpec;
+    // here we pin that the clone carries the conf into the loop.
+    // (No checkpoint DIR is set: it is context-level, can never be
+    // unset, and CheckpointsSpec assumes no earlier suite set one.)
+    val sp = spark
+    import sp.implicits._
+    // restore (not unset) afterwards: CheckpointsSpec deliberately
+    // leaves reliable=never on the shared session for later suites
+    val savedReliable = sp.conf.getOption("spark.graft.checkpoint.reliable")
+    sp.conf.set("spark.graft.loop.planning", "pinned")
+    sp.conf.set("spark.graft.checkpoint.reliable", "never")
+    sp.conf.set("spark.graft.probe.custom", "carried")
+    try {
+      graft.functions.LoopPlanning.pinned(Seq(1L).toDF("x")) { df =>
+        val c = df.sparkSession.conf
+        assert(c.get("spark.graft.checkpoint.reliable") == "never",
+          "clone lost the checkpoint-mode conf — a pinned loop on a " +
+            "cluster session would silently fall back to localCheckpoint")
+        assert(c.get("spark.graft.probe.custom") == "carried",
+          "clone lost arbitrary runtime conf")
+        assert(c.get("spark.sql.shuffle.partitions") ==
+          sp.conf.get("spark.sql.shuffle.partitions"),
+          "clone lost shuffle-partition sizing")
+        df.count()
+      }
+    } finally {
+      sp.conf.unset("spark.graft.loop.planning")
+      savedReliable match {
+        case Some(m) => sp.conf.set("spark.graft.checkpoint.reliable", m)
+        case None => sp.conf.unset("spark.graft.checkpoint.reliable")
+      }
+      sp.conf.unset("spark.graft.probe.custom")
+    }
   }
 
   test("a concurrent query on the caller's session plans WITH AQE while a loop is pinned") {
