@@ -33,18 +33,16 @@ import org.apache.spark.sql.DataFrame
   * pin, so a concurrent query another thread plans on the caller's
   * session keeps AQE no matter what the loop is doing, and the old
   * JVM-wide save/restore lock is gone (each loop owns its clone; the
-  * clone is garbage once the loop's frames are). The re-root rides a
-  * transient temp view: registered on the caller, copied into the
-  * clone by the clone itself, resolved EAGERLY by `table()` (Dataset
-  * analysis runs at construction, so both views can be dropped
-  * immediately — downstream supersteps build on the already-analyzed
-  * plan), and identical-plan cache lookups still hit because the
-  * cache manager lives in shared state. Both loops run their
-  * supersteps inside the op function (pagerank's eager final
-  * checkpoint, dedup-cc's per-superstep convergence probe), so the
-  * pin covers exactly the iteration jobs; the frames they RETURN read
-  * checkpointed blocks and carry only a block read + final
-  * projection, executed under the clone's conf.
+  * clone is garbage once the loop's frames are). Re-rooting rides
+  * `graftbridge.reroot` (a new Dataset over the same analyzed plan —
+  * NOT a transient temp view, whose dropTempView would un-cache a
+  * caller-cached input through the shared cache manager), and the
+  * body's RESULT is re-rooted back onto the caller's session, so the
+  * pin covers exactly the jobs the body itself runs (the supersteps:
+  * pagerank's eager final checkpoint, dedup-cc's per-superstep
+  * convergence probe) while everything the caller executes later —
+  * including dedup-cc's post-loop component-size join — plans under
+  * the caller's conf, AQE and all.
   *
   * Escape hatch (`spark.graft.loop.planning`, runtime-settable):
   * `adaptive` (default) | `pinned` — a quiet single-box run with no
@@ -53,22 +51,15 @@ import org.apache.spark.sql.DataFrame
   * silently change the execution mode. */
 object LoopPlanning {
 
-  def pinned[T](input: DataFrame)(body: DataFrame => T): T = {
+  def pinned(input: DataFrame)(body: DataFrame => DataFrame): DataFrame = {
     val sp = input.sparkSession
     sp.conf.get("spark.graft.loop.planning", "adaptive") match {
       case "adaptive" => body(input)
       case "pinned" =>
-        val name = s"graft_loop_pin_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-        input.createOrReplaceTempView(name)
-        val rerooted =
-          try {
-            val clone = org.apache.spark.sql.graftbridge.bridge.cloneSession(sp)
-            clone.conf.set("spark.sql.adaptive.enabled", "false")
-            val df = clone.table(name) // analyzed eagerly — view droppable below
-            clone.catalog.dropTempView(name)
-            df
-          } finally sp.catalog.dropTempView(name)
-        body(rerooted)
+        val bridge = org.apache.spark.sql.graftbridge.bridge
+        val clone = bridge.cloneSession(sp)
+        clone.conf.set("spark.sql.adaptive.enabled", "false")
+        bridge.reroot(sp, body(bridge.reroot(clone, input)))
       case other =>
         sys.error(s"spark.graft.loop.planning must be 'pinned' or 'adaptive', got '$other'")
     }

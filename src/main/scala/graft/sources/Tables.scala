@@ -78,9 +78,12 @@ object Tables {
     * so one order-of-magnitude check on a single row separates the
     * encodings. LIMIT-1 scan (one row group, any scale), memoized per
     * dir so only the first accessor call per JVM pays the job. */
-  private val nanosProbed = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private val nanosProbed = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
   private def requireNanosRange(raw: DataFrame, d: String): Unit =
-    if (!nanosProbed.contains(d)) {
+    // computeIfAbsent, not check-then-act: concurrent first callers for
+    // one dir run ONE probe job, and a probe FAILURE records nothing —
+    // the next call re-probes instead of silently passing bad data
+    nanosProbed.computeIfAbsent(d, _ => {
       import org.apache.spark.sql.functions.col
       raw.select(col("ts")).filter(col("ts").isNotNull).head(1).foreach { r =>
         val v = r.getLong(0)
@@ -89,8 +92,8 @@ object Tables {
             "small for an epoch in NANOS (plain int64 micros/millis drop?) — " +
             "refusing to floor-divide; fix the Tables.events adaptation")
       }
-      nanosProbed.add(d)
-    }
+      java.lang.Boolean.TRUE
+    })
   def documents(s: SparkSession, d: String): DataFrame  = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
 }

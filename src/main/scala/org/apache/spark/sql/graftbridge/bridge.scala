@@ -28,6 +28,19 @@ object bridge {
   def cloneSession(spark: SparkSession): SparkSession =
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].cloneSession()
 
+  /** Re-root `df` onto `target` (same SparkContext): a new Dataset
+    * over the SAME analyzed plan, planned and executed under the
+    * target session's conf. `Dataset.ofRows` went `private[sql]` with
+    * the rest of the constructors; the public alternative — a
+    * transient temp view — has a side effect that disqualifies it:
+    * `Catalog.dropTempView` un-caches the view's plan through the
+    * SHARED cache manager (exact sameResult match), so re-rooting a
+    * frame the caller had cached would silently evict that cache. */
+  def reroot(target: SparkSession, df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row]): org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      target.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+      df.queryExecution.analyzed)
+
   /** Register an expression builder on an EXISTING session (the
     * `spark.sql.extensions` conf only applies at session build time). */
   def registerFunction(

@@ -61,7 +61,7 @@ class LoopPlanningSpec extends AnyFunSuite {
         assert(c.get("spark.sql.shuffle.partitions") ==
           sp.conf.get("spark.sql.shuffle.partitions"),
           "clone lost shuffle-partition sizing")
-        df.count()
+        df
       }
     } finally {
       sp.conf.unset("spark.graft.loop.planning")
@@ -85,7 +85,7 @@ class LoopPlanningSpec extends AnyFunSuite {
     }
     sp.conf.set("spark.graft.loop.planning", "pinned")
     try {
-      val probe = graft.functions.LoopPlanning.pinned(Seq(1, 2).toDF("k")) { rerooted =>
+      val result = graft.functions.LoopPlanning.pinned(Seq(1, 2).toDF("k")) { rerooted =>
         // INSIDE the pinned window: the loop's own session is pinned…
         assert(rerooted.sparkSession ne sp, "pinned mode must hand back a cloned session")
         assert(rerooted.sparkSession.conf.get("spark.sql.adaptive.enabled") == "false")
@@ -95,27 +95,42 @@ class LoopPlanningSpec extends AnyFunSuite {
         // concurrent thread would do) still gets the adaptive wrapper
         assert(isAdaptive(shuffleQuery(sp)),
           "a concurrent caller-session query lost AQE during a pinned loop")
-        rerooted.count()
+        rerooted.groupBy("k").count()
       }
-      assert(probe == 2L)
+      // the RESULT is re-rooted back onto the caller: post-loop
+      // execution (and anything derived from it) keeps AQE
+      assert(result.sparkSession eq sp,
+        "pinned mode must hand the result back on the caller's session")
+      assert(isAdaptive(result),
+        "post-loop execution of the result lost AQE — the pin leaked past the loop")
+      assert(result.count() == 2L)
       assert(sp.conf.get("spark.sql.adaptive.enabled", "true") == "true")
     } finally sp.conf.unset("spark.graft.loop.planning")
   }
 
-  test("pinned re-root resolves the frame eagerly and leaves no temp view behind") {
+  test("pinned re-root preserves a caller-side cache on the input frame") {
+    // The temp-view re-root this replaced had a real side effect:
+    // dropTempView un-caches the view's plan through the SHARED cache
+    // manager, evicting a caller-cached input. The ofRows re-root must
+    // leave the caller's cache entry alone (and the loop still reads
+    // it — cache lookups are plan-based and shared with the clone).
     val sp = spark
     import sp.implicits._
-    sp.conf.set("spark.graft.loop.planning", "pinned")
+    val input = Seq(1, 2, 3).toDF("k")
+    input.cache()
     try {
-      val rows = graft.functions.LoopPlanning.pinned(Seq(1, 2, 3).toDF("k")) { df =>
-        // downstream derivation after both transient views are dropped
-        df.groupBy().sum("k").collect().map(_.getLong(0)).toSeq
-      }
+      input.count() // materialize the cache entry
+      sp.conf.set("spark.graft.loop.planning", "pinned")
+      val rows = graft.functions.LoopPlanning.pinned(input) { df =>
+        df.groupBy().sum("k")
+      }.collect().map(_.getLong(0)).toSeq
       assert(rows == Seq(6L))
-      assert(!sp.catalog.listTables().collect()
-        .exists(_.name.startsWith("graft_loop_pin_")),
-        "transient pin view leaked into the caller's catalog")
-    } finally sp.conf.unset("spark.graft.loop.planning")
+      assert(input.storageLevel.useMemory,
+        "pinned re-root evicted the caller's cache entry on the input frame")
+    } finally {
+      sp.conf.unset("spark.graft.loop.planning")
+      input.unpersist()
+    }
   }
 
   test("a typo'd planning mode fails fast instead of silently picking one") {

@@ -76,9 +76,21 @@ class TablesShapeSpec extends AnyFunSuite {
   test("raw parquet scan (what the oracle reads) agrees with the accessors") {
     val sp = spark
     import org.apache.spark.sql.functions._
-    for (t <- graft.sources.Tables.all) {
+    // the NAMED accessors, not Tables.apply (which IS the raw scan —
+    // comparing it to itself asserts nothing)
+    val T = graft.sources.Tables
+    val accessors: Map[String, (org.apache.spark.sql.SparkSession, String) =>
+        org.apache.spark.sql.DataFrame] = Map(
+      "region" -> T.region _, "nation" -> T.nation _,
+      "customer" -> T.customer _, "supplier" -> T.supplier _,
+      "part" -> T.part _, "orders" -> T.orders _,
+      "lineitem" -> T.lineitem _, "events" -> T.events _,
+      "documents" -> T.documents _, "embeddings" -> T.embeddings _)
+    assert(accessors.keySet == T.all.toSet,
+      "accessor map out of sync with Tables.all — add the new table here")
+    for (t <- T.all) {
       val raw = sp.read.parquet(s"$dir/$t.parquet")
-      val acc = graft.sources.Tables(sp, dir, t)
+      val acc = accessors(t)(sp, dir)
       if (t != "events")
         assert(shape(raw) == shape(acc),
           s"$t: accessor reshapes a table it documents as pass-through")

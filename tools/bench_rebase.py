@@ -82,9 +82,11 @@ def main(out_path, detail_paths):
         "protocol": {
             "runs": len(runs),
             "reps_per_run": runs[0]["runs"],
-            "order": sorted({d["order"] for d in runs}),
-            "sf": sorted({d["sf"] for d in runs}),
-            "cpus": sorted({d["cpus"] for d in runs}),
+            # scalars: the rejection loop above guarantees these are
+            # uniform across inputs (arrays here were the old ambiguity)
+            "order": runs[0]["order"],
+            "sf": runs[0]["sf"],
+            "cpus": runs[0]["cpus"],
             "warmup": "uniform full pass (unrecorded)",
             "retries": "disabled (uniform rep counts)",
             "run_totals_best_sec": [round(sum(d["best"].values()), 2)
