@@ -69,23 +69,37 @@ object Tables {
     }
   }
 
-  /** One-row sanity probe for the LongType branch (ADVICE r12): under
+  /** Sanity probe for the LongType branch (ADVICE r12): under
     * [[eventsConf]] only TIMESTAMP(NANOS) scans as long, but a future
     * drop shipping PLAIN int64 micros/millis would also scan as long
     * and the nanos→micros floor would shift every timestamp by three
     * or six orders of magnitude. Any plausible event epoch is
     * ≥ ~1.5e18 ns (2017+) while micros stay ≤ ~4.1e15 through 2100,
-    * so one order-of-magnitude check on a single row separates the
-    * encodings. LIMIT-1 scan (one row group, any scale), memoized per
-    * dir so only the first accessor call per JVM pays the job. */
+    * so an order-of-magnitude check separates the encodings. LIMIT
+    * scan of the first [[ProbeRows]] non-null values (one row group,
+    * any scale), memoized so only the first accessor call per JVM and
+    * DATA DROP pays the job. The memo key is the dir PLUS a listing
+    * fingerprint of the parquet files (name, length, mtime) — ADVICE
+    * r13: a long-lived service that receives a re-drop into the SAME
+    * path switching nanos→plain-micros must re-probe, not ride a
+    * stale per-path pass; the listing is a driver-side metadata op,
+    * orders cheaper than the probe job it gates. */
+  private val ProbeRows = 100
   private val nanosProbed = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+  private def eventsFingerprint(raw: DataFrame, d: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$d/events.parquet")
+    val fs = p.getFileSystem(raw.sparkSession.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(p).filter(_.isFile).map(s =>
+      s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
+    s"$d#${files.sorted.mkString(",")}"
+  }
   private def requireNanosRange(raw: DataFrame, d: String): Unit =
     // computeIfAbsent, not check-then-act: concurrent first callers for
-    // one dir run ONE probe job, and a probe FAILURE records nothing —
+    // one drop run ONE probe job, and a probe FAILURE records nothing —
     // the next call re-probes instead of silently passing bad data
-    nanosProbed.computeIfAbsent(d, _ => {
+    nanosProbed.computeIfAbsent(eventsFingerprint(raw, d), _ => {
       import org.apache.spark.sql.functions.col
-      raw.select(col("ts")).filter(col("ts").isNotNull).head(1).foreach { r =>
+      raw.select(col("ts")).filter(col("ts").isNotNull).head(ProbeRows).foreach { r =>
         val v = r.getLong(0)
         require(math.abs(v) >= 1e16.toLong,
           s"events.ts in $d/events.parquet scans as long but |$v| is too " +

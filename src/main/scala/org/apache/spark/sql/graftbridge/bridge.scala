@@ -41,6 +41,23 @@ object bridge {
       target.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
       df.queryExecution.analyzed)
 
+  /** Listener count on the context's shared event bus (`sc.listenerBus`
+    * is `private[spark]`). Test-side observability for the
+    * session-clone lifecycle soak (VERDICT r13 task 3): each
+    * [[cloneSession]] may wire per-session machinery onto the SHARED
+    * bus (Spark's `ExecutionListenerBus` pattern — weak-ref'd to the
+    * session and self-removing once it is collected), and the soak
+    * asserts the count returns to baseline instead of accreting one
+    * registration per pinned loop. */
+  def listenerBusCount(spark: SparkSession): Int =
+    spark.sparkContext.listenerBus.listeners.size()
+
+  /** Drain the shared event bus (self-removal of a dead clone's
+    * listener happens ON an event, so the soak pumps one query and
+    * waits here before counting). */
+  def waitListenerBusEmpty(spark: SparkSession): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty()
+
   /** Register an expression builder on an EXISTING session (the
     * `spark.sql.extensions` conf only applies at session build time). */
   def registerFunction(

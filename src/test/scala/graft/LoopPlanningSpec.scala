@@ -76,6 +76,10 @@ class LoopPlanningSpec extends AnyFunSuite {
   test("a concurrent query on the caller's session plans WITH AQE while a loop is pinned") {
     val sp = spark
     import sp.implicits._
+    // ADVICE r13: assert the conf comes back to its PRE-TEST value, not
+    // to the literal "true" — an earlier suite leaving AQE off must not
+    // read as pin leakage here
+    val aqeBefore = sp.conf.get("spark.sql.adaptive.enabled", "true")
     def isAdaptive(df: org.apache.spark.sql.DataFrame): Boolean =
       df.queryExecution.executedPlan.isInstanceOf[AdaptiveSparkPlanExec]
     // a shuffle query so AQE actually wraps the plan when enabled
@@ -104,7 +108,8 @@ class LoopPlanningSpec extends AnyFunSuite {
       assert(isAdaptive(result),
         "post-loop execution of the result lost AQE — the pin leaked past the loop")
       assert(result.count() == 2L)
-      assert(sp.conf.get("spark.sql.adaptive.enabled", "true") == "true")
+      assert(sp.conf.get("spark.sql.adaptive.enabled", "true") == aqeBefore,
+        "caller-session AQE conf moved across the pinned loop")
     } finally sp.conf.unset("spark.graft.loop.planning")
   }
 
@@ -131,6 +136,61 @@ class LoopPlanningSpec extends AnyFunSuite {
       sp.conf.unset("spark.graft.loop.planning")
       input.unpersist()
     }
+  }
+
+  test("soak: repeated pinned loops leave no session-clone residue on the shared context") {
+    // VERDICT r13 task 3: `pinned` clones a session per invocation; a
+    // long-lived service opting in per daily batch must not accrete
+    // clone state. Three observables, ingestTriage-soak style:
+    //   1. every clone is GC-collectable once its loop returns (nothing
+    //      on the shared context — bus, cache manager, default/active
+    //      session — holds a strong ref);
+    //   2. the shared listener bus returns to its baseline count (a
+    //      clone's ExecutionListenerBus-style registration is weak-ref'd
+    //      and self-removes on the first event after collection);
+    //   3. persistent-RDD count and the caller's active session are
+    //      unchanged.
+    val sp = spark
+    import sp.implicits._
+    val bridge = org.apache.spark.sql.graftbridge.bridge
+    sp.conf.set("spark.graft.loop.planning", "pinned")
+    try {
+      def oneLoop(i: Int): java.lang.ref.WeakReference[org.apache.spark.sql.SparkSession] = {
+        var ref: java.lang.ref.WeakReference[org.apache.spark.sql.SparkSession] = null
+        val out = graft.functions.LoopPlanning.pinned(Seq(i, i, i + 1).toDF("k")) { df =>
+          ref = new java.lang.ref.WeakReference(df.sparkSession)
+          df.groupBy("k").count()
+        }
+        assert(out.count() == 2)
+        ref
+      }
+      oneLoop(0) // settle any lazy one-time wiring before the baseline
+      bridge.waitListenerBusEmpty(sp)
+      val listenersBefore = bridge.listenerBusCount(sp)
+      val rddsBefore = sp.sparkContext.getPersistentRDDs.size
+      val refs = (1 to 6).map(oneLoop)
+      // clones must be collectable; self-removal of any dead clone's bus
+      // registration rides the NEXT event, so pump one query per probe
+      var tries = 0
+      while ((refs.exists(_.get != null) ||
+          bridge.listenerBusCount(sp) > listenersBefore) && tries < 50) {
+        System.gc()
+        Thread.sleep(100)
+        sp.range(1).count() // an event for the bus's dead-listener sweep
+        bridge.waitListenerBusEmpty(sp)
+        tries += 1
+      }
+      assert(refs.forall(_.get == null),
+        s"${refs.count(_.get != null)} of 6 pinned-loop session clones are still " +
+          "strongly reachable after GC — something on the shared context pins them")
+      val listenersAfter = bridge.listenerBusCount(sp)
+      assert(listenersAfter <= listenersBefore,
+        s"shared listener bus grew $listenersBefore → $listenersAfter across 6 pinned loops")
+      assert(sp.sparkContext.getPersistentRDDs.size == rddsBefore,
+        "pinned loops leaked persisted RDDs")
+      assert(org.apache.spark.sql.SparkSession.getActiveSession.exists(_ eq sp),
+        "a pinned loop stole the caller thread's active session")
+    } finally sp.conf.unset("spark.graft.loop.planning")
   }
 
   test("a typo'd planning mode fails fast instead of silently picking one") {

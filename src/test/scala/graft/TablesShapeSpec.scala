@@ -1,5 +1,6 @@
 package graft
 
+import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Data-drop shape contract. The driver REGENERATES /root/testdata
@@ -17,9 +18,28 @@ import org.scalatest.funsuite.AnyFunSuite
   * a new adaptive branch (like Tables.events, which normalizes every
   * shipped ts shape to session-zoned TimestampType) or whether the new
   * shape is benign and this contract should simply be updated. */
-class TablesShapeSpec extends AnyFunSuite {
+class TablesShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
   private lazy val spark = SparkTestSession.spark
   private val dir = "/root/testdata/sf0.001"
+
+  // synthetic-drop dirs created by the probe tests, reclaimed after the
+  // suite (ADVICE r13: createTempDirectory accreted /tmp garbage)
+  private val tmpDirs = scala.collection.mutable.ListBuffer.empty[java.nio.file.Path]
+  private def writeEvents(df: org.apache.spark.sql.DataFrame): String = {
+    val d = java.nio.file.Files.createTempDirectory("graft_ts_probe")
+    tmpDirs += d
+    df.write.mode("overwrite").parquet(s"$d/events.parquet")
+    d.toString
+  }
+  override def afterAll(): Unit = {
+    for (d <- tmpDirs) {
+      val walk = java.nio.file.Files.walk(d)
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally walk.close()
+    }
+    super.afterAll()
+  }
 
   private def shape(df: org.apache.spark.sql.DataFrame): Map[String, String] =
     df.schema.fields.map(f => f.name -> f.dataType.simpleString).toMap
@@ -126,11 +146,6 @@ class TablesShapeSpec extends AnyFunSuite {
     val sp = spark
     import sp.implicits._
     import org.apache.spark.sql.functions._
-    def writeEvents(df: org.apache.spark.sql.DataFrame): String = {
-      val d = java.nio.file.Files.createTempDirectory("graft_ts_probe").toString
-      df.write.mode("overwrite").parquet(s"$d/events.parquet")
-      d
-    }
     // plausible NANOS longs (2024 epoch ≈ 1.7e18): adapts, floors to micros
     val nanosDir = writeEvents(Seq((1L, 1700000000123456789L))
       .toDF("event_id", "ts"))
@@ -150,5 +165,31 @@ class TablesShapeSpec extends AnyFunSuite {
       graft.sources.Tables.events(sp, strDir)
     }
     assert(e2.getMessage.contains("unexpected type"))
+  }
+
+  /** ADVICE r13: the probe memo must be keyed on DATA identity, not
+    * the bare path — a long-lived service re-dropping into the SAME
+    * directory, switching nanos→plain-int64-micros, must re-probe and
+    * refuse, not ride the previous drop's memoized pass. (Spark part
+    * file names carry a per-write UUID, so the listing fingerprint
+    * always moves on a re-drop even when length and mtime would tie.) */
+  test("a re-drop into the SAME path switching nanos→micros re-probes and refuses") {
+    val sp = spark
+    import sp.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft_ts_redrop")
+    tmpDirs += d
+    Seq((1L, 1700000000123456789L)).toDF("event_id", "ts")
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    // first drop: genuine nanos — probe passes and memoizes
+    assert(graft.sources.Tables.events(sp, d.toString)
+      .schema("ts").dataType.simpleString == "timestamp")
+    // SAME path, new drop with int64-micros magnitudes
+    Seq((1L, 1700000000123456L)).toDF("event_id", "ts")
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    val e = intercept[IllegalArgumentException] {
+      graft.sources.Tables.events(sp, d.toString)
+    }
+    assert(e.getMessage.contains("NANOS"),
+      "the stale per-path memo bypassed the probe on a re-drop")
   }
 }
