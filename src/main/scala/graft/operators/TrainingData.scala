@@ -168,6 +168,18 @@ object TrainingData {
     // cap is higher than the band ops' — sign buckets of a HEALTHY
     // corpus legitimately reach ~100 members at sf0.1 (measured max 87),
     // unlike band buckets which only hold true near-dups.
+    //
+    // The cap is DECLARED SEMANTICS, interpolated into the oracle SQL
+    // (B56 pattern): a fixed 2^NumPlanes key makes occupancy LINEAR in
+    // corpus size, and the r14 BucketOccupancy probe measured the
+    // uncapped premise breaking between sf0.1 (max 87) and 10× sf0.1
+    // (max 911 > 512) — so past ~sf1 the capped op truncates each
+    // bucket to its MaxBucketVecs lowest-id members, deterministically
+    // on BOTH engines, instead of silently diverging from an uncapped
+    // oracle. At 100 TB a fixed key is the wrong index regardless of
+    // cap: widen the key (more planes, cardinality ~ corpus/expected
+    // occupancy) or use the IVF path (op_similarity_ivf), whose cell
+    // count is a tunable.
     val wb = Window.partitionBy("bk").orderBy("vec_id")
     corpus
       .withColumn("rn", row_number().over(wb))
@@ -1048,11 +1060,16 @@ object TrainingData {
         |      (x, i) -> CASE WHEN i = 1 THEN x + 0.01 ELSE x END)
         |  FROM embeddings WHERE vec_id % 5 = 0),
         |bucketed AS (SELECT vec_id, e, ${bucketSql("e")} AS bk FROM corpus),
+        |capped AS (
+        |  SELECT vec_id, e, bk FROM (
+        |    SELECT vec_id, e, bk,
+        |      row_number() OVER (PARTITION BY bk ORDER BY vec_id) AS rn
+        |    FROM bucketed) WHERE rn <= $MaxBucketVecs),
         |pairs AS (
         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
         |    round(list_dot_product(a.e, b.e) /
         |      (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 4) AS cos
-        |  FROM bucketed a JOIN bucketed b ON a.bk = b.bk AND a.vec_id < b.vec_id)
+        |  FROM capped a JOIN capped b ON a.bk = b.bk AND a.vec_id < b.vec_id)
         |SELECT vec_a, vec_b, cos FROM pairs WHERE cos >= 0.995
         |ORDER BY vec_a, vec_b""".stripMargin)(dedupEmbedding),
 

@@ -69,26 +69,55 @@ class HotBucketSpec extends AnyFunSuite {
       s"candidate pairs $n exceed the bucket-cap bound")
   }
 
-  test("verification SF: every real bucket is under its cap — the caps drop NOTHING there") {
-    // The oracle SQL is uncapped; the capped ops equal it at the
-    // verification SF exactly because no real bucket reaches the cap.
-    // This pins that premise so cap-induced silent divergence cannot
-    // slip past a green CORRECTNESS run.
-    val vdir = "/root/testdata/sf0.01"
-    val mh = LlmPipeline.minhashBanded(LlmPipeline.minhashCorpus(spark, vdir))
-      .groupBy("band_id", "band_key").count()
+  private def maxOccupancy(df: org.apache.spark.sql.DataFrame, keys: String*): Long =
+    df.groupBy(keys.map(col): _*).count()
       .agg(org.apache.spark.sql.functions.max("count")).head().getLong(0)
+
+  private def assertUnderCaps(vdir: String, at: String): Unit = {
+    val mh = maxOccupancy(
+      LlmPipeline.minhashBanded(LlmPipeline.minhashCorpus(spark, vdir)),
+      "band_id", "band_key")
     assert(mh <= LlmPipeline.MaxBucketDocs,
-      s"minhash bucket of $mh docs exceeds the cap at verification SF")
-    val sh = TrainingData.simhashKeyed(spark, vdir)
-      .groupBy("key").count()
-      .agg(org.apache.spark.sql.functions.max("count")).head().getLong(0)
+      s"minhash bucket of $mh docs exceeds the cap at $at")
+    // B56's stored side: the quarter-corpus history band index — THE
+    // bucket set the MaxBucketDocs rank cap truncates on the probe path
+    val history = graft.sources.Tables.documents(spark, vdir)
+      .select(col("doc_id"), col("text"))
+      .filter(col("doc_id") % 4 === 0)
+      .select((col("doc_id") * 2).as("doc_id"), col("text"))
+    val hist = maxOccupancy(LlmPipeline.minhashBanded(history), "band_id", "band_key")
+    assert(hist <= LlmPipeline.MaxBucketDocs,
+      s"B56 history-index bucket of $hist docs exceeds the cap at $at")
+    val sh = maxOccupancy(TrainingData.simhashKeyed(spark, vdir), "key")
     assert(sh <= LlmPipeline.MaxBucketDocs,
-      s"simhash bucket of $sh docs exceeds the cap at verification SF")
-    val eb = TrainingData.embeddingBucketed(spark, vdir)
-      .groupBy("bk").count()
-      .agg(org.apache.spark.sql.functions.max("count")).head().getLong(0)
+      s"simhash bucket of $sh docs exceeds the cap at $at")
+    // embedding: oracle CAPPED since r14 (fixed 2^NumPlanes key ⇒
+    // occupancy linear in corpus — BucketOccupancy measured 911 > 512
+    // at 10× sf0.1), so a breach here is a recall boundary, not an
+    // engine divergence; the assert pins that truncation has not yet
+    // begun at this SF
+    val eb = maxOccupancy(TrainingData.embeddingBucketed(spark, vdir), "bk")
     assert(eb <= TrainingData.MaxBucketVecs,
-      s"embedding bucket of $eb vectors exceeds the cap at verification SF")
+      s"embedding bucket of $eb vectors reaches the cap at $at — " +
+        "the capped op starts truncating (still oracle-equal; see dedupEmbedding)")
+  }
+
+  test("verification SF: every real bucket is under its cap — the caps drop NOTHING there") {
+    // The band ops' oracle SQL is uncapped; the capped ops equal it at
+    // the verification SF exactly because no real bucket reaches the
+    // cap. This pins that premise so cap-induced silent divergence
+    // cannot slip past a green CORRECTNESS run. (B27's and B56's
+    // oracles carry the cap — there the assert pins zero truncation.)
+    assertUnderCaps("/root/testdata/sf0.01", "verification SF")
+  }
+
+  test("10× drop: occupancy margin holds at sf0.1 (VERDICT r13 task 2)") {
+    // Bucket occupancy grows with corpus size; the equivalence premise
+    // must hold beyond the SF the correctness gate runs at. sf0.1 is
+    // the REAL 10×-of-verify drop (same generator, 10× rows); the
+    // synthesized 100×-equivalent margin table is produced by
+    // `Test/runMain graft.tools.BucketOccupancy` and recorded in
+    // PLANS.md (r14).
+    assertUnderCaps("/root/testdata/sf0.1", "the 10x drop (sf0.1)")
   }
 }

@@ -35,21 +35,14 @@ import graft.operators.{Incremental, LlmPipeline, Mining, Streaming, TrainingDat
   * inside a capped window.
   */
 object ScaleSmoke {
-  private val Base = "/root/testdata/sf0.1"
+  private[graft] val Base = "/root/testdata/sf0.1"
 
-  def main(args: Array[String]): Unit = {
-    // optional arg: copy count (default 10). Above 21 copies the
-    // embedding flip patterns are no longer provably distinct (mod-23
-    // construction), so only the text ops run — the word-suffix
-    // transform is disjoint for ANY copy count.
-    val Copies = args.headOption.map(_.toInt).getOrElse(10)
-    val skips: Seq[String] =
-      if (args.length > 1) args(1).split(",").toSeq.filter(_.nonEmpty) else Nil
+  /** Build (or reuse) the `Copies`× synthesized corpus at
+    * `/tmp/scale<Copies>` — shared with BucketOccupancy so the cap
+    * certification measures the SAME corpus the smoke certifies. */
+  private[graft] def ensureCorpus(spark: org.apache.spark.sql.SparkSession, Copies: Int): String = {
     val Dir10 = s"/tmp/scale$Copies"
     val withEmb = Copies <= 21
-    val spark = SparkTestSession.spark
-    spark.sparkContext.setLogLevel("WARN")
-
     if (!new java.io.File(s"$Dir10/documents.parquet").exists()) {
       val docs = graft.sources.Tables.documents(spark, Base)
       val n = docs.count()
@@ -90,6 +83,21 @@ object ScaleSmoke {
       }
       println(s"[scale] built $Dir10: docs=${n * Copies}")
     }
+    Dir10
+  }
+
+  def main(args: Array[String]): Unit = {
+    // optional arg: copy count (default 10). Above 21 copies the
+    // embedding flip patterns are no longer provably distinct (mod-23
+    // construction), so only the text ops run — the word-suffix
+    // transform is disjoint for ANY copy count.
+    val Copies = args.headOption.map(_.toInt).getOrElse(10)
+    val skips: Seq[String] =
+      if (args.length > 1) args(1).split(",").toSeq.filter(_.nonEmpty) else Nil
+    val withEmb = Copies <= 21
+    val spark = SparkTestSession.spark
+    spark.sparkContext.setLogLevel("WARN")
+    val Dir10 = ensureCorpus(spark, Copies)
 
     val ops = Seq(
       "op_dedup_minhash" -> (LlmPipeline.dedupMinhash _),

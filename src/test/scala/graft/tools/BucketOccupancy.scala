@@ -1,0 +1,94 @@
+package graft.tools
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.{LlmPipeline, TrainingData}
+
+/** Bucket-occupancy margin certification beyond verify SF (VERDICT r13
+  * task 2): the capped ≡ uncapped equivalence of the LSH candidate
+  * stages rests on no real bucket NEARING its cap — a premise
+  * HotBucketSpec pins at sf0.01 and sf0.1, but bucket occupancy grows
+  * with corpus size, so this probe measures the UNCAPPED occupancy
+  * distribution one more order of magnitude up, on the same
+  * synthesized corpus the 10× scale smoke certifies
+  * (ScaleSmoke.ensureCorpus — structure-linear growth: within-copy dup
+  * relations preserved, cross-copy shingle/sign sets disjoint).
+  *
+  * Two probe classes, different stakes:
+  *   - UNCAPPED-oracle premises (minhash corpus bands — B17, simhash
+  *     keys — B25): a breach means the capped Spark op silently
+  *     diverges from its uncapped oracle → hard failure here. Band
+  *     keys are content-derived (cardinality grows with the corpus),
+  *     so occupancy growth is collision-driven and slow.
+  *   - CAPPED-oracle declared semantics (B56 history index, embedding
+  *     sign buckets — B27, both with the cap interpolated into the
+  *     oracle SQL): a breach cannot desync the engines; it marks where
+  *     the cap starts truncating real members (recall boundary). The
+  *     r14 run measured exactly this for the embedding key: fixed
+  *     2^NumPlanes cardinality ⇒ occupancy linear in corpus ⇒ max 87
+  *     at sf0.1 but 911 > 512 at 10× sf0.1 — which is why B27's oracle
+  *     is now capped (see dedupEmbedding scaladoc) and why a fixed
+  *     sign key is documented as the wrong index past ~sf1.
+  *
+  * Prints max occupancy, its margin to the cap, and how many buckets
+  * sit in the top half of the cap range; exits nonzero only if an
+  * uncapped-oracle premise breaches. Results table lives in PLANS.md
+  * (r14).
+  *
+  * Run: `sbt "Test/runMain graft.tools.BucketOccupancy [copies]"` */
+object BucketOccupancy {
+
+  private def occupancy(df: DataFrame, cap: Int, keys: String*): (Long, Long) = {
+    val counts = df.groupBy(keys.map(col): _*).count()
+    val row = counts.agg(
+      max("count").as("mx"),
+      sum(when(col("count") >= cap / 2, 1L).otherwise(0L)).as("hot")).head()
+    (row.getLong(0), row.getLong(1))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val copies = args.headOption.map(_.toInt).getOrElse(10)
+    val spark = graft.SparkTestSession.spark
+    spark.sparkContext.setLogLevel("WARN")
+    val scaled = graft.ScaleSmoke.ensureCorpus(spark, copies)
+    val dirs = Seq(
+      "sf0.01 (verify)" -> "/root/testdata/sf0.01",
+      "sf0.1  (10x verify)" -> graft.ScaleSmoke.Base,
+      f"scale$copies%-3d (${copies}x sf0.1)" -> scaled)
+
+    var breach = false
+    for ((label, dir) <- dirs) {
+      // B56's stored side: quarter-corpus history, banded, pre-cap
+      val history = graft.sources.Tables.documents(spark, dir)
+        .select(col("doc_id"), col("text"))
+        .filter(col("doc_id") % 4 === 0)
+        .select((col("doc_id") * 2).as("doc_id"), col("text"))
+      // (name, frame, cap, oracleCapped, keys)
+      val probes = Seq(
+        ("minhash corpus bands", LlmPipeline.minhashBanded(
+          LlmPipeline.minhashCorpus(spark, dir)),
+          LlmPipeline.MaxBucketDocs, false, Seq("band_id", "band_key")),
+        ("B56 history index   ", LlmPipeline.minhashBanded(history),
+          LlmPipeline.MaxBucketDocs, true, Seq("band_id", "band_key")),
+        ("simhash keys        ", TrainingData.simhashKeyed(spark, dir),
+          LlmPipeline.MaxBucketDocs, false, Seq("key")),
+        ("embedding buckets   ", TrainingData.embeddingBucketed(spark, dir),
+          TrainingData.MaxBucketVecs, true, Seq("bk")))
+      for ((name, df, cap, oracleCapped, keys) <- probes) {
+        val (mx, hot) = occupancy(df, cap, keys: _*)
+        val over = mx > cap
+        if (over && !oracleCapped) breach = true
+        val status =
+          if (!over) "OK"
+          else if (oracleCapped) "TRUNCATING (capped oracle — recall boundary, not divergence)"
+          else "BREACH"
+        println(f"[occupancy] $label  $name max=$mx%4d cap=$cap%4d " +
+          f"margin=${cap - mx}%4d buckets>=cap/2=$hot%4d $status")
+      }
+    }
+    if (breach) sys.error("an uncapped-oracle bucket premise breached its cap — the " +
+      "capped op no longer equals its uncapped oracle at this scale; cap the oracle " +
+      "(B56 pattern) or re-shard the index key")
+  }
+}
