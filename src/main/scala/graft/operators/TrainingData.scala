@@ -70,7 +70,17 @@ object TrainingData {
       graft.plans.HammingDistance.hamming(a, b, 32)
     // hot-bucket cap before the pair expansion (see LlmPipeline
     // .MaxBucketDocs): row_number over the bucket key — same hash
-    // partitioning the groupBy needs, no extra exchange, bounded agg
+    // partitioning the groupBy needs, no extra exchange, bounded agg.
+    // DECLARED SEMANTICS since r14 (cap interpolated into the oracle
+    // SQL, B56 pattern): the combo key space is FIXED at 6 × 2^16, so
+    // occupancy grows linearly once the key space saturates —
+    // BucketOccupancy measured max 11 at 10× sf0.1 but 55-of-64 at
+    // 100× — and the next order of magnitude would have silently
+    // diverged from an uncapped oracle. Past the boundary both engines
+    // truncate each bucket to its MaxBucketDocs lowest-id members
+    // deterministically. (minhash band keys need no such cap clause in
+    // their corpus op: md5 band signatures are content-derived, so key
+    // cardinality grows WITH the corpus — measured max 23 at 100×.)
     val wk = Window.partitionBy("key").orderBy("doc_id")
     keyed
       .withColumn("rn", row_number().over(wk))
@@ -1027,9 +1037,14 @@ object TrainingData {
         |    concat(substring(sig, c.s1, 8), substring(sig, c.s2, 8)) AS key
         |  FROM sigs, (VALUES (0, 1, 9), (1, 1, 17), (2, 1, 25),
         |              (3, 9, 17), (4, 9, 25), (5, 17, 25)) c(cid, s1, s2)),
+        |capped AS (
+        |  SELECT doc_id, sig, cid, key FROM (
+        |    SELECT doc_id, sig, cid, key,
+        |      row_number() OVER (PARTITION BY cid, key ORDER BY doc_id) AS rn
+        |    FROM bands) WHERE rn <= ${LlmPipeline.MaxBucketDocs}),
         |pairs AS (
         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sig AS sa, b.sig AS sb
-        |  FROM bands a JOIN bands b
+        |  FROM capped a JOIN capped b
         |    ON a.cid = b.cid AND a.key = b.key AND a.doc_id < b.doc_id)
         |SELECT doc_a, doc_b,
         |  CAST(len(list_filter(range(1, 33), j -> sa[j] <> sb[j])) AS INTEGER) AS hamming

@@ -88,9 +88,14 @@ class HotBucketSpec extends AnyFunSuite {
     val hist = maxOccupancy(LlmPipeline.minhashBanded(history), "band_id", "band_key")
     assert(hist <= LlmPipeline.MaxBucketDocs,
       s"B56 history-index bucket of $hist docs exceeds the cap at $at")
+    // simhash: oracle CAPPED since r14 — the 6 × 2^16 combo key space
+    // is fixed, so occupancy is linear in corpus once saturated
+    // (BucketOccupancy: max 55 of 64 at 100× sf0.1); the assert pins
+    // that truncation has not yet begun at this SF
     val sh = maxOccupancy(TrainingData.simhashKeyed(spark, vdir), "key")
     assert(sh <= LlmPipeline.MaxBucketDocs,
-      s"simhash bucket of $sh docs exceeds the cap at $at")
+      s"simhash bucket of $sh docs reaches the cap at $at — " +
+        "the capped op starts truncating (still oracle-equal; see dedupSimhash)")
     // embedding: oracle CAPPED since r14 (fixed 2^NumPlanes key ⇒
     // occupancy linear in corpus — BucketOccupancy measured 911 > 512
     // at 10× sf0.1), so a breach here is a recall boundary, not an
@@ -103,11 +108,12 @@ class HotBucketSpec extends AnyFunSuite {
   }
 
   test("verification SF: every real bucket is under its cap — the caps drop NOTHING there") {
-    // The band ops' oracle SQL is uncapped; the capped ops equal it at
-    // the verification SF exactly because no real bucket reaches the
-    // cap. This pins that premise so cap-induced silent divergence
-    // cannot slip past a green CORRECTNESS run. (B27's and B56's
-    // oracles carry the cap — there the assert pins zero truncation.)
+    // op_dedup_minhash's oracle SQL is uncapped; the capped op equals
+    // it at the verification SF exactly because no real bucket reaches
+    // the cap. This pins that premise so cap-induced silent divergence
+    // cannot slip past a green CORRECTNESS run. (B25's, B27's and
+    // B56's oracles carry the cap — there the assert pins zero
+    // truncation.)
     assertUnderCaps("/root/testdata/sf0.01", "verification SF")
   }
 

@@ -186,7 +186,10 @@ class LoopPlanningSpec extends AnyFunSuite {
       val listenersAfter = bridge.listenerBusCount(sp)
       assert(listenersAfter <= listenersBefore,
         s"shared listener bus grew $listenersBefore → $listenersAfter across 6 pinned loops")
-      assert(sp.sparkContext.getPersistentRDDs.size == rddsBefore,
+      // <=, not ==: the soak's GC loop also lets the ContextCleaner
+      // reap earlier suites' unreferenced cache entries, so the count
+      // can legitimately DROP below baseline; only growth is a leak
+      assert(sp.sparkContext.getPersistentRDDs.size <= rddsBefore,
         "pinned loops leaked persisted RDDs")
       assert(org.apache.spark.sql.SparkSession.getActiveSession.exists(_ eq sp),
         "a pinned loop stole the caller thread's active session")

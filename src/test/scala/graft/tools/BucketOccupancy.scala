@@ -16,20 +16,23 @@ import graft.operators.{LlmPipeline, TrainingData}
   * relations preserved, cross-copy shingle/sign sets disjoint).
   *
   * Two probe classes, different stakes:
-  *   - UNCAPPED-oracle premises (minhash corpus bands — B17, simhash
-  *     keys — B25): a breach means the capped Spark op silently
-  *     diverges from its uncapped oracle → hard failure here. Band
-  *     keys are content-derived (cardinality grows with the corpus),
-  *     so occupancy growth is collision-driven and slow.
-  *   - CAPPED-oracle declared semantics (B56 history index, embedding
-  *     sign buckets — B27, both with the cap interpolated into the
-  *     oracle SQL): a breach cannot desync the engines; it marks where
-  *     the cap starts truncating real members (recall boundary). The
-  *     r14 run measured exactly this for the embedding key: fixed
-  *     2^NumPlanes cardinality ⇒ occupancy linear in corpus ⇒ max 87
-  *     at sf0.1 but 911 > 512 at 10× sf0.1 — which is why B27's oracle
-  *     is now capped (see dedupEmbedding scaladoc) and why a fixed
-  *     sign key is documented as the wrong index past ~sf1.
+  *   - UNCAPPED-oracle premises (minhash corpus bands — B17): a breach
+  *     means the capped Spark op silently diverges from its uncapped
+  *     oracle → hard failure here. md5 band keys are content-derived
+  *     (cardinality grows with the corpus), so occupancy growth is
+  *     collision-driven and slow — measured 4 → 11 → 17 → 23 across
+  *     sf0.01 / sf0.1 / 10× / 100×, cap 64.
+  *   - CAPPED-oracle declared semantics (B56 history index, simhash
+  *     keys — B25, embedding sign buckets — B27, each with the cap
+  *     interpolated into its oracle SQL): a breach cannot desync the
+  *     engines; it marks where the cap starts truncating real members
+  *     (recall boundary). The r14 runs measured exactly this for both
+  *     FIXED-cardinality keys: embedding's 2^8 sign space breached at
+  *     10× sf0.1 (max 911 > 512) and simhash's 6 × 2^16 combo space was
+  *     9 from its cap at 100× (max 55 of 64, 185 buckets in the top
+  *     half) — so both oracles now carry their caps (see the op
+  *     scaladocs), and a fixed key is documented as the wrong index
+  *     once corpus ≫ key space.
   *
   * Prints max occupancy, its margin to the cap, and how many buckets
   * sit in the top half of the cap range; exits nonzero only if an
@@ -64,7 +67,9 @@ object BucketOccupancy {
         .select(col("doc_id"), col("text"))
         .filter(col("doc_id") % 4 === 0)
         .select((col("doc_id") * 2).as("doc_id"), col("text"))
-      // (name, frame, cap, oracleCapped, keys)
+      // (name, frame, cap, oracleCapped, keys); embeddings are absent
+      // from synthesized corpora above 21 copies (ScaleSmoke's mod-23
+      // flip construction), so that probe joins only when the file exists
       val probes = Seq(
         ("minhash corpus bands", LlmPipeline.minhashBanded(
           LlmPipeline.minhashCorpus(spark, dir)),
@@ -72,9 +77,11 @@ object BucketOccupancy {
         ("B56 history index   ", LlmPipeline.minhashBanded(history),
           LlmPipeline.MaxBucketDocs, true, Seq("band_id", "band_key")),
         ("simhash keys        ", TrainingData.simhashKeyed(spark, dir),
-          LlmPipeline.MaxBucketDocs, false, Seq("key")),
-        ("embedding buckets   ", TrainingData.embeddingBucketed(spark, dir),
-          TrainingData.MaxBucketVecs, true, Seq("bk")))
+          LlmPipeline.MaxBucketDocs, true, Seq("key"))) ++
+        (if (new java.io.File(s"$dir/embeddings.parquet").exists())
+          Seq(("embedding buckets   ", TrainingData.embeddingBucketed(spark, dir),
+            TrainingData.MaxBucketVecs, true, Seq("bk")))
+        else Nil)
       for ((name, df, cap, oracleCapped, keys) <- probes) {
         val (mx, hot) = occupancy(df, cap, keys: _*)
         val over = mx > cap
