@@ -253,10 +253,19 @@ object LlmPipeline {
     * order — same rule in the oracle, so capped ≡ uncapped at verify
     * SF where HotBucketSpec certifies no bucket nears the cap, and a
     * degenerate bucket stays bounded instead of exploding the probe). */
+  /** B56's history partition (quarter-corpus, re-keyed 2·id) — the
+    * doc set whose banding becomes the stored index. Exposed so the
+    * occupancy probes (HotBucketSpec, tools.BucketOccupancy) measure
+    * the SAME bucket population the op indexes; a drift in this
+    * definition must move the certification with it. */
+  private[graft] def minhashHistoryDocs(sp: SparkSession, dir: String): DataFrame =
+    docs(sp, dir).select(col("doc_id"), col("text"))
+      .filter(col("doc_id") % 4 === 0)
+      .select((col("doc_id") * 2).as("doc_id"), col("text"))
+
   def dedupMinhashIncremental(sp: SparkSession, dir: String): DataFrame = {
     val base = docs(sp, dir).select(col("doc_id"), col("text"))
-    val history = base.filter(col("doc_id") % 4 === 0)
-      .select((col("doc_id") * 2).as("doc_id"), col("text"))
+    val history = minhashHistoryDocs(sp, dir)
     val batch = base.filter(col("doc_id") % 4 =!= 0)
       .select((col("doc_id") * 2).as("doc_id"), col("text"))
       .union(base.filter(col("doc_id") % 8 === 0)

@@ -78,36 +78,46 @@ object Tables {
     * so an order-of-magnitude check separates the encodings. LIMIT
     * scan of the first [[ProbeRows]] non-null values (one row group,
     * any scale), memoized so only the first accessor call per JVM and
-    * DATA DROP pays the job. The memo key is the dir PLUS a listing
-    * fingerprint of the parquet files (name, length, mtime) — ADVICE
-    * r13: a long-lived service that receives a re-drop into the SAME
-    * path switching nanos→plain-micros must re-probe, not ride a
-    * stale per-path pass; the listing is a driver-side metadata op,
-    * orders cheaper than the probe job it gates. */
+    * DATA DROP pays the job. The memo maps each dir to the listing
+    * fingerprint of the parquet files (name, length, mtime) that last
+    * passed — ADVICE r13: a long-lived service that receives a
+    * re-drop into the SAME path switching nanos→plain-micros must
+    * re-probe, not ride a stale per-path pass; the listing is a
+    * driver-side metadata op, orders cheaper than the probe job it
+    * gates, and latest-wins keeps the memo O(dirs) under periodic
+    * re-drops. */
   private val ProbeRows = 100
-  private val nanosProbed = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+  // dir → fingerprint of the last drop that PASSED the probe: memory
+  // stays O(dirs) under periodic re-drops (a fingerprint-keyed set
+  // would accrete one dead entry per drop forever)
+  private val nanosProbed = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def eventsFingerprint(raw: DataFrame, d: String): String = {
     val p = new org.apache.hadoop.fs.Path(s"$d/events.parquet")
     val fs = p.getFileSystem(raw.sparkSession.sparkContext.hadoopConfiguration)
     val files = fs.listStatus(p).filter(_.isFile).map(s =>
       s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
-    s"$d#${files.sorted.mkString(",")}"
+    files.sorted.mkString(",")
   }
-  private def requireNanosRange(raw: DataFrame, d: String): Unit =
-    // computeIfAbsent, not check-then-act: concurrent first callers for
-    // one drop run ONE probe job, and a probe FAILURE records nothing —
+  private def requireNanosRange(raw: DataFrame, d: String): Unit = {
+    val fp = eventsFingerprint(raw, d)
+    // compute, not check-then-act: concurrent first callers for one
+    // drop run ONE probe job, and a probe FAILURE records nothing —
     // the next call re-probes instead of silently passing bad data
-    nanosProbed.computeIfAbsent(eventsFingerprint(raw, d), _ => {
-      import org.apache.spark.sql.functions.col
-      raw.select(col("ts")).filter(col("ts").isNotNull).head(ProbeRows).foreach { r =>
-        val v = r.getLong(0)
-        require(math.abs(v) >= 1e16.toLong,
-          s"events.ts in $d/events.parquet scans as long but |$v| is too " +
-            "small for an epoch in NANOS (plain int64 micros/millis drop?) — " +
-            "refusing to floor-divide; fix the Tables.events adaptation")
+    nanosProbed.compute(d, (_, prev) => {
+      if (prev != fp) {
+        import org.apache.spark.sql.functions.col
+        raw.select(col("ts")).filter(col("ts").isNotNull).head(ProbeRows).foreach { r =>
+          val v = r.getLong(0)
+          require(math.abs(v) >= 1e16.toLong,
+            s"events.ts in $d/events.parquet scans as long but |$v| is too " +
+              "small for an epoch in NANOS (plain int64 micros/millis drop?) — " +
+              "refusing to floor-divide; fix the Tables.events adaptation")
+        }
       }
-      java.lang.Boolean.TRUE
+      fp
     })
+    ()
+  }
   def documents(s: SparkSession, d: String): DataFrame  = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
 }

@@ -81,11 +81,9 @@ class HotBucketSpec extends AnyFunSuite {
       s"minhash bucket of $mh docs exceeds the cap at $at")
     // B56's stored side: the quarter-corpus history band index — THE
     // bucket set the MaxBucketDocs rank cap truncates on the probe path
-    val history = graft.sources.Tables.documents(spark, vdir)
-      .select(col("doc_id"), col("text"))
-      .filter(col("doc_id") % 4 === 0)
-      .select((col("doc_id") * 2).as("doc_id"), col("text"))
-    val hist = maxOccupancy(LlmPipeline.minhashBanded(history), "band_id", "band_key")
+    val hist = maxOccupancy(
+      LlmPipeline.minhashBanded(LlmPipeline.minhashHistoryDocs(spark, vdir)),
+      "band_id", "band_key")
     assert(hist <= LlmPipeline.MaxBucketDocs,
       s"B56 history-index bucket of $hist docs exceeds the cap at $at")
     // simhash: oracle CAPPED since r14 — the 6 × 2^16 combo key space

@@ -37,12 +37,19 @@ import graft.operators.{Incremental, LlmPipeline, Mining, Streaming, TrainingDat
 object ScaleSmoke {
   private[graft] val Base = "/root/testdata/sf0.1"
 
+  /** Whether a `Copies`× corpus carries embeddings: the mod-23 flip
+    * construction is provably distinct only to 21 copies. SINGLE owner
+    * of the threshold — corpus construction and op selection must
+    * agree or the smoke schedules embedding ops against a corpus with
+    * no embeddings.parquet. */
+  private[graft] def corpusHasEmbeddings(Copies: Int): Boolean = Copies <= 21
+
   /** Build (or reuse) the `Copies`× synthesized corpus at
     * `/tmp/scale<Copies>` — shared with BucketOccupancy so the cap
     * certification measures the SAME corpus the smoke certifies. */
   private[graft] def ensureCorpus(spark: org.apache.spark.sql.SparkSession, Copies: Int): String = {
     val Dir10 = s"/tmp/scale$Copies"
-    val withEmb = Copies <= 21
+    val withEmb = corpusHasEmbeddings(Copies)
     if (!new java.io.File(s"$Dir10/documents.parquet").exists()) {
       val docs = graft.sources.Tables.documents(spark, Base)
       val n = docs.count()
@@ -94,7 +101,7 @@ object ScaleSmoke {
     val Copies = args.headOption.map(_.toInt).getOrElse(10)
     val skips: Seq[String] =
       if (args.length > 1) args(1).split(",").toSeq.filter(_.nonEmpty) else Nil
-    val withEmb = Copies <= 21
+    val withEmb = corpusHasEmbeddings(Copies)
     val spark = SparkTestSession.spark
     spark.sparkContext.setLogLevel("WARN")
     val Dir10 = ensureCorpus(spark, Copies)

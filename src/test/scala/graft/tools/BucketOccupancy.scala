@@ -63,10 +63,7 @@ object BucketOccupancy {
     var breach = false
     for ((label, dir) <- dirs) {
       // B56's stored side: quarter-corpus history, banded, pre-cap
-      val history = graft.sources.Tables.documents(spark, dir)
-        .select(col("doc_id"), col("text"))
-        .filter(col("doc_id") % 4 === 0)
-        .select((col("doc_id") * 2).as("doc_id"), col("text"))
+      val history = LlmPipeline.minhashHistoryDocs(spark, dir)
       // (name, frame, cap, oracleCapped, keys); embeddings are absent
       // from synthesized corpora above 21 copies (ScaleSmoke's mod-23
       // flip construction), so that probe joins only when the file exists
