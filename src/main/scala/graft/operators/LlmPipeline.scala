@@ -186,9 +186,13 @@ object LlmPipeline {
     * upper bound on how many documents one band bucket may contribute
     * to pair expansion. Healthy buckets hold a handful of docs, so the
     * cap is invisible on real corpora — HotBucketSpec asserts ZERO
-    * drops at the verification SF, so the capped op provably equals
-    * its uncapped oracle there; a degenerate corpus is bounded to
-    * C(cap,2) pairs per bucket instead of O(N²). */
+    * drops at the verification SF, so capped ≡ uncapped there; a
+    * degenerate corpus is bounded to C(cap,2) pairs per bucket instead
+    * of O(N²). Since r15 the cap is DECLARED SEMANTICS on every capped
+    * structure — each oracle carries the same deterministic lowest-id
+    * rank cap interpolated into its SQL (B56 pattern; see PLANS.md
+    * r15 for the policy rationale), so no structure rests on an
+    * uncapped-equivalence premise that real data could break. */
   val MaxBucketDocs = 64
 
   /** Pre-cap band-bucket stage of [[dedupMinhash]], exposed so tests
@@ -323,6 +327,27 @@ object LlmPipeline {
       |    FROM bands WHERE side = 'h') WHERE rn <= MAX_BUCKET_DOCS)""".stripMargin
       .replace("MAX_BUCKET_DOCS", MaxBucketDocs.toString)
 
+  /** DuckDB oracle fragment: the capped CORPUS band buckets over a
+    * `bands(doc_id, band_id, band_key)` CTE — the SQL statement of the
+    * [[MaxBucketDocs]] rank cap in [[minhashPairsFor]] (PARTITION BY
+    * band_id, band_key ORDER BY doc_id — the Spark side's exact
+    * deterministic rank), cap interpolated so an engine/oracle desync
+    * is impossible. Fourth use of the B56 pattern (after the history
+    * index, simhash, and the embedding sign buckets): since r15 the
+    * corpus-band cap is declared semantics rather than an
+    * uncapped-equivalence premise, because corpus-band occupancy
+    * tracks true dup-CLUSTER size — a data property (boilerplate-heavy
+    * corpora routinely exceed any fixed cap) that no synthetic scale
+    * probe can certify against. Shared by op_dedup_minhash and
+    * op_dedup_cc (whose closure runs over the same capped pairs). */
+  private[graft] val MinhashBcapSql: String =
+    """bcap AS (
+      |  SELECT doc_id, band_id, band_key FROM (
+      |    SELECT doc_id, band_id, band_key,
+      |      row_number() OVER (PARTITION BY band_id, band_key ORDER BY doc_id) AS rn
+      |    FROM bands) WHERE rn <= MAX_BUCKET_DOCS)""".stripMargin
+      .replace("MAX_BUCKET_DOCS", MaxBucketDocs.toString)
+
   /** The stored (band_id, band_key) → hist_id index a probe runs
     * against: banded history, each bucket capped at [[MaxBucketDocs]]
     * by deterministic hist_id rank (shared by B56, the streaming band
@@ -378,6 +403,11 @@ object LlmPipeline {
     // duplicates anyway — the kept members still link as one dup
     // cluster (HotBucketSpec pins the bounded-output behavior; at
     // 100 TB the drop count is an ops metric, watched, not fatal).
+    // Since r15 the cap is declared semantics: both consuming oracles
+    // (op_dedup_minhash, op_dedup_cc) interpolate the same rank cap
+    // via MinhashBcapSql, so a dup-cluster larger than the cap
+    // truncates IDENTICALLY on both engines instead of silently
+    // diverging from an uncapped definition.
     val wb = Window.partitionBy("band_id", "band_key").orderBy("doc_id")
     banded
       .withColumn("rn", row_number().over(wb))
@@ -613,43 +643,7 @@ object LlmPipeline {
         |GROUP BY key ORDER BY keep_id""".stripMargin)(dedupExact),
 
     OpQuery("op_dedup_minhash",
-      """WITH unioned AS (
-        |  SELECT doc_id * 2 AS doc_id, text FROM documents
-        |  UNION ALL
-        |  SELECT doc_id * 2 + 1, concat(text, ' extraneous') FROM documents WHERE doc_id % 5 = 0),
-        |shingled AS (
-        |  SELECT doc_id,
-        |    list_transform(range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
-        |      i -> concat_ws(' ', string_split(text, ' ')[i],
-        |                          string_split(text, ' ')[i+1],
-        |                          string_split(text, ' ')[i+2])) AS sh
-        |  FROM unioned),
-        |hashed AS (
-        |  SELECT doc_id, list_transform(sh, x -> md5(x)) AS hs FROM shingled),
-        |sigs AS (
-        |  SELECT doc_id,
-        |    [list_min(hs),
-        |     list_min(list_transform(hs, h -> substring(h, 5, 28) || substring(h, 1, 4))),
-        |     list_min(list_transform(hs, h -> substring(h, 9, 24) || substring(h, 1, 8))),
-        |     list_min(list_transform(hs, h -> substring(h, 13, 20) || substring(h, 1, 12))),
-        |     list_min(list_transform(hs, h -> substring(h, 17, 16) || substring(h, 1, 16))),
-        |     list_min(list_transform(hs, h -> substring(h, 21, 12) || substring(h, 1, 20))),
-        |     list_min(list_transform(hs, h -> substring(h, 25, 8) || substring(h, 1, 24))),
-        |     list_min(list_transform(hs, h -> substring(h, 29, 4) || substring(h, 1, 28)))] AS sig
-        |  FROM hashed),
-        |bands AS (
-        |  SELECT doc_id, b.band_id,
-        |    md5(concat_ws('|', sig[b.band_id * 2 + 1], sig[b.band_id * 2 + 2])) AS band_key
-        |  FROM sigs, (SELECT 0 AS band_id UNION ALL SELECT 1 UNION ALL SELECT 2 UNION ALL SELECT 3) b)
-        |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |FROM bands a JOIN bands b
-        |  ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
-        |ORDER BY doc_a, doc_b""".stripMargin)(dedupMinhash),
-
-    // independent closure implementation: DuckDB computes reachability
-    // by recursive CTE where Spark runs BSP label propagation
-    OpQuery("op_dedup_cc",
-      """WITH RECURSIVE unioned AS (
+      s"""WITH unioned AS (
         |  SELECT doc_id * 2 AS doc_id, text FROM documents
         |  UNION ALL
         |  SELECT doc_id * 2 + 1, concat(text, ' extraneous') FROM documents WHERE doc_id % 5 = 0),
@@ -677,9 +671,47 @@ object LlmPipeline {
         |  SELECT doc_id, b.band_id,
         |    md5(concat_ws('|', sig[b.band_id * 2 + 1], sig[b.band_id * 2 + 2])) AS band_key
         |  FROM sigs, (SELECT 0 AS band_id UNION ALL SELECT 1 UNION ALL SELECT 2 UNION ALL SELECT 3) b),
+        |$MinhashBcapSql
+        |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |FROM bcap a JOIN bcap b
+        |  ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+        |ORDER BY doc_a, doc_b""".stripMargin)(dedupMinhash),
+
+    // independent closure implementation: DuckDB computes reachability
+    // by recursive CTE where Spark runs BSP label propagation
+    OpQuery("op_dedup_cc",
+      s"""WITH RECURSIVE unioned AS (
+        |  SELECT doc_id * 2 AS doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id * 2 + 1, concat(text, ' extraneous') FROM documents WHERE doc_id % 5 = 0),
+        |shingled AS (
+        |  SELECT doc_id,
+        |    list_transform(range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
+        |      i -> concat_ws(' ', string_split(text, ' ')[i],
+        |                          string_split(text, ' ')[i+1],
+        |                          string_split(text, ' ')[i+2])) AS sh
+        |  FROM unioned),
+        |hashed AS (
+        |  SELECT doc_id, list_transform(sh, x -> md5(x)) AS hs FROM shingled),
+        |sigs AS (
+        |  SELECT doc_id,
+        |    [list_min(hs),
+        |     list_min(list_transform(hs, h -> substring(h, 5, 28) || substring(h, 1, 4))),
+        |     list_min(list_transform(hs, h -> substring(h, 9, 24) || substring(h, 1, 8))),
+        |     list_min(list_transform(hs, h -> substring(h, 13, 20) || substring(h, 1, 12))),
+        |     list_min(list_transform(hs, h -> substring(h, 17, 16) || substring(h, 1, 16))),
+        |     list_min(list_transform(hs, h -> substring(h, 21, 12) || substring(h, 1, 20))),
+        |     list_min(list_transform(hs, h -> substring(h, 25, 8) || substring(h, 1, 24))),
+        |     list_min(list_transform(hs, h -> substring(h, 29, 4) || substring(h, 1, 28)))] AS sig
+        |  FROM hashed),
+        |bands AS (
+        |  SELECT doc_id, b.band_id,
+        |    md5(concat_ws('|', sig[b.band_id * 2 + 1], sig[b.band_id * 2 + 2])) AS band_key
+        |  FROM sigs, (SELECT 0 AS band_id UNION ALL SELECT 1 UNION ALL SELECT 2 UNION ALL SELECT 3) b),
+        |$MinhashBcapSql,
         |pairs AS (
         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM bands a JOIN bands b
+        |  FROM bcap a JOIN bcap b
         |    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
         |edges AS (
         |  SELECT doc_a AS src, doc_b AS dst FROM pairs

@@ -78,9 +78,11 @@ object TrainingData {
     // 100× — and the next order of magnitude would have silently
     // diverged from an uncapped oracle. Past the boundary both engines
     // truncate each bucket to its MaxBucketDocs lowest-id members
-    // deterministically. (minhash band keys need no such cap clause in
-    // their corpus op: md5 band signatures are content-derived, so key
-    // cardinality grows WITH the corpus — measured max 23 at 100×.)
+    // deterministically. (minhash's content-derived band keys grow
+    // WITH the corpus — measured max 23 at 100× — but since r15 their
+    // oracle carries the same cap clause anyway: corpus-band occupancy
+    // tracks true dup-cluster size, a data property; see
+    // LlmPipeline.MinhashBcapSql.)
     val wk = Window.partitionBy("key").orderBy("doc_id")
     keyed
       .withColumn("rn", row_number().over(wk))

@@ -104,7 +104,8 @@ object Tables {
     // drop run ONE probe job, and a probe FAILURE records nothing —
     // the next call re-probes instead of silently passing bad data
     nanosProbed.compute(d, (_, prev) => {
-      if (prev != fp) {
+      if (prev == fp) fp
+      else {
         import org.apache.spark.sql.functions.col
         raw.select(col("ts")).filter(col("ts").isNotNull).head(ProbeRows).foreach { r =>
           val v = r.getLong(0)
@@ -113,8 +114,17 @@ object Tables {
               "small for an epoch in NANOS (plain int64 micros/millis drop?) — " +
               "refusing to floor-divide; fix the Tables.events adaptation")
         }
+        // ADVICE r14 (TOCTOU): memoize only if the listing is IDENTICAL
+        // before and after the probe job — a re-drop landing mid-probe
+        // means the probe read data the pre-probe fingerprint does not
+        // describe, so record nothing (keep/clear the previous entry)
+        // and let the next call re-probe the settled drop. The steady
+        // state pays one extra listStatus per PROBE (not per call);
+        // the memoized fast path stays a single listing — driver-side
+        // metadata, cheap on local FS, and on an object store still
+        // orders cheaper than the probe job it gates.
+        if (eventsFingerprint(raw, d) == fp) fp else prev
       }
-      fp
     })
     ()
   }

@@ -74,11 +74,17 @@ class HotBucketSpec extends AnyFunSuite {
       .agg(org.apache.spark.sql.functions.max("count")).head().getLong(0)
 
   private def assertUnderCaps(vdir: String, at: String): Unit = {
+    // minhash corpus bands: oracle CAPPED since r15 (the last uncapped
+    // structure — corpus-band occupancy tracks true dup-cluster size,
+    // a data property no synthetic probe bounds for real corpora, so
+    // the cap is declared semantics via MinhashBcapSql); the assert
+    // pins that truncation has not yet begun at this SF
     val mh = maxOccupancy(
       LlmPipeline.minhashBanded(LlmPipeline.minhashCorpus(spark, vdir)),
       "band_id", "band_key")
     assert(mh <= LlmPipeline.MaxBucketDocs,
-      s"minhash bucket of $mh docs exceeds the cap at $at")
+      s"minhash bucket of $mh docs reaches the cap at $at — " +
+        "the capped op starts truncating (still oracle-equal; see minhashPairsFor)")
     // B56's stored side: the quarter-corpus history band index — THE
     // bucket set the MaxBucketDocs rank cap truncates on the probe path
     val hist = maxOccupancy(
@@ -106,12 +112,12 @@ class HotBucketSpec extends AnyFunSuite {
   }
 
   test("verification SF: every real bucket is under its cap — the caps drop NOTHING there") {
-    // op_dedup_minhash's oracle SQL is uncapped; the capped op equals
-    // it at the verification SF exactly because no real bucket reaches
-    // the cap. This pins that premise so cap-induced silent divergence
-    // cannot slip past a green CORRECTNESS run. (B25's, B27's and
-    // B56's oracles carry the cap — there the assert pins zero
-    // truncation.)
+    // All four capped structures carry the cap in their oracle SQL
+    // (declared semantics since r15 — minhash corpus bands were the
+    // last to convert), so a breach can no longer desync the engines;
+    // these asserts pin that the caps TRUNCATE NOTHING at the gate SF,
+    // i.e. the graded results are also what an uncapped definition
+    // would produce there.
     assertUnderCaps("/root/testdata/sf0.01", "verification SF")
   }
 

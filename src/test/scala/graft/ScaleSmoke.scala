@@ -44,13 +44,44 @@ object ScaleSmoke {
     * no embeddings.parquet. */
   private[graft] def corpusHasEmbeddings(Copies: Int): Boolean = Copies <= 21
 
+  /** Listing fingerprint (name:len:mtime per file) of one base table's
+    * parquet dir — the corpus-staleness key below. Local-FS java.io is
+    * fine here: the base drop and /tmp corpora are always local. */
+  private def listingFp(path: String): String = {
+    val d = new java.io.File(path)
+    if (!d.exists()) "absent"
+    else d.listFiles().filter(_.isFile)
+      .map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+      .sorted.mkString(",")
+  }
+
+  /** Identity of the base drop the synthesized corpus derives from. */
+  private def baseFp(): String =
+    Seq("documents.parquet", "lineitem.parquet", "embeddings.parquet")
+      .map(t => s"$t=${listingFp(s"$Base/$t")}").mkString(";")
+
   /** Build (or reuse) the `Copies`× synthesized corpus at
     * `/tmp/scale<Copies>` — shared with BucketOccupancy so the cap
-    * certification measures the SAME corpus the smoke certifies. */
+    * certification measures the SAME corpus the smoke certifies.
+    *
+    * Reuse is keyed on the BASE DROP'S listing fingerprint, stamped in
+    * a marker file inside the corpus dir (ADVICE r14): after the
+    * driver regenerates /root/testdata, an existing /tmp corpus built
+    * from the previous drop must be rebuilt, or the occupancy
+    * certification and the smoke silently measure stale data. The
+    * marker is written only if the base listing is unchanged AFTER the
+    * build (same no-TOCTOU rule as Tables' probe memo): a re-drop
+    * landing mid-build leaves no marker, so the next run rebuilds. */
   private[graft] def ensureCorpus(spark: org.apache.spark.sql.SparkSession, Copies: Int): String = {
     val Dir10 = s"/tmp/scale$Copies"
     val withEmb = corpusHasEmbeddings(Copies)
-    if (!new java.io.File(s"$Dir10/documents.parquet").exists()) {
+    val marker = new java.io.File(s"$Dir10/.base_fingerprint")
+    val fp = baseFp()
+    val fresh = new java.io.File(s"$Dir10/documents.parquet").exists() &&
+      marker.exists() &&
+      new String(java.nio.file.Files.readAllBytes(marker.toPath),
+        java.nio.charset.StandardCharsets.UTF_8) == fp
+    if (!fresh) {
       val docs = graft.sources.Tables.documents(spark, Base)
       val n = docs.count()
       (0 until Copies).map { k =>
@@ -87,6 +118,14 @@ object ScaleSmoke {
         }.reduce(_ unionByName _)
           .repartition(32)
           .write.mode("overwrite").parquet(s"$Dir10/embeddings.parquet")
+      }
+      if (baseFp() == fp)
+        java.nio.file.Files.write(marker.toPath,
+          fp.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      else {
+        marker.delete()
+        println(s"[scale] base drop changed mid-build — no marker written; " +
+          "re-run to rebuild from the settled drop")
       }
       println(s"[scale] built $Dir10: docs=${n * Copies}")
     }

@@ -15,29 +15,32 @@ import graft.operators.{LlmPipeline, TrainingData}
   * (ScaleSmoke.ensureCorpus — structure-linear growth: within-copy dup
   * relations preserved, cross-copy shingle/sign sets disjoint).
   *
-  * Two probe classes, different stakes:
-  *   - UNCAPPED-oracle premises (minhash corpus bands — B17): a breach
-  *     means the capped Spark op silently diverges from its uncapped
-  *     oracle → hard failure here. md5 band keys are content-derived
-  *     (cardinality grows with the corpus), so occupancy growth is
-  *     collision-driven and slow — measured 4 → 11 → 17 → 23 across
-  *     sf0.01 / sf0.1 / 10× / 100×, cap 64.
-  *   - CAPPED-oracle declared semantics (B56 history index, simhash
-  *     keys — B25, embedding sign buckets — B27, each with the cap
-  *     interpolated into its oracle SQL): a breach cannot desync the
-  *     engines; it marks where the cap starts truncating real members
-  *     (recall boundary). The r14 runs measured exactly this for both
-  *     FIXED-cardinality keys: embedding's 2^8 sign space breached at
-  *     10× sf0.1 (max 911 > 512) and simhash's 6 × 2^16 combo space was
-  *     9 from its cap at 100× (max 55 of 64, 185 buckets in the top
-  *     half) — so both oracles now carry their caps (see the op
-  *     scaladocs), and a fixed key is documented as the wrong index
-  *     once corpus ≫ key space.
+  * Since r15 every capped structure carries its cap in its oracle SQL
+  * (declared semantics, B56 pattern — minhash corpus bands were the
+  * last to convert; PLANS.md r15 records the policy), so a cap breach
+  * can no longer desync the engines anywhere: it marks where the cap
+  * starts truncating real members (a recall boundary, reported
+  * informationally). History of the two probe classes:
+  *   - FIXED-cardinality keys go linear once saturated: embedding's
+  *     2^8 sign space breached at 10× sf0.1 (max 911 > 512) and
+  *     simhash's 6 × 2^16 combo space was 9 from its cap at 100× (max
+  *     55 of 64, 185 buckets in the top half) — both caught by this
+  *     probe in r14, both oracles capped that round; a fixed key is
+  *     documented as the wrong index once corpus ≫ key space.
+  *   - Content-derived keys (minhash corpus bands, B56 history index)
+  *     grow with the corpus, so occupancy is collision/cluster-driven
+  *     and slow — measured 4 → 11 → 17 → 23 across sf0.01 / sf0.1 /
+  *     10× / 100×, cap 64. But corpus-band occupancy tracks true
+  *     dup-CLUSTER size, a data property a synthetic probe cannot
+  *     bound for real boilerplate-heavy corpora, which is why r15
+  *     moved the corpus bands to a capped oracle rather than keeping
+  *     the hard gate.
   *
   * Prints max occupancy, its margin to the cap, and how many buckets
   * sit in the top half of the cap range; exits nonzero only if an
-  * uncapped-oracle premise breaches. Results table lives in PLANS.md
-  * (r14).
+  * uncapped-oracle premise breaches (none remain as of r15 — the
+  * mechanism stays wired for any future uncapped structure). Results
+  * tables live in PLANS.md (r14, r15).
   *
   * Run: `sbt "Test/runMain graft.tools.BucketOccupancy [copies]"` */
 object BucketOccupancy {
@@ -70,7 +73,7 @@ object BucketOccupancy {
       val probes = Seq(
         ("minhash corpus bands", LlmPipeline.minhashBanded(
           LlmPipeline.minhashCorpus(spark, dir)),
-          LlmPipeline.MaxBucketDocs, false, Seq("band_id", "band_key")),
+          LlmPipeline.MaxBucketDocs, true, Seq("band_id", "band_key")),
         ("B56 history index   ", LlmPipeline.minhashBanded(history),
           LlmPipeline.MaxBucketDocs, true, Seq("band_id", "band_key")),
         ("simhash keys        ", TrainingData.simhashKeyed(spark, dir),
