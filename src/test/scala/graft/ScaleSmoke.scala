@@ -49,10 +49,12 @@ object ScaleSmoke {
     * fine here: the base drop and /tmp corpora are always local. */
   private def listingFp(path: String): String = {
     val d = new java.io.File(path)
+    def one(f: java.io.File) = s"${f.getName}:${f.length}:${f.lastModified}"
     if (!d.exists()) "absent"
-    else d.listFiles().filter(_.isFile)
-      .map(f => s"${f.getName}:${f.length}:${f.lastModified}")
-      .sorted.mkString(",")
+    // the base drop ships single parquet FILES; /tmp corpora are
+    // Spark-written DIRECTORIES of part files — fingerprint both shapes
+    else if (d.isFile) one(d)
+    else d.listFiles().filter(_.isFile).map(one).sorted.mkString(",")
   }
 
   /** Identity of the base drop the synthesized corpus derives from. */
