@@ -189,9 +189,14 @@ object TrainingData {
     // bucket to its MaxBucketVecs lowest-id members, deterministically
     // on BOTH engines, instead of silently diverging from an uncapped
     // oracle. At 100 TB a fixed key is the wrong index regardless of
-    // cap: widen the key (more planes, cardinality ~ corpus/expected
-    // occupancy) or use the IVF path (op_similarity_ivf), whose cell
-    // count is a tunable.
+    // cap; the decided production path (PLANS.md r15 design note) is
+    // BANDED sign-LSH — L ≈ 8 tables × P ≈ log2(5N/T) planes, the
+    // minhash band architecture with sign bits — which restores both
+    // occupancy (max ≈ 5N/2^P, measured across three decades) and
+    // recall (1−(1−p^P)^L ≈ 0.98 at the 0.995-cosine threshold);
+    // op_similarity_ivf remains the top-k SEARCH path, not a near-dup
+    // bucketing structure (its cell count is broadcast-bounded at
+    // ~√N, five orders too coarse for pair expansion).
     val wb = Window.partitionBy("bk").orderBy("vec_id")
     corpus
       .withColumn("rn", row_number().over(wb))
