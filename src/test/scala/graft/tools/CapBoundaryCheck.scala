@@ -1,0 +1,56 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+
+/** Cross-engine certification of the hot-bucket caps IN THE TRUNCATING
+  * REGIME (r15): every capped structure's oracle carries its cap (B56
+  * pattern), but the correctness gate only ever runs where the caps
+  * truncate nothing (HotBucketSpec pins that), so the capped-Spark ≡
+  * capped-oracle equivalence PAST the boundary had never been executed
+  * on both engines. This tool builds the degenerate corpus
+  * (HotBucketSpec's construction: N identical docs / identical
+  * vectors, so every band bucket, simhash key, and sign bucket holds
+  * the whole cluster — far past every cap) and dumps the five
+  * cap-affected ops' Spark results; tools/cap_boundary_check.py then
+  * runs the same oracle SQL in DuckDB over the same corpus and
+  * compares string-exact. A mismatch means the declared-cap semantics
+  * desync where they actually bite.
+  *
+  * Run: `sbt "Test/runMain graft.tools.CapBoundaryCheck"`, then
+  * `python3 tools/cap_boundary_check.py`. Result recorded in PLANS.md
+  * (r15). */
+object CapBoundaryCheck {
+  val Dir = "/tmp/capcheck"
+  val Out = "/tmp/capcheck_out"
+  val Names = Seq("op_dedup_minhash", "op_dedup_cc", "op_dedup_simhash",
+    "op_dedup_embedding", "op_dedup_minhash_incremental")
+
+  def main(args: Array[String]): Unit = {
+    val spark = graft.SparkTestSession.spark
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    val nDocs = 500
+    // identical text: every doc shares every shingle, band key, and
+    // simhash key; the ops' own planted variants add a second cluster
+    (0 until nDocs)
+      .map(i => (i.toLong, "the same exact words repeated in every single document here"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("x"))
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$Dir/documents.parquet")
+    // identical vectors: one sign bucket holds the whole corpus
+    (0 until nDocs)
+      .map(i => (i.toLong, Array.tabulate(64)(k => (k + 1) / 64.0f)))
+      .toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$Dir/embeddings.parquet")
+
+    new java.io.File(Out).mkdirs()
+    Names.foreach { n =>
+      graft.SparkEntry.queries(n)(spark, Dir)
+        .coalesce(1).write.mode("overwrite").parquet(s"$Out/$n")
+      println(s"[capcheck] dumped $n")
+    }
+    println(s"[capcheck] corpus=$Dir results=$Out — now run " +
+      "python3 tools/cap_boundary_check.py")
+  }
+}
