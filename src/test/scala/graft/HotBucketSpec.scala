@@ -16,23 +16,11 @@ import graft.operators.{LlmPipeline, TrainingData}
 class HotBucketSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
 
-  private val nDocs = 500
   private lazy val dir: String = {
     val d = java.nio.file.Files.createTempDirectory("hotbucket").toString
-    import spark.implicits._
-    // identical text => identical shingles => every doc lands in the
-    // same bucket of every band, for MinHash and SimHash alike
-    (0 until nDocs)
-      .map(i => (i.toLong, "the same exact words repeated in every single document here"))
-      .toDF("doc_id", "text")
-      .withColumn("lang", lit("en")).withColumn("source", lit("x"))
-      .withColumn("n_chars", length(col("text")))
-      .write.mode("overwrite").parquet(s"$d/documents.parquet")
-    // identical embeddings => one sign bucket holds the whole corpus
-    (0 until nDocs)
-      .map(i => (i.toLong, Array.tabulate(64)(k => (k + 1) / 64.0f)))
-      .toDF("vec_id", "embedding")
-      .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    // shared construction (DegenerateCorpus): identical text/vectors,
+    // so every bucket of every structure holds the whole cluster
+    DegenerateCorpus.write(spark, d)
     d
   }
 

@@ -14,7 +14,10 @@ class ScaleCorpusMarkerSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
 
   test("corpus reuse is fingerprint-keyed: stamp on build, reuse on match, rebuild on mismatch") {
-    val dir = ScaleSmoke.ensureCorpus(spark, 2)
+    // Copies = 1: the marker contract is copy-count-independent and the
+    // forced rebuild below runs on every suite invocation — keep the
+    // fixed cost at one base-sized corpus, not two
+    val dir = ScaleSmoke.ensureCorpus(spark, 1)
     val marker = java.nio.file.Paths.get(s"$dir/.base_fingerprint")
     assert(java.nio.file.Files.exists(marker), "build must stamp the base fingerprint")
     val fp = java.nio.file.Files.readString(marker)
@@ -25,13 +28,13 @@ class ScaleCorpusMarkerSpec extends AnyFunSuite {
     val docsDir = new java.io.File(s"$dir/documents.parquet")
     def snapshot() = docsDir.listFiles().map(f => f.getName -> f.lastModified).toMap
     val before = snapshot()
-    ScaleSmoke.ensureCorpus(spark, 2)
+    ScaleSmoke.ensureCorpus(spark, 1)
     assert(snapshot() == before, "unchanged base drop must NOT trigger a rebuild")
 
     // simulated previous-drop marker → rebuild, re-stamped with the
     // CURRENT base fingerprint (part-file UUIDs prove a real rewrite)
     java.nio.file.Files.writeString(marker, "stale-previous-drop")
-    ScaleSmoke.ensureCorpus(spark, 2)
+    ScaleSmoke.ensureCorpus(spark, 1)
     assert(java.nio.file.Files.readString(marker) == fp,
       "a fingerprint mismatch must rebuild and re-stamp the current base")
     assert(snapshot() != before, "mismatched marker must trigger an actual rebuild")

@@ -57,9 +57,13 @@ object ScaleSmoke {
     else d.listFiles().filter(_.isFile).map(one).sorted.mkString(",")
   }
 
-  /** Identity of the base drop the synthesized corpus derives from. */
-  private def baseFp(): String =
-    Seq("documents.parquet", "lineitem.parquet", "embeddings.parquet")
+  /** Identity of the base drop the synthesized corpus derives from —
+    * only the tables this corpus actually reads: above 21 copies the
+    * corpus carries no embeddings, and an embeddings-only base re-drop
+    * must not force a rebuild of the expensive text-only corpora. */
+  private def baseFp(withEmb: Boolean): String =
+    (Seq("documents.parquet", "lineitem.parquet") ++
+      (if (withEmb) Seq("embeddings.parquet") else Nil))
       .map(t => s"$t=${listingFp(s"$Base/$t")}").mkString(";")
 
   /** Build (or reuse) the `Copies`× synthesized corpus at
@@ -78,12 +82,16 @@ object ScaleSmoke {
     val Dir10 = s"/tmp/scale$Copies"
     val withEmb = corpusHasEmbeddings(Copies)
     val marker = new java.io.File(s"$Dir10/.base_fingerprint")
-    val fp = baseFp()
+    val fp = baseFp(withEmb)
     val fresh = new java.io.File(s"$Dir10/documents.parquet").exists() &&
       marker.exists() &&
       new String(java.nio.file.Files.readAllBytes(marker.toPath),
         java.nio.charset.StandardCharsets.UTF_8) == fp
     if (!fresh) {
+      // invalidate FIRST: a crash mid-rebuild must leave no marker, or
+      // a later base restore to the marker's drop would reuse a
+      // mixed-generation corpus as certified evidence
+      marker.delete()
       val docs = graft.sources.Tables.documents(spark, Base)
       val n = docs.count()
       (0 until Copies).map { k =>
@@ -121,7 +129,7 @@ object ScaleSmoke {
           .repartition(32)
           .write.mode("overwrite").parquet(s"$Dir10/embeddings.parquet")
       }
-      if (baseFp() == fp)
+      if (baseFp(withEmb) == fp)
         java.nio.file.Files.write(marker.toPath,
           fp.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       else {

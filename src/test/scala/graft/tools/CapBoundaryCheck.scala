@@ -1,7 +1,5 @@
 package graft.tools
 
-import org.apache.spark.sql.functions._
-
 /** Cross-engine certification of the hot-bucket caps IN THE TRUNCATING
   * REGIME (r15): every capped structure's oracle carries its cap (B56
   * pattern), but the correctness gate only ever runs where the caps
@@ -28,21 +26,11 @@ object CapBoundaryCheck {
   def main(args: Array[String]): Unit = {
     val spark = graft.SparkTestSession.spark
     spark.sparkContext.setLogLevel("WARN")
-    import spark.implicits._
-    val nDocs = 500
-    // identical text: every doc shares every shingle, band key, and
-    // simhash key; the ops' own planted variants add a second cluster
-    (0 until nDocs)
-      .map(i => (i.toLong, "the same exact words repeated in every single document here"))
-      .toDF("doc_id", "text")
-      .withColumn("lang", lit("en")).withColumn("source", lit("x"))
-      .withColumn("n_chars", length(col("text")))
-      .write.mode("overwrite").parquet(s"$Dir/documents.parquet")
-    // identical vectors: one sign bucket holds the whole corpus
-    (0 until nDocs)
-      .map(i => (i.toLong, Array.tabulate(64)(k => (k + 1) / 64.0f)))
-      .toDF("vec_id", "embedding")
-      .write.mode("overwrite").parquet(s"$Dir/embeddings.parquet")
+    // shared construction with HotBucketSpec (DegenerateCorpus): the
+    // tool must certify the SAME regime the spec pins, so the corpus
+    // has one owner — identical text/vectors, plus the ops' own
+    // planted variants forming a second cluster
+    graft.DegenerateCorpus.write(spark, Dir)
 
     new java.io.File(Out).mkdirs()
     Names.foreach { n =>

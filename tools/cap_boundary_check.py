@@ -4,18 +4,28 @@
 DuckDB side of the truncating-regime cap certification (r15): after
 `sbt "Test/runMain graft.tools.CapBoundaryCheck"` has written the
 degenerate corpus to /tmp/capcheck and the Spark results to
-/tmp/capcheck_out, this runs each cap-affected op's oracle SQL (taken
-from a regular Verify dump's oracle_sql.json) over the SAME degenerate
-corpus and compares string-exact, oracle_check.py-style. Unlike the
-sf0.01 gate — where HotBucketSpec proves every cap truncates nothing —
-every bucket here is far past its cap, so this exercises the declared
+/tmp/capcheck_out, this runs each dumped op's oracle SQL (taken from a
+regular Verify dump's oracle_sql.json) over the SAME degenerate corpus
+and compares string-exact, oracle_check.py-style. Unlike the sf0.01
+gate — where HotBucketSpec proves every cap truncates nothing — every
+bucket here is far past its cap, so this exercises the declared
 rank-cap semantics on BOTH engines where they actually bite.
+
+The op list is derived from the Spark dump's result directories (the
+Scala tool is the single owner of which ops are cap-affected — a name
+maintained in two languages would certify silently partially on
+drift), and both caps are parsed from the Scala constants so the
+truncating-regime sanity asserts can never go stale against a cap
+change.
 
 Usage: python3 tools/cap_boundary_check.py [verifyOutDir]
        (verifyOutDir defaults to /tmp/vout; only oracle_sql.json is
         read from it)
 """
+import glob
 import json
+import os
+import re
 import sys
 
 import duckdb
@@ -23,8 +33,12 @@ import pandas as pd
 
 CORPUS = "/tmp/capcheck"
 OUT = "/tmp/capcheck_out"
-NAMES = ["op_dedup_minhash", "op_dedup_cc", "op_dedup_simhash",
-         "op_dedup_embedding", "op_dedup_minhash_incremental"]
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def scala_const(path: str, name: str) -> int:
+    src = open(os.path.join(REPO, path)).read()
+    return int(re.search(rf"val {name} = (\d+)", src).group(1))
 
 
 def norm(df: pd.DataFrame) -> pd.DataFrame:
@@ -35,40 +49,68 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
 def main(verify_out: str) -> int:
     with open(f"{verify_out}/oracle_sql.json") as f:
         oracles = json.load(f)
+    names = sorted(os.path.basename(p) for p in glob.glob(f"{OUT}/*")
+                   if os.path.isdir(p))
+    assert names, f"no Spark dumps under {OUT} — run CapBoundaryCheck first"
     con = duckdb.connect()
     for t in ("documents", "embeddings"):
         # Spark writes each table as a DIRECTORY of part files
         con.execute(
             f"CREATE VIEW {t} AS SELECT * "
             f"FROM '{CORPUS}/{t}.parquet/*.parquet'")
-    # sanity: the regime is actually truncating (uncapped bucket of the
-    # whole base cluster vs the 64-doc band cap)
-    n = con.execute("SELECT count(*) FROM documents").fetchone()[0]
-    assert n > 64, f"degenerate corpus too small to exceed the cap: {n}"
+
+    # sanity: the regime actually truncates for BOTH cap families.
+    # Docs: identical text ⇒ the base cluster alone fills one band
+    # bucket per band. Vectors: identical ⇒ one sign bucket holds the
+    # post-union corpus (base + the op's +0.01 variants, which cannot
+    # flip a sign on the all-positive generator).
+    max_docs = scala_const(
+        "src/main/scala/graft/operators/LlmPipeline.scala", "MaxBucketDocs")
+    max_vecs = scala_const(
+        "src/main/scala/graft/operators/TrainingData.scala", "MaxBucketVecs")
+    nd = con.execute("SELECT count(*) FROM documents").fetchone()[0]
+    nv = con.execute("SELECT count(*) FROM embeddings").fetchone()[0]
+    nv_union = nv + (nv + 4) // 5  # op's corpus: base + vec_id%5==0 variants
+    assert nd > max_docs, \
+        f"doc cluster {nd} does not exceed MaxBucketDocs={max_docs}"
+    assert nv_union > max_vecs, \
+        f"embedding bucket {nv_union} does not exceed MaxBucketVecs={max_vecs}"
+
     n_fail = 0
-    for name in NAMES:
+    for name in names:
         got = norm(pd.read_parquet(f"{OUT}/{name}"))
         want = norm(con.execute(oracles[name]).fetchdf())
         problems = []
         if len(got) != len(want):
             problems.append(f"rows {len(got)} vs {len(want)}")
-        elif list(got.columns) != list(want.columns):
+        if list(got.columns) != list(want.columns):
             problems.append(f"cols {list(got.columns)} vs {list(want.columns)}")
-        elif list(got.dtypes.astype(str)) != list(want.dtypes.astype(str)):
-            problems.append("dtypes " + str(list(
-                zip(got.columns, got.dtypes.astype(str),
-                    want.dtypes.astype(str)))))
-        else:
+        if not problems:
+            if list(got.dtypes.astype(str)) != list(want.dtypes.astype(str)):
+                problems.append("dtypes " + str(list(
+                    zip(got.columns, got.dtypes.astype(str),
+                        want.dtypes.astype(str)))))
             gs, ws = got.astype(str), want.astype(str)
             if not gs.equals(ws):
                 bad = (gs != ws).any(axis=1)
-                problems.append(f"values differ in {int(bad.sum())} rows")
+                idx = list(got.index[bad])[:3]
+                problems.append(
+                    f"values differ in {int(bad.sum())} rows, first at {idx}:\n"
+                    f"  got:  {got.loc[idx].to_dict('records')}\n"
+                    f"  want: {want.loc[idx].to_dict('records')}")
         if problems:
             n_fail += 1
             print(f"FAIL  {name}: " + "; ".join(problems))
         else:
             print(f"ok    {name} (rows={len(got)}, caps ACTIVE)")
-    print(f"\n{len(NAMES) - n_fail}/{len(NAMES)} capped ops match past the boundary")
+    # the single-sign-bucket construction makes the embedding bound
+    # exact: a truncated bucket of max_vecs members emits C(max_vecs, 2)
+    if "op_dedup_embedding" in names:
+        n = len(pd.read_parquet(f"{OUT}/op_dedup_embedding"))
+        expect = max_vecs * (max_vecs - 1) // 2
+        assert n == expect, \
+            f"embedding pair count {n} != C({max_vecs},2)={expect} — cap not exactly binding"
+    print(f"\n{len(names) - n_fail}/{len(names)} capped ops match past the boundary")
     return 1 if n_fail else 0
 
 
