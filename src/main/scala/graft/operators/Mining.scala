@@ -223,21 +223,34 @@ object Mining {
     }
     }
 
+  /** Same three unrolled power iterations as before, but each one is a
+    * plain hash aggregation over an edges⋈contributions join: the
+    * total-node-count scalar comes from a scalar subquery and the
+    * per-node contribution (pr/deg) is its own CTE, instead of the
+    * previous 1-row `, nn` cross join + `any_value(nn.n)` INSIDE the
+    * aggregation — that shape degraded DuckDB's plan ~1000× (one
+    * iteration 186 s → 0.2 s at sf0.1, measured r15) and made the
+    * oracle infeasible a decade above the gate SF. Values are
+    * identical: the same per-edge multiset is summed, with the same
+    * per-iteration round(…, 9). */
   private val pagerankOracle: String =
     """WITH e0 AS (SELECT DISTINCT l_suppkey * 2 AS a, l_partkey * 2 + 1 AS b FROM lineitem),
       |e AS (SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0),
       |deg AS (SELECT a AS id, count(*) AS deg FROM e GROUP BY a),
       |nn AS (SELECT count(*) AS n FROM deg),
-      |p0 AS (SELECT id, CAST(1.0 AS DOUBLE) / nn.n AS pr FROM deg, nn),
-      |p1 AS (SELECT s.id, round(CAST(0.15 AS DOUBLE) / s.n + CAST(0.85 AS DOUBLE) * s.w, 9) AS pr FROM (
-      |  SELECT e.b AS id, any_value(nn.n) AS n, sum(p0.pr / deg.deg) AS w
-      |  FROM e JOIN p0 ON e.a = p0.id JOIN deg ON e.a = deg.id, nn GROUP BY e.b) s),
-      |p2 AS (SELECT s.id, round(CAST(0.15 AS DOUBLE) / s.n + CAST(0.85 AS DOUBLE) * s.w, 9) AS pr FROM (
-      |  SELECT e.b AS id, any_value(nn.n) AS n, sum(p1.pr / deg.deg) AS w
-      |  FROM e JOIN p1 ON e.a = p1.id JOIN deg ON e.a = deg.id, nn GROUP BY e.b) s),
-      |p3 AS (SELECT s.id, round(CAST(0.15 AS DOUBLE) / s.n + CAST(0.85 AS DOUBLE) * s.w, 9) AS pr FROM (
-      |  SELECT e.b AS id, any_value(nn.n) AS n, sum(p2.pr / deg.deg) AS w
-      |  FROM e JOIN p2 ON e.a = p2.id JOIN deg ON e.a = deg.id, nn GROUP BY e.b) s)
+      |p0 AS (SELECT id, CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS pr FROM deg),
+      |c0 AS (SELECT p0.id, p0.pr / deg.deg AS contrib FROM p0 JOIN deg ON p0.id = deg.id),
+      |p1 AS (SELECT e.b AS id, round(CAST(0.15 AS DOUBLE) / (SELECT n FROM nn)
+      |         + CAST(0.85 AS DOUBLE) * sum(c0.contrib), 9) AS pr
+      |       FROM e JOIN c0 ON e.a = c0.id GROUP BY e.b),
+      |c1 AS (SELECT p1.id, p1.pr / deg.deg AS contrib FROM p1 JOIN deg ON p1.id = deg.id),
+      |p2 AS (SELECT e.b AS id, round(CAST(0.15 AS DOUBLE) / (SELECT n FROM nn)
+      |         + CAST(0.85 AS DOUBLE) * sum(c1.contrib), 9) AS pr
+      |       FROM e JOIN c1 ON e.a = c1.id GROUP BY e.b),
+      |c2 AS (SELECT p2.id, p2.pr / deg.deg AS contrib FROM p2 JOIN deg ON p2.id = deg.id),
+      |p3 AS (SELECT e.b AS id, round(CAST(0.15 AS DOUBLE) / (SELECT n FROM nn)
+      |         + CAST(0.85 AS DOUBLE) * sum(c2.contrib), 9) AS pr
+      |       FROM e JOIN c2 ON e.a = c2.id GROUP BY e.b)
       |SELECT id AS node_id, round(pr, 6) AS pr6 FROM p3 ORDER BY node_id""".stripMargin
 
   // ---- bm25: retrieval ranking over the document corpus -------------------
