@@ -292,9 +292,21 @@ object TrainingData {
     *
     * Scale shape: at 100 TB the index is STORED partitioned by cell,
     * so the probe is a cell-keyed shuffle join where only the batch
-    * moves (the B52/B56 contract); candidate volume ≈ batch × cell
-    * occupancy (~1/K corpus), never batch × corpus; per-batch-vector
-    * top-3 window shares the join's partitioning. */
+    * moves (the B52/B56 contract) and the per-batch-vector top-3
+    * window shares the join's partitioning. Candidate volume is
+    * batch × cell occupancy = batch × history/K — and K here is the
+    * FIXED 8-literal stand-in codebook (determinism for the gate), so
+    * occupancy is LINEAR in the corpus and candidates are QUADRATIC:
+    * measured cand/batch 15.7 → 62.8 → 628 → 1255 across sf0.01 /
+    * sf0.1 / 10× / 20× (PLANS.md r15 — the smoke's 22.9× wall at 20
+    * copies is this term, visible and expected, not a regression).
+    * Same structural class as the fixed sign-bucket key (B27): a
+    * fixed coarse quantizer is a verification-scale stand-in only. In
+    * production K scales with the corpus — a TRAINED codebook
+    * (kmeansTrain) sized K ≈ history/target-occupancy keeps the probe
+    * sub-quadratic, exactly the op_similarity_ivf "cell count is a
+    * tunable" contract; the probe shape here (batch-only movement,
+    * shared partitioning) is unchanged by K. */
   def annIncremental(sp: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(sp, dir)
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("e"))

@@ -171,8 +171,14 @@ object ScaleSmoke {
       // corpus, so wall growth tracks the join's linear work
       Seq("op_dedup_incremental" -> (LlmPipeline.dedupIncremental _)) ++
       // r8 incremental family: index-probe shapes — history index and
-      // batch both scale linearly; candidates stay linear in true
-      // matches (band/cell collisions), never batch x history
+      // batch both scale linearly; BAND candidates stay linear in true
+      // matches (content-derived keys), never batch x history.
+      // EXCEPTION (r15, measured): op_ann_incremental's fixed 8-cell
+      // stand-in codebook makes cell occupancy linear in the corpus,
+      // so its candidates ARE batch x history/8 — quadratic; its wall
+      // ratio tracks the candidate ratio (~copies^2/…), NOT copies,
+      // and crossing the copies line (22.9x at 20 copies) is the
+      // documented term, not a regression (annIncremental scaladoc)
       Seq("op_index_update" -> (LlmPipeline.indexUpdate _),
         "op_dedup_minhash_incr" -> (LlmPipeline.dedupMinhashIncremental _)) ++
       (if (withEmb) Seq("op_ann_incremental" -> (TrainingData.annIncremental _)) else Nil) ++
