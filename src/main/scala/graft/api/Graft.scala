@@ -99,7 +99,12 @@ object Graft {
       df.select(
         validatedId(col(idCol), df.schema(idCol).dataType, "annProbe").as("vec_id"),
         transform(col(embCol), x => x.cast("double")).as("e"))
-    val cents = centroids.select(col("c_id").cast("long").as("c_id"),
+    // c_id gets the same lossless guard as the vector ids: a null or
+    // fractional c_id would otherwise assign vectors to a null/merged
+    // cell and silently drop them from the equi-join
+    val cents = centroids.select(
+      validatedId(col("c_id"), centroids.schema("c_id").dataType, "annProbe")
+        .as("c_id"),
       transform(col("centroid"), x => x.cast("double")).as("ce"))
     graft.operators.TrainingData.annProbeWith(prep(history), prep(batch), cents, topK)
   }

@@ -310,6 +310,18 @@ object TrainingData {
   def annIncremental(sp: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(sp, dir)
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("e"))
+    val (history, batch, cents) = annSplit(emb)
+    annProbeWith(history, batch, cents, topK = 3)
+  }
+
+  /** The graded op's history/batch/codebook split over a prepped
+    * `(vec_id, e)` embeddings frame — SINGLE owner shared with
+    * tools.AnnScaleProbe so the scale evidence can never drift onto a
+    * different workload than the op it describes. History = orig
+    * vec_id % 4 == 0 (re-keyed 2·id); batch = the rest plus planted
+    * re-posts (% 8, 2·id+1); codebook = the fixed 100–107 stand-in
+    * centroids. */
+  private[graft] def annSplit(emb: DataFrame): (DataFrame, DataFrame, DataFrame) = {
     val cents = emb.filter(col("vec_id").between(100, 107))
       .select(col("vec_id").as("c_id"), col("e").as("ce"))
     val history = emb.filter(col("vec_id") % 4 === 0)
@@ -318,7 +330,7 @@ object TrainingData {
       .select((col("vec_id") * 2).as("vec_id"), col("e"))
       .union(emb.filter(col("vec_id") % 8 === 0)
         .select((col("vec_id") * 2 + 1).as("vec_id"), col("e")))
-    annProbeWith(history, batch, cents, topK = 3)
+    (history, batch, cents)
   }
 
   /** Generic cell-probe core behind [[annIncremental]] and

@@ -32,6 +32,16 @@ object CapBoundaryCheck {
     // planted variants forming a second cluster
     graft.DegenerateCorpus.write(spark, Dir)
 
+    // clear prior dumps: the python side derives its op list from the
+    // directories here, so a stale dump from an older op set would be
+    // silently (mis)certified or crash the oracle lookup
+    val outPath = java.nio.file.Paths.get(Out)
+    if (java.nio.file.Files.exists(outPath)) {
+      val walk = java.nio.file.Files.walk(outPath)
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => java.nio.file.Files.delete(p))
+      finally walk.close()
+    }
     new java.io.File(Out).mkdirs()
     Names.foreach { n =>
       graft.SparkEntry.queries(n)(spark, Dir)

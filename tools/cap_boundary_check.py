@@ -76,6 +76,10 @@ def main(verify_out: str) -> int:
     assert nv_union > max_vecs, \
         f"embedding bucket {nv_union} does not exceed MaxBucketVecs={max_vecs}"
 
+    missing = [n for n in names if n not in oracles]
+    assert not missing, (
+        f"dumped ops with no oracle entry (stale {OUT}? rerun "
+        f"CapBoundaryCheck, which clears it): {missing}")
     n_fail = 0
     for name in names:
         got = norm(pd.read_parquet(f"{OUT}/{name}"))

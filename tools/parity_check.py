@@ -24,8 +24,12 @@ def main(corr_path: str | None) -> int:
     ops = set()
     for p in glob.glob(f"{REPO}/src/main/scala/**/*.scala", recursive=True):
         ops.update(re.findall(r'OpQuery\("(op_[a-z0-9_]+)"', open(p).read()))
-    survey = set(re.findall(r"`(op_[a-z0-9_]+)`",
-                            open(f"{REPO}/SURVEY.md").read()))
+    survey_txt = open(f"{REPO}/SURVEY.md").read()
+    # only the section-2 registry counts: op_ mentions in prose or
+    # history sections elsewhere must not distort the verdict
+    m = re.search(r"^## 2\..*?(?=^## \d)", survey_txt, re.M | re.S)
+    assert m, "SURVEY.md section 2 heading not found"
+    survey = set(re.findall(r"`(op_[a-z0-9_]+)`", m.group(0)))
     if corr_path is None:
         cands = sorted(glob.glob(f"{REPO}/CORRECTNESS_r*.json"),
                        key=lambda p: int(re.search(r"_r(\d+)", p).group(1)))

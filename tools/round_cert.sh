@@ -5,7 +5,7 @@
 # script stops at the first failure. Budget note: stages 1-4 fit one
 # 10-minute window; the bench (5) and the scale smokes are separate
 # runs by design — invoke them individually.
-set -e
+set -euo pipefail
 cd "$(dirname "$0")/.."
 
 echo "== 1/5 compile + full test suite"
