@@ -19,6 +19,16 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
+    writeOracleJson(outDir, SparkEntry.oracleSql)
+    spark.stop()
+  }
+
+  /** Dump oracle SQL as JSON for the DuckDB side. Shared with
+    * tools.CapBoundaryCheck so the truncating-regime certification
+    * always compares against the SQL of the CURRENTLY COMPILED code,
+    * never a stale prior Verify dump (ADVICE r15). */
+  private[graft] def writeOracleJson(outDir: String,
+      oracles: Map[String, String]): Unit = {
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -31,9 +41,8 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    val json = oracles
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    spark.stop()
   }
 }

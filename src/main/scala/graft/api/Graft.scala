@@ -74,11 +74,13 @@ object Graft {
   }
 
   /** Incremental ANN against a stored history, with a CALLER-TRAINED
-    * coarse codebook — the scalable form of the graded
-    * `op_ann_incremental`, whose fixed 8-literal codebook is a
-    * verification-scale stand-in with a measured QUADRATIC candidate
-    * term (per-probe work = |history|/K at fixed K; see
-    * TrainingData.annIncremental and PLANS.md r15). Each batch vector
+    * coarse codebook — the general form of the graded
+    * `op_ann_incremental`, which runs this same core over its own
+    * corpus-scaled every-Nth-vector codebook (K ≈ |corpus|/157,
+    * candidate volume linear; see TrainingData.annIncremental — the
+    * r15 fixed-8 stand-in and its quadratic term are history, PLANS.md
+    * r15/r16). Use THIS entry point when the centroids should come
+    * from a real trainer rather than a stride rule. Each batch vector
     * is assigned to its nearest centroid (argmax cosine, ties to the
     * lower c_id) and scored by exact cosine against ONLY that cell's
     * history members; the top `topK` per batch id are returned as

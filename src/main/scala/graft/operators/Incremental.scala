@@ -67,11 +67,13 @@ object Incremental {
     val (probed, nearHits, admitted) = triageFrames(history, batch)
     val entries = admitted.groupBy("key").agg(min("doc_id").as("entry_id"))
 
-    // stage 4: vector probe of admitted docs (B58's fixed quantizer)
+    // stage 4: vector probe of admitted docs against B58's quantizer —
+    // the corpus-scaled every-Nth codebook (TrainingData.annCodebook),
+    // so the composed pipeline's nn tail stays candidate-linear like
+    // the standalone op (the r15 fixed-8 stand-in made it quadratic)
     val emb = Tables.embeddings(sp, dir)
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("e"))
-    val cents = emb.filter(col("vec_id").between(100, 107))
-      .select(col("vec_id").as("c_id"), col("e").as("ce"))
+    val cents = TrainingData.annCodebook(emb)
     val histIvf = TrainingData.ivfAssignWith(
         emb.filter(col("vec_id") % 4 === 0)
           .select((col("vec_id") * 2).as("vec_id"), col("e")), cents)
@@ -175,7 +177,8 @@ object Incremental {
         |  WHERE p.exact_hist IS NULL AND n.doc_id IS NULL),
         |entries AS (SELECT key, min(doc_id) AS entry_id FROM admitted GROUP BY key),
         |emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-        |cents AS (SELECT vec_id AS c_id, e AS ce FROM emb WHERE vec_id BETWEEN 100 AND 107),
+        |cents AS (SELECT vec_id AS c_id, e AS ce
+        |  FROM emb WHERE vec_id % ${TrainingData.AnnCodebookStride} = 0),
         |hemb AS (SELECT vec_id * 2 AS hid, e FROM emb WHERE vec_id % 4 = 0),
         |hassign AS (SELECT hid, e, c_id AS cell FROM (
         |  SELECT hemb.hid, hemb.e, cents.c_id,

@@ -286,27 +286,29 @@ object TrainingData {
     * 2·id); batch = the rest plus planted RE-POSTS of history vectors
     * (2·id+1, identical embedding → same cell, cosine 1.0, rank 1)
     * that must surface against their originals. Both sides assign
-    * cells against the SAME fixed coarse quantizer (the base-corpus
-    * 100–107 centroids — conceptually the stored, pre-trained
-    * codebook).
+    * cells against the SAME coarse quantizer — the CORPUS-SCALED
+    * every-[[AnnCodebookStride]]th-vector codebook (see [[annCodebook]]),
+    * conceptually the stored, pre-trained codebook.
     *
     * Scale shape: at 100 TB the index is STORED partitioned by cell,
     * so the probe is a cell-keyed shuffle join where only the batch
     * moves (the B52/B56 contract) and the per-batch-vector top-3
     * window shares the join's partitioning. Candidate volume is
-    * batch × cell occupancy = batch × history/K — and K here is the
-    * FIXED 8-literal stand-in codebook (determinism for the gate), so
-    * occupancy is LINEAR in the corpus and candidates are QUADRATIC:
-    * measured cand/batch 15.7 → 62.8 → 628 → 1255 across sf0.01 /
-    * sf0.1 / 10× / 20× (PLANS.md r15 — the smoke's 22.9× wall at 20
-    * copies is this term, visible and expected, not a regression).
-    * Same structural class as the fixed sign-bucket key (B27): a
-    * fixed coarse quantizer is a verification-scale stand-in only. In
-    * production K scales with the corpus — a TRAINED codebook
-    * (kmeansTrain) sized K ≈ history/target-occupancy keeps the probe
-    * sub-quadratic, exactly the op_similarity_ivf "cell count is a
-    * tunable" contract; the probe shape here (batch-only movement,
-    * shared partitioning) is unchanged by K. */
+    * batch × cell occupancy = batch × history/K. K here SCALES with
+    * the corpus (K ≈ |corpus|/157 — every-Nth selection is as
+    * deterministic and oracle-expressible as a literal list, one
+    * `vec_id % 157` predicate on either engine), so mean occupancy is
+    * the CONSTANT ≈ stride/4 history members per cell and candidate
+    * volume is LINEAR in the corpus — this re-keying (r16) replaced
+    * the r15 fixed 8-literal stand-in whose measured candidate growth
+    * was quadratic (cand/batch 15.7 → 1255 across sf0.01 → 20×;
+    * PLANS.md r15, fix measured 6.8× wall at 20 copies in
+    * AnnScaleProbe before porting here). The residual scale term is
+    * the ASSIGN step: N×K broadcast map-side cosines (no shuffle),
+    * viable to the `api.Graft.annProbe` broadcast ceiling of K ≈ 10⁶;
+    * past that a production deployment trains a hierarchical or
+    * K ≈ √N codebook (kmeansTrain) — the probe shape (batch-only
+    * movement, shared partitioning) is unchanged by how K is chosen. */
   def annIncremental(sp: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(sp, dir)
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("e"))
@@ -314,16 +316,37 @@ object TrainingData {
     annProbeWith(history, batch, cents, topK = 3)
   }
 
+  /** Coarse-codebook selection rule shared by the graded B58 op and
+    * the e2e nn stage (B59b): every `AnnCodebookStride`-th vector of
+    * the base embeddings frame is a centroid, so K ≈ |corpus|/stride
+    * GROWS with the corpus and mean cell occupancy stays the constant
+    * ≈ stride/4 history members — the property that keeps the probe's
+    * candidate volume linear (see [[annIncremental]]). 157 is the
+    * stride AnnScaleProbe validated (K = 255 / 6.8× wall on the
+    * 20-copy corpus); it also lands K = 4 at the sf0.01 gate and
+    * stays nonempty on any corpus containing vec_id 0. The scale
+    * corpora's copy re-key (+k·10⁶, and 10⁶ mod 157 = 67 ≠ 0)
+    * scatters centroids uniformly across copies, so K tracks total
+    * volume there too. */
+  private[graft] val AnnCodebookStride = 157
+
+  /** The [[AnnCodebookStride]] rule over a prepped `(vec_id, e)`
+    * frame: `(c_id, ce)` centroids. Single owner — the graded op, the
+    * e2e nn stage, and the oracles' `vec_id % 157` predicate must
+    * stay one rule. */
+  private[graft] def annCodebook(emb: DataFrame): DataFrame =
+    emb.filter(col("vec_id") % AnnCodebookStride === 0)
+      .select(col("vec_id").as("c_id"), col("e").as("ce"))
+
   /** The graded op's history/batch/codebook split over a prepped
     * `(vec_id, e)` embeddings frame — SINGLE owner shared with
     * tools.AnnScaleProbe so the scale evidence can never drift onto a
     * different workload than the op it describes. History = orig
     * vec_id % 4 == 0 (re-keyed 2·id); batch = the rest plus planted
-    * re-posts (% 8, 2·id+1); codebook = the fixed 100–107 stand-in
-    * centroids. */
+    * re-posts (% 8, 2·id+1); codebook = [[annCodebook]]'s
+    * corpus-scaled centroids. */
   private[graft] def annSplit(emb: DataFrame): (DataFrame, DataFrame, DataFrame) = {
-    val cents = emb.filter(col("vec_id").between(100, 107))
-      .select(col("vec_id").as("c_id"), col("e").as("ce"))
+    val cents = annCodebook(emb)
     val history = emb.filter(col("vec_id") % 4 === 0)
       .select((col("vec_id") * 2).as("vec_id"), col("e"))
     val batch = emb.filter(col("vec_id") % 4 =!= 0)
@@ -339,10 +362,10 @@ object TrainingData {
     * cell's history members only, keep the exact-cosine top-`topK`
     * (rank ties to the lower hist_id, score rounded to 4). Per-probe
     * work is |history|/K, so K must scale with the corpus for the
-    * probe to stay sub-quadratic — the graded op's fixed K = 8
-    * literal codebook is the deterministic verification stand-in
-    * (quadratic-term measurements in the scaladoc above); the public
-    * API takes a caller-trained codebook sized to the data. */
+    * probe to stay sub-quadratic — the graded op's [[annCodebook]]
+    * does so by construction (every-Nth selection, K ≈ |corpus|/157);
+    * the public API takes a caller-trained codebook sized to the
+    * data. */
   private[graft] def annProbeWith(history: DataFrame, batch: DataFrame,
       cents: DataFrame, topK: Int): DataFrame = {
     val histIdx = ivfAssignWith(history, cents)
@@ -1265,10 +1288,10 @@ object TrainingData {
         |ORDER BY q_id, rank""".stripMargin)(similarityIvf),
 
     OpQuery("op_ann_incremental",
-      """WITH emb AS (
+      s"""WITH emb AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
         |cents AS (
-        |  SELECT vec_id AS c_id, e AS ce FROM emb WHERE vec_id BETWEEN 100 AND 107),
+        |  SELECT vec_id AS c_id, e AS ce FROM emb WHERE vec_id % $AnnCodebookStride = 0),
         |corpus AS (
         |  SELECT 'h' AS side, vec_id * 2 AS vid, e FROM emb WHERE vec_id % 4 = 0
         |  UNION ALL

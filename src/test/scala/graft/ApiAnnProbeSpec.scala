@@ -59,13 +59,13 @@ class ApiAnnProbeSpec extends AnyFunSuite {
     assert(out.count() == 3)
   }
 
-  test("parity: the graded op is this core with the fixed stand-in codebook") {
+  test("parity: the graded op is this core with the corpus-scaled stride codebook") {
     val dir = "/root/testdata/sf0.001"
     val expected = operators.TrainingData.annIncremental(spark, dir)
     // rebuild the op's history/batch/codebook through the PUBLIC api
     import org.apache.spark.sql.functions._
     val emb = sources.Tables.embeddings(spark, dir)
-    val cb = emb.filter(col("vec_id").between(100, 107))
+    val cb = emb.filter(col("vec_id") % operators.TrainingData.AnnCodebookStride === 0)
       .select(col("vec_id").as("c_id"), col("embedding").as("centroid"))
     val hist = emb.filter(col("vec_id") % 4 === 0)
       .select((col("vec_id") * 2).as("vec_id"), col("embedding"))

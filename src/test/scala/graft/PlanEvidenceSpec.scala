@@ -41,8 +41,8 @@ class PlanEvidenceSpec extends AnyFunSuite {
       "op_similarity_topk",  // 10 broadcast query rows — documented exact baseline
       "op_ann_recall",       // same 10-query exact baseline, graded against the LSH probe
       "op_similarity_ivf",   // 8 broadcast centroids (cell assign)
-      "op_ann_incremental",  // same 8 broadcast centroids assigning history + batch cells
-      "op_incremental_e2e",  // same 8 broadcast centroids in its gated B58 vector stage
+      "op_ann_incremental",  // broadcast codebook (K ~ corpus/157, codebook-sized) assigning cells
+      "op_incremental_e2e",  // same broadcast codebook in its gated B58 vector stage
       "op_vector_pq",        // 4 broadcast codebook entries per block
       "op_ts_gapfill",       // hour×type grid, volume-independent
       "op_bm25",             // 1-row corpus stats (n_docs, avgdl) crossJoin — bounded by construction
@@ -114,7 +114,7 @@ class PlanEvidenceSpec extends AnyFunSuite {
     // batch moves. With auto-broadcast disabled, a non-hinted equi-join
     // MUST plan as a shuffle join — so a BroadcastHashJoin here can
     // only mean someone HINTED a corpus-sized side. (The deliberate
-    // 8-centroid cell assigns are BroadcastNestedLoopJoins — different
+    // codebook cell assigns are BroadcastNestedLoopJoins — different
     // node, still caught by the registry-wide sweep's allowlist.)
     val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")

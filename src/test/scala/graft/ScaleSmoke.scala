@@ -46,7 +46,15 @@ object ScaleSmoke {
 
   /** Listing fingerprint (name:len:mtime per file) of one base table's
     * parquet dir — the corpus-staleness key below. Local-FS java.io is
-    * fine here: the base drop and /tmp corpora are always local. */
+    * fine here: the base drop and /tmp corpora are always local.
+    * KNOWN LIMIT (ADVICE r15): a base-drop restore that preserves
+    * metadata byte-for-byte (cp -p / rsync -a / object-store restore)
+    * aliases to the same fingerprint even if bytes changed under the
+    * same (name, length, mtime) triple. The driver regenerates
+    * /root/testdata with plain writes (fresh mtimes), so that restore
+    * mode does not occur here; if this tool moves to an environment
+    * with metadata-preserving restores, add a content hash of the
+    * parquet footers to `one`. */
   private def listingFp(path: String): String = {
     val d = new java.io.File(path)
     def one(f: java.io.File) = s"${f.getName}:${f.length}:${f.lastModified}"
@@ -77,17 +85,29 @@ object ScaleSmoke {
     * certification and the smoke silently measure stale data. The
     * marker is written only if the base listing is unchanged AFTER the
     * build (same no-TOCTOU rule as Tables' probe memo): a re-drop
-    * landing mid-build leaves no marker, so the next run rebuilds. */
+    * landing mid-build leaves no marker, so the next run rebuilds.
+    *
+    * Rebuilds take a cross-process `FileLock` on `/tmp/scale<N>.lock`
+    * (ADVICE r15): two JVMs started together (e.g. a smoke and
+    * BucketOccupancy) must not interleave overwrite writes into the
+    * same corpus dir and then both stamp a marker over
+    * mixed-generation data. The freshness check re-runs under the
+    * lock, so the second process reuses what the first built. */
   private[graft] def ensureCorpus(spark: org.apache.spark.sql.SparkSession, Copies: Int): String = {
     val Dir10 = s"/tmp/scale$Copies"
     val withEmb = corpusHasEmbeddings(Copies)
     val marker = new java.io.File(s"$Dir10/.base_fingerprint")
-    val fp = baseFp(withEmb)
-    val fresh = new java.io.File(s"$Dir10/documents.parquet").exists() &&
-      marker.exists() &&
-      new String(java.nio.file.Files.readAllBytes(marker.toPath),
-        java.nio.charset.StandardCharsets.UTF_8) == fp
-    if (!fresh) {
+    def isFresh(fp: String): Boolean =
+      new java.io.File(s"$Dir10/documents.parquet").exists() &&
+        marker.exists() &&
+        new String(java.nio.file.Files.readAllBytes(marker.toPath),
+          java.nio.charset.StandardCharsets.UTF_8) == fp
+    if (!isFresh(baseFp(withEmb))) withCorpusLock(Copies) {
+      // re-probe under the lock: if another process just built this
+      // corpus, reuse it; re-derive the fingerprint too — the base may
+      // have been re-dropped while we waited for the lock
+      val fp = baseFp(withEmb)
+      if (!isFresh(fp)) {
       // invalidate FIRST: a crash mid-rebuild must leave no marker, or
       // a later base restore to the marker's drop would reuse a
       // mixed-generation corpus as certified evidence
@@ -138,8 +158,22 @@ object ScaleSmoke {
           "re-run to rebuild from the settled drop")
       }
       println(s"[scale] built $Dir10: docs=${n * Copies}")
-    }
+    } }
     Dir10
+  }
+
+  /** Cross-process mutual exclusion for a corpus rebuild (ADVICE r15):
+    * blocks on an exclusive `FileLock` over `/tmp/scale<N>.lock`. The
+    * lock file is separate from the corpus dir (Spark's overwrite
+    * deletes the dir) and is left in place — deleting it would race a
+    * third process locking the same path. */
+  private def withCorpusLock[A](Copies: Int)(body: => A): A = {
+    val ch = java.nio.channels.FileChannel.open(
+      java.nio.file.Paths.get(s"/tmp/scale$Copies.lock"),
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.WRITE)
+    try { val lock = ch.lock(); try body finally lock.release() }
+    finally ch.close()
   }
 
   def main(args: Array[String]): Unit = {
@@ -173,12 +207,12 @@ object ScaleSmoke {
       // r8 incremental family: index-probe shapes — history index and
       // batch both scale linearly; BAND candidates stay linear in true
       // matches (content-derived keys), never batch x history.
-      // EXCEPTION (r15, measured): op_ann_incremental's fixed 8-cell
-      // stand-in codebook makes cell occupancy linear in the corpus,
-      // so its candidates ARE batch x history/8 — quadratic; its wall
-      // ratio tracks the candidate ratio (~copies^2/…), NOT copies,
-      // and crossing the copies line (22.9x at 20 copies) is the
-      // documented term, not a regression (annIncremental scaladoc)
+      // op_ann_incremental's codebook is corpus-scaled since r16
+      // (every-157th vector, K ~ corpus/157), so cell occupancy — and
+      // with it candidates per batch vector — is ~flat across copies
+      // and its wall ratio must sit near the copies line like the rest
+      // of the family (the r15 fixed-8 stand-in measured 22.9x at 20
+      // copies; the re-key is the fix, annIncremental scaladoc)
       Seq("op_index_update" -> (LlmPipeline.indexUpdate _),
         "op_dedup_minhash_incr" -> (LlmPipeline.dedupMinhashIncremental _)) ++
       (if (withEmb) Seq("op_ann_incremental" -> (TrainingData.annIncremental _)) else Nil) ++

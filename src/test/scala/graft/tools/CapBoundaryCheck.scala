@@ -8,20 +8,33 @@ package graft.tools
   * on both engines. This tool builds the degenerate corpus
   * (HotBucketSpec's construction: N identical docs / identical
   * vectors, so every band bucket, simhash key, and sign bucket holds
-  * the whole cluster — far past every cap) and dumps the five
-  * cap-affected ops' Spark results; tools/cap_boundary_check.py then
-  * runs the same oracle SQL in DuckDB over the same corpus and
-  * compares string-exact. A mismatch means the declared-cap semantics
-  * desync where they actually bite.
+  * the whole cluster — far past every cap) and dumps the cap-affected
+  * ops' Spark results; tools/cap_boundary_check.py then runs the same
+  * oracle SQL in DuckDB over the same corpus and compares
+  * string-exact. A mismatch means the declared-cap semantics desync
+  * where they actually bite.
+  *
+  * Since r16 the list also covers the two CODEBOOK ops: the B58 / e2e
+  * centroid-selection rule (every `AnnCodebookStride`-th vector,
+  * TrainingData.annCodebook) is declared semantics the oracles carry
+  * too, and the degenerate corpus is its own extreme regime — every
+  * vector identical, so all centroids tie and the whole corpus
+  * collapses into the single lowest-c_id cell, exercising the
+  * cosine-tie → lower-c_id rule on both engines corpus-wide.
+  *
+  * The oracle SQL is dumped HERE, from the compiled SparkEntry of this
+  * very run (ADVICE r15: reading it from a prior Verify dump could
+  * certify against stale SQL after an oracle edit).
   *
   * Run: `sbt "Test/runMain graft.tools.CapBoundaryCheck"`, then
   * `python3 tools/cap_boundary_check.py`. Result recorded in PLANS.md
-  * (r15). */
+  * (r15, r16). */
 object CapBoundaryCheck {
   val Dir = "/tmp/capcheck"
   val Out = "/tmp/capcheck_out"
   val Names = Seq("op_dedup_minhash", "op_dedup_cc", "op_dedup_simhash",
-    "op_dedup_embedding", "op_dedup_minhash_incremental")
+    "op_dedup_embedding", "op_dedup_minhash_incremental",
+    "op_ann_incremental", "op_incremental_e2e")
 
   def main(args: Array[String]): Unit = {
     val spark = graft.SparkTestSession.spark
@@ -48,6 +61,10 @@ object CapBoundaryCheck {
         .coalesce(1).write.mode("overwrite").parquet(s"$Out/$n")
       println(s"[capcheck] dumped $n")
     }
+    // the oracle SQL of THIS compiled build, so the python side can
+    // never certify against a stale prior Verify dump (ADVICE r15)
+    graft.Verify.writeOracleJson(Out,
+      graft.SparkEntry.oracleSql.view.filterKeys(Names.contains).toMap)
     println(s"[capcheck] corpus=$Dir results=$Out — now run " +
       "python3 tools/cap_boundary_check.py")
   }

@@ -1,15 +1,17 @@
 #!/usr/bin/env python3
 """Dev-only tooling (NOT part of the shipped Scala library).
 
-DuckDB side of the truncating-regime cap certification (r15): after
-`sbt "Test/runMain graft.tools.CapBoundaryCheck"` has written the
-degenerate corpus to /tmp/capcheck and the Spark results to
-/tmp/capcheck_out, this runs each dumped op's oracle SQL (taken from a
-regular Verify dump's oracle_sql.json) over the SAME degenerate corpus
-and compares string-exact, oracle_check.py-style. Unlike the sf0.01
-gate — where HotBucketSpec proves every cap truncates nothing — every
-bucket here is far past its cap, so this exercises the declared
-rank-cap semantics on BOTH engines where they actually bite.
+DuckDB side of the truncating-regime certification (r15, extended
+r16): after `sbt "Test/runMain graft.tools.CapBoundaryCheck"` has
+written the degenerate corpus to /tmp/capcheck and the Spark results
+(plus the oracle SQL of that very build) to /tmp/capcheck_out, this
+runs each dumped op's oracle SQL over the SAME degenerate corpus and
+compares string-exact, oracle_check.py-style. Unlike the sf0.01 gate —
+where HotBucketSpec proves every cap truncates nothing — every bucket
+here is far past its cap, so this exercises the declared rank-cap
+semantics (and, since r16, the B58/e2e codebook rule in its
+all-ties single-cell extreme) on BOTH engines where they actually
+bite.
 
 The op list is derived from the Spark dump's result directories (the
 Scala tool is the single owner of which ops are cap-affected — a name
@@ -18,9 +20,11 @@ drift), and both caps are parsed from the Scala constants so the
 truncating-regime sanity asserts can never go stale against a cap
 change.
 
-Usage: python3 tools/cap_boundary_check.py [verifyOutDir]
-       (verifyOutDir defaults to /tmp/vout; only oracle_sql.json is
-        read from it)
+Usage: python3 tools/cap_boundary_check.py [oracleJsonDir]
+       (defaults to the Spark dump dir itself, whose oracle_sql.json
+        the Scala tool wrote from the same compiled build — ADVICE
+        r15: a prior Verify dump could be stale against an oracle
+        edit)
 """
 import glob
 import json
@@ -38,7 +42,11 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 def scala_const(path: str, name: str) -> int:
     src = open(os.path.join(REPO, path)).read()
-    return int(re.search(rf"val {name} = (\d+)", src).group(1))
+    # tolerate a type ascription / extra spaces; fail with a named
+    # error instead of an opaque AttributeError on .group (ADVICE r15)
+    m = re.search(rf"val\s+{name}(?::\s*Int)?\s*=\s*(\d+)", src)
+    assert m, f"constant {name} not found as an int literal in {path}"
+    return int(m.group(1))
 
 
 def norm(df: pd.DataFrame) -> pd.DataFrame:
@@ -119,4 +127,4 @@ def main(verify_out: str) -> int:
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1] if len(sys.argv) > 1 else "/tmp/vout"))
+    sys.exit(main(sys.argv[1] if len(sys.argv) > 1 else OUT))

@@ -16,18 +16,20 @@ import json
 import os
 import re
 import sys
+from typing import Optional
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def main(corr_path: str | None) -> int:
+def main(corr_path: Optional[str]) -> int:
     ops = set()
     for p in glob.glob(f"{REPO}/src/main/scala/**/*.scala", recursive=True):
         ops.update(re.findall(r'OpQuery\("(op_[a-z0-9_]+)"', open(p).read()))
     survey_txt = open(f"{REPO}/SURVEY.md").read()
     # only the section-2 registry counts: op_ mentions in prose or
     # history sections elsewhere must not distort the verdict
-    m = re.search(r"^## 2\..*?(?=^## \d)", survey_txt, re.M | re.S)
+    # end anchor tolerates section 2 being the LAST section (ADVICE r15)
+    m = re.search(r"^## 2\..*?(?=^## \d|\Z)", survey_txt, re.M | re.S)
     assert m, "SURVEY.md section 2 heading not found"
     survey = set(re.findall(r"`(op_[a-z0-9_]+)`", m.group(0)))
     if corr_path is None:
