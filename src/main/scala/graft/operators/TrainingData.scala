@@ -268,7 +268,7 @@ object TrainingData {
     * volume in every cell assign at any scale. Semantics identical:
     * max raw cosine, ties to the LOWER c_id (the `-c_id` ordering
     * component; struct comparison is lexicographic). */
-  private[operators] def ivfAssignWith(emb: DataFrame, cents: DataFrame): DataFrame =
+  private[graft] def ivfAssignWith(emb: DataFrame, cents: DataFrame): DataFrame =
     emb.join(broadcast(cents))
       .withColumn("cos_c", graft.plans.VectorKernels.cosine(col("e"), col("ce")))
       .groupBy("vec_id")

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.TrainingData
+
+/** Pins the corpus-scaled B58/e2e codebook rule (r16): membership is
+  * exactly `vec_id % AnnCodebookStride == 0`, BOTH graded oracles
+  * carry the same interpolated predicate (so the Scala rule and the
+  * SQL rule cannot drift apart), and cell occupancy stays in the
+  * constant ≈ stride/4 band the linear-candidate claim rests on — a
+  * future data drop whose embeddings collapse toward one cell would
+  * fail here instead of silently re-growing the quadratic term at
+  * scale (measured max occupancy 39/58 vs mean 31/39 at the two gate
+  * SFs; skew ~1.5× stable through 20×, PLANS.md r16). */
+class AnnCodebookSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val stride = TrainingData.AnnCodebookStride
+
+  private def prepped(dir: String) =
+    sources.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("e"))
+
+  test("codebook membership is the stride rule, nonempty at the smallest SF") {
+    val emb = prepped("/root/testdata/sf0.001")
+    val ids = TrainingData.annCodebook(emb)
+      .select("c_id").collect().map(_.getLong(0)).sorted
+    val all = emb.select("vec_id").collect().map(_.getLong(0))
+    assert(ids.toSeq == all.filter(_ % stride == 0).sorted.toSeq)
+    assert(ids.nonEmpty, "vec_id 0 guarantees at least one centroid")
+    assert(ids.contains(0L))
+  }
+
+  test("both graded oracles carry the SAME stride predicate as the Scala constant") {
+    for (op <- Seq("op_ann_incremental", "op_incremental_e2e")) {
+      val sql = SparkEntry.oracleSql(op)
+      assert(sql.contains(s"% $stride = 0"),
+        s"$op oracle lost the interpolated stride predicate")
+      assert(!sql.contains("BETWEEN 100 AND 107"),
+        s"$op oracle still carries the r15 fixed-literal codebook")
+    }
+  }
+
+  test("history cell occupancy stays in the constant ~stride/4 band at both gate SFs") {
+    for (dir <- Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+      val emb = prepped(dir)
+      val (history, _, cents) = TrainingData.annSplit(emb)
+      val occ = TrainingData.ivfAssignWith(history, cents)
+        .groupBy("cell").count().select("count")
+        .collect().map(_.getLong(0))
+      val maxOcc = occ.max
+      // generous 4x margin over the stride/4 mean: the measured max is
+      // ~1.5x the mean; a breach means the embedding distribution (or
+      // the rule) changed enough to re-examine the linearity claim
+      assert(maxOcc <= stride,
+        s"$dir: max cell occupancy $maxOcc exceeds stride=$stride — " +
+          "codebook no longer bounds per-cell candidate work")
+    }
+  }
+}

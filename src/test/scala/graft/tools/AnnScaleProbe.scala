@@ -17,11 +17,17 @@ import org.apache.spark.sql.functions._
   * (r16 re-key), and this probe measures that it lands (results
   * tables in PLANS.md r15/r16).
   *
-  * Run: `sbt "Test/runMain graft.tools.AnnScaleProbe [copies]"`
-  * (default 20 — K ≈ 255 on the 20-copy corpus). */
+  * Run: `sbt "Test/runMain graft.tools.AnnScaleProbe [copies] [strides]"`
+  * (default 20 — K ≈ 255 on the 20-copy corpus). The optional second
+  * arg is a comma list of EXTRA strides to probe (e.g. `40,628`) for
+  * sensitivity studies around the graded 157: each adds a
+  * `stride-<n>` row with its own K/candidates/wall. */
 object AnnScaleProbe {
   def main(args: Array[String]): Unit = {
     val copies = args.headOption.map(_.toInt).getOrElse(20)
+    val extraStrides: Seq[Int] =
+      if (args.length > 1) args(1).split(",").filter(_.nonEmpty).map(_.toInt).toSeq
+      else Nil
     require(graft.ScaleSmoke.corpusHasEmbeddings(copies),
       s"copies=$copies has no embeddings (mod-23 construction caps at 21)")
     val spark = graft.SparkTestSession.spark
@@ -33,7 +39,11 @@ object AnnScaleProbe {
     val fixed8 = emb.filter(col("vec_id").between(100, 107))
       .select(col("vec_id").as("c_id"), col("e").as("ce"))
 
-    for ((label, cb) <- Seq("fixed-8(r15)" -> fixed8, "graded-scaled" -> graded)) {
+    val extra = extraStrides.map { n =>
+      f"stride-$n%-6d" -> emb.filter(col("vec_id") % n === 0)
+        .select(col("vec_id").as("c_id"), col("e").as("ce"))
+    }
+    for ((label, cb) <- Seq("fixed-8(r15)" -> fixed8, "graded-scaled" -> graded) ++ extra) {
       val k = cb.count()
       // true candidate volume: the cell join pre-truncation (topK = ∞)
       val cand = graft.operators.TrainingData
