@@ -28,8 +28,10 @@ class HotBucketSpec extends AnyFunSuite {
 
   // the op unions a variant cluster (text + " extraneous") onto the
   // base cluster, so the degenerate corpus has TWO all-identical
-  // clusters. Every band bucket is capped to C(cap, 2) pairs, and a
-  // band holds at most 2 buckets here, so the distinct union over all
+  // clusters (the unique-text tail docs and their variants are
+  // singleton buckets — zero pairs, bounds unaffected). Every band
+  // bucket is capped to C(cap, 2) pairs, and a band holds at most 2
+  // pair-bearing buckets here, so the distinct union over all
   // bands is ≤ bands × 2 × C(cap, 2). The per-band keep-sets can
   // DIFFER (the odd/even planted ids interleave with base ids, so a
   // band where the clusters share a bucket keeps a different

@@ -99,9 +99,13 @@ object ScaleSmoke {
     val marker = new java.io.File(s"$Dir10/.base_fingerprint")
     def isFresh(fp: String): Boolean =
       new java.io.File(s"$Dir10/documents.parquet").exists() &&
-        marker.exists() &&
-        new String(java.nio.file.Files.readAllBytes(marker.toPath),
+        // read-or-absent, atomically: a concurrent builder deletes the
+        // marker under the lock, and an exists()-then-read pair here
+        // (outside the lock) would throw NoSuchFileException in that
+        // window instead of routing this process to the lock
+        (try new String(java.nio.file.Files.readAllBytes(marker.toPath),
           java.nio.charset.StandardCharsets.UTF_8) == fp
+        catch { case _: java.io.IOException => false })
     if (!isFresh(baseFp(withEmb))) withCorpusLock(Copies) {
       // re-probe under the lock: if another process just built this
       // corpus, reuse it; re-derive the fingerprint too — the base may
@@ -166,15 +170,22 @@ object ScaleSmoke {
     * blocks on an exclusive `FileLock` over `/tmp/scale<N>.lock`. The
     * lock file is separate from the corpus dir (Spark's overwrite
     * deletes the dir) and is left in place — deleting it would race a
-    * third process locking the same path. */
-  private def withCorpusLock[A](Copies: Int)(body: => A): A = {
-    val ch = java.nio.channels.FileChannel.open(
-      java.nio.file.Paths.get(s"/tmp/scale$Copies.lock"),
-      java.nio.file.StandardOpenOption.CREATE,
-      java.nio.file.StandardOpenOption.WRITE)
-    try { val lock = ch.lock(); try body finally lock.release() }
-    finally ch.close()
-  }
+    * third process locking the same path. The JVM-wide monitor in
+    * front covers SAME-process concurrency: `FileLock` is held
+    * per-JVM and a second in-process acquisition would throw
+    * OverlappingFileLockException rather than block, so two threads
+    * of one JVM must serialize on the monitor before touching the
+    * channel (coarse — corpus builds are rare and heavyweight). */
+  private val corpusLockMonitor = new Object
+  private def withCorpusLock[A](Copies: Int)(body: => A): A =
+    corpusLockMonitor.synchronized {
+      val ch = java.nio.channels.FileChannel.open(
+        java.nio.file.Paths.get(s"/tmp/scale$Copies.lock"),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE)
+      try { val lock = ch.lock(); try body finally lock.release() }
+      finally ch.close()
+    }
 
   def main(args: Array[String]): Unit = {
     // optional arg: copy count (default 10). Above 21 copies the

@@ -20,7 +20,12 @@ package graft.tools
   * too, and the degenerate corpus is its own extreme regime — every
   * vector identical, so all centroids tie and the whole corpus
   * collapses into the single lowest-c_id cell, exercising the
-  * cosine-tie → lower-c_id rule on both engines corpus-wide.
+  * cosine-tie → lower-c_id rule on both engines corpus-wide. The
+  * corpus's unique-text tail (DegenerateCorpus.UniqueFrom, r16)
+  * exists for op_incremental_e2e's sake: without it every batch doc
+  * dies in the dedup stages and the e2e vector stage would certify
+  * nothing (0 admitted — the review finding this closes); the tail's
+  * docs are admitted and their all-ties nn probe reaches the output.
   *
   * The oracle SQL is dumped HERE, from the compiled SparkEntry of this
   * very run (ADVICE r15: reading it from a prior Verify dump could
