@@ -237,9 +237,12 @@ object TrainingData {
   /** B28b (bonus, r3) — IVF-style ANN: the brief's other scale path for
     * similarity search. A coarse quantizer assigns every vector to its
     * nearest CENTROID cell; a query probes only its own cell with the
-    * exact cosine kernel. Centroids here are eight fixed corpus vectors
-    * (vec_id 100–107) so both engines derive identical cells — at
-    * 100 TB they come from sampled k-means
+    * exact cosine kernel. Centroids are the CORPUS-SCALED
+    * every-[[AnnCodebookStride]]th-vector codebook (r16 — same rule as
+    * B58, so both engines derive identical cells AND per-query
+    * candidate work stays ~constant at stride/4 as the corpus grows;
+    * the r15 fixed 8-literal stand-in left it linear in the corpus) —
+    * at 100 TB they come from sampled k-means
     * ([[graft.functions.KMeansLite]]: Lloyd's iterations as Spark
     * aggregations, k×dims driver traffic only), with the SAME plan
     * shape: one broadcast join to
@@ -249,13 +252,12 @@ object TrainingData {
     * (`similarityLsh`); IVF's cells adapt to the data distribution
     * where LSH's hyperplanes are oblivious. */
   /** IVF coarse-quantizer cell assignment over `emb(vec_id, e)`:
-    * argmax RAW cosine against the 8 fixed centroid vectors (the
+    * argmax RAW cosine against the [[annCodebook]] centroids (the
     * rounded form could flip a near-tie vs the oracle's unrounded
     * ordering); ties break on lower c_id. Shared by `similarityIvf`
     * and the `annRecall` contract. */
   private def ivfAssign(emb: DataFrame): DataFrame =
-    ivfAssignWith(emb, emb.filter(col("vec_id").between(100, 107))
-      .select(col("vec_id").as("c_id"), col("e").as("ce")))
+    ivfAssignWith(emb, annCodebook(emb))
 
   /** Cell assignment against an EXPLICIT (c_id, ce) codebook — the
     * incremental probe assigns history and batch against the same
@@ -1194,7 +1196,7 @@ object TrainingData {
         |      c.vec_id ASC) AS rank
         |  FROM bucketed c JOIN q ON c.bk = q.qbk AND c.vec_id <> q.q_id) WHERE rank <= 3),
         |cents AS (
-        |  SELECT vec_id AS c_id, e AS ce FROM emb WHERE vec_id BETWEEN 100 AND 107),
+        |  SELECT vec_id AS c_id, e AS ce FROM emb WHERE vec_id % $AnnCodebookStride = 0),
         |assigned AS (
         |  SELECT vec_id, e, c_id AS cell FROM (
         |    SELECT emb.vec_id, emb.e, cents.c_id,
@@ -1261,10 +1263,10 @@ object TrainingData {
         |FROM agg ORDER BY method, q_id""".stripMargin)(annRecall),
 
     OpQuery("op_similarity_ivf",
-      """WITH emb AS (
+      s"""WITH emb AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
         |cents AS (
-        |  SELECT vec_id AS c_id, e AS ce FROM emb WHERE vec_id BETWEEN 100 AND 107),
+        |  SELECT vec_id AS c_id, e AS ce FROM emb WHERE vec_id % $AnnCodebookStride = 0),
         |assigned AS (
         |  SELECT vec_id, e, c_id AS cell FROM (
         |    SELECT emb.vec_id, emb.e, cents.c_id,
