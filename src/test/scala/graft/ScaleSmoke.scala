@@ -226,7 +226,14 @@ object ScaleSmoke {
       // copies; the re-key is the fix, annIncremental scaladoc)
       Seq("op_index_update" -> (LlmPipeline.indexUpdate _),
         "op_dedup_minhash_incr" -> (LlmPipeline.dedupMinhashIncremental _)) ++
-      (if (withEmb) Seq("op_ann_incremental" -> (TrainingData.annIncremental _)) else Nil) ++
+      (if (withEmb) Seq("op_ann_incremental" -> (TrainingData.annIncremental _),
+        // r16: the IVF search pair joined the corpus-scaled codebook —
+        // their probe side is the fixed 10-query panel, so with
+        // per-query candidates flat (~stride) their wall should track
+        // the ASSIGN pass (data-linear map work), staying well under
+        // the copies line
+        "op_similarity_ivf" -> (TrainingData.similarityIvf _),
+        "op_ann_recall" -> (TrainingData.annRecall _)) else Nil) ++
       // r10: the per-band streaming probe (same index-probe shape, one
       // row per band collision) and the COMPOSED ingest pipeline —
       // the e2e chains four probes, so its wall ratio should track its
