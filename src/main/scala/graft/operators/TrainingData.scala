@@ -308,9 +308,14 @@ object TrainingData {
     * AnnScaleProbe before porting here). The residual scale term is
     * the ASSIGN step: N×K broadcast map-side cosines (no shuffle),
     * viable to the `api.Graft.annProbe` broadcast ceiling of K ≈ 10⁶;
-    * past that a production deployment trains a hierarchical or
-    * K ≈ √N codebook (kmeansTrain) — the probe shape (batch-only
-    * movement, shared partitioning) is unchanged by how K is chosen. */
+    * past that a production deployment assigns HIERARCHICALLY (score
+    * ~√K super-cells, argmax among the top-S supers' children:
+    * N×(√K+S·√K) work) — demonstrated executable in this repo at an
+    * assign-dominated K=2353: 28 s → 3.3–5.0 s with 84–97% of the
+    * flat assign's recall@3 vs brute force (tools.AnnHierProbe,
+    * PLANS.md r16 — uniform-embedding worst case). The probe shape
+    * (batch-only movement, shared partitioning) is unchanged by how K
+    * is chosen. */
   def annIncremental(sp: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(sp, dir)
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("e"))
