@@ -73,6 +73,71 @@ object Graft {
       .withColumnRenamed("doc_id", "id")
   }
 
+  /** Banded sign-LSH embedding near-dup — the decided 100 TB path for
+    * embedding-cosine deduplication (PLANS.md r15 design note), shipped
+    * as code: `tables` independent hash tables of `planes` sign bits
+    * each (the minhash band architecture with hyperplane signs instead
+    * of minhash slices), candidate = same bucket in ANY table, exact
+    * cosine ≥ `threshold` confirms. One kernel pass computes all
+    * `tables × planes` sign bits per vector; per-table keys are
+    * substrings of that one signature, so the input is scanned once
+    * and the corpus shuffles once per table row (output-linear
+    * candidates, never all-pairs; per-bucket `bucketCap` keeps a
+    * degenerate bucket's pair expansion bounded at C(cap, 2) — the
+    * B27 hot-bucket treatment). Returns distinct `(vec_a, vec_b, cos)`
+    * pairs, vec_a < vec_b, cos rounded to 4.
+    *
+    * Sizing (derived from three measured data-decades, PLANS.md r15):
+    * occupancy max ≈ 5N/2^planes, so pick
+    * `planes ≈ log2(5N / targetBucketSize)` (~30 at 10¹¹ vectors,
+    * T = 512) and recall at per-plane agreement p is
+    * 1 − (1 − p^planes)^tables — at the 0.995-cosine threshold
+    * (p ≈ 0.968), planes = 30 / tables = 8 gives ≈ 0.98, vs 0.77 for
+    * the single 8-plane table the graded `op_dedup_embedding` uses at
+    * verification SF. Defaults (8 × 16) suit ~10⁶-vector corpora. */
+  def nearDupEmbeddings(df: DataFrame, idCol: String = "vec_id",
+      embCol: String = "embedding", tables: Int = 8, planes: Int = 16,
+      threshold: Double = 0.995,
+      bucketCap: Int = graft.operators.TrainingData.MaxBucketVecs): DataFrame = {
+    require(tables >= 1 && planes >= 1,
+      s"need at least one table and one plane (got $tables x $planes)")
+    val prep = df.select(
+      validatedId(col(idCol), df.schema(idCol).dataType, "nearDupEmbeddings")
+        .as("vec_id"),
+      transform(col(embCol), x => x.cast("double")).as("e"))
+    // ONE kernel invocation emits every table's sign bits; table t's
+    // bucket key is bits [t·planes, (t+1)·planes) of that signature
+    val allPlanes = (0 until tables * planes)
+      .map(graft.operators.TrainingData.hyperplane)
+    val keyed = prep
+      .withColumn("sig", graft.plans.VectorKernels.lshBucket(col("e"), allPlanes))
+      .withColumn("t", explode(array((0 until tables).map(lit): _*)))
+      .withColumn("bk", expr(s"substring(sig, t * $planes + 1, $planes)"))
+    val wb = org.apache.spark.sql.expressions.Window
+      .partitionBy("t", "bk").orderBy("vec_id")
+    keyed
+      .withColumn("rn", row_number().over(wb))
+      .filter(col("rn") <= bucketCap)
+      .groupBy("t", "bk")
+      .agg(collect_list(struct(col("vec_id"), col("e"))).as("vs"))
+      .filter(size(col("vs")) > 1)
+      .select(explode(col("vs")).as("a"), col("vs"))
+      .select(col("a"), explode(col("vs")).as("b"))
+      .filter(col("a.vec_id") < col("b.vec_id"))
+      // confirm BEFORE deduplicating across tables: the cosine is a
+      // cheap map-side kernel and the threshold kills most candidates,
+      // so the cross-table distinct then shuffles only confirmed
+      // (id, id, cos) triples — deduplicating first would drag both
+      // 64-dim embedding arrays through an aggregate exchange
+      // (measured 10× slower at 20 copies: 65 s vs 6 s). A pair
+      // colliding in several tables is scored once per table — bounded
+      // extra map work (≤ tables×), no extra shuffle volume.
+      .withColumn("cos", round(graft.plans.VectorKernels.cosine(col("a.e"), col("b.e")), 4))
+      .filter(col("cos") >= threshold)
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), col("cos"))
+      .distinct()
+  }
+
   /** Incremental ANN against a stored history, with a CALLER-TRAINED
     * coarse codebook — the general form of the graded
     * `op_ann_incremental`, which runs this same core over its own
