@@ -94,47 +94,49 @@ object Graft {
     * 1 − (1 − p^planes)^tables — at the 0.995-cosine threshold
     * (p ≈ 0.968), planes = 30 / tables = 8 gives ≈ 0.98, vs 0.77 for
     * the single 8-plane table the graded `op_dedup_embedding` uses at
-    * verification SF. Defaults (8 × 16) suit ~10⁶-vector corpora. */
+    * verification SF. Defaults (8 × 16) suit ~10⁶-vector corpora.
+    *
+    * Ids must be unique per vector (the [[nearDupClusters]] contract):
+    * two vectors sharing an id would lose their own pair to the a<b
+    * filter and collapse third-party pairs under the distinct. `dims`
+    * must match the embedding width — a mismatched row cannot be
+    * sign-hashed and fails the job explicitly (silently zero-keying it
+    * would funnel the whole corpus into one truncated bucket). */
   def nearDupEmbeddings(df: DataFrame, idCol: String = "vec_id",
       embCol: String = "embedding", tables: Int = 8, planes: Int = 16,
       threshold: Double = 0.995,
-      bucketCap: Int = graft.operators.TrainingData.MaxBucketVecs): DataFrame = {
+      bucketCap: Int = graft.operators.TrainingData.MaxBucketVecs,
+      dims: Int = 64): DataFrame = {
     require(tables >= 1 && planes >= 1,
       s"need at least one table and one plane (got $tables x $planes)")
     val prep = df.select(
       validatedId(col(idCol), df.schema(idCol).dataType, "nearDupEmbeddings")
         .as("vec_id"),
       transform(col(embCol), x => x.cast("double")).as("e"))
+      .withColumn("e", when(size(col("e")) === dims, col("e"))
+        .otherwise(raise_error(concat(
+          lit(s"nearDupEmbeddings: embedding width != dims=$dims for id "),
+          col("vec_id").cast("string")))))
     // ONE kernel invocation emits every table's sign bits; table t's
     // bucket key is bits [t·planes, (t+1)·planes) of that signature
     val allPlanes = (0 until tables * planes)
-      .map(graft.operators.TrainingData.hyperplane)
+      .map(graft.operators.TrainingData.hyperplane(_, dims))
     val keyed = prep
       .withColumn("sig", graft.plans.VectorKernels.lshBucket(col("e"), allPlanes))
       .withColumn("t", explode(array((0 until tables).map(lit): _*)))
       .withColumn("bk", expr(s"substring(sig, t * $planes + 1, $planes)"))
-    val wb = org.apache.spark.sql.expressions.Window
-      .partitionBy("t", "bk").orderBy("vec_id")
-    keyed
-      .withColumn("rn", row_number().over(wb))
-      .filter(col("rn") <= bucketCap)
-      .groupBy("t", "bk")
-      .agg(collect_list(struct(col("vec_id"), col("e"))).as("vs"))
-      .filter(size(col("vs")) > 1)
-      .select(explode(col("vs")).as("a"), col("vs"))
-      .select(col("a"), explode(col("vs")).as("b"))
-      .filter(col("a.vec_id") < col("b.vec_id"))
-      // confirm BEFORE deduplicating across tables: the cosine is a
-      // cheap map-side kernel and the threshold kills most candidates,
-      // so the cross-table distinct then shuffles only confirmed
-      // (id, id, cos) triples — deduplicating first would drag both
-      // 64-dim embedding arrays through an aggregate exchange
-      // (measured 10× slower at 20 copies: 65 s vs 6 s). A pair
-      // colliding in several tables is scored once per table — bounded
-      // extra map work (≤ tables×), no extra shuffle volume.
-      .withColumn("cos", round(graft.plans.VectorKernels.cosine(col("a.e"), col("b.e")), 4))
+    // capped expansion + scoring shared with the graded op (single
+    // owner of the cap rule / tie-break / rounding). Confirm BEFORE
+    // deduplicating across tables: the cosine is a cheap map-side
+    // kernel and the threshold kills most candidates, so the
+    // cross-table distinct shuffles only confirmed (id, id, cos)
+    // triples — deduplicating first would drag both embedding arrays
+    // through an aggregate exchange (measured 10× slower at 20
+    // copies: 65 s vs 6 s). A pair colliding in several tables is
+    // scored once per table — bounded extra map work (≤ tables×), no
+    // extra shuffle volume.
+    graft.operators.TrainingData.cappedBucketPairs(keyed, Seq("t", "bk"), bucketCap)
       .filter(col("cos") >= threshold)
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), col("cos"))
       .distinct()
   }
 

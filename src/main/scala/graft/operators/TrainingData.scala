@@ -130,9 +130,12 @@ object TrainingData {
 
   /** Deterministic random hyperplanes: Knuth-LCG values in [-1, 1),
     * generated once here and embedded as identical literals in both the
-    * Spark plan and the DuckDB oracle — no cross-engine RNG. */
-  def hyperplane(k: Int): IndexedSeq[Double] = (0 until 64).map { d =>
-    val x = ((k.toLong * 64 + d + 1) * 2654435761L) % 4294967296L
+    * Spark plan and the DuckDB oracle — no cross-engine RNG. `dims`
+    * generalizes the plane dimension for caller-supplied embedding
+    * widths (api.Graft.nearDupEmbeddings); at the default 64 the
+    * values are bit-identical to the original fixed-width formula. */
+  def hyperplane(k: Int, dims: Int = 64): IndexedSeq[Double] = (0 until dims).map { d =>
+    val x = ((k.toLong * dims + d + 1) * 2654435761L) % 4294967296L
     x.toDouble / 4294967296.0 * 2.0 - 1.0
   }
   private val NumPlanes = 8
@@ -141,7 +144,7 @@ object TrainingData {
     * kernel (one fused loop over the plane matrix; fold-identical
     * values, see VectorKernelsSpec). */
   private def bucketOf(e: Column): Column =
-    graft.plans.VectorKernels.lshBucket(e, (0 until NumPlanes).map(hyperplane))
+    graft.plans.VectorKernels.lshBucket(e, (0 until NumPlanes).map(hyperplane(_)))
 
   private def bucketSql(e: String): String =
     (0 until NumPlanes).map { k =>
@@ -197,20 +200,33 @@ object TrainingData {
     // op_similarity_ivf remains the top-k SEARCH path, not a near-dup
     // bucketing structure (its cell count is broadcast-bounded at
     // ~√N, five orders too coarse for pair expansion).
-    val wb = Window.partitionBy("bk").orderBy("vec_id")
-    corpus
+    cappedBucketPairs(corpus, Seq("bk"), TrainingData.MaxBucketVecs)
+      .filter(col("cos") >= 0.995)
+      .select("vec_a", "vec_b", "cos")
+      .orderBy("vec_a", "vec_b")
+  }
+
+  /** Capped-bucket pair expansion shared by [[dedupEmbedding]] (keyed
+    * by the single sign bucket) and `api.Graft.nearDupEmbeddings`
+    * (keyed per (table, bucket)): rank-cap each bucket to its `cap`
+    * lowest vec_ids, collect, double-explode into a<b pairs, score by
+    * rounded exact cosine. ONE owner for the cap rule / tie-break /
+    * rounding — thresholding and output shaping stay with the
+    * callers. */
+  private[graft] def cappedBucketPairs(keyed: DataFrame, keyCols: Seq[String],
+      cap: Int): DataFrame = {
+    val wb = Window.partitionBy(keyCols.map(col): _*).orderBy("vec_id")
+    keyed
       .withColumn("rn", row_number().over(wb))
-      .filter(col("rn") <= TrainingData.MaxBucketVecs)
-      .groupBy("bk")
+      .filter(col("rn") <= cap)
+      .groupBy(keyCols.map(col): _*)
       .agg(collect_list(struct(col("vec_id"), col("e"))).as("vs"))
       .filter(size(col("vs")) > 1)
       .select(explode(col("vs")).as("a"), col("vs"))
       .select(col("a"), explode(col("vs")).as("b"))
       .filter(col("a.vec_id") < col("b.vec_id"))
-      .withColumn("cos", cosine(col("a.e"), col("b.e")))
-      .filter(col("cos") >= 0.995)
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), col("cos"))
-      .orderBy("vec_a", "vec_b")
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        round(graft.plans.VectorKernels.cosine(col("a.e"), col("b.e")), 4).as("cos"))
   }
 
   /** B28 — the documented 100 TB path for B18 made concrete: LSH

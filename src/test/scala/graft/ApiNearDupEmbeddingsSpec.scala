@@ -41,8 +41,8 @@ class ApiNearDupEmbeddingsSpec extends AnyFunSuite {
     def plantedFound(pairs: Array[(Long, Long)]): Long =
       pairs.count { case (a, b) => b == a + 1 && a % 10 == 0 }
 
-    val banded = api.Graft.nearDupEmbeddings(corpus, embCol = "e").collect()
-      .map(r => (r.getLong(0), r.getLong(1)))
+    val bandedRows = api.Graft.nearDupEmbeddings(corpus, embCol = "e").collect()
+    val banded = bandedRows.map(r => (r.getLong(0), r.getLong(1)))
     val single = TrainingData.dedupEmbedding(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
     val (rb, rs) = (plantedFound(banded), plantedFound(single))
@@ -51,8 +51,20 @@ class ApiNearDupEmbeddingsSpec extends AnyFunSuite {
     assert(rb * 10 >= nPlanted * 9,
       s"banded should catch >= 90% of planted pairs, got $rb/$nPlanted")
     // every reported pair is a confirmed near-dup, not just a candidate
-    api.Graft.nearDupEmbeddings(corpus, embCol = "e").collect()
-      .foreach(r => assert(r.getDouble(2) >= 0.995))
+    bandedRows.foreach(r => assert(r.getDouble(2) >= 0.995))
+  }
+
+  test("a dims mismatch fails the job instead of zero-keying the corpus") {
+    import spark.implicits._
+    val df = Seq((1L, Array(1.0, 2.0, 3.0)), (2L, Array(1.0, 2.0, 3.0)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      api.Graft.nearDupEmbeddings(df).collect()
+    }
+    assert(e.getMessage.contains("embedding width"), e.getMessage)
+    // and the same 3-dim corpus works when dims says so
+    val ok = api.Graft.nearDupEmbeddings(df, dims = 3).collect()
+    assert(ok.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)))
   }
 
   test("degenerate corpus: output bounded by the bucket cap, never O(N^2)") {

@@ -228,10 +228,16 @@ object ScaleSmoke {
         "op_dedup_minhash_incr" -> (LlmPipeline.dedupMinhashIncremental _)) ++
       (if (withEmb) Seq("op_ann_incremental" -> (TrainingData.annIncremental _),
         // r16: the IVF search pair joined the corpus-scaled codebook —
-        // their probe side is the fixed 10-query panel, so with
-        // per-query candidates flat (~stride) their wall should track
-        // the ASSIGN pass (data-linear map work), staying well under
-        // the copies line
+        // their probe side is the fixed 10-query panel, so per-query
+        // candidates are flat (~stride) and the wall tracks the ASSIGN
+        // pass. NOTE the assign is N×K cosines with K ≈ N/157 —
+        // QUADRATIC compute with a 1/157 constant (the documented
+        // trade: shuffle/candidates linear, map-side flops quadratic
+        // to the broadcast ceiling, hierarchical assign past it —
+        // annIncremental scaladoc / AnnHierProbe). At these corpus
+        // sizes the constant keeps the ratio under the copies line;
+        // crossing it at much larger `copies` would be this term, not
+        // a candidate regression
         "op_similarity_ivf" -> (TrainingData.similarityIvf _),
         "op_ann_recall" -> (TrainingData.annRecall _)) else Nil) ++
       // r10: the per-band streaming probe (same index-probe shape, one
@@ -253,6 +259,12 @@ object ScaleSmoke {
         val rows = f(spark, dir).count()
         val secs = (System.nanoTime() - t0) / 1e9
         println(f"[scale] $label $name%-22s ${secs}%7.2f s  pairs=$rows")
+        // several ops cache plan-keyed frames they never unpersist
+        // (annRecall's bucketed corpus, e2e's triage frames); at
+        // 20-copy scale a pinned corpus would steal execution memory
+        // from every LATER op and distort the ratios this smoke
+        // exists to measure — each op runs against a clean store
+        spark.sharedState.cacheManager.clearCache()
         name -> (secs, rows)
       }.toMap
 

@@ -47,7 +47,7 @@ class VectorKernelsSpec extends AnyFunSuite {
   test("lsh bucket kernel equals the fold-based sign bucket") {
     val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("e"))
-    val planes = (0 until 8).map(TrainingData.hyperplane)
+    val planes = (0 until 8).map(TrainingData.hyperplane(_))
     def foldBucket(e: org.apache.spark.sql.Column) =
       concat_ws("", planes.map { h =>
         val dot = aggregate(zip_with(e, array(h.map(lit): _*), (x, w) => x * w),

@@ -75,7 +75,9 @@ object AnnHierProbe {
   def main(args: Array[String]): Unit = {
     val copies = args.headOption.map(_.toInt).getOrElse(20)
     val stride = args.drop(1).headOption.map(_.toInt).getOrElse(17)
-    val superStride = args.drop(2).headOption.map(_.toInt).getOrElse(48 * 17)
+    // default couples to `stride` so supers stay ~sqrt(K) of the
+    // codebook when the stride is overridden (48·17 at the defaults)
+    val superStride = args.drop(2).headOption.map(_.toInt).getOrElse(48 * stride)
     val superProbes: Seq[Int] =
       if (args.length > 3) args(3).split(",").filter(_.nonEmpty).map(_.toInt).toSeq
       else Seq(1, 4, 8, 16)
