@@ -117,27 +117,12 @@ object Graft {
         .otherwise(raise_error(concat(
           lit(s"nearDupEmbeddings: embedding width != dims=$dims for id "),
           col("vec_id").cast("string")))))
-    // ONE kernel invocation emits every table's sign bits; table t's
-    // bucket key is bits [t·planes, (t+1)·planes) of that signature
-    val allPlanes = (0 until tables * planes)
-      .map(graft.operators.TrainingData.hyperplane(_, dims))
-    val keyed = prep
-      .withColumn("sig", graft.plans.VectorKernels.lshBucket(col("e"), allPlanes))
-      .withColumn("t", explode(array((0 until tables).map(lit): _*)))
-      .withColumn("bk", expr(s"substring(sig, t * $planes + 1, $planes)"))
-    // capped expansion + scoring shared with the graded op (single
-    // owner of the cap rule / tie-break / rounding). Confirm BEFORE
-    // deduplicating across tables: the cosine is a cheap map-side
-    // kernel and the threshold kills most candidates, so the
-    // cross-table distinct shuffles only confirmed (id, id, cos)
-    // triples — deduplicating first would drag both embedding arrays
-    // through an aggregate exchange (measured 10× slower at 20
-    // copies: 65 s vs 6 s). A pair colliding in several tables is
-    // scored once per table — bounded extra map work (≤ tables×), no
-    // extra shuffle volume.
-    graft.operators.TrainingData.cappedBucketPairs(keyed, Seq("t", "bk"), bucketCap)
-      .filter(col("cos") >= threshold)
-      .distinct()
+    // the banded core (signature pass, substring keys, capped
+    // expansion, confirm-then-distinct) is shared with the graded
+    // `op_dedup_embedding_banded` — ONE owner of the cap rule /
+    // tie-break / rounding / dedup ordering
+    graft.operators.TrainingData.bandedPairs(prep, tables, planes,
+      bucketCap, dims, threshold)
   }
 
   /** Incremental ANN against a stored history, with a CALLER-TRAINED

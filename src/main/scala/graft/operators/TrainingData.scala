@@ -152,6 +152,15 @@ object TrainingData {
       s"(CASE WHEN list_dot_product($e, $lits) >= 0 THEN '1' ELSE '0' END)"
     }.mkString("concat(", ", ", ")")
 
+  /** The B27b oracle's full tables×planes sign signature — same
+    * hyperplane literals as the Spark kernel pass, so the per-table
+    * substring keys agree bit-for-bit across engines. */
+  private def bandedSigSql(e: String): String =
+    (0 until BandedTables * BandedPlanes).map { k =>
+      val lits = hyperplane(k).mkString("[", ", ", "]")
+      s"(CASE WHEN list_dot_product($e, $lits) >= 0 THEN '1' ELSE '0' END)"
+    }.mkString("concat(", ", ", ")")
+
   private def cosine(a: Column, b: Column): Column =
     round(graft.plans.VectorKernels.cosine(a, b), 4)
 
@@ -163,17 +172,22 @@ object TrainingData {
   /** Pre-cap sign-bucketed corpus of [[dedupEmbedding]]
     * (vec_id, e, bk), exposed so tests can measure real bucket sizes
     * against the cap. */
-  private[graft] def embeddingBucketed(sp: SparkSession, dir: String): DataFrame = {
-    // odd/even re-keying (originals 2·id, perturbed copies 2·id+1):
-    // unique at any corpus size, unlike a fixed +K offset
+  /** The B27/B27b corpus construction: originals re-keyed 2·id plus
+    * perturbed copies 2·id+1 of every fifth vector. Odd/even
+    * re-keying is unique at any corpus size, unlike a fixed +K
+    * offset. */
+  private[graft] def embeddingCorpus(sp: SparkSession, dir: String): DataFrame = {
     val base = Tables.embeddings(sp, dir)
       .select((col("vec_id") * 2).as("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("e"))
     val variants = base.filter(col("vec_id") % 10 === 0)
       .select((col("vec_id") + 1).as("vec_id"),
         transform(col("e"), (x, i) => when(i === 0, x + 0.01).otherwise(x)).as("e"))
-    base.union(variants).withColumn("bk", bucketOf(col("e")))
+    base.union(variants)
   }
+
+  private[graft] def embeddingBucketed(sp: SparkSession, dir: String): DataFrame =
+    embeddingCorpus(sp, dir).withColumn("bk", bucketOf(col("e")))
 
   def dedupEmbedding(sp: SparkSession, dir: String): DataFrame = {
     val corpus = embeddingBucketed(sp, dir)
@@ -205,6 +219,51 @@ object TrainingData {
       .select("vec_a", "vec_b", "cos")
       .orderBy("vec_a", "vec_b")
   }
+
+  /** Graded banded instance (B27b): small enough that the oracle's
+    * literal hyperplane matrix stays manageable (48 planes ≈ 60 KB of
+    * SQL), big enough that the banded recall formula separates it from
+    * the single table (1−(1−p^12)^4 ≈ 0.99 vs p^8 ≈ 0.77 at the
+    * 0.995-cosine threshold). */
+  private[graft] val BandedTables = 4
+  private[graft] val BandedPlanes = 12
+
+  /** Banded sign-LSH pair core shared by [[dedupEmbeddingBanded]] and
+    * `api.Graft.nearDupEmbeddings`: ONE kernel pass computes all
+    * tables×planes sign bits; per-table keys are substrings of that
+    * signature; capped buckets expand through [[cappedBucketPairs]];
+    * candidates confirm by exact cosine BEFORE the cross-table
+    * distinct (so only (id, id, cos) triples shuffle — deduplicating
+    * first drags the embedding arrays through an aggregate exchange,
+    * measured 10× slower at 20 copies). */
+  private[graft] def bandedPairs(corpus: DataFrame, tables: Int, planes: Int,
+      cap: Int, dims: Int, threshold: Double): DataFrame = {
+    val allPlanes = (0 until tables * planes).map(hyperplane(_, dims))
+    val keyed = corpus
+      .withColumn("sig", graft.plans.VectorKernels.lshBucket(col("e"), allPlanes))
+      .withColumn("t", explode(array((0 until tables).map(lit): _*)))
+      .withColumn("bk", expr(s"substring(sig, t * $planes + 1, $planes)"))
+    cappedBucketPairs(keyed, Seq("t", "bk"), cap)
+      .filter(col("cos") >= threshold)
+      .distinct()
+  }
+
+  /** B27b — `op_dedup_embedding_banded`: the PRODUCTION near-dup
+    * bucketing shape (PLANS.md r15 design note, shipped as
+    * `api.Graft.nearDupEmbeddings` r16) graded cross-engine: L
+    * independent sign-LSH tables of P planes each (the minhash band
+    * architecture with hyperplane signs), candidate = same bucket in
+    * ANY table, exact cosine ≥ 0.995 confirms, distinct over
+    * confirmed pairs. Same corpus construction and cap as B27; the
+    * single-table B27 remains the fixed-key baseline whose recall the
+    * banding repairs (measured planted recall 77.4% → 100% at 20
+    * copies, BandedLshProbe). Scale shape identical to B17's banded
+    * minhash: corpus shuffles once per table row, candidates
+    * output-linear, per-bucket cap bounds the degenerate expansion. */
+  def dedupEmbeddingBanded(sp: SparkSession, dir: String): DataFrame =
+    bandedPairs(embeddingCorpus(sp, dir), BandedTables, BandedPlanes,
+      TrainingData.MaxBucketVecs, 64, 0.995)
+      .orderBy("vec_a", "vec_b")
 
   /** Capped-bucket pair expansion shared by [[dedupEmbedding]] (keyed
     * by the single sign bucket) and `api.Graft.nearDupEmbeddings`
@@ -1179,6 +1238,32 @@ object TrainingData {
         |  FROM capped a JOIN capped b ON a.bk = b.bk AND a.vec_id < b.vec_id)
         |SELECT vec_a, vec_b, cos FROM pairs WHERE cos >= 0.995
         |ORDER BY vec_a, vec_b""".stripMargin)(dedupEmbedding),
+
+    OpQuery("op_dedup_embedding_banded",
+      s"""WITH corpus AS (
+        |  SELECT vec_id * 2 AS vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id * 2 + 1,
+        |    list_transform(CAST(embedding AS DOUBLE[]),
+        |      (x, i) -> CASE WHEN i = 1 THEN x + 0.01 ELSE x END)
+        |  FROM embeddings WHERE vec_id % 5 = 0),
+        |sig AS (SELECT vec_id, e, ${bandedSigSql("e")} AS sig FROM corpus),
+        |keyed AS (
+        |  SELECT s.vec_id, s.e, tt.t,
+        |    substring(s.sig, CAST(tt.t * $BandedPlanes + 1 AS INTEGER), $BandedPlanes) AS bk
+        |  FROM sig s, (SELECT unnest(range(0, $BandedTables)) AS t) tt),
+        |capped AS (
+        |  SELECT vec_id, e, t, bk FROM (
+        |    SELECT vec_id, e, t, bk,
+        |      row_number() OVER (PARTITION BY t, bk ORDER BY vec_id) AS rn
+        |    FROM keyed) WHERE rn <= $MaxBucketVecs),
+        |scored AS (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |    round(list_dot_product(a.e, b.e) /
+        |      (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 4) AS cos
+        |  FROM capped a JOIN capped b ON a.t = b.t AND a.bk = b.bk AND a.vec_id < b.vec_id)
+        |SELECT DISTINCT vec_a, vec_b, cos FROM scored WHERE cos >= 0.995
+        |ORDER BY vec_a, vec_b""".stripMargin)(dedupEmbeddingBanded),
 
     OpQuery("op_similarity_lsh",
       s"""WITH emb AS (

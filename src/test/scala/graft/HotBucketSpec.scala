@@ -59,6 +59,16 @@ class HotBucketSpec extends AnyFunSuite {
       s"candidate pairs $n exceed the bucket-cap bound")
   }
 
+  test("banded embedding: the cross-table DISTINCT keeps the degenerate bound at 2*C(cap,2)") {
+    // identical vectors get identical signatures, so every table's
+    // bucket holds the same cap-lowest keep-set and the distinct union
+    // over tables collapses back to the single-table bound — banding
+    // buys recall on healthy data, never extra degenerate pair volume
+    val n = TrainingData.dedupEmbeddingBanded(spark, dir).count()
+    assert(n > 0 && n <= 2 * maxPairs(TrainingData.MaxBucketVecs),
+      s"banded pairs $n exceed the 2-cluster bucket-cap bound")
+  }
+
   private def maxOccupancy(df: org.apache.spark.sql.DataFrame, keys: String*): Long =
     df.groupBy(keys.map(col): _*).count()
       .agg(org.apache.spark.sql.functions.max("count")).head().getLong(0)

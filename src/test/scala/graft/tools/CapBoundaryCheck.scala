@@ -38,7 +38,8 @@ object CapBoundaryCheck {
   val Dir = "/tmp/capcheck"
   val Out = "/tmp/capcheck_out"
   val Names = Seq("op_dedup_minhash", "op_dedup_cc", "op_dedup_simhash",
-    "op_dedup_embedding", "op_dedup_minhash_incremental",
+    "op_dedup_embedding", "op_dedup_embedding_banded",
+    "op_dedup_minhash_incremental",
     "op_ann_incremental", "op_incremental_e2e")
 
   def main(args: Array[String]): Unit = {
