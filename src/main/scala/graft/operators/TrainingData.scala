@@ -146,20 +146,24 @@ object TrainingData {
   private def bucketOf(e: Column): Column =
     graft.plans.VectorKernels.lshBucket(e, (0 until NumPlanes).map(hyperplane(_)))
 
-  private def bucketSql(e: String): String =
-    (0 until NumPlanes).map { k =>
+  /** SQL sign signature over the first `n` hyperplanes — ONE owner of
+    * the oracle-side sign rule and literal formatting, shared by the
+    * single-table B27 key (n = NumPlanes) and the B27b banded
+    * signature (n = tables × planes), so the two oracles can never
+    * diverge on the sign convention. */
+  private def sigSql(e: String, n: Int): String =
+    (0 until n).map { k =>
       val lits = hyperplane(k).mkString("[", ", ", "]")
       s"(CASE WHEN list_dot_product($e, $lits) >= 0 THEN '1' ELSE '0' END)"
     }.mkString("concat(", ", ", ")")
+
+  private def bucketSql(e: String): String = sigSql(e, NumPlanes)
 
   /** The B27b oracle's full tables×planes sign signature — same
     * hyperplane literals as the Spark kernel pass, so the per-table
     * substring keys agree bit-for-bit across engines. */
   private def bandedSigSql(e: String): String =
-    (0 until BandedTables * BandedPlanes).map { k =>
-      val lits = hyperplane(k).mkString("[", ", ", "]")
-      s"(CASE WHEN list_dot_product($e, $lits) >= 0 THEN '1' ELSE '0' END)"
-    }.mkString("concat(", ", ", ")")
+    sigSql(e, BandedTables * BandedPlanes)
 
   private def cosine(a: Column, b: Column): Column =
     round(graft.plans.VectorKernels.cosine(a, b), 4)

