@@ -530,12 +530,17 @@ object Relational {
     * single-pass Greenwald-Khanna sketch (`df.stat.approxQuantile`,
     * relErr 1e-3) rather than the exact-percentile aggregation, and
     * the op certifies the swap with the `op_agg_quantiles` contract:
-    *  - `within_1pct` — every sketch boundary lands within 1% of the
-    *    dimension's BOUNDARY SPAN (floored at one boundary grid step —
-    *    see the tolerance comment in the body) of the exact boundary
-    *    at the same probe (driver-compared over the 2×63-double
-    *    arrays; exact boundaries are the oracle-checkable side,
-    *    identical in DuckDB via `quantile_cont`);
+    *  - `within_1pct` — every sketch boundary's RANK lands within 1%
+    *    of the row count of its target rank (r16: GK's guarantee IS a
+    *    rank bound, so the contract now grades the guarantee itself;
+    *    the earlier value-distance form was a proxy that tripped on
+    *    tiny-SF discreteness — an interpolating exact boundary vs a
+    *    data-value sketch boundary at a duplicate-run edge. A
+    *    boundary value's rank is the INTERVAL [count<b, count≤b] over
+    *    its duplicate run; the check is interval-vs-tolerance-window
+    *    overlap, measured in ONE map-side conditional-count pass —
+    *    scale-safe where a value-space check would need the data grid.
+    *    Exact boundaries stay in the oracle via `quantile_cont`);
     *  - `span_ok` — the SKETCH-bucketed z-layout still meets the
     *    ≤3-rank-span guarantee per z>>4 range in BOTH dims (the whole
     *    point of the layout; computed over the full sketch-bucketed
@@ -564,21 +569,31 @@ object Relational {
     // sketch boundaries: the graded production path
     val skPk = li.stat.approxQuantile("pk", probs, 1e-3)
     val skQty = li.stat.approxQuantile("qty", probs, 1e-3)
-    // tolerance is RANGE-relative (1% of the boundary span), floored at
-    // one exact-boundary grid step: GK's guarantee is a RANK bound, so
-    // value-relative 1% would fail spuriously at the low end of a
-    // uniform key (2 grid steps of pk ≈ 6% of its value), and on
-    // integer-valued dims (qty) the exact side INTERPOLATES between
-    // data values while the sketch returns a data value — one grid
-    // step apart by construction, not a regression.
     def dsort(a: Array[Double]): Array[Double] = a.distinct.sorted
-    def within(ex: Array[Double], sk: Array[Double]): Boolean = {
-      val ds = dsort(ex)
-      val minGap = if (ds.length < 2) 0.0
-        else ds.sliding(2).map(p => p(1) - p(0)).min
-      val tol = math.max(0.01 * (ds.last - ds.head), minGap)
-      ex.zip(sk).forall { case (e, a) => math.abs(a - e) <= tol }
-    }
+    // rank certification in ONE map-side pass: for every sketch
+    // boundary, count rows strictly below and rows at-or-below — the
+    // boundary's rank interval over its duplicate run. GK (relErr
+    // 1e-3) guarantees a rank within that interval is near the target
+    // p·n; the graded tolerance is the contract's 1% of n (10× GK's
+    // own bound — the flag certifies the CONTRACT, not the ulp).
+    val rankCnts =
+      skPk.zipWithIndex.flatMap { case (b, i) =>
+        Seq(sum(when(col("pk") < b, 1L).otherwise(0L)).as(s"xl$i"),
+            sum(when(col("pk") <= b, 1L).otherwise(0L)).as(s"xe$i")) } ++
+      skQty.zipWithIndex.flatMap { case (b, i) =>
+        Seq(sum(when(col("qty") < b, 1L).otherwise(0L)).as(s"yl$i"),
+            sum(when(col("qty") <= b, 1L).otherwise(0L)).as(s"ye$i")) } ++
+      Seq(count(lit(1)).as("nrows"))
+    val rk = li.agg(rankCnts.head, rankCnts.tail: _*).head()
+    val nRows = rk.getLong(rankCnts.length - 1)
+    def within(prefix: String): Boolean =
+      probs.zipWithIndex.forall { case (p, i) =>
+        val lo = rk.getLong(rk.fieldIndex(s"${prefix}l$i"))
+        val hi = rk.getLong(rk.fieldIndex(s"${prefix}e$i"))
+        val target = p * nRows
+        val tol = 0.01 * nRows
+        lo <= target + tol && hi >= target - tol
+      }
     val spans = li
       .withColumn("rx", QuantileBucket.bucket(col("pk"), dsort(skPk)))
       .withColumn("ry", QuantileBucket.bucket(col("qty"), dsort(skQty)))
@@ -591,8 +606,8 @@ object Relational {
     val n = spans.getLong(0)
     import s.implicits._
     Seq(
-      ("pk", dsort(exPk).length.toLong, within(exPk, skPk), spans.getLong(1) <= 3L, n),
-      ("qty", dsort(exQty).length.toLong, within(exQty, skQty), spans.getLong(2) <= 3L, n))
+      ("pk", dsort(exPk).length.toLong, within("x"), spans.getLong(1) <= 3L, n),
+      ("qty", dsort(exQty).length.toLong, within("y"), spans.getLong(2) <= 3L, n))
       .toDF("dim", "n_splits", "within_1pct", "span_ok", "n")
       .orderBy("dim")
   }

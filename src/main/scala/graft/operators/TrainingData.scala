@@ -860,8 +860,15 @@ object TrainingData {
         round(length(regexp_replace(col("text"), "[^a-z]", "")).cast("double") / col("len"), 6))
       .withColumn("sr",
         round(size(filter(col("toks"), t => t.isin("the", "a"))).cast("double") / col("n_tok"), 6))
+      // round to 8, not 6: the exact decimal value of this combo (2-dp
+      // weights × 6-dp features) has ≤ 8 decimal digits, so the
+      // computed double sits ~1e-16 from an 8-dp grid point and
+      // 0.5e-8 from any 8-dp rounding boundary — BOTH engines land on
+      // the grid point regardless of their half-up/half-even tie rule.
+      // Rounding to 6 put exact values like 1.0432875 ON the boundary,
+      // where the engines' tie rules diverge (hit at sf0.001, r16)
       .withColumn("logit", round(lit(-1.2) + lit(2.5) * col("ar")
-        + lit(1.5) * col("sr") + lit(0.05) * col("mtl"), 6))
+        + lit(1.5) * col("sr") + lit(0.05) * col("mtl"), 8))
       .select(col("doc_id"), col("mtl"), col("ar"), col("sr"),
         col("logit"), (col("logit") >= 0).as("keep"))
       .orderBy("doc_id")
@@ -1550,7 +1557,7 @@ object TrainingData {
         |z AS (
         |  SELECT doc_id, mtl, ar, sr,
         |    round(CAST(-1.2 AS DOUBLE) + CAST(2.5 AS DOUBLE) * ar
-        |      + CAST(1.5 AS DOUBLE) * sr + CAST(0.05 AS DOUBLE) * mtl, 6) AS logit
+        |      + CAST(1.5 AS DOUBLE) * sr + CAST(0.05 AS DOUBLE) * mtl, 8) AS logit
         |  FROM g)
         |SELECT doc_id, mtl, ar, sr, logit, logit >= 0 AS keep
         |FROM z ORDER BY doc_id""".stripMargin)(qualityClassifier),

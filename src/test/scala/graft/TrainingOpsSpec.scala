@@ -198,7 +198,10 @@ class TrainingOpsSpec extends AnyFunSuite {
 
   // ---- B50 quality classifier: hand-computed logits -----------------------
   // "the cat": mtl=(7-2+1)/2=3.0, ar=6/7=.857143, sr=1/2=.5 ->
-  //   logit = -1.2 + 2.5*.857143 + 1.5*.5 + .05*3 = 1.842858 -> keep
+  //   logit = -1.2 + 2.5*.857143 + 1.5*.5 + .05*3 = 1.8428575 -> keep
+  //   (8-dp EXACT since r16 — this very value is a 6-dp rounding-
+  //   boundary case, the cross-engine hazard the 8-dp change removes:
+  //   2-dp weights x 6-dp features have <= 8 exact decimals)
   // "XYZ QQQ": ar=0 (no lowercase), sr=0, mtl=3.0 ->
   //   logit = -1.2 + .15 = -1.05 -> drop
   test("quality classifier: hand-computed logits, threshold at logit 0") {
@@ -206,6 +209,6 @@ class TrainingOpsSpec extends AnyFunSuite {
     val corpus = Seq((1L, "the cat"), (2L, "XYZ QQQ")).toDF("doc_id", "text")
     val got = TrainingData.qualityClassifierOf(corpus).collect()
       .map(r => (r.getLong(0), r.getDouble(4), r.getBoolean(5)))
-    assert(got.toSeq === Seq((1L, 1.842858, true), (2L, -1.05, false)))
+    assert(got.toSeq === Seq((1L, 1.8428575, true), (2L, -1.05, false)))
   }
 }
