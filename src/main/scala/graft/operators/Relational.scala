@@ -570,30 +570,36 @@ object Relational {
     val skPk = li.stat.approxQuantile("pk", probs, 1e-3)
     val skQty = li.stat.approxQuantile("qty", probs, 1e-3)
     def dsort(a: Array[Double]): Array[Double] = a.distinct.sorted
-    // rank certification in ONE map-side pass: for every sketch
-    // boundary, count rows strictly below and rows at-or-below — the
-    // boundary's rank interval over its duplicate run. GK (relErr
-    // 1e-3) guarantees a rank within that interval is near the target
-    // p·n; the graded tolerance is the contract's 1% of n (10× GK's
-    // own bound — the flag certifies the CONTRACT, not the ulp).
-    val rankCnts =
-      skPk.zipWithIndex.flatMap { case (b, i) =>
-        Seq(sum(when(col("pk") < b, 1L).otherwise(0L)).as(s"xl$i"),
-            sum(when(col("pk") <= b, 1L).otherwise(0L)).as(s"xe$i")) } ++
-      skQty.zipWithIndex.flatMap { case (b, i) =>
-        Seq(sum(when(col("qty") < b, 1L).otherwise(0L)).as(s"yl$i"),
-            sum(when(col("qty") <= b, 1L).otherwise(0L)).as(s"ye$i")) } ++
-      Seq(count(lit(1)).as("nrows"))
-    val rk = li.agg(rankCnts.head, rankCnts.tail: _*).head()
-    val nRows = rk.getLong(rankCnts.length - 1)
-    def within(prefix: String): Boolean =
-      probs.zipWithIndex.forall { case (p, i) =>
-        val lo = rk.getLong(rk.fieldIndex(s"${prefix}l$i"))
-        val hi = rk.getLong(rk.fieldIndex(s"${prefix}e$i"))
-        val target = p * nRows
-        val tol = 0.01 * nRows
-        lo <= target + tol && hi >= target - tol
+    // rank certification in ONE extra pass: every sketch boundary's
+    // rank interval [count<b, count≤b] (the span of its duplicate
+    // run) must overlap target ± 1% of n. GK (relErr 1e-3) guarantees
+    // a rank in that interval near the target; the graded tolerance
+    // is the CONTRACT's 1% (10× GK's own bound). The counts ride the
+    // same codegen'd binary-search kernel as the layout itself:
+    // bucket(x, ds) = #(ds_j ≤ x), so x < ds[i] ⟺ bucket ≤ i, and
+    // x ≤ ds[i] ⟺ bucketUp ≤ i with the splits nudged one ulp up —
+    // per-row 4 small ints, exploded and counted map-side (≤ 4×64
+    // groups), instead of 2×2×63 whole-row conditional sums whose
+    // generated aggregate overflowed JIT limits (measured +4.5 s).
+    val (dsPk, dsQty) = (dsort(skPk), dsort(skQty))
+    def up(a: Array[Double]) = a.map(math.nextUp)
+    val rankCnt: Map[(String, Long), Long] = li.select(explode(array(
+        struct(lit("xl").as("tag"), QuantileBucket.bucket(col("pk"), dsPk).as("idx")),
+        struct(lit("xe").as("tag"), QuantileBucket.bucket(col("pk"), up(dsPk)).as("idx")),
+        struct(lit("yl").as("tag"), QuantileBucket.bucket(col("qty"), dsQty).as("idx")),
+        struct(lit("ye").as("tag"), QuantileBucket.bucket(col("qty"), up(dsQty)).as("idx")))).as("s"))
+      .groupBy(col("s.tag").as("tag"), col("s.idx").as("idx")).count()
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val nRows = rankCnt.collect { case (("xl", _), c) => c }.sum
+    def within(prefix: String, ds: Array[Double], sk: Array[Double]): Boolean = {
+      def cum(tag: String, j: Long): Long =
+        rankCnt.collect { case ((t, idx), c) if t == tag && idx <= j => c }.sum
+      probs.indices.forall { i =>
+        val j = java.util.Arrays.binarySearch(ds, sk(i)).toLong
+        val (target, tol) = (probs(i) * nRows, 0.01 * nRows)
+        cum(s"${prefix}l", j) <= target + tol && cum(s"${prefix}e", j) >= target - tol
       }
+    }
     val spans = li
       .withColumn("rx", QuantileBucket.bucket(col("pk"), dsort(skPk)))
       .withColumn("ry", QuantileBucket.bucket(col("qty"), dsort(skQty)))
@@ -606,8 +612,8 @@ object Relational {
     val n = spans.getLong(0)
     import s.implicits._
     Seq(
-      ("pk", dsort(exPk).length.toLong, within("x"), spans.getLong(1) <= 3L, n),
-      ("qty", dsort(exQty).length.toLong, within("y"), spans.getLong(2) <= 3L, n))
+      ("pk", dsort(exPk).length.toLong, within("x", dsPk, skPk), spans.getLong(1) <= 3L, n),
+      ("qty", dsort(exQty).length.toLong, within("y", dsQty, skQty), spans.getLong(2) <= 3L, n))
       .toDF("dim", "n_splits", "within_1pct", "span_ok", "n")
       .orderBy("dim")
   }
