@@ -601,8 +601,8 @@ object Relational {
       }
     }
     val spans = li
-      .withColumn("rx", QuantileBucket.bucket(col("pk"), dsort(skPk)))
-      .withColumn("ry", QuantileBucket.bucket(col("qty"), dsort(skQty)))
+      .withColumn("rx", QuantileBucket.bucket(col("pk"), dsPk))
+      .withColumn("ry", QuantileBucket.bucket(col("qty"), dsQty))
       .withColumn("z", ZOrderKey.zorder(col("rx"), col("ry"), bits = RankBits))
       .groupBy(shiftright(col("z"), 4).as("zbucket"))
       .agg(count(lit(1)).as("n"),

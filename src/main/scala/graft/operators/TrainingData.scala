@@ -696,12 +696,19 @@ object TrainingData {
         length(regexp_replace(col("text"), "[^a-z]", "")).cast("double") / col("len"))
       .withColumn("stop_ratio",
         size(filter(col("toks"), t => t.isin("the", "a"))).cast("double") / col("n_tok"))
+      // UNROUNDED doubles (r16): these are per-row DETERMINISTIC
+      // expression trees over exact integer counts — IEEE division /
+      // multiply / add of identical operands in identical order is
+      // bit-identical across engines, so the raw doubles hash-match
+      // at any data. Rounding would INTRODUCE the only hazard: a
+      // value near a rounding boundary is resolved by different
+      // mechanisms per engine (Spark rounds the shortest decimal
+      // repr, DuckDB scales in binary — measured divergent on
+      // 1.0432875 at 6 dp, r16).
       .select(col("doc_id"), col("n_tok"),
-        round(col("mean_tok_len"), 6).as("mean_tok_len"),
-        round(col("alpha_ratio"), 6).as("alpha_ratio"),
-        round(col("stop_ratio"), 6).as("stop_ratio"),
-        round(col("alpha_ratio") * 0.6 + col("stop_ratio") * 0.2 +
-          col("mean_tok_len") / lit(10.0) * 0.2, 4).as("quality"))
+        col("mean_tok_len"), col("alpha_ratio"), col("stop_ratio"),
+        (col("alpha_ratio") * 0.6 + col("stop_ratio") * 0.2 +
+          col("mean_tok_len") / lit(10.0) * 0.2).as("quality"))
       .orderBy("doc_id")
 
   // ---- B31: document fingerprinting ----------------------------------------
@@ -841,10 +848,13 @@ object TrainingData {
     *
     * Scale shape: ZERO shuffles beyond the output sort — model
     * inference rides the scan's whole-stage codegen, which is what
-    * makes classifier-gating effectively free at 100 TB. Features are
-    * quantized to 6 decimals BEFORE the dot product so both engines
-    * compute the logit from bit-identical inputs; the dot product is
-    * written left-associated the same way in both engines. */
+    * makes classifier-gating effectively free at 100 TB. Features and
+    * logit are graded as RAW doubles (r16): per-row deterministic
+    * expression trees over exact integer counts are IEEE-identical
+    * across engines when written in the same left-associated order —
+    * rounding them was the only cross-engine hazard (boundary values
+    * are resolved by different mechanisms per engine; see the body
+    * comment). */
   def qualityClassifier(sp: SparkSession, dir: String): DataFrame =
     qualityClassifierOf(docs(sp, dir))
 
@@ -854,21 +864,25 @@ object TrainingData {
       .withColumn("len", length(col("text")))
       .withColumn("toks", split(col("text"), " "))
       .withColumn("n_tok", size(col("toks")))
+      // UNROUNDED (r16, second pass): rounding per-row deterministic
+      // quotients is what CREATED the cross-engine hazard — a value
+      // near a rounding boundary is resolved by different mechanisms
+      // per engine (Spark rounds the shortest decimal repr, DuckDB
+      // scales in binary; measured divergent on 1.0432875 at 6 dp).
+      // The raw doubles are IEEE-identical across engines: exact
+      // integer counts through the SAME division / multiply / add
+      // tree in the SAME left-associated order. (The first r16 fix
+      // moved the logit 6→8 dp, which closed only the logit's own
+      // boundary; a reviewer showed the same mechanism one level up
+      // in the 6-dp features.)
       .withColumn("mtl",
-        round((col("len") - col("n_tok") + 1).cast("double") / col("n_tok"), 6))
+        (col("len") - col("n_tok") + 1).cast("double") / col("n_tok"))
       .withColumn("ar",
-        round(length(regexp_replace(col("text"), "[^a-z]", "")).cast("double") / col("len"), 6))
+        length(regexp_replace(col("text"), "[^a-z]", "")).cast("double") / col("len"))
       .withColumn("sr",
-        round(size(filter(col("toks"), t => t.isin("the", "a"))).cast("double") / col("n_tok"), 6))
-      // round to 8, not 6: the exact decimal value of this combo (2-dp
-      // weights × 6-dp features) has ≤ 8 decimal digits, so the
-      // computed double sits ~1e-16 from an 8-dp grid point and
-      // 0.5e-8 from any 8-dp rounding boundary — BOTH engines land on
-      // the grid point regardless of their half-up/half-even tie rule.
-      // Rounding to 6 put exact values like 1.0432875 ON the boundary,
-      // where the engines' tie rules diverge (hit at sf0.001, r16)
-      .withColumn("logit", round(lit(-1.2) + lit(2.5) * col("ar")
-        + lit(1.5) * col("sr") + lit(0.05) * col("mtl"), 8))
+        size(filter(col("toks"), t => t.isin("the", "a"))).cast("double") / col("n_tok"))
+      .withColumn("logit", lit(-1.2) + lit(2.5) * col("ar")
+        + lit(1.5) * col("sr") + lit(0.05) * col("mtl"))
       .select(col("doc_id"), col("mtl"), col("ar"), col("sr"),
         col("logit"), (col("logit") >= 0).as("keep"))
       .orderBy("doc_id")
@@ -1458,10 +1472,8 @@ object TrainingData {
         |    n_stop / n_tok AS stop_ratio
         |  FROM f)
         |SELECT doc_id, n_tok,
-        |  round(mean_tok_len, 6) AS mean_tok_len,
-        |  round(alpha_ratio, 6) AS alpha_ratio,
-        |  round(stop_ratio, 6) AS stop_ratio,
-        |  round(alpha_ratio * 0.6 + stop_ratio * 0.2 + mean_tok_len / 10.0 * 0.2, 4) AS quality
+        |  mean_tok_len, alpha_ratio, stop_ratio,
+        |  alpha_ratio * 0.6 + stop_ratio * 0.2 + mean_tok_len / 10.0 * 0.2 AS quality
         |FROM g ORDER BY doc_id""".stripMargin)(textQuality),
 
     OpQuery("op_text_fingerprint",
@@ -1550,14 +1562,14 @@ object TrainingData {
         |  FROM documents),
         |g AS (
         |  SELECT doc_id,
-        |    round(CAST(len - n_tok + 1 AS DOUBLE) / n_tok, 6) AS mtl,
-        |    round(n_alpha / len, 6) AS ar,
-        |    round(n_stop / n_tok, 6) AS sr
+        |    CAST(len - n_tok + 1 AS DOUBLE) / n_tok AS mtl,
+        |    n_alpha / len AS ar,
+        |    n_stop / n_tok AS sr
         |  FROM f),
         |z AS (
         |  SELECT doc_id, mtl, ar, sr,
-        |    round(CAST(-1.2 AS DOUBLE) + CAST(2.5 AS DOUBLE) * ar
-        |      + CAST(1.5 AS DOUBLE) * sr + CAST(0.05 AS DOUBLE) * mtl, 8) AS logit
+        |    CAST(-1.2 AS DOUBLE) + CAST(2.5 AS DOUBLE) * ar
+        |      + CAST(1.5 AS DOUBLE) * sr + CAST(0.05 AS DOUBLE) * mtl AS logit
         |  FROM g)
         |SELECT doc_id, mtl, ar, sr, logit, logit >= 0 AS keep
         |FROM z ORDER BY doc_id""".stripMargin)(qualityClassifier),

@@ -197,11 +197,12 @@ class TrainingOpsSpec extends AnyFunSuite {
   }
 
   // ---- B50 quality classifier: hand-computed logits -----------------------
-  // "the cat": mtl=(7-2+1)/2=3.0, ar=6/7=.857143, sr=1/2=.5 ->
-  //   logit = -1.2 + 2.5*.857143 + 1.5*.5 + .05*3 = 1.8428575 -> keep
-  //   (8-dp EXACT since r16 — this very value is a 6-dp rounding-
-  //   boundary case, the cross-engine hazard the 8-dp change removes:
-  //   2-dp weights x 6-dp features have <= 8 exact decimals)
+  // "the cat": mtl=(7-2+1)/2=3.0, ar=6/7, sr=1/2 ->
+  //   logit = -1.2 + 2.5*(6/7) + 1.5*.5 + .05*3 -> keep
+  //   (UNROUNDED since r16: the expected value is computed below with
+  //   the SAME IEEE operations in the same order the op uses — raw
+  //   doubles are the cross-engine-robust grading; any rounding scale
+  //   has boundary values the engines resolve differently)
   // "XYZ QQQ": ar=0 (no lowercase), sr=0, mtl=3.0 ->
   //   logit = -1.2 + .15 = -1.05 -> drop
   test("quality classifier: hand-computed logits, threshold at logit 0") {
@@ -209,6 +210,8 @@ class TrainingOpsSpec extends AnyFunSuite {
     val corpus = Seq((1L, "the cat"), (2L, "XYZ QQQ")).toDF("doc_id", "text")
     val got = TrainingData.qualityClassifierOf(corpus).collect()
       .map(r => (r.getLong(0), r.getDouble(4), r.getBoolean(5)))
-    assert(got.toSeq === Seq((1L, 1.8428575, true), (2L, -1.05, false)))
+    val logitCat = -1.2 + 2.5 * (6.0 / 7) + 1.5 * 0.5 + 0.05 * 3.0
+    val logitXyz = -1.2 + 2.5 * 0.0 + 1.5 * 0.0 + 0.05 * 3.0
+    assert(got.toSeq === Seq((1L, logitCat, true), (2L, logitXyz, false)))
   }
 }
