@@ -467,6 +467,69 @@ object TrainingData {
       .orderBy("batch_id", "rank")
   }
 
+  // ---- B60: SemDeDup — cluster-scoped semantic dedup -----------------------
+
+  /** Semantic-dup confirmation threshold — deliberately BELOW the
+    * near-dup family's 0.995: SemDeDup prunes *semantically redundant*
+    * documents (paraphrases, templated rewrites), not just byte-level
+    * near-copies, so the cosine bar sits where the B27 planted
+    * perturbations still qualify but the rule is visibly a different
+    * contract than near-dup. */
+  private[graft] val SemDedupTau = 0.97
+
+  /** B60 — `op_semdedup`: cluster-scoped SEMANTIC dedup (the SemDeDup
+    * recipe, Abbas et al. 2023, arXiv:2303.09540): k-means-cluster the
+    * embedding space, then look for high-cosine pairs ONLY within each
+    * cluster — the cluster structure bounds the pairwise expansion the
+    * way LSH bands do for near-dup, but with a data-dependent Voronoi
+    * partition instead of random hyperplanes, so lower-threshold
+    * semantic duplicates that straddle sign-LSH buckets are still
+    * co-located. Completes the dedup family: exact (B16), minhash
+    * (B17), simhash (B25), n-gram Jaccard (B26), embedding near-dup
+    * (B27/B27b), semantic (B60).
+    *
+    * Determinism contract: the "trained" clustering is the
+    * corpus-scaled [[annCodebook]] stride rule (every 157th base
+    * vector is a centroid — the same declared, oracle-expressible
+    * quantizer the B58 family runs; a production run substitutes real
+    * k-means centroids via [[graft.api.Graft]] without changing the
+    * plan shape). Keep rule: within a cell, every pair a<b with
+    * rounded cosine ≥ [[SemDedupTau]] drops b; a dropped vector's
+    * `rep` is its LOWEST-id qualifying neighbor (the direct-neighbor
+    * variant — transitive-closure grouping is B17b's contract), kept
+    * vectors are their own rep. Output = one row per corpus vector
+    * with (cell, rep, kept): the pruned corpus is `WHERE kept`.
+    * Known recall limit (inherent to cluster-scoped dedup and named
+    * in the paper): a dup pair whose members assign to DIFFERENT
+    * cells is never compared — measured 2/100 planted pairs at
+    * sf0.001 (SemDedupSpec pins the bound); the near-dup ops (B27b
+    * banding) remain the high-recall path for byte-level copies.
+    *
+    * Scale shape: K grows with the corpus (stride rule) so mean cell
+    * occupancy is CONSTANT ≈ stride — per-cell pairwise work is
+    * O(occupancy²) = O(1) and total work is LINEAR in the corpus;
+    * [[cappedBucketPairs]]'s rank cap bounds the degenerate
+    * all-identical-embeddings cell exactly as in B27. The assign is
+    * broadcast map-side (see [[annIncremental]] for the K ceiling and
+    * the demonstrated hierarchical escape); the pair expansion and the
+    * rep aggregation shuffle only (id, id, cos) triples; the final
+    * left join is corpus-sized on the unique vec_id key. */
+  def semDedup(sp: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(sp, dir)
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("e"))
+    val assigned = ivfAssignWith(embeddingCorpus(sp, dir), annCodebook(emb))
+    val drops = cappedBucketPairs(assigned, Seq("cell"), TrainingData.MaxBucketVecs)
+      .filter(col("cos") >= SemDedupTau)
+      .groupBy(col("vec_b").as("vec_id"))
+      .agg(min(col("vec_a")).as("nbr"))
+    assigned.select("vec_id", "cell")
+      .join(drops, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        coalesce(col("nbr"), col("vec_id")).as("rep"),
+        col("nbr").isNull.as("kept"))
+      .orderBy("vec_id")
+  }
+
   def similarityIvf(sp: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(sp, dir)
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("e"))
@@ -1452,6 +1515,41 @@ object TrainingData {
         |  FROM scored)
         |SELECT batch_id, rank, hist_id, score FROM ranked WHERE rank <= 3
         |ORDER BY batch_id, rank""".stripMargin)(annIncremental),
+
+    OpQuery("op_semdedup",
+      s"""WITH emb AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |cents AS (
+        |  SELECT vec_id AS c_id, e AS ce FROM emb WHERE vec_id % $AnnCodebookStride = 0),
+        |corpus AS (
+        |  SELECT vec_id * 2 AS vec_id, e FROM emb
+        |  UNION ALL
+        |  SELECT vec_id * 2 + 1,
+        |    list_transform(e, (x, i) -> CASE WHEN i = 1 THEN x + 0.01 ELSE x END)
+        |  FROM emb WHERE vec_id % 5 = 0),
+        |assigned AS (
+        |  SELECT vec_id, e, c_id AS cell FROM (
+        |    SELECT corpus.vec_id, corpus.e, cents.c_id,
+        |      row_number() OVER (PARTITION BY corpus.vec_id ORDER BY
+        |        list_dot_product(corpus.e, cents.ce) /
+        |          (sqrt(list_dot_product(corpus.e, corpus.e)) * sqrt(list_dot_product(cents.ce, cents.ce))) DESC,
+        |        cents.c_id ASC) AS rn
+        |    FROM corpus, cents)
+        |  WHERE rn = 1),
+        |capped AS (
+        |  SELECT vec_id, e, cell FROM (
+        |    SELECT vec_id, e, cell,
+        |      row_number() OVER (PARTITION BY cell ORDER BY vec_id) AS rn
+        |    FROM assigned) WHERE rn <= $MaxBucketVecs),
+        |drops AS (
+        |  SELECT b.vec_id AS vec_id, min(a.vec_id) AS nbr
+        |  FROM capped a JOIN capped b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        |  WHERE round(list_dot_product(a.e, b.e) /
+        |    (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 4) >= $SemDedupTau
+        |  GROUP BY b.vec_id)
+        |SELECT s.vec_id, s.cell, coalesce(d.nbr, s.vec_id) AS rep, d.nbr IS NULL AS kept
+        |FROM assigned s LEFT JOIN drops d ON s.vec_id = d.vec_id
+        |ORDER BY s.vec_id""".stripMargin)(semDedup),
 
     OpQuery("op_text_langid",
       """SELECT doc_id, lang AS pred, CAST(3 AS INTEGER) AS n_hits, true AS is_match

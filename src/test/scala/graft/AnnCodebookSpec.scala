@@ -32,9 +32,9 @@ class AnnCodebookSpec extends AnyFunSuite {
     assert(ids.contains(0L))
   }
 
-  test("all four graded oracles carry the SAME stride predicate as the Scala constant") {
+  test("all five graded oracles carry the SAME stride predicate as the Scala constant") {
     for (op <- Seq("op_ann_incremental", "op_incremental_e2e",
-        "op_similarity_ivf", "op_ann_recall")) {
+        "op_similarity_ivf", "op_ann_recall", "op_semdedup")) {
       val sql = SparkEntry.oracleSql(op)
       assert(sql.contains(s"% $stride = 0"),
         s"$op oracle lost the interpolated stride predicate")
