@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.OpQuery
@@ -452,6 +453,96 @@ object Mining {
       .orderBy("doc_id")
   }
 
+  // ---- B63: LM-based corpus filtering --------------------------------------
+
+  /** B63 — `op_perplexity_filter`: the CCNet recipe (Wenzek et al.
+    * 2019, arXiv:1911.00359) — score every document with a language
+    * model trained on the corpus itself, split the corpus into
+    * head / middle / tail perplexity terciles, and keep the head and
+    * middle. The LM is B46's bigram model (`ngramLmScores`, add-one
+    * smoothing, per-doc mean log-prob rounded to 4 — the SAME scores
+    * op_ngram_lm grades, so their cross-engine equality is already
+    * certified). Docs with no bigram (< 2 tokens) are out of scope —
+    * the LM cannot score them and every length filter upstream drops
+    * them anyway.
+    *
+    * Determinism contract: NO float ever crosses an engine boundary
+    * in a comparison. The rounded score is scaled to an exact integer
+    * (`round(avg_logp·10⁴)` — 4 decimals by construction, so the
+    * nearest-integer round only sheds ~1e-9 representation error,
+    * never a boundary), terciles are integer thresholds over the
+    * score HISTOGRAM (`t_k` = smallest integer score whose cumulative
+    * count reaches ⌈k·n/3⌉), and bucket membership is an integer
+    * comparison. Ties share a score value and therefore a bucket —
+    * the tie-inclusive cut is the declared semantics (CCNet's own
+    * buckets are threshold-, not rank-, based).
+    *
+    * Scale shape: scoring inherits B46's plan (bounded hot-prefix
+    * routing, model-sized aggregates). The tercile pass never ranks
+    * the corpus: it aggregates the VALUE histogram — cardinality
+    * bounded by the 4-dp score RANGE (a few 10⁴ values however large
+    * the corpus), so the single-partition cumulative window is
+    * constant-size at any scale — and broadcasts two integer
+    * thresholds back over the docs. This is exactly how a 100 TB
+    * percentile filter should run: histogram, threshold, map-side
+    * filter; never a global sort. */
+  def perplexityFilter(sp: SparkSession, dir: String): DataFrame = {
+    // three consumers (histogram, doc count, final bucket join) read the
+    // scores — cache the (doc_id, score) frame so B46's bigram scoring
+    // runs ONCE (it is the query's whole cost; the cached frame is three
+    // skinny columns, corpus-row-sized, spills to disk at 100 TB)
+    val scores = ngramLmScores(docs(sp, dir))
+      .select(col("doc_id"), col("avg_logp"),
+        round(col("avg_logp") * 10000).cast("long").as("s_i"))
+      .cache()
+    val hist = scores.groupBy("s_i").agg(count(lit(1)).as("c"))
+    val cum = hist.withColumn("cum",
+      sum(col("c")).over(Window.orderBy("s_i")
+        .rowsBetween(Window.unboundedPreceding, 0)))
+    val th = cum.crossJoin(broadcast(scores.agg(count(lit(1)).as("n"))))
+      .agg(
+        min(when(col("cum") >= ceil(col("n") / 3.0), col("s_i"))).as("t1"),
+        min(when(col("cum") >= ceil(col("n") * 2 / 3.0), col("s_i"))).as("t2"))
+    scores.crossJoin(broadcast(th))
+      .select(col("doc_id"), col("avg_logp"),
+        when(col("s_i") <= col("t1"), lit("tail"))
+          .when(col("s_i") <= col("t2"), lit("middle"))
+          .otherwise(lit("head")).as("bucket"),
+        (col("s_i") > col("t1")).as("kept"))
+      .orderBy("doc_id")
+  }
+
+  private val perplexityFilterOracle: String =
+    """WITH ts AS (SELECT doc_id,
+      |    list_filter(string_split(text, ' '), x -> x <> '') AS ts
+      |  FROM documents),
+      |toks AS (SELECT doc_id, unnest(ts) AS t, generate_subscripts(ts, 1) AS pos FROM ts),
+      |big AS (SELECT a.doc_id, a.t AS w1, b.t AS w2
+      |  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+      |c2 AS (SELECT w1, w2, count(*) AS c2 FROM big GROUP BY w1, w2),
+      |c1 AS (SELECT w1, count(*) AS c1 FROM big GROUP BY w1),
+      |vocab AS (SELECT count(DISTINCT t) AS v FROM toks),
+      |scores AS (SELECT big.doc_id,
+      |    round(avg(ln((c2.c2 + CAST(1.0 AS DOUBLE)) / (c1.c1 + vocab.v))), 4) AS avg_logp
+      |  FROM big JOIN c2 USING (w1, w2) JOIN c1 USING (w1), vocab
+      |  GROUP BY big.doc_id),
+      |si AS (SELECT doc_id, avg_logp,
+      |    CAST(round(avg_logp * 10000) AS BIGINT) AS s_i FROM scores),
+      |hist AS (SELECT s_i, count(*) AS c FROM si GROUP BY s_i),
+      |cum AS (SELECT s_i, sum(c) OVER (ORDER BY s_i
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM hist),
+      |tot AS (SELECT count(*) AS n FROM si),
+      |th AS (SELECT
+      |    min(CASE WHEN cum >= ceil(n / 3.0) THEN s_i END) AS t1,
+      |    min(CASE WHEN cum >= ceil(n * 2 / 3.0) THEN s_i END) AS t2
+      |  FROM cum, tot)
+      |SELECT si.doc_id, si.avg_logp,
+      |  CASE WHEN si.s_i <= th.t1 THEN 'tail'
+      |       WHEN si.s_i <= th.t2 THEN 'middle'
+      |       ELSE 'head' END AS bucket,
+      |  si.s_i > th.t1 AS kept
+      |FROM si, th ORDER BY si.doc_id""".stripMargin
+
   private val ngramLmOracle: String =
     """WITH ts AS (SELECT doc_id,
       |    list_filter(string_split(text, ' '), x -> x <> '') AS ts
@@ -524,5 +615,6 @@ object Mining {
     OpQuery("op_graph_pagerank", pagerankOracle)(graphPagerank),
     OpQuery("op_bm25", bm25Oracle)(bm25),
     OpQuery("op_ngram_lm", ngramLmOracle)(ngramLm),
+    OpQuery("op_perplexity_filter", perplexityFilterOracle)(perplexityFilter),
     OpQuery("op_anomaly_mad", anomalyMadOracle)(anomalyMad))
 }

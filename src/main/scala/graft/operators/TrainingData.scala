@@ -530,6 +530,117 @@ object TrainingData {
       .orderBy("vec_id")
   }
 
+  // ---- B61: sliding-window token chunking ----------------------------------
+
+  /** Chunk window (tokens) for B61. */
+  private[graft] val ChunkWindow = 16
+
+  /** Chunk stride for B61 — stride < window gives the fixed overlap
+    * (window − stride = 4 tokens) every retrieval / training-sequence
+    * pipeline wants so no span is split across a chunk boundary
+    * without also appearing whole in a neighbor. */
+  private[graft] val ChunkStride = 12
+
+  /** B61 — `op_chunk_sliding`: sliding-window token chunking, the
+    * document → training-sequence / retrieval-unit splitter every LLM
+    * data pipeline runs between cleaning and packing (B38 packs
+    * whole docs into budgets; B61 splits docs into overlapping
+    * fixed-width units first — RAG indexing and long-doc pretraining
+    * both need it). Tokens are the non-empty whitespace split (the
+    * engine's declared tokenizer, same as B35/B46); chunk `i` covers
+    * tokens `[i·stride+1, i·stride+window]`, `n_chunks =
+    * ceil(n_tok/stride)` so every token appears in ≥ 1 chunk and
+    * interior tokens appear in exactly ⌈window/stride⌉ chunks.
+    *
+    * Scale shape: pure map-side — tokenize, one bounded `sequence`
+    * explode per doc (fan-out ≈ n_tok/stride rows, each
+    * window-bounded), no shuffle at all until the graded ORDER BY
+    * (which a production pipeline drops). Row count is
+    * corpus-token-linear with constant ~4/3 overlap factor; nothing
+    * is driver-side and nothing is quadratic at any corpus size. */
+  def chunkSliding(sp: SparkSession, dir: String): DataFrame = {
+    val toks = docs(sp, dir)
+      .select(col("doc_id"), filter(split(col("text"), " "), t => t =!= "").as("ts"))
+      .withColumn("n_tok", size(col("ts")))
+      .filter(col("n_tok") >= 1)
+    toks
+      .withColumn("n_chunks",
+        ceil(col("n_tok").cast("double") / ChunkStride).cast("int"))
+      .select(col("doc_id"), col("ts"), col("n_chunks"),
+        explode(sequence(lit(0), col("n_chunks") - 1)).as("chunk_id"))
+      .withColumn("ck",
+        slice(col("ts"), col("chunk_id") * ChunkStride + 1, lit(ChunkWindow)))
+      .select(col("doc_id"), col("chunk_id").cast("int").as("chunk_id"),
+        col("n_chunks"),
+        (col("chunk_id") * ChunkStride).cast("int").as("start_tok"),
+        size(col("ck")).as("chunk_len"),
+        array_join(col("ck"), " ").as("chunk"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  // ---- B62: exact repeated-substring dedup ---------------------------------
+
+  /** Gram length (tokens) for B62's repeated-span detection — long
+    * enough that natural language repeats it only when text was
+    * actually copied (the "50-token window" idea of Lee et al. 2021
+    * scaled to this corpus's ~54-token documents). */
+  private[graft] val SubstrGram = 8
+
+  /** B62 — `op_dedup_substring`: EXACT repeated-span detection
+    * (Lee et al. 2021, "Deduplicating Training Data Makes Language
+    * Models Better", arXiv:2107.06499 — the ExactSubstr contract):
+    * flag documents much of whose token stream appears verbatim in
+    * some OTHER document, which byte-level exact dedup (B16) misses
+    * whenever copies carry a distinct wrapper (boilerplate headers,
+    * quoted reposts). Every `SubstrGram`-token window is a gram; a
+    * gram occurring in ≥ 2 distinct docs is a duplicated span; a doc
+    * is flagged when ≥ half its distinct grams are duplicated.
+    * Planted evidence (odd/even re-keying as B17/B26): originals
+    * 2·id, and every 5th doc also appears as 2·id+1 with an injected
+    * 3-token preamble — a wrapper that defeats B16 but leaves every
+    * interior gram shared, so both sides of each planted pair MUST
+    * flag. `dup_ratio` is a per-row IEEE division, graded raw (r16
+    * rounding rule); `flagged` is the integer predicate
+    * `2·n_dup ≥ n_grams` — no float ever crosses an engine boundary
+    * in a comparison.
+    *
+    * Scale shape: grams are generated map-side (one bounded explode,
+    * n_tok − k + 1 rows per doc), de-duplicated per doc, then ONE
+    * shuffle keyed by gram (the suffix-array of the paper re-expressed
+    * as a group-by — Spark's sort-based shuffle IS the suffix sort,
+    * restricted to width-k windows); the per-doc rollup joins back
+    * semi-join-gated so only grams known duplicated shuffle twice. At
+    * 100 TB the gram KEY is the 8-byte rolling hash (B31's kernel)
+    * instead of the token string — identical grouping, ~6× narrower
+    * shuffle; the string key here keeps the oracle byte-exact. */
+  def dedupSubstring(sp: SparkSession, dir: String): DataFrame = {
+    val base = docs(sp, dir)
+    val corpus = base.select((col("doc_id") * 2).as("doc_id"), col("text"))
+      .union(base.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") * 2 + 1).as("doc_id"),
+          concat(lit("injected preamble sentence "), col("text")).as("text")))
+    val grams = corpus
+      .select(col("doc_id"), filter(split(col("text"), " "), t => t =!= "").as("ts"))
+      .filter(size(col("ts")) >= SubstrGram)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), size(col("ts")) - SubstrGram),
+          i => array_join(slice(col("ts"), i + 1, lit(SubstrGram)), " "))).as("g"))
+      .distinct()
+    val shared = grams.groupBy("g").agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2)
+    val ng = grams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    val nd = grams.join(shared.select("g"), Seq("g"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_dup"))
+    ng.join(nd, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        col("n_grams").cast("int").as("n_grams"),
+        coalesce(col("n_dup"), lit(0L)).cast("int").as("n_dup"),
+        (coalesce(col("n_dup"), lit(0L)).cast("double") / col("n_grams"))
+          .as("dup_ratio"),
+        (coalesce(col("n_dup"), lit(0L)) * 2 >= col("n_grams")).as("flagged"))
+      .orderBy("doc_id")
+  }
+
   def similarityIvf(sp: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(sp, dir)
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("e"))
@@ -1550,6 +1661,49 @@ object TrainingData {
         |SELECT s.vec_id, s.cell, coalesce(d.nbr, s.vec_id) AS rep, d.nbr IS NULL AS kept
         |FROM assigned s LEFT JOIN drops d ON s.vec_id = d.vec_id
         |ORDER BY s.vec_id""".stripMargin)(semDedup),
+
+    OpQuery("op_chunk_sliding",
+      s"""WITH t AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ts
+        |  FROM documents),
+        |n AS (
+        |  SELECT doc_id, ts,
+        |    CAST(ceil(len(ts) / $ChunkStride.0) AS INTEGER) AS n_chunks
+        |  FROM t WHERE len(ts) >= 1),
+        |e AS (
+        |  SELECT doc_id, ts, n_chunks, unnest(range(0, n_chunks)) AS chunk_id
+        |  FROM n)
+        |SELECT doc_id, CAST(chunk_id AS INTEGER) AS chunk_id, n_chunks,
+        |  CAST(chunk_id * $ChunkStride AS INTEGER) AS start_tok,
+        |  CAST(len(ts[chunk_id * $ChunkStride + 1 : chunk_id * $ChunkStride + $ChunkWindow]) AS INTEGER) AS chunk_len,
+        |  array_to_string(ts[chunk_id * $ChunkStride + 1 : chunk_id * $ChunkStride + $ChunkWindow], ' ') AS chunk
+        |FROM e ORDER BY doc_id, chunk_id""".stripMargin)(chunkSliding),
+
+    OpQuery("op_dedup_substring",
+      s"""WITH corpus AS (
+        |  SELECT doc_id * 2 AS doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id * 2 + 1, 'injected preamble sentence ' || text
+        |  FROM documents WHERE doc_id % 5 = 0),
+        |t AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ts
+        |  FROM corpus),
+        |g0 AS (
+        |  SELECT doc_id, unnest(list_transform(range(0, len(ts) - $SubstrGram + 1),
+        |    i -> array_to_string(ts[i + 1 : i + $SubstrGram], ' '))) AS g
+        |  FROM t WHERE len(ts) >= $SubstrGram),
+        |g AS (SELECT DISTINCT doc_id, g FROM g0),
+        |shared AS (SELECT g FROM g GROUP BY g HAVING count(*) >= 2),
+        |ng AS (SELECT doc_id, count(*) AS n_grams FROM g GROUP BY doc_id),
+        |nd AS (SELECT g.doc_id, count(*) AS n_dup
+        |       FROM g JOIN shared USING (g) GROUP BY g.doc_id)
+        |SELECT ng.doc_id,
+        |  CAST(n_grams AS INTEGER) AS n_grams,
+        |  CAST(coalesce(n_dup, 0) AS INTEGER) AS n_dup,
+        |  CAST(coalesce(n_dup, 0) AS DOUBLE) / n_grams AS dup_ratio,
+        |  coalesce(n_dup, 0) * 2 >= n_grams AS flagged
+        |FROM ng LEFT JOIN nd ON ng.doc_id = nd.doc_id
+        |ORDER BY ng.doc_id""".stripMargin)(dedupSubstring),
 
     OpQuery("op_text_langid",
       """SELECT doc_id, lang AS pred, CAST(3 AS INTEGER) AS n_hits, true AS is_match

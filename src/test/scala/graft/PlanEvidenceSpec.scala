@@ -48,6 +48,7 @@ class PlanEvidenceSpec extends AnyFunSuite {
       "op_ts_gapfill",       // hour×type grid, volume-independent
       "op_bm25",             // 1-row corpus stats (n_docs, avgdl) crossJoin — bounded by construction
       "op_ngram_lm",         // 1-row vocabulary-count crossJoin — bounded by construction
+      "op_perplexity_filter", // B46's vocab crossJoin + 1-row doc-count/threshold normalizers
       "op_mixture_weights")  // 1-row normalizer (token total, Σ√n) crossJoin — bounded by construction
     for (q <- Registry.all) {
       val p = plan(q.name)
