@@ -163,6 +163,76 @@ object Graft {
     graft.operators.TrainingData.annProbeWith(prep(history), prep(batch), cents, topK)
   }
 
+  /** Sliding-window token chunking for any corpus — the general form
+    * of the graded `op_chunk_sliding` (same core,
+    * [[graft.operators.TrainingData.chunkWith]]), with caller-sized
+    * window/stride in tokens (whitespace tokenizer). Emits one row per
+    * chunk: `(doc_id, chunk_id, n_chunks, start_tok, chunk_len,
+    * chunk)`; chunk `i` covers tokens `[i·stride+1, i·stride+window]`
+    * so every token lands in ≥ 1 chunk and interior tokens in exactly
+    * ⌈window/stride⌉. Pure map-side (one bounded explode, no shuffle);
+    * `doc_id` may be any type — nothing joins or sorts on it here.
+    * `stride > window` is rejected: it would silently DROP the tokens
+    * between consecutive windows. */
+  def chunkDocuments(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", window: Int = 256,
+      stride: Int = 192): DataFrame = {
+    require(stride >= 1, s"stride must be >= 1 (got $stride)")
+    require(window >= stride,
+      s"window must be >= stride or inter-chunk tokens are silently lost " +
+        s"(got window=$window, stride=$stride)")
+    graft.operators.TrainingData.chunkWith(
+      df.select(col(idCol).as("doc_id"), col(textCol).as("text")),
+      window, stride)
+  }
+
+  /** Exact repeated-span detection for any corpus — the general form
+    * of the graded `op_dedup_substring` (same core,
+    * [[graft.operators.TrainingData.repeatedSpansWith]]; the
+    * ExactSubstr contract of Lee et al. 2021, arXiv:2107.06499) with a
+    * caller-sized gram length (tokens; the paper's choice is ~50).
+    * Emits one row per doc with ≥ `gramTokens` tokens: `(doc_id,
+    * n_grams, n_dup, dup_ratio, flagged)` where `flagged` means ≥ half
+    * the doc's distinct grams appear verbatim in another document.
+    * This entry point runs the PRODUCTION shuffle key — `xxhash64` of
+    * each gram (8 bytes instead of a k-token string, ~6× narrower
+    * exchange); a 64-bit birthday collision merges two gram groups and
+    * can only OVER-count duplication, never hide it (~10⁻⁷ of groups
+    * even at 10¹² grams). */
+  def repeatedSpans(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", gramTokens: Int = 50): DataFrame = {
+    require(gramTokens >= 2,
+      s"a repeated-span gram needs >= 2 tokens (got $gramTokens)")
+    graft.operators.TrainingData.repeatedSpansWith(
+      df.select(col(idCol).as("doc_id"), col(textCol).as("text")),
+      gramTokens, hashGrams = true)
+  }
+
+  /** CCNet perplexity bucketing for any corpus (Wenzek et al. 2019,
+    * arXiv:1911.00359) — the general form of the graded
+    * `op_perplexity_filter` (same core,
+    * [[graft.operators.Mining.perplexityBucketsWith]]): score every
+    * doc with a bigram LM trained on the corpus itself, then split on
+    * integer thresholds over the scaled-score histogram. Returns
+    * `(doc_id, avg_logp, bucket, kept)` with `bucket` ∈ tail (lowest
+    * log-prob = highest perplexity, the fraction `tailFraction`),
+    * middle, head, and `kept` = not tail. Thresholds are tie-inclusive
+    * (all docs sharing the boundary score share its bucket), so
+    * realized fractions can exceed the requested ones by the boundary
+    * tie group — CCNet's threshold-based semantics, and the property
+    * that keeps the cut deterministic without ranking the corpus.
+    * Docs with < 2 tokens (no bigram) are absent from the result. */
+  def perplexityBuckets(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", tailFraction: Double = 1.0 / 3,
+      headFraction: Double = 2.0 / 3): DataFrame = {
+    require(tailFraction > 0 && tailFraction <= headFraction && headFraction < 1,
+      s"need 0 < tailFraction <= headFraction < 1 " +
+        s"(got $tailFraction, $headFraction)")
+    graft.operators.Mining.perplexityBucketsWith(
+      df.select(col(idCol).as("doc_id"), col(textCol).as("text")),
+      n => ceil(n * tailFraction), n => ceil(n * headFraction))
+  }
+
   /** Shared id guard for the corpus APIs: `id` must cast to long
     * LOSSLESSLY. Rejects nulls (with a readable message — a bare
     * `raise_error(concat(lit(...), null_col))` would raise a null

