@@ -40,7 +40,13 @@ object CapBoundaryCheck {
   val Names = Seq("op_dedup_minhash", "op_dedup_cc", "op_dedup_simhash",
     "op_dedup_embedding", "op_dedup_embedding_banded",
     "op_dedup_minhash_incremental",
-    "op_ann_incremental", "op_incremental_e2e")
+    "op_ann_incremental", "op_incremental_e2e",
+    // r16 ext2: substring dedup (every gram shared by the whole
+    // 400-doc cluster), the perplexity filter (one 400-doc tie group
+    // swallows BOTH tercile cuts — the tie-inclusive threshold rule at
+    // its extreme: middle goes empty, and both engines must agree),
+    // and chunking (no boundary semantics, certified for completeness)
+    "op_dedup_substring", "op_perplexity_filter", "op_chunk_sliding")
 
   def main(args: Array[String]): Unit = {
     val spark = graft.SparkTestSession.spark
