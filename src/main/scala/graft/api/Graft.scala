@@ -169,8 +169,11 @@ object Graft {
     * window/stride in tokens (whitespace tokenizer). Emits one row per
     * chunk: `(doc_id, chunk_id, n_chunks, start_tok, chunk_len,
     * chunk)`; chunk `i` covers tokens `[i·stride+1, i·stride+window]`
-    * so every token lands in ≥ 1 chunk and interior tokens in exactly
-    * ⌈window/stride⌉. Pure map-side (one bounded explode, no shuffle);
+    * so every token lands in ≥ 1 chunk, and interior tokens in
+    * ⌊window/stride⌋ or ⌈window/stride⌉ chunks (exactly window/stride
+    * when stride divides window — position mod stride decides which
+    * side of the fraction a token falls on). Pure map-side (one
+    * bounded explode, no shuffle);
     * `doc_id` may be any type — nothing joins or sorts on it here.
     * `stride > window` is rejected: it would silently DROP the tokens
     * between consecutive windows. */
@@ -196,9 +199,13 @@ object Graft {
     * the doc's distinct grams appear verbatim in another document.
     * This entry point runs the PRODUCTION shuffle key — `xxhash64` of
     * each gram (8 bytes instead of a k-token string, ~6× narrower
-    * exchange); a 64-bit birthday collision merges two gram groups and
-    * can only OVER-count duplication, never hide it (~10⁻⁷ of groups
-    * even at 10¹² grams). */
+    * exchange). A 64-bit birthday collision merges two gram groups,
+    * perturbing the affected docs' counts by ±1 per colliding pair —
+    * in either direction, so a doc sitting exactly on the half bar can
+    * flip either way; with ~10⁻⁷ of gram groups colliding even at
+    * 10¹² grams, the expected number of affected DOCS rounds to zero
+    * at any practical corpus size (the graded op keeps the
+    * collision-free string key for the byte-exact oracle). */
   def repeatedSpans(df: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", gramTokens: Int = 50): DataFrame = {
     require(gramTokens >= 2,
@@ -221,16 +228,27 @@ object Graft {
     * realized fractions can exceed the requested ones by the boundary
     * tie group — CCNet's threshold-based semantics, and the property
     * that keeps the cut deterministic without ranking the corpus.
-    * Docs with < 2 tokens (no bigram) are absent from the result. */
+    * Docs with < 2 tokens (no bigram) are absent from the result.
+    *
+    * Two operational notes. (1) CONSTRUCTION IS NOT FULLY LAZY: the LM
+    * scorer runs its bounded hot-prefix probe (one vocabulary-sized
+    * aggregation job, see `ngramLmScores`) while BUILDING the plan —
+    * call this when you intend to execute the result. (2) CACHING
+    * CONTRACT: the scores frame is cached so the bigram scoring runs
+    * once across its three consumers; as with [[ingestTriage]], a
+    * one-shot listener unpersists it after the first terminal action
+    * on the result, so repeated materializations recompute the scoring
+    * (correct, just slower). */
   def perplexityBuckets(df: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", tailFraction: Double = 1.0 / 3,
       headFraction: Double = 2.0 / 3): DataFrame = {
     require(tailFraction > 0 && tailFraction <= headFraction && headFraction < 1,
       s"need 0 < tailFraction <= headFraction < 1 " +
         s"(got $tailFraction, $headFraction)")
-    graft.operators.Mining.perplexityBucketsWith(
+    val (result, release) = graft.operators.Mining.perplexityBucketsWith(
       df.select(col(idCol).as("doc_id"), col(textCol).as("text")),
       n => ceil(n * tailFraction), n => ceil(n * headFraction))
+    selfReleasing(result, release)
   }
 
   /** Shared id guard for the corpus APIs: `id` must cast to long
@@ -288,6 +306,15 @@ object Graft {
   def ingestTriage(history: DataFrame, batch: DataFrame,
       idCol: String = "id", textCol: String = "text"): DataFrame = {
     val (result, release) = ingestTriageManaged(history, batch, idCol, textCol)
+    selfReleasing(result, release)
+  }
+
+  /** Shared cache-lifecycle helper for the caching APIs
+    * ([[ingestTriage]], [[perplexityBuckets]]): registers a one-shot
+    * listener that calls `release()` after the first terminal action
+    * whose plan reads `result`, so the default API never leaks its
+    * cached intermediates into a long-lived session. */
+  private def selfReleasing(result: DataFrame, release: () => Unit): DataFrame = {
     val sp = result.sparkSession
     // The ANALYZED plan, not queryExecution.logical: a write action's
     // QueryExecution wraps the frame's analyzed plan in a command, and

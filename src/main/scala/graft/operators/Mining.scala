@@ -363,7 +363,7 @@ object Mining {
     * large plans). The per-doc mean is the order-sensitive sum: final
     * `round(4)`. */
   def ngramLm(sp: SparkSession, dir: String): DataFrame =
-    ngramLmScores(docs(sp, dir))
+    ngramLmScores(docs(sp, dir)).orderBy("doc_id")
 
   /** Instance-count threshold above which a bigram PREFIX takes the
     * salted-join path: sized so it only trips when one prefix rivals a
@@ -450,7 +450,10 @@ object Mining {
       .withColumn("logp", log((col("c2") + lit(1.0)) / (col("c1") + col("v"))))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"), round(avg("logp"), 4).as("avg_logp"))
-      .orderBy("doc_id")
+    // NO total sort here: this is the shared scoring core — only the
+    // graded op adds the oracle's ORDER BY; the B63 bucket pipeline
+    // consumes the scores through aggregations/joins where a
+    // corpus-wide range-exchange sort would be pure waste at scale
   }
 
   // ---- B63: LM-based corpus filtering --------------------------------------
@@ -487,8 +490,11 @@ object Mining {
     * percentile filter should run: histogram, threshold, map-side
     * filter; never a global sort. */
   def perplexityFilter(sp: SparkSession, dir: String): DataFrame =
+    // the graded op runs once per Verify/bench process, so the scores
+    // cache is process-scoped by construction (the annRecall
+    // precedent) and the release handle is deliberately dropped
     perplexityBucketsWith(docs(sp, dir),
-      n => ceil(n / 3.0), n => ceil(n * 2 / 3.0)).orderBy("doc_id")
+      n => ceil(n / 3.0), n => ceil(n * 2 / 3.0))._1.orderBy("doc_id")
 
   /** Core behind [[perplexityFilter]] and `api.Graft.perplexityBuckets`:
     * the same histogram → integer-threshold → map-side-bucket plan
@@ -496,9 +502,13 @@ object Mining {
     * count to the cumulative-count levels where tail ends and head
     * begins (the graded op passes the oracle's exact `ceil(n/3.0)` /
     * `ceil(n·2/3.0)` expressions; the API derives them from caller
-    * fractions). */
+    * fractions). Returns the result plus a release handle that
+    * unpersists the cached scores frame (the public API wires it to a
+    * self-releasing listener; `ngramLmScores`' internal unigram-model
+    * cache stays — it is vocabulary-sized, shared with op_ngram_lm,
+    * and orders of magnitude smaller than the corpus). */
   private[graft] def perplexityBucketsWith(corpus: DataFrame,
-      cut1: Column => Column, cut2: Column => Column): DataFrame = {
+      cut1: Column => Column, cut2: Column => Column): (DataFrame, () => Unit) = {
     // three consumers (histogram, doc count, final bucket join) read the
     // scores — cache the (doc_id, score) frame so B46's bigram scoring
     // runs ONCE (it is the query's whole cost; the cached frame is three
@@ -515,12 +525,13 @@ object Mining {
       .agg(
         min(when(col("cum") >= cut1(col("n")), col("s_i"))).as("t1"),
         min(when(col("cum") >= cut2(col("n")), col("s_i"))).as("t2"))
-    scores.crossJoin(broadcast(th))
+    val result = scores.crossJoin(broadcast(th))
       .select(col("doc_id"), col("avg_logp"),
         when(col("s_i") <= col("t1"), lit("tail"))
           .when(col("s_i") <= col("t2"), lit("middle"))
           .otherwise(lit("head")).as("bucket"),
         (col("s_i") > col("t1")).as("kept"))
+    (result, () => { scores.unpersist(); () })
   }
 
   private val perplexityFilterOracle: String =

@@ -550,7 +550,9 @@ object TrainingData {
     * engine's declared tokenizer, same as B35/B46); chunk `i` covers
     * tokens `[i·stride+1, i·stride+window]`, `n_chunks =
     * ceil(n_tok/stride)` so every token appears in ≥ 1 chunk and
-    * interior tokens appear in exactly ⌈window/stride⌉ chunks.
+    * interior tokens in ⌊window/stride⌋ or ⌈window/stride⌉ chunks
+    * (exactly window/stride when stride divides window; with the
+    * graded 16/12 a token's position mod 12 decides 1 vs 2).
     *
     * Scale shape: pure map-side — tokenize, one bounded `sequence`
     * explode per doc (fan-out ≈ n_tok/stride rows, each
@@ -608,7 +610,11 @@ object TrainingData {
     * 2·id, and every 5th doc also appears as 2·id+1 with an injected
     * 3-token preamble — a wrapper that defeats B16 but leaves every
     * interior gram shared, so both sides of each planted pair MUST
-    * flag. `dup_ratio` is a per-row IEEE division, graded raw (r16
+    * flag for originals of ≥ 10 tokens (this corpus's minimum is 10:
+    * at 10, all 3 original grams recur in the variant's 6 — exactly
+    * the half bar; an 8–9-token original would sit below it, and one
+    * under 8 tokens would be absent from the output entirely while
+    * its ≥ 8-token variant remains, unflagged). `dup_ratio` is a per-row IEEE division, graded raw (r16
     * rounding rule); `flagged` is the integer predicate
     * `2·n_dup ≥ n_grams` — no float ever crosses an engine boundary
     * in a comparison.
@@ -636,9 +642,10 @@ object TrainingData {
     * gram length. `hashGrams = true` is the production shuffle key —
     * `xxhash64` of the gram (8 bytes instead of a k-token string,
     * ~6× narrower exchange; a 64-bit birthday collision merges two
-    * gram groups and can only OVER-count duplication, never hide it —
-    * ~10⁻⁷ of groups even at 10¹² grams); `false` keeps the string
-    * key the byte-exact DuckDB oracle grades. */
+    * gram groups and perturbs the affected docs' counts by ±1 per
+    * colliding pair — either direction — at ~10⁻⁷ of groups even at
+    * 10¹² grams); `false` keeps the string key the byte-exact DuckDB
+    * oracle grades. */
   private[graft] def repeatedSpansWith(corpus: DataFrame, k: Int,
       hashGrams: Boolean): DataFrame = {
     val grams0 = corpus

@@ -40,9 +40,10 @@ class ApiCorpusPrepSpec extends AnyFunSuite {
 
   test("repeatedSpans' hashed production key reproduces the string-key counts") {
     // same corpus the graded op plants (originals + wrapper variants);
-    // a hash collision would only ever INflate n_dup — equality here
-    // certifies the hashed path collision-free on this corpus AND
-    // count-identical in the clean case
+    // a hash collision merges gram groups and perturbs counts (either
+    // direction) — equality here certifies the hashed path
+    // collision-free on this corpus AND count-identical in the clean
+    // case
     val base = docs.select((col("doc_id") * 2).as("doc_id"), col("text"))
       .union(docs.filter(col("doc_id") % 5 === 0)
         .select((col("doc_id") * 2 + 1).as("doc_id"),

@@ -56,8 +56,14 @@ class CorpusPrepOpsSpec extends AnyFunSuite {
     val flagged = rows.map(r => r.getLong(0) -> r.getBoolean(4)).toMap
     val nGrams = rows.map(r => r.getLong(0) -> r.getInt(1)).toMap
     // planted variants are 2·id+1 for id % 5 == 0; each shares every
-    // interior gram with its original 2·id — a wrapper B16 cannot catch
+    // interior gram with its original 2·id — a wrapper B16 cannot
+    // catch. The MUST-flag contract needs the original present with
+    // >= 10 tokens (see dedupSubstring scaladoc); this corpus's docs
+    // all qualify today — if a future data drop adds shorter docs,
+    // skip those pairs rather than throwing a bare key miss, but the
+    // certified set must never be empty.
     val variants = rows.map(_.getLong(0)).filter(_ % 2 == 1)
+      .filter(v => flagged.contains(v - 1))
     assert(variants.nonEmpty)
     variants.foreach { v =>
       assert(flagged(v), s"planted variant $v not flagged")

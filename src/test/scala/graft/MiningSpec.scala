@@ -58,8 +58,11 @@ class MiningSpec extends AnyFunSuite {
     val docs = Seq(
       (1L, "the cat the cat the"),
       (2L, "dog runs fast")).toDF("doc_id", "text")
+    // the scoring core is unsorted since the B63 refactor (only the
+    // graded op adds the total ORDER BY) — sort here
     val got = Mining.ngramLmScores(docs)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1)
     assert(got.toSeq === Seq((1L, 4L, -0.8473), (2L, 2L, -1.0986)))
     assert(got(0)._3 > got(1)._3, "repetition must out-score rare bigrams")
   }

@@ -104,8 +104,11 @@ object SkewProbe {
       val plainRows = Mining.ngramLmScores(planted, hotPrefixInstances = Long.MaxValue)
         .collect()
       val tPlain = (System.nanoTime() - t1) / 1e9
+      // the scoring core is unsorted since the B63 refactor, and the
+      // two plans differ — align by doc_id before the pairwise compare
+      def byId(rows: Array[org.apache.spark.sql.Row]) = rows.sortBy(_.getLong(0))
       assert(saltedRows.length == plainRows.length &&
-        saltedRows.zip(plainRows).forall { case (a, b) => a == b },
+        byId(saltedRows).zip(byId(plainRows)).forall { case (a, b) => a == b },
         "salted and plain plans disagree — salting must be result-invariant")
       println(f"[skew] hot-prefix escape: salted path FIRED on planted bigram " +
         f"(${saltedRows.length} rows, salted ${tSalted}%.2f s vs plain ${tPlain}%.2f s, " +
