@@ -19,7 +19,8 @@ object Registry {
       operators.SchemaInfer.queries ++
       operators.Streaming.queries ++
       operators.Mining.queries ++
-      operators.Incremental.queries
+      operators.Incremental.queries ++
+      operators.CorpusStats.queries
     // fail loudly on a duplicated key: SparkEntry.queries builds a Map
     // that would otherwise silently drop one of the two operators
     require(qs.map(_.name).distinct.size == qs.size,

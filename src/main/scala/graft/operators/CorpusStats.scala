@@ -1,0 +1,388 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.OpQuery
+import graft.plans.RollingHash.rollingHash
+import graft.sources.Tables
+
+/** B64–B67: corpus-statistics / corpus-quality operators a production
+  * training-data pipeline runs alongside the dedup and filter families —
+  * a rule-based quality gate (Gopher), positional document fingerprints
+  * (winnowing), tokenizer-training statistics (BPE pair counts), and a
+  * bounded-memory frequency sketch (Count-Min). All four follow the
+  * engine's standing contracts: whitespace tokens (the B35/B46 declared
+  * tokenizer), integer-exact predicates wherever a value crosses an
+  * engine boundary in a comparison (the r16 rounding rule), the B31
+  * rolling hash as the one string-hash kernel, and planted evidence
+  * re-keyed odd/even as in B17/B26/B62.
+  */
+object CorpusStats {
+
+  private def docs(sp: SparkSession, dir: String): DataFrame =
+    Tables.documents(sp, dir)
+
+  private def toks(c: Column): Column = filter(split(c, " "), t => t =!= "")
+
+  // ---- B64: Gopher rule-based quality filter -------------------------------
+
+  /** The graded stopword list — this corpus's vocabulary contains
+    * exactly two function words; Gopher's bar is "≥ 2 of 8 common
+    * stopwords", scaled here to ≥ 1 of the 2 that exist (the planted
+    * stopword-free docs sit at 0 and must fail regardless). */
+  private[graft] val GopherStops = Seq("the", "a")
+
+  /** B64 — `op_filter_gopher`: the rule-based document quality gate of
+    * Gopher (Rae et al. 2021, arXiv:2112.11446, Table A1), the
+    * industry-standard companion to the continuous scorers (B30's
+    * feature score, B50's logit): a battery of cheap structural rules,
+    * each a per-doc INTEGER predicate, keep = all pass. Rules, scaled
+    * to this corpus (10–99-token docs, 2 stopword types):
+    * word count ∈ [5, 1000]; mean word length ∈ [3, 10] graded as the
+    * cross-multiplied integer predicate 3·n_tok ≤ Σlen ≤ 10·n_tok (no
+    * float division crosses the engine boundary); ≥ 80 % alphabetic
+    * words (5·n_alpha ≥ 4·n_tok); ≥ 1 stopword; ≤ 20 % all-digit
+    * words (5·n_digit ≤ n_tok). Planted evidence (odd re-keying as
+    * B62): digit-substituted copies (`[a-z]` → `7`, doc_id·4+1, every
+    * 7th) must fail the alpha+digit rules, 2-token truncations
+    * (doc_id·4+2, every 11th) the word-count rule, stopword-stripped
+    * copies (doc_id·4+3, every 13th) the stopword rule.
+    *
+    * Scale shape: a pure map-side projection riding the scan — every
+    * statistic is a per-row array fold over the token split, zero
+    * shuffles before the graded ORDER BY (a production pipeline
+    * composes `keep` straight into its write filter, like B50). */
+  def filterGopher(sp: SparkSession, dir: String): DataFrame = {
+    val base = docs(sp, dir)
+    val corpus = base.select((col("doc_id") * 4).as("doc_id"), col("text"))
+      .union(base.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") * 4 + 1).as("doc_id"),
+          regexp_replace(col("text"), "[a-z]", "7").as("text")))
+      .union(base.filter(col("doc_id") % 11 === 0)
+        .select((col("doc_id") * 4 + 2).as("doc_id"),
+          array_join(slice(toks(col("text")), 1, 2), " ").as("text")))
+      .union(base.filter(col("doc_id") % 13 === 0)
+        .select((col("doc_id") * 4 + 3).as("doc_id"),
+          array_join(filter(toks(col("text")),
+            t => !t.isin(GopherStops: _*)), " ").as("text")))
+    gopherWith(corpus).orderBy("doc_id")
+  }
+
+  /** Core behind [[filterGopher]] and `api.Graft.gopherRules`: the rule
+    * battery over any `corpus(doc_id, text)`, without the graded total
+    * sort. Stopword list is a parameter so real deployments pass a real
+    * one; thresholds are the declared graded semantics. */
+  private[graft] def gopherWith(corpus: DataFrame,
+      stops: Seq[String] = GopherStops): DataFrame = {
+    val g = corpus
+      .select(col("doc_id"), toks(col("text")).as("ts"))
+      .filter(size(col("ts")) >= 1)
+      .select(col("doc_id"),
+        size(col("ts")).as("n_tok"),
+        aggregate(col("ts"), lit(0), (a, t) => a + length(t)).as("sum_len"),
+        size(filter(col("ts"), t => t.rlike("^[a-z]+$"))).as("n_alpha_w"),
+        size(filter(col("ts"), t => t.isin(stops: _*))).as("n_stop"),
+        size(filter(col("ts"), t => t.rlike("^[0-9]+$"))).as("n_digit_w"))
+    g.select(col("*"),
+        col("n_tok").between(5, 1000).as("r_wc"),
+        (lit(3) * col("n_tok") <= col("sum_len") &&
+          col("sum_len") <= lit(10) * col("n_tok")).as("r_mwl"),
+        (lit(5) * col("n_alpha_w") >= lit(4) * col("n_tok")).as("r_alpha"),
+        (col("n_stop") >= 1).as("r_stop"),
+        (lit(5) * col("n_digit_w") <= col("n_tok")).as("r_digit"))
+      .withColumn("keep",
+        col("r_wc") && col("r_mwl") && col("r_alpha") && col("r_stop") && col("r_digit"))
+  }
+
+  // ---- B65: winnowing fingerprints -----------------------------------------
+
+  /** Winnow gram length (chars) and window (grams). k = 8 chars makes a
+    * gram roughly one-and-a-half corpus words; w = 8 gives the paper's
+    * expected density 2/(w+1) ≈ 0.22 selections per gram. */
+  private[graft] val WinnowGram = 8
+  private[graft] val WinnowWindow = 8
+
+  /** Position radix for the packed (hash, position) ordering key —
+    * documents must be shorter than this many chars (loud guard in the
+    * API; this corpus maxes at ~560). 2²⁰ keeps the packed key well
+    * under 2⁶³: hash < 1e9+7 ⇒ enc < 2⁵⁰. */
+  private[graft] val WinnowPosRadix = 1 << 20
+
+  /** B65 — `op_fingerprint_winnow`: positional document fingerprints by
+    * winnowing (Schleimer, Wilkerson & Aiken 2003, "Winnowing: Local
+    * Algorithms for Document Fingerprinting", SIGMOD'03 — the MOSS
+    * selection rule): hash every k-char gram (B31's rolling hash), then
+    * in every window of w consecutive gram hashes select the minimum,
+    * ties to the RIGHTMOST occurrence; the distinct selected
+    * (position, hash) pairs are the document's fingerprints. Guarantees
+    * (asserted by CorpusStatsSpec): any shared substring of length
+    * ≥ k + w − 1 shares a fingerprint (the detection guarantee), and
+    * consecutive selected positions are ≤ w apart (the coverage
+    * guarantee) at expected density 2/(w+1) — the property that makes
+    * winnowing the local, position-robust upgrade over B31's fixed
+    * 100-char blocks (which a single-char insertion shifts wholesale).
+    *
+    * The min-with-rightmost-tie rule is ONE `array_min` per window over
+    * a packed key: enc_i = (hash_i << 20) | (radix−1 − i) — low bits
+    * descend with position, so the minimum is the least hash and, on
+    * hash ties, the greatest position. No per-window reverse/scan, and
+    * the same packing is plain integer arithmetic in the oracle.
+    *
+    * Scale shape: pure map-side per-doc array work (O(n·w) comparisons
+    * per doc) + a row-level DISTINCT keyed by (doc_id, pos, fp) that
+    * partitions by doc — no cross-doc data movement at any corpus
+    * size; the graded ORDER BY is the only total sort. */
+  def fingerprintWinnow(sp: SparkSession, dir: String): DataFrame =
+    winnowWith(docs(sp, dir), WinnowGram, WinnowWindow)
+      .orderBy("doc_id", "pos")
+
+  /** Core behind [[fingerprintWinnow]] and `api.Graft.winnowFingerprints`:
+    * caller-sized gram/window over any `corpus(doc_id, text)`, without
+    * the graded sort. Docs shorter than k + w − 1 chars have no full
+    * window and emit nothing (the paper's domain); docs at or beyond
+    * [[WinnowPosRadix]] chars would corrupt the packed key and FAIL
+    * loudly rather than fingerprint wrong. */
+  private[graft] def winnowWith(corpus: DataFrame, k: Int, w: Int): DataFrame = {
+    val radix = WinnowPosRadix
+    val enc = corpus
+      .filter(length(col("text")) >= k + w - 1)
+      .withColumn("text",
+        when(length(col("text")) < radix, col("text")).otherwise(raise_error(
+          concat(lit(s"winnow: doc length >= $radix chars for doc_id "),
+            col("doc_id").cast("string")))))
+      .select(col("doc_id"),
+        transform(sequence(lit(0), length(col("text")) - k),
+          i => shiftleft(rollingHash(col("text"), (i + 1).cast("int"), lit(k)), 20) +
+            (lit(radix - 1) - i)).as("enc"))
+    enc
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), size(col("enc")) - w),
+          j => array_min(slice(col("enc"), j + 1, lit(w))))).as("sel"))
+      .distinct()
+      .select(col("doc_id"),
+        (lit(radix - 1) - col("sel").bitwiseAND(lit(radix - 1).cast("long")))
+          .cast("int").as("pos"),
+        shiftright(col("sel"), 20).as("fp"))
+  }
+
+  // ---- B66: BPE pair statistics --------------------------------------------
+
+  /** B66 — `op_bpe_pairs`: the counting step of byte-pair-encoding
+    * tokenizer training (Sennrich, Haddow & Birch 2016, "Neural Machine
+    * Translation of Rare Words with Subword Units", arXiv:1508.07909):
+    * aggregate the word vocabulary with frequencies, expand each word
+    * into its adjacent symbol pairs — every char bigram plus the
+    * terminal (last-char, `</w>`) pair, the paper's end-of-word marker
+    * so word-final merges stay distinguishable — and weight each pair
+    * occurrence by its word's corpus frequency. The top pair is the
+    * first BPE merge; training iterates this count after each merge.
+    * Graded artifact: the top-30 pairs by (count desc, pair asc).
+    *
+    * Scale shape: one corpus-token shuffle collapses the stream to the
+    * WORD VOCABULARY (map-side partial counts — the heavy lifting), and
+    * every later stage is vocabulary-sized, not corpus-sized: the pair
+    * explode fans out |vocab| × avg_len rows and the pair aggregate's
+    * output is bounded by the symbol alphabet squared. The graded
+    * top-30 is a `TakeOrderedAndProject`, never a global sort. */
+  def bpePairs(sp: SparkSession, dir: String): DataFrame =
+    bpePairsWith(docs(sp, dir)).orderBy(col("n").desc, col("pair")).limit(30)
+
+  /** Core behind [[bpePairs]] and `api.Graft.bpePairStats`: full
+    * unbounded pair counts over any `corpus(doc_id, text)` (callers
+    * pick their own cut). A 1-char word contributes exactly its
+    * terminal pair. */
+  private[graft] def bpePairsWith(corpus: DataFrame): DataFrame = {
+    val vocab = corpus
+      .select(explode(toks(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+    vocab
+      .select(col("cnt"), explode(transform(sequence(lit(0), length(col("w")) - 1),
+        i => when(i < length(col("w")) - 1, col("w").substr(i + 1, lit(2)))
+          .otherwise(concat(col("w").substr(length(col("w")), lit(1)), lit("</w>")))))
+        .as("pair"))
+      .groupBy("pair").agg(sum(col("cnt")).as("n"))
+  }
+
+  // ---- B67: Count-Min sketch heavy hitters ---------------------------------
+
+  /** Sketch geometry: d = 4 hash rows × w = 64 buckets — 256 cells
+    * total, the whole sketch smaller than one shuffle block at any
+    * corpus size. Row hashes are affine maps of the B31 rolling hash:
+    * bucket_j = ((h·A_j + B_j) mod P) mod 64, h < P = 1e9+7 so the
+    * products stay far under 2⁶³. */
+  private[graft] val CmsRows = 4
+  private[graft] val CmsWidth = 64
+  private[graft] val CmsA = Seq(31L, 131L, 1313L, 13131L)
+  private[graft] val CmsB = Seq(7L, 77L, 777L, 7777L)
+  private[graft] val CmsPanel = 40
+
+  /** B67 — `op_sketch_cms`: Count-Min sketch frequency estimation
+    * (Cormode & Muthukrishnan 2005, "An improved data stream summary:
+    * the count-min sketch and its applications", J. Algorithms 55(1))
+    * over the corpus's word-bigram stream (~10³ distinct items into
+    * 4×64 cells — real collisions, so the demo is non-trivial), graded
+    * the way B51 grades the ANN indexes: estimate vs exact, accuracy
+    * under the hash. Every bigram occurrence increments one bucket per
+    * hash row; a query item's estimate is the MIN of its d cells —
+    * deterministic given the declared hash family, so `est` itself is
+    * graded bit-exact, and the one-sided CMS invariant est ≥ exact is
+    * certified cross-engine on every panel row (`over`). Panel = the
+    * top-[[CmsPanel]] bigrams by (count desc, item asc) — the B18/B45
+    * fixed-panel pattern.
+    *
+    * Scale shape: THIS is the bounded-memory alternative the sketch
+    * family exists for — B53's exact histogram shuffles the full
+    * vocabulary; the CMS shuffles ≤ d×w = 256 cells no matter the
+    * corpus (map-side partial sums into 256 groups; the vocabulary
+    * aggregate here exists only to grade est against exact, the B51
+    * contract). The 256-row sketch is BROADCAST to the panel probe —
+    * nothing corpus-sized moves twice. */
+  def sketchCms(sp: SparkSession, dir: String): DataFrame = {
+    val items = docs(sp, dir)
+      .select(toks(col("text")).as("ts"))
+      .filter(size(col("ts")) >= 2)
+      .select(explode(transform(sequence(lit(0), size(col("ts")) - 2),
+        i => concat(element_at(col("ts"), i + 1), lit(" "),
+          element_at(col("ts"), i + 2)))).as("item"))
+    val exact = items.groupBy("item").agg(count(lit(1)).as("cnt"))
+    val panel = exact.orderBy(col("cnt").desc, col("item")).limit(CmsPanel)
+    cmsEstimate(exact, panel)
+      .select(col("item"), col("cnt").as("exact"), col("est"),
+        (col("est") - col("cnt")).as("slack"), (col("est") >= col("cnt")).as("over"))
+      .orderBy("item")
+  }
+
+  /** The d per-row (j, bucket) cells of each item in `df`. */
+  private def cmsCells(df: DataFrame): DataFrame =
+    df.withColumn("h", rollingHash(col("item"), lit(1), length(col("item"))))
+      .select(col("*"), explode(array(CmsA.indices.map { j =>
+        struct(lit(j).as("j"),
+          (((col("h") * CmsA(j) + CmsB(j)) % 1000000007L) % CmsWidth).as("bkt"))
+      }: _*)).as("cell"))
+      .select(df.columns.map(col) :+ col("cell.j").as("j") :+ col("cell.bkt").as("bkt"): _*)
+
+  /** Core behind [[sketchCms]] and `api.Graft.cmsHeavyHitters`: build
+    * the d×w sketch from exact per-item counts (map-side-combined
+    * increments — identical cell totals to streaming the raw
+    * occurrences), then estimate each panel item as the min of its d
+    * cells. `exactCounts`/`panel` must both be `(item, cnt)`. */
+  private[graft] def cmsEstimate(exactCounts: DataFrame, panel: DataFrame): DataFrame = {
+    val sketch = cmsCells(exactCounts)
+      .groupBy("j", "bkt").agg(sum(col("cnt")).as("c"))
+    cmsCells(panel)
+      .join(broadcast(sketch), Seq("j", "bkt"))
+      .groupBy("item", "cnt").agg(min(col("c")).as("est"))
+  }
+
+  // ---- registry ------------------------------------------------------------
+
+  val queries: Seq[OpQuery] = Seq(
+    OpQuery("op_filter_gopher",
+      s"""WITH corpus AS (
+        |  SELECT doc_id * 4 AS doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id * 4 + 1, regexp_replace(text, '[a-z]', '7', 'g')
+        |  FROM documents WHERE doc_id % 7 = 0
+        |  UNION ALL
+        |  SELECT doc_id * 4 + 2,
+        |    array_to_string(list_filter(string_split(text, ' '), x -> x <> '')[1:2], ' ')
+        |  FROM documents WHERE doc_id % 11 = 0
+        |  UNION ALL
+        |  SELECT doc_id * 4 + 3,
+        |    array_to_string(list_filter(string_split(text, ' '),
+        |      x -> x NOT IN ('the', 'a') AND x <> ''), ' ')
+        |  FROM documents WHERE doc_id % 13 = 0),
+        |g AS (
+        |  SELECT doc_id,
+        |    CAST(len(ts) AS INTEGER) AS n_tok,
+        |    CAST(list_sum(list_transform(ts, t -> length(t))) AS INTEGER) AS sum_len,
+        |    CAST(len(list_filter(ts, t -> regexp_full_match(t, '[a-z]+'))) AS INTEGER) AS n_alpha_w,
+        |    CAST(len(list_filter(ts, t -> t IN ('the', 'a'))) AS INTEGER) AS n_stop,
+        |    CAST(len(list_filter(ts, t -> regexp_full_match(t, '[0-9]+'))) AS INTEGER) AS n_digit_w
+        |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ts
+        |        FROM corpus)
+        |  WHERE len(ts) >= 1)
+        |SELECT doc_id, n_tok, sum_len, n_alpha_w, n_stop, n_digit_w,
+        |  n_tok BETWEEN 5 AND 1000 AS r_wc,
+        |  3 * n_tok <= sum_len AND sum_len <= 10 * n_tok AS r_mwl,
+        |  5 * n_alpha_w >= 4 * n_tok AS r_alpha,
+        |  n_stop >= 1 AS r_stop,
+        |  5 * n_digit_w <= n_tok AS r_digit,
+        |  (n_tok BETWEEN 5 AND 1000) AND (3 * n_tok <= sum_len AND sum_len <= 10 * n_tok)
+        |    AND (5 * n_alpha_w >= 4 * n_tok) AND (n_stop >= 1)
+        |    AND (5 * n_digit_w <= n_tok) AS keep
+        |FROM g ORDER BY doc_id""".stripMargin)(filterGopher),
+
+    OpQuery("op_fingerprint_winnow",
+      s"""WITH c AS (
+        |  SELECT doc_id, text,
+        |    list_transform(range(1, length(text) + 1),
+        |      i -> ord(substring(text, CAST(i AS INTEGER), 1))) AS codes
+        |  FROM documents
+        |  WHERE length(text) >= ${WinnowGram + WinnowWindow - 1}),
+        |h AS (
+        |  SELECT doc_id,
+        |    list_transform(range(0, length(text) - $WinnowGram + 1),
+        |      i -> (list_reduce(list_prepend(CAST(0 AS BIGINT), codes[(i+1):(i+$WinnowGram)]),
+        |        (a, b) -> (a * 31 + b) % 1000000007) << 20) + (${WinnowPosRadix - 1} - i)) AS enc
+        |  FROM c),
+        |s AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(0, len(enc) - $WinnowWindow + 1),
+        |      j -> list_min(enc[(j+1):(j+$WinnowWindow)]))) AS sel
+        |  FROM h)
+        |SELECT DISTINCT doc_id,
+        |  CAST(${WinnowPosRadix - 1} - (sel & ${WinnowPosRadix - 1}) AS INTEGER) AS pos,
+        |  sel >> 20 AS fp
+        |FROM s ORDER BY doc_id, pos""".stripMargin)(fingerprintWinnow),
+
+    OpQuery("op_bpe_pairs",
+      """WITH tok AS (
+        |  SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+        |  FROM documents),
+        |vocab AS (SELECT w, count(*) AS cnt FROM tok GROUP BY w),
+        |pairs AS (
+        |  SELECT cnt, unnest(list_transform(range(0, length(w)),
+        |    i -> CASE WHEN i < length(w) - 1 THEN substring(w, CAST(i + 1 AS INTEGER), 2)
+        |         ELSE substring(w, length(w), 1) || '</w>' END)) AS pair
+        |  FROM vocab)
+        |SELECT pair, CAST(sum(cnt) AS BIGINT) AS n
+        |FROM pairs GROUP BY pair
+        |ORDER BY n DESC, pair LIMIT 30""".stripMargin)(bpePairs),
+
+    OpQuery("op_sketch_cms",
+      s"""WITH t AS (
+        |  SELECT list_filter(string_split(text, ' '), x -> x <> '') AS ts FROM documents),
+        |bg AS (
+        |  SELECT unnest(list_transform(range(0, len(ts) - 1),
+        |    i -> ts[i+1] || ' ' || ts[i+2])) AS item
+        |  FROM t WHERE len(ts) >= 2),
+        |exact AS (SELECT item, count(*) AS cnt FROM bg GROUP BY item),
+        |base AS (
+        |  SELECT item, cnt,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(1, length(item) + 1),
+        |        i -> ord(substring(item, CAST(i AS INTEGER), 1)))),
+        |      (a, b) -> (a * 31 + b) % 1000000007) AS h
+        |  FROM exact),
+        |cells AS (
+        |  SELECT CAST(j AS INTEGER) AS j,
+        |    (h * [${CmsA.mkString(", ")}][j + 1] + [${CmsB.mkString(", ")}][j + 1])
+        |      % 1000000007 % $CmsWidth AS bkt, cnt
+        |  FROM base, unnest(range(0, $CmsRows)) AS u(j)),
+        |sketch AS (SELECT j, bkt, CAST(sum(cnt) AS BIGINT) AS c FROM cells GROUP BY j, bkt),
+        |panel AS (SELECT item, cnt, h FROM base ORDER BY cnt DESC, item LIMIT $CmsPanel),
+        |pcells AS (
+        |  SELECT item, cnt, CAST(j AS INTEGER) AS j,
+        |    (h * [${CmsA.mkString(", ")}][j + 1] + [${CmsB.mkString(", ")}][j + 1])
+        |      % 1000000007 % $CmsWidth AS bkt
+        |  FROM panel, unnest(range(0, $CmsRows)) AS u(j)),
+        |est AS (
+        |  SELECT item, cnt, CAST(min(c) AS BIGINT) AS est
+        |  FROM pcells JOIN sketch USING (j, bkt) GROUP BY item, cnt)
+        |SELECT item, CAST(cnt AS BIGINT) AS exact, est,
+        |  est - cnt AS slack, est >= cnt AS over
+        |FROM est ORDER BY item""".stripMargin)(sketchCms)
+  )
+}
