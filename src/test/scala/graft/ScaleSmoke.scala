@@ -222,6 +222,17 @@ object ScaleSmoke {
       Seq("op_chunk_sliding" -> (TrainingData.chunkSliding _),
         "op_dedup_substring" -> (TrainingData.dedupSubstring _),
         "op_perplexity_filter" -> (Mining.perplexityFilter _)) ++
+      // r16 ext3: the corpus-statistics quartet — gopher and winnow
+      // are pure map-side (wall ~ token/char volume); bpe_pairs'
+      // vocab shuffle grows linearly (suffixed-word copies make each
+      // copy's vocabulary disjoint) while its pair agg stays
+      // alphabet-bounded; sketch_cms' SKETCH is 256 cells at any
+      // scale — its growth term is the exact-count grading side (the
+      // B51-style contract), vocab-sized like bpe's
+      Seq("op_filter_gopher" -> (operators.CorpusStats.filterGopher _),
+        "op_fingerprint_winnow" -> (operators.CorpusStats.fingerprintWinnow _),
+        "op_bpe_pairs" -> (operators.CorpusStats.bpePairs _),
+        "op_sketch_cms" -> (operators.CorpusStats.sketchCms _)) ++
       // digest-keyed shuffle join: batch AND history both scale with the
       // corpus, so wall growth tracks the join's linear work
       Seq("op_dedup_incremental" -> (LlmPipeline.dedupIncremental _)) ++
