@@ -20,7 +20,8 @@ object Registry {
       operators.Streaming.queries ++
       operators.Mining.queries ++
       operators.Incremental.queries ++
-      operators.CorpusStats.queries
+      operators.CorpusStats.queries ++
+      operators.Curation.queries
     // fail loudly on a duplicated key: SparkEntry.queries builds a Map
     // that would otherwise silently drop one of the two operators
     require(qs.map(_.name).distinct.size == qs.size,

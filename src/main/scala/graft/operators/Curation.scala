@@ -1,0 +1,506 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.OpQuery
+import graft.functions.TextShingles
+import graft.plans.RollingHash.rollingHash
+import graft.sources.Tables
+
+/** B68–B71: corpus-curation operators at sketch scale — the "what do we
+  * keep" decisions a production training-data pipeline makes after the
+  * dedup and quality families have run: bounded-memory decontamination
+  * (Bloom filter), distribution-matching data selection (DSIR),
+  * corpus-level boilerplate removal (exact line dedup with rewrite),
+  * and the corpus-report statistics (entropy, Zipf) that sanity-check
+  * all of the above. Standing contracts as in B61–B67: whitespace
+  * tokens, the B31 rolling hash as the one string-hash kernel, integer
+  * predicates wherever a value crosses an engine boundary in a
+  * comparison, sums-of-logs rounded to 4 decimals (the certified B46
+  * rule), odd/even planted re-keying.
+  */
+object Curation {
+
+  private def docs(sp: SparkSession, dir: String): DataFrame =
+    Tables.documents(sp, dir)
+
+  private def toks(c: Column): Column = filter(split(c, " "), t => t =!= "")
+
+  // shared DuckDB fragments (mirror TextShingles.withShingles and the
+  // B31 rolling hash exactly — the same expressions the B17/B36/B65
+  // oracles state)
+  private val shSql =
+    "list_transform(range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1), " +
+      "i -> concat_ws(' ', string_split(text, ' ')[i], string_split(text, ' ')[i+1], " +
+      "string_split(text, ' ')[i+2]))"
+  private def rhSql(col: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(range(1, length($col) + 1), " +
+      s"i -> ord(substring($col, CAST(i AS INTEGER), 1)))), " +
+      s"(a, b) -> (a * 31 + b) % 1000000007)"
+
+  // ---- B68: Bloom-filter decontamination -----------------------------------
+
+  /** Filter geometry: m = 2¹⁶ bits, k = 4 affine hash rows over the B31
+    * rolling hash (bit_j = ((h·A_j + B_j) mod P) mod m). Sized so the
+    * eval-gram load stays under ~1 bit/cell at the bench SF (sf0.1:
+    * ~10⁴ eval grams × 4 / 65536 ≈ 0.6 — gram-level false-positive rate
+    * ≈ 4 %, real but far under the 20 % doc flag bar); the whole filter
+    * is 64 Ki rows ≈ one broadcast block at ANY corpus size. */
+  private[graft] val BloomBits = 65536
+  private[graft] val BloomK = 4
+  private[graft] val BloomA = Seq(31L, 131L, 1313L, 13131L)
+  private[graft] val BloomB = Seq(7L, 77L, 777L, 7777L)
+
+  /** B68 — `op_sketch_bloom`: Bloom-filter membership decontamination
+    * (Bloom 1970, "Space/time trade-offs in hash coding with allowable
+    * errors", CACM 13(7); the trillion-token-scale dedup/decontam
+    * device of Dolma — Soldaini et al. 2024, arXiv:2402.00159). The
+    * BOUNDED-MEMORY counterpart of B36's exact-join decontamination,
+    * graded the B51/B67 way: sketch verdict vs exact verdict, accuracy
+    * under the hash. Same corpus construction as B36 (train re-keyed
+    * 2·id, planted leaked copies of held-out docs at 2·id+1): the
+    * held-out docs' word 3-gram shingles set bits in an m-bit filter;
+    * a training doc's gram "hits" when all k of its bits are set; a
+    * doc is bloom-flagged when ≥ 20 % of its distinct grams hit
+    * (integer predicate 5·n_bloom ≥ n_grams — the fraction bar real
+    * decontamination pipelines use, so isolated gram-level false
+    * positives cannot flag a clean doc). Graded columns: per-doc gram
+    * counts (n_grams / n_bloom / n_exact), both verdicts, and the
+    * one-sided Bloom invariant `sound` = n_bloom ≥ n_exact (no false
+    * negatives — certified cross-engine on every doc).
+    *
+    * Scale shape: THIS is why the op exists next to B36 — B36
+    * broadcasts the full eval gram set (eval-sized, unbounded as
+    * benchmark suites grow); the Bloom filter is ≤ m set-bit rows
+    * built by map-side-combined distinct partials and broadcast ONCE,
+    * a fixed 64 Ki ceiling however large the eval suite. The corpus
+    * side never shuffles grams across docs: the k-bit probe is a
+    * broadcast left join + per-(doc, gram) rollup co-partitioned with
+    * the per-doc rollup that follows. */
+  def sketchBloom(sp: SparkSession, dir: String): DataFrame = {
+    val base = docs(sp, dir).select((col("doc_id") * 2).as("doc_id"), col("text"))
+    val heldout = base.filter(col("doc_id") % 50 === 0)
+    val train = base.filter(col("doc_id") % 50 =!= 0)
+      .union(heldout.select((col("doc_id") + 1).as("doc_id"),
+        concat(lit("leaked copy "), col("text")).as("text")))
+    val evalGrams = TextShingles.withShingles(heldout, col("text"))
+      .select(explode(col("shingles")).as("sh")).distinct()
+    bloomWith(train, evalGrams).orderBy("doc_id")
+  }
+
+  /** Core behind [[sketchBloom]] and `api.Graft.bloomContaminate`: the
+    * m-bit filter build + k-bit probe + 20 %-bar doc rollup over any
+    * `train(doc_id, text)` against any `evalGrams(sh)`, without the
+    * graded total sort. */
+  private[graft] def bloomWith(train: DataFrame, evalGrams: DataFrame): DataFrame = {
+    val bits = bloomCells(evalGrams, col("sh"))
+      .select(col("bit")).distinct()
+      .withColumn("present", lit(1))
+    val inEval = evalGrams.withColumn("in_eval", lit(1))
+    val trainG = TextShingles
+      .withShingles(TextShingles.spreadForCpu(train), col("text"))
+      .select(col("doc_id"), explode(col("shingles")).as("sh"))
+      .distinct()
+      .join(broadcast(inEval), Seq("sh"), "left")
+    val grams = bloomCells(trainG, col("sh"))
+      .join(broadcast(bits), Seq("bit"), "left")
+      .groupBy("doc_id", "sh")
+      // present is non-null on matched bits only: all k set ⇔ count = k;
+      // in_eval rides along (non-null on all k exploded rows, or none)
+      .agg((count(col("present")) === BloomK).as("bhit"),
+        (count(col("in_eval")) > 0).as("ehit"))
+    grams.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(col("bhit").cast("long")).as("n_bloom"),
+        sum(col("ehit").cast("long")).as("n_exact"))
+      .select(col("doc_id"), col("n_grams"), col("n_bloom"), col("n_exact"),
+        (col("n_bloom") >= col("n_exact")).as("sound"),
+        (lit(5) * col("n_bloom") >= col("n_grams")).as("flag_bloom"),
+        (lit(5) * col("n_exact") >= col("n_grams")).as("flag_exact"))
+  }
+
+  /** The k (bit) rows of each gram in `df` (adds `bit`, keeps all
+    * input columns). */
+  private def bloomCells(df: DataFrame, gram: Column): DataFrame =
+    df.withColumn("h", rollingHash(gram, lit(1), length(gram)))
+      .select(col("*"), explode(array(BloomA.indices.map { j =>
+        (((col("h") * BloomA(j) + BloomB(j)) % 1000000007L) % BloomBits).as("b")
+      }: _*)).as("bit"))
+      .drop("h")
+
+  // ---- B69: DSIR importance weights ----------------------------------------
+
+  /** Feature space: word bigrams hashed into F = 128 buckets (the
+    * hashed bag-of-ngrams feature of DSIR, sized to this corpus's
+    * ~10³ distinct bigrams so buckets are well-populated at every
+    * graded SF); target slice = the curated-source analogue
+    * `source = 'src0'`; selection bar = top quartile. */
+  private[graft] val DsirBuckets = 128
+  private[graft] val DsirTargetSource = "src0"
+
+  /** B69 — `op_dsir_weights`: Data Selection via Importance Resampling
+    * (Xie et al. 2023, "Data Selection for Language Models via
+    * Importance Resampling", arXiv:2302.03169): estimate target and
+    * raw unigram distributions over HASHED n-gram features (here: word
+    * bigrams → F=128 buckets via the B31 rolling hash), score every
+    * document with its mean per-bigram log importance ratio
+    * λ(b) = ln p̂_target(b) − ln p̂_raw(b) (add-1 smoothed, rounded to
+    * 4 decimals — the certified B46 sums-of-logs rule), and select the
+    * top quartile by score. Selection is the B63 histogram-threshold
+    * semantics, mirrored to the top end: the rounded score scales to
+    * an exact integer w_i = round(avg_lr·10⁴), the threshold is the
+    * LARGEST integer score whose descending-cumulative count reaches
+    * ⌈n/4⌉, and membership is the integer comparison w_i ≥ t —
+    * tie-inclusive, no float ever crosses an engine boundary in a
+    * comparison. Docs with < 2 tokens have no features and are out of
+    * scope (B63's rule).
+    *
+    * Scale shape: both feature distributions are F-row aggregates
+    * (map-side partials into 128 groups however large the corpus);
+    * the λ table is F rows BROADCAST to the occurrence stream; the
+    * only corpus-sized exchange is the per-doc rollup. The selection
+    * pass aggregates the VALUE histogram (bounded by the 4-dp score
+    * range, not the corpus), exactly like B63 — one integer threshold
+    * broadcasts back; never a global sort, never a rank. */
+  def dsirWeights(sp: SparkSession, dir: String): DataFrame = {
+    // graded op runs once per Verify/bench process: the skinny per-doc
+    // scores cache is process-scoped by construction (the B63/annRecall
+    // precedent) and the release handle is deliberately dropped
+    dsirWith(docs(sp, dir), DsirTargetSource)._1.orderBy("doc_id")
+  }
+
+  /** Core behind [[dsirWeights]] and `api.Graft.dsirWeights`: feature
+    * hash → smoothed log-ratio table → per-doc mean score →
+    * tie-inclusive top-quartile threshold, over any
+    * `corpus(doc_id, text, source)`. Returns the result plus a release
+    * handle for the per-doc scores cache. */
+  private[graft] def dsirWith(corpus: DataFrame, targetSource: String,
+      keepNum: Column => Column = n => ceil(n / 4.0)): (DataFrame, () => Unit) = {
+    val sp = corpus.sparkSession
+    val feats = corpus
+      .select(col("doc_id"), col("source"), toks(col("text")).as("ts"))
+      .filter(size(col("ts")) >= 2)
+      .select(col("doc_id"), col("source"), explode(arrays_zip(
+        slice(col("ts"), lit(1), size(col("ts")) - 1).as("w1"),
+        slice(col("ts"), lit(2), size(col("ts")) - 1).as("w2"))).as("bg"))
+      .select(col("doc_id"), col("source"),
+        concat(col("bg.w1"), lit(" "), col("bg.w2")).as("g"))
+      .withColumn("b", rollingHash(col("g"), lit(1), length(col("g"))) % DsirBuckets)
+      .select(col("doc_id"), col("source"), col("b"))
+    // ONE F-row aggregate carries both distributions (raw = every
+    // occurrence, target = the target-slice occurrences) — the corpus
+    // is scanned once for the model and once for the scoring join, the
+    // B46 two-pass shape
+    val cnts = feats.groupBy("b").agg(count(lit(1)).as("cr"),
+      count(when(col("source") === targetSource, lit(1))).as("ct"))
+    // every bucket needs a λ even when unseen (add-1 keeps it finite):
+    // seed from the full 0..F-1 range, not the data
+    val buckets = sp.range(DsirBuckets).select(col("id").as("b"))
+      .join(cnts, Seq("b"), "left")
+      .select(col("b"), coalesce(col("cr"), lit(0L)).as("cr"),
+        coalesce(col("ct"), lit(0L)).as("ct"))
+    val totals = buckets.agg(sum(col("cr")).as("tr"), sum(col("ct")).as("tt"))
+    val lam = buckets.crossJoin(broadcast(totals))
+      .select(col("b"),
+        (log((col("ct") + lit(1.0)) / (col("tt") + lit(DsirBuckets.toDouble))) -
+          log((col("cr") + lit(1.0)) / (col("tr") + lit(DsirBuckets.toDouble))))
+          .as("lam"))
+    // three consumers (doc count, histogram, final flag join) read the
+    // per-doc scores — cache the skinny frame so the feature pass runs
+    // once (corpus-row-sized, spills to disk at 100 TB)
+    val perDoc = feats.join(broadcast(lam), Seq("b"))
+      .groupBy(col("doc_id"), col("source"))
+      // + 0.0 normalizes IEEE negative zero: a tiny negative mean
+      // rounds to -0.0 in one engine and 0.0 in the other, and the
+      // gate's hash distinguishes them; (-0.0) + 0.0 = +0.0 and the
+      // add is the identity on every other value
+      .agg(count(lit(1)).as("n_bigrams"),
+        (round(avg(col("lam")), 4) + lit(0.0)).as("avg_lr"))
+      .withColumn("w_i", round(col("avg_lr") * 10000).cast("long"))
+      .cache()
+    val nDocs = perDoc.agg(count(lit(1)).as("n"))
+    val hist = perDoc.groupBy("w_i").agg(count(lit(1)).as("c"))
+    val cum = hist.withColumn("cum",
+      sum(col("c")).over(Window.orderBy(col("w_i").desc)
+        .rowsBetween(Window.unboundedPreceding, 0)))
+    val thr = cum.crossJoin(broadcast(nDocs))
+      .filter(col("cum") >= keepNum(col("n")))
+      .agg(max(col("w_i")).as("t"))
+    val out = perDoc.crossJoin(broadcast(thr))
+      .select(col("doc_id"),
+        (col("source") === targetSource).as("is_target"),
+        col("n_bigrams"), col("avg_lr"), col("w_i"),
+        (col("w_i") >= col("t")).as("selected"))
+    (out, () => { perDoc.unpersist(); () })
+  }
+
+  // ---- B70: exact line-level dedup with rewrite ----------------------------
+
+  /** Line geometry: a "line" is a non-overlapping [[LineTokens]]-token
+    * block (this corpus has no newline structure — the block width is
+    * the declared line unit, chosen at ~⅕ of a typical doc); a line is
+    * dup-ELIGIBLE only at ≥ [[LineMinTokens]] tokens (the min-span
+    * guard — RefinedWeb's own line filters carry length floors so that
+    * trivially short tails cannot collide); a line is DUPLICATED when
+    * its exact text occurs in ≥ [[LineMinDocs]] distinct docs. */
+  private[graft] val LineTokens = 10
+  private[graft] val LineMinTokens = 5
+  private[graft] val LineMinDocs = 2
+
+  /** The planted boilerplate line — exactly [[LineTokens]] tokens, so
+    * every planted copy's subsequent blocks align with its original's
+    * blocks (the alignment is the plant's point: original and copy
+    * then share every line). */
+  private[graft] val BoilerLine =
+    "subscribe to the channel for more updates about spark data"
+
+  /** B70 — `op_dedup_lines`: corpus-level EXACT line deduplication
+    * with document rewrite — the line-wise dedup stage of RefinedWeb
+    * (Penedo et al. 2023, arXiv:2306.01116) and the repetition-removal
+    * family of MassiveText (Rae et al. 2021, arXiv:2112.11446): a line
+    * whose exact text appears in ≥ 2 distinct documents is corpus
+    * boilerplate; every occurrence is REMOVED and the document is
+    * re-emitted from its surviving lines (order preserved), dropped
+    * entirely (`kept` = false) when nothing non-duplicated remains.
+    * This is the transform the flag-only ops (B16/B62) stop short of:
+    * the output is the cleaned corpus itself. Planted evidence:
+    * every 5th doc gains a copy (re-keyed 2·id+1, originals 2·id)
+    * prefixed with the 10-token [[BoilerLine]] — block alignment makes
+    * original and copy share every line, so both members must scrub to
+    * (at most) a sub-[[LineMinTokens]] tail, and the boiler line
+    * itself — corpus-wide boilerplate in the ~n/5 planted copies —
+    * must vanish everywhere.
+    *
+    * Scale shape: one line-keyed exchange (the distinct-doc count per
+    * line — map-side partials; at 100 TB the key is B31's 8-byte
+    * rolling hash of the line as in B62, the string key here keeps the
+    * oracle byte-exact), a line-keyed join back (dup set is
+    * data-dependent — NOT broadcast), and one doc-keyed rollup to
+    * rebuild texts. Never all-pairs, nothing corpus-sized on the
+    * driver. */
+  def dedupLines(sp: SparkSession, dir: String): DataFrame = {
+    val base = docs(sp, dir)
+    val corpus = base.select((col("doc_id") * 2).as("doc_id"), col("text"))
+      .union(base.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") * 2 + 1).as("doc_id"),
+          concat(lit(BoilerLine + " "), col("text")).as("text")))
+    dedupLinesWith(corpus).orderBy("doc_id")
+  }
+
+  /** Core behind [[dedupLines]] and `api.Graft.dedupLines`: block
+    * split → distinct-doc line counts → rewrite, over any
+    * `corpus(doc_id, text)`, without the graded total sort. */
+  private[graft] def dedupLinesWith(corpus: DataFrame,
+      lineTokens: Int = LineTokens, minTokens: Int = LineMinTokens,
+      minDocs: Int = LineMinDocs): DataFrame = {
+    val lines = corpus
+      .select(col("doc_id"), toks(col("text")).as("ts"))
+      .filter(size(col("ts")) >= 1)
+      .withColumn("n_lines",
+        ceil(size(col("ts")).cast("double") / lineTokens).cast("int"))
+      .select(col("doc_id"),
+        explode(sequence(lit(0), col("n_lines") - 1)).as("line_id"),
+        col("ts"))
+      .withColumn("lt",
+        slice(col("ts"), col("line_id") * lineTokens + 1, lit(lineTokens)))
+      .select(col("doc_id"), col("line_id").cast("int").as("line_id"),
+        array_join(col("lt"), " ").as("line"), size(col("lt")).as("llen"))
+    val dup = lines.filter(col("llen") >= minTokens)
+      .groupBy("line").agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select(col("line"), lit(true).as("isdup"))
+    lines.join(dup, Seq("line"), "left")
+      .withColumn("dup", coalesce(col("isdup"), lit(false)))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("int").as("n_lines"),
+        sum(col("dup").cast("long")).cast("int").as("n_dup"),
+        array_join(transform(
+          array_sort(collect_list(when(!col("dup"),
+            struct(col("line_id"), col("line"))))),
+          s => s.getField("line")), " ").as("text_clean"))
+      .withColumn("kept", col("n_dup") < col("n_lines"))
+  }
+
+  // ---- B71: corpus report — entropy + Zipf ---------------------------------
+
+  /** Regression depth for the Zipf fit: the top-[[ZipfRanks]] unigram
+    * ranks (or the whole vocabulary when smaller), ties broken by
+    * token text so the ranking is total. */
+  private[graft] val ZipfRanks = 50
+
+  /** B71 — `op_stats_zipf`: the corpus-report statistics a curation run
+    * logs before and after every filter stage — token/type totals,
+    * unigram Shannon entropy (Shannon 1948, "A Mathematical Theory of
+    * Communication", BSTJ 27 — computed as ln N − (Σ c·ln c)/N, one
+    * aggregate over the vocabulary), and the Zipf rank-frequency slope
+    * (Zipf 1949; see Piantadosi 2014, "Zipf's word frequency law in
+    * natural language", Psychon Bull Rev 21(5)): the OLS slope of
+    * ln freq on ln rank over the top-[[ZipfRanks]] ranks
+    * (rank = row_number by count desc, token asc — total order).
+    * Sums of logs rounded to 4 decimals per the certified B46 rule;
+    * one output row.
+    *
+    * Scale shape: everything is vocabulary-sized after one map-side-
+    * combined unigram aggregate — the entropy term is a second
+    * vocabulary-sized aggregate, the Zipf head is a top-K
+    * (TakeOrderedAndProject, never a global sort), and the 50-row
+    * regression runs in a single bounded window. Nothing corpus-sized
+    * moves twice. */
+  def statsZipf(sp: SparkSession, dir: String): DataFrame = {
+    val uni = docs(sp, dir)
+      .select(explode(toks(col("text"))).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("c"))
+    val tot = uni.agg(sum(col("c")).as("n_tokens"),
+      count(lit(1)).as("n_types"),
+      sum(col("c") * log(col("c"))).as("sclnc"))
+    val ranked = uni.orderBy(col("c").desc, col("t")).limit(ZipfRanks)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("c").desc, col("t"))))
+    val reg = ranked
+      .select(log(col("rank")).as("x"), log(col("c")).as("y"))
+      .agg(count(lit(1)).as("nr"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+    val top1 = ranked.filter(col("rank") === 1)
+      .select(col("t").as("top_token"), col("c").as("top_cnt"))
+    tot.crossJoin(broadcast(reg)).crossJoin(broadcast(top1))
+      .select(col("n_tokens"), col("n_types"), col("top_token"), col("top_cnt"),
+        round(log(col("n_tokens")) - col("sclnc") / col("n_tokens"), 4)
+          .as("entropy"),
+        round((col("nr") * col("sxy") - col("sx") * col("sy")) /
+          (col("nr") * col("sxx") - col("sx") * col("sx")), 4).as("zipf_slope"))
+      .orderBy("n_tokens")
+  }
+
+  // ---- registry ------------------------------------------------------------
+
+  val queries: Seq[OpQuery] = Seq(
+    OpQuery("op_sketch_bloom",
+      s"""WITH base AS (SELECT doc_id * 2 AS doc_id, text FROM documents),
+        |heldout AS (SELECT doc_id, text FROM base WHERE doc_id % 50 = 0),
+        |train AS (
+        |  SELECT doc_id, text FROM base WHERE doc_id % 50 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1, 'leaked copy ' || text FROM heldout),
+        |eg AS (SELECT DISTINCT unnest($shSql) AS sh FROM heldout),
+        |egh AS (SELECT sh, ${rhSql("sh")} AS h FROM eg),
+        |bits AS (
+        |  SELECT DISTINCT
+        |    (h * [${BloomA.mkString(", ")}][j + 1] + [${BloomB.mkString(", ")}][j + 1])
+        |      % 1000000007 % $BloomBits AS bit
+        |  FROM egh, unnest(range(0, $BloomK)) AS u(j)),
+        |tg AS (SELECT DISTINCT doc_id, unnest($shSql) AS sh FROM train),
+        |tgh AS (
+        |  SELECT tg.doc_id, tg.sh, ${rhSql("tg.sh")} AS h,
+        |    (eg.sh IS NOT NULL) AS in_eval
+        |  FROM tg LEFT JOIN eg ON tg.sh = eg.sh),
+        |cells AS (
+        |  SELECT doc_id, sh, in_eval,
+        |    (h * [${BloomA.mkString(", ")}][j + 1] + [${BloomB.mkString(", ")}][j + 1])
+        |      % 1000000007 % $BloomBits AS bit
+        |  FROM tgh, unnest(range(0, $BloomK)) AS u(j)),
+        |grams AS (
+        |  SELECT c.doc_id, c.sh,
+        |    count(b.bit) = $BloomK AS bhit, max(c.in_eval) AS ehit
+        |  FROM cells c LEFT JOIN bits b ON c.bit = b.bit
+        |  GROUP BY c.doc_id, c.sh)
+        |SELECT doc_id, count(*) AS n_grams,
+        |  CAST(sum(CASE WHEN bhit THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom,
+        |  CAST(sum(CASE WHEN ehit THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+        |  sum(CASE WHEN bhit THEN 1 ELSE 0 END)
+        |    >= sum(CASE WHEN ehit THEN 1 ELSE 0 END) AS sound,
+        |  5 * sum(CASE WHEN bhit THEN 1 ELSE 0 END) >= count(*) AS flag_bloom,
+        |  5 * sum(CASE WHEN ehit THEN 1 ELSE 0 END) >= count(*) AS flag_exact
+        |FROM grams GROUP BY doc_id ORDER BY doc_id""".stripMargin)(sketchBloom),
+
+    OpQuery("op_dsir_weights",
+      s"""WITH t AS (
+        |  SELECT doc_id, source, list_filter(string_split(text, ' '), x -> x <> '') AS ts
+        |  FROM documents WHERE len(list_filter(string_split(text, ' '), x -> x <> '')) >= 2),
+        |g AS (
+        |  -- the gram is materialized BEFORE the hash: the rolling-hash
+        |  -- fragment's list_transform binds its own lambda variable i,
+        |  -- which would shadow a correlated unnest alias of the same name
+        |  SELECT doc_id, source, ts[p+1] || ' ' || ts[p+2] AS gr
+        |  FROM t, unnest(range(0, len(ts) - 1)) AS u(p)),
+        |feats AS (
+        |  SELECT doc_id, source, ${rhSql("gr")} % $DsirBuckets AS b FROM g),
+        |rawc AS (SELECT b, count(*) AS cr FROM feats GROUP BY b),
+        |tgtc AS (SELECT b, count(*) AS ct FROM feats WHERE source = '$DsirTargetSource' GROUP BY b),
+        |buckets AS (
+        |  SELECT r.range AS b, coalesce(rawc.cr, 0) AS cr, coalesce(tgtc.ct, 0) AS ct
+        |  FROM range(0, $DsirBuckets) r
+        |  LEFT JOIN rawc ON r.range = rawc.b LEFT JOIN tgtc ON r.range = tgtc.b),
+        |totals AS (SELECT CAST(sum(cr) AS BIGINT) AS tr, CAST(sum(ct) AS BIGINT) AS tt FROM buckets),
+        |lam AS (
+        |  SELECT b, ln((ct + 1.0) / (tt + $DsirBuckets.0)) - ln((cr + 1.0) / (tr + $DsirBuckets.0)) AS lam
+        |  FROM buckets, totals),
+        |perdoc AS (
+        |  SELECT doc_id, source, count(*) AS n_bigrams,
+        |    round(avg(lam), 4) + 0.0 AS avg_lr,
+        |    CAST(round((round(avg(lam), 4) + 0.0) * 10000) AS BIGINT) AS w_i
+        |  FROM feats JOIN lam USING (b) GROUP BY doc_id, source),
+        |nd AS (SELECT count(*) AS n FROM perdoc),
+        |hist AS (SELECT w_i, count(*) AS c FROM perdoc GROUP BY w_i),
+        |cum AS (
+        |  SELECT w_i, sum(c) OVER (ORDER BY w_i DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM hist),
+        |thr AS (SELECT max(w_i) AS t FROM cum, nd WHERE cum >= ceil(n / 4.0))
+        |SELECT doc_id, source = '$DsirTargetSource' AS is_target,
+        |  n_bigrams, avg_lr, w_i, w_i >= t AS selected
+        |FROM perdoc, thr ORDER BY doc_id""".stripMargin)(dsirWeights),
+
+    OpQuery("op_dedup_lines",
+      s"""WITH corpus AS (
+        |  SELECT doc_id * 2 AS doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id * 2 + 1, '$BoilerLine ' || text
+        |  FROM documents WHERE doc_id % 5 = 0),
+        |t AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ts
+        |  FROM corpus),
+        |l AS (
+        |  SELECT doc_id, CAST(i AS INTEGER) AS line_id,
+        |    array_to_string(ts[(i * $LineTokens + 1):((i + 1) * $LineTokens)], ' ') AS line,
+        |    len(ts[(i * $LineTokens + 1):((i + 1) * $LineTokens)]) AS llen
+        |  FROM t, unnest(range(0, CAST(ceil(len(ts) / ${LineTokens.toDouble}) AS BIGINT))) AS u(i)
+        |  WHERE len(ts) >= 1),
+        |d AS (
+        |  SELECT line FROM l WHERE llen >= $LineMinTokens
+        |  GROUP BY line HAVING count(DISTINCT doc_id) >= $LineMinDocs),
+        |m AS (
+        |  SELECT l.doc_id, l.line_id, l.line, (d.line IS NOT NULL) AS dup
+        |  FROM l LEFT JOIN d ON l.line = d.line)
+        |SELECT doc_id, CAST(count(*) AS INTEGER) AS n_lines,
+        |  CAST(sum(CASE WHEN dup THEN 1 ELSE 0 END) AS INTEGER) AS n_dup,
+        |  coalesce(string_agg(CASE WHEN NOT dup THEN line END, ' ' ORDER BY line_id), '')
+        |    AS text_clean,
+        |  sum(CASE WHEN dup THEN 1 ELSE 0 END) < count(*) AS kept
+        |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin)(dedupLines),
+
+    OpQuery("op_stats_zipf",
+      s"""WITH tok AS (
+        |  SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS t
+        |  FROM documents),
+        |uni AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
+        |tot AS (
+        |  SELECT CAST(sum(c) AS BIGINT) AS n_tokens, count(*) AS n_types,
+        |    sum(c * ln(c)) AS sclnc
+        |  FROM uni),
+        |ranked AS (
+        |  SELECT t, c, CAST(row_number() OVER (ORDER BY c DESC, t) AS INTEGER) AS rank
+        |  FROM (SELECT t, c FROM uni ORDER BY c DESC, t LIMIT $ZipfRanks)),
+        |reg AS (
+        |  SELECT count(*) AS nr, sum(ln(rank)) AS sx, sum(ln(c)) AS sy,
+        |    sum(ln(rank) * ln(c)) AS sxy, sum(ln(rank) * ln(rank)) AS sxx
+        |  FROM ranked),
+        |top1 AS (SELECT t AS top_token, CAST(c AS BIGINT) AS top_cnt FROM ranked WHERE rank = 1)
+        |SELECT n_tokens, n_types, top_token, top_cnt,
+        |  round(ln(n_tokens) - sclnc / n_tokens, 4) AS entropy,
+        |  round((nr * sxy - sx * sy) / (nr * sxx - sx * sx), 4) AS zipf_slope
+        |FROM tot, reg, top1 ORDER BY n_tokens""".stripMargin)(statsZipf)
+  )
+}

@@ -49,7 +49,9 @@ class PlanEvidenceSpec extends AnyFunSuite {
       "op_bm25",             // 1-row corpus stats (n_docs, avgdl) crossJoin — bounded by construction
       "op_ngram_lm",         // 1-row vocabulary-count crossJoin — bounded by construction
       "op_perplexity_filter", // B46's vocab crossJoin + 1-row doc-count/threshold normalizers
-      "op_mixture_weights")  // 1-row normalizer (token total, Σ√n) crossJoin — bounded by construction
+      "op_mixture_weights",  // 1-row normalizer (token total, Σ√n) crossJoin — bounded by construction
+      "op_dsir_weights",     // 1-row normalizers (bucket totals, doc count, threshold) — bounded
+      "op_stats_zipf")       // 1-row report assembly (totals × regression × top rank) — bounded
     for (q <- Registry.all) {
       val p = plan(q.name)
       assert(!p.contains("CartesianProduct"),
