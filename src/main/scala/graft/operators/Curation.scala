@@ -169,33 +169,36 @@ object Curation {
     // graded op runs once per Verify/bench process: the skinny per-doc
     // scores cache is process-scoped by construction (the B63/annRecall
     // precedent) and the release handle is deliberately dropped
-    dsirWith(docs(sp, dir), DsirTargetSource)._1.orderBy("doc_id")
+    dsirWith(docs(sp, dir), col("source") === DsirTargetSource)._1
+      .orderBy("doc_id")
   }
 
   /** Core behind [[dsirWeights]] and `api.Graft.dsirWeights`: feature
     * hash → smoothed log-ratio table → per-doc mean score →
-    * tie-inclusive top-quartile threshold, over any
-    * `corpus(doc_id, text, source)`. Returns the result plus a release
-    * handle for the per-doc scores cache. */
-  private[graft] def dsirWith(corpus: DataFrame, targetSource: String,
+    * tie-inclusive top-fraction threshold, over any
+    * `corpus(doc_id, text)` with `isTarget` any boolean expression
+    * over its columns (the graded op passes `source = 'src0'`).
+    * Returns the result plus a release handle for the per-doc scores
+    * cache. */
+  private[graft] def dsirWith(corpus: DataFrame, isTarget: Column,
       keepNum: Column => Column = n => ceil(n / 4.0)): (DataFrame, () => Unit) = {
     val sp = corpus.sparkSession
     val feats = corpus
-      .select(col("doc_id"), col("source"), toks(col("text")).as("ts"))
+      .select(col("doc_id"), isTarget.as("is_t"), toks(col("text")).as("ts"))
       .filter(size(col("ts")) >= 2)
-      .select(col("doc_id"), col("source"), explode(arrays_zip(
+      .select(col("doc_id"), col("is_t"), explode(arrays_zip(
         slice(col("ts"), lit(1), size(col("ts")) - 1).as("w1"),
         slice(col("ts"), lit(2), size(col("ts")) - 1).as("w2"))).as("bg"))
-      .select(col("doc_id"), col("source"),
+      .select(col("doc_id"), col("is_t"),
         concat(col("bg.w1"), lit(" "), col("bg.w2")).as("g"))
       .withColumn("b", rollingHash(col("g"), lit(1), length(col("g"))) % DsirBuckets)
-      .select(col("doc_id"), col("source"), col("b"))
+      .select(col("doc_id"), col("is_t"), col("b"))
     // ONE F-row aggregate carries both distributions (raw = every
     // occurrence, target = the target-slice occurrences) — the corpus
     // is scanned once for the model and once for the scoring join, the
     // B46 two-pass shape
     val cnts = feats.groupBy("b").agg(count(lit(1)).as("cr"),
-      count(when(col("source") === targetSource, lit(1))).as("ct"))
+      count(when(col("is_t"), lit(1))).as("ct"))
     // every bucket needs a λ even when unseen (add-1 keeps it finite):
     // seed from the full 0..F-1 range, not the data
     val buckets = sp.range(DsirBuckets).select(col("id").as("b"))
@@ -212,7 +215,7 @@ object Curation {
     // per-doc scores — cache the skinny frame so the feature pass runs
     // once (corpus-row-sized, spills to disk at 100 TB)
     val perDoc = feats.join(broadcast(lam), Seq("b"))
-      .groupBy(col("doc_id"), col("source"))
+      .groupBy(col("doc_id"), col("is_t"))
       // + 0.0 normalizes IEEE negative zero: a tiny negative mean
       // rounds to -0.0 in one engine and 0.0 in the other, and the
       // gate's hash distinguishes them; (-0.0) + 0.0 = +0.0 and the
@@ -230,8 +233,7 @@ object Curation {
       .filter(col("cum") >= keepNum(col("n")))
       .agg(max(col("w_i")).as("t"))
     val out = perDoc.crossJoin(broadcast(thr))
-      .select(col("doc_id"),
-        (col("source") === targetSource).as("is_target"),
+      .select(col("doc_id"), col("is_t").as("is_target"),
         col("n_bigrams"), col("avg_lr"), col("w_i"),
         (col("w_i") >= col("t")).as("selected"))
     (out, () => { perDoc.unpersist(); () })
@@ -349,14 +351,21 @@ object Curation {
     * (TakeOrderedAndProject, never a global sort), and the 50-row
     * regression runs in a single bounded window. Nothing corpus-sized
     * moves twice. */
-  def statsZipf(sp: SparkSession, dir: String): DataFrame = {
-    val uni = docs(sp, dir)
+  def statsZipf(sp: SparkSession, dir: String): DataFrame =
+    statsZipfWith(docs(sp, dir)).orderBy("n_tokens")
+
+  /** Core behind [[statsZipf]] and `api.Graft.corpusReport`: the
+    * one-row report over any `corpus(text)`; `ranks` bounds the Zipf
+    * regression head (the graded op's declared 50). */
+  private[graft] def statsZipfWith(corpus: DataFrame,
+      ranks: Int = ZipfRanks): DataFrame = {
+    val uni = corpus
       .select(explode(toks(col("text"))).as("t"))
       .groupBy("t").agg(count(lit(1)).as("c"))
     val tot = uni.agg(sum(col("c")).as("n_tokens"),
       count(lit(1)).as("n_types"),
       sum(col("c") * log(col("c"))).as("sclnc"))
-    val ranked = uni.orderBy(col("c").desc, col("t")).limit(ZipfRanks)
+    val ranked = uni.orderBy(col("c").desc, col("t")).limit(ranks)
       .withColumn("rank",
         row_number().over(Window.orderBy(col("c").desc, col("t"))))
     val reg = ranked
@@ -371,7 +380,6 @@ object Curation {
           .as("entropy"),
         round((col("nr") * col("sxy") - col("sx") * col("sy")) /
           (col("nr") * col("sxx") - col("sx") * col("sx")), 4).as("zipf_slope"))
-      .orderBy("n_tokens")
   }
 
   // ---- registry ------------------------------------------------------------

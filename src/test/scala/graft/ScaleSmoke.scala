@@ -233,6 +233,19 @@ object ScaleSmoke {
         "op_fingerprint_winnow" -> (operators.CorpusStats.fingerprintWinnow _),
         "op_bpe_pairs" -> (operators.CorpusStats.bpePairs _),
         "op_sketch_cms" -> (operators.CorpusStats.sketchCms _)) ++
+      // r16 ext4: the corpus-curation quartet — bloom's filter is a
+      // fixed 64Ki broadcast at any scale (its eval set grows with the
+      // corpus here, raising bit load, but the probe work is
+      // gram-linear); dsir's model is a fixed 128-bucket aggregate +
+      // broadcast λ and the histogram is score-range-bounded like
+      // B63's; dedup_lines is ONE line-keyed shuffle + doc rollup
+      // (suffixed-word copies keep lines disjoint across copies, so
+      // dup sets grow linearly); stats_zipf is vocabulary-sized after
+      // one unigram aggregate with a fixed 50-row regression
+      Seq("op_sketch_bloom" -> (operators.Curation.sketchBloom _),
+        "op_dsir_weights" -> (operators.Curation.dsirWeights _),
+        "op_dedup_lines" -> (operators.Curation.dedupLines _),
+        "op_stats_zipf" -> (operators.Curation.statsZipf _)) ++
       // digest-keyed shuffle join: batch AND history both scale with the
       // corpus, so wall growth tracks the join's linear work
       Seq("op_dedup_incremental" -> (LlmPipeline.dedupIncremental _)) ++

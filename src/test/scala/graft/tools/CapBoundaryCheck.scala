@@ -46,7 +46,17 @@ object CapBoundaryCheck {
     // swallows BOTH tercile cuts — the tie-inclusive threshold rule at
     // its extreme: middle goes empty, and both engines must agree),
     // and chunking (no boundary semantics, certified for completeness)
-    "op_dedup_substring", "op_perplexity_filter", "op_chunk_sliding")
+    "op_dedup_substring", "op_perplexity_filter", "op_chunk_sliding",
+    // r16 ext4: the curation quartet on the degenerate corpus — every
+    // identical doc is an exact copy of the held-out cluster members
+    // (bloom must flag the whole cluster, exact agreeing); the 400-doc
+    // score tie swallows the DSIR quartile cut (tie-inclusive
+    // threshold at its extreme — the whole cluster selects or none of
+    // it); the cluster's one shared line is corpus-wide boilerplate
+    // (every member scrubs to empty); the report's top ranks are a
+    // 10-way count tie broken by token text on both engines
+    "op_sketch_bloom", "op_dsir_weights", "op_dedup_lines",
+    "op_stats_zipf")
 
   def main(args: Array[String]): Unit = {
     val spark = graft.SparkTestSession.spark
