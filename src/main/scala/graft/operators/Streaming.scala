@@ -236,6 +236,27 @@ object Streaming {
       .join(histIdx, Seq("band_id", "band_key"))
       .select(col("doc_id").as("batch_id"), col("band_id"), col("hist_id"))
 
+  /** B72s item: (event_type, user) pairs — ~750 distinct at sf0.01
+    * into the 4×64 = 256 sketch cells, so the demo has real
+    * collisions (the B67 bar). */
+  private def cmsItem: Column =
+    concat(col("event_type"), lit(":"), col("user_id"))
+
+  /** B72s: the Count-Min SKETCH as a streaming aggregation — B67's
+    * occurrence-stream build (`CorpusStats.cmsSketchOf`) run over a
+    * live event stream. The whole point is the state bound: a
+    * streaming frequency aggregation over raw items would hold one
+    * state row PER DISTINCT ITEM (unbounded — the exact histogram's
+    * memory profile, B53), while the sketch holds ≤ d×w = 256 state
+    * rows FOREVER, whatever the stream's cardinality — the
+    * Count-Min trade (Cormode & Muthukrishnan 2005) realized as
+    * bounded streaming state. Complete-mode output is the full
+    * current sketch, ≤ 256 rows per trigger. Unified API: this SAME
+    * builder serves the t2 batch grade and the MemoryStream parity
+    * spec (stream cells ≡ batch cells, state ≤ 256). */
+  def cmsSketchPlan(events: DataFrame): DataFrame =
+    CorpusStats.cmsSketchOf(events.select(cmsItem.as("item")))
+
   // ---- t2 batch-mode queries ----------------------------------------------
 
   def streamStaticJoin(sp: SparkSession, dir: String): DataFrame = {
@@ -262,6 +283,24 @@ object Streaming {
           concat(col("text"), lit(" extraneous")).as("text")))
     minhashProbePlan(batch, LlmPipeline.minhashHistoryIndex(history))
       .orderBy("batch_id", "band_id", "hist_id")
+  }
+
+  /** Batch grade of [[cmsSketchPlan]]: the stream-built sketch probed
+    * for the top-[[CorpusStats.CmsPanel]] (event_type, user) items —
+    * est vs exact with the one-sided CMS invariant, the B67/B51
+    * grading contract, over the events table the streaming ops share. */
+  def streamSketchCms(sp: SparkSession, dir: String): DataFrame = {
+    val items = Tables.events(sp, dir).select(cmsItem.as("item"))
+    val exact = items.groupBy("item").agg(count(lit(1)).as("cnt"))
+    val panel = exact.orderBy(col("cnt").desc, col("item"))
+      .limit(CorpusStats.CmsPanel)
+    panel
+      .join(CorpusStats.cmsProbe(cmsSketchPlan(Tables.events(sp, dir)), panel),
+        Seq("item"))
+      .select(col("item"), col("cnt").as("exact"), col("est"),
+        (col("est") - col("cnt")).as("slack"),
+        (col("est") >= col("cnt")).as("over"))
+      .orderBy("item")
   }
 
   def streamTumbling(sp: SparkSession, dir: String): DataFrame =
@@ -410,5 +449,35 @@ object Streaming {
         |  round(sum(value) OVER (PARTITION BY user_id ORDER BY tsec, event_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS run_sum
         |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsec, event_id)
-        |ORDER BY user_id, seq""".stripMargin)(streamCustomState))
+        |ORDER BY user_id, seq""".stripMargin)(streamCustomState),
+
+    OpQuery("op_stream_sketch_cms",
+      s"""WITH bg AS (
+        |  SELECT event_type || ':' || CAST(user_id AS VARCHAR) AS item FROM events),
+        |exact AS (SELECT item, count(*) AS cnt FROM bg GROUP BY item),
+        |base AS (
+        |  SELECT item, cnt,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(1, length(item) + 1),
+        |        i -> ord(substring(item, CAST(i AS INTEGER), 1)))),
+        |      (a, b) -> (a * 31 + b) % 1000000007) AS h
+        |  FROM exact),
+        |cells AS (
+        |  SELECT CAST(j AS INTEGER) AS j,
+        |    (h * [${CorpusStats.CmsA.mkString(", ")}][j + 1] + [${CorpusStats.CmsB.mkString(", ")}][j + 1])
+        |      % 1000000007 % ${CorpusStats.CmsWidth} AS bkt, cnt
+        |  FROM base, unnest(range(0, ${CorpusStats.CmsRows})) AS u(j)),
+        |sketch AS (SELECT j, bkt, CAST(sum(cnt) AS BIGINT) AS c FROM cells GROUP BY j, bkt),
+        |panel AS (SELECT item, cnt, h FROM base ORDER BY cnt DESC, item LIMIT ${CorpusStats.CmsPanel}),
+        |pcells AS (
+        |  SELECT item, cnt, CAST(j AS INTEGER) AS j,
+        |    (h * [${CorpusStats.CmsA.mkString(", ")}][j + 1] + [${CorpusStats.CmsB.mkString(", ")}][j + 1])
+        |      % 1000000007 % ${CorpusStats.CmsWidth} AS bkt
+        |  FROM panel, unnest(range(0, ${CorpusStats.CmsRows})) AS u(j)),
+        |est AS (
+        |  SELECT item, cnt, CAST(min(c) AS BIGINT) AS est
+        |  FROM pcells JOIN sketch USING (j, bkt) GROUP BY item, cnt)
+        |SELECT item, CAST(cnt AS BIGINT) AS exact, est,
+        |  est - cnt AS slack, est >= cnt AS over
+        |FROM est ORDER BY item""".stripMargin)(streamSketchCms))
 }

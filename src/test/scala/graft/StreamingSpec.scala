@@ -268,4 +268,25 @@ class StreamingSpec extends AnyFunSuite {
       .as[(Long, Int, Long)].collect().sorted.toSeq
     assert(batch == streamed)
   }
+
+  test("B72s streaming CMS sketch: stream ≡ batch cells across micro-batches; state ≤ 256") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val name = s"sink_${System.nanoTime()}"
+    val q = Streaming.cmsSketchPlan(mem.toDF()).writeStream
+      .format("memory").queryName(name).outputMode("complete").start()
+    try {
+      mem.addData(base.take(4): _*)   // micro-batch 1
+      q.processAllAvailable()
+      // mid-stream the sketch must equal the batch sketch of the prefix
+      assert(sortedRows(spark.table(name)) ===
+        sortedRows(Streaming.cmsSketchPlan(base.take(4).toDF())))
+      mem.addData(base.drop(4): _*)   // micro-batch 2
+      q.processAllAvailable()
+    } finally q.stop()
+    val fin = spark.table(name)
+    assert(sortedRows(fin) === sortedRows(Streaming.cmsSketchPlan(base.toDF())))
+    // the bounded-state contract the op exists for
+    assert(fin.count() <= 256, "sketch state exceeded d x w cells")
+  }
 }
