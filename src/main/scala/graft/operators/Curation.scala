@@ -100,8 +100,16 @@ object Curation {
       .select(col("bit")).distinct()
       .withColumn("present", lit(1))
     val inEval = evalGrams.withColumn("in_eval", lit(1))
+    // cluster the corpus TEXT by doc_id before shingling: one cheap
+    // text-row exchange buys BOTH downstream rollups for free at ANY
+    // scale — hashpartitioning(doc_id) satisfies the (doc_id, sh)
+    // distinct AND the per-doc rollup, so the 3x-heavier gram rows
+    // never cross an exchange (verified: the whole probe fuses into
+    // one whole-stage-codegen span after this exchange; relying on
+    // spreadForCpu instead would lose the fusion at production scale,
+    // where it is deliberately a no-op)
     val trainG = TextShingles
-      .withShingles(TextShingles.spreadForCpu(train), col("text"))
+      .withShingles(train.repartition(col("doc_id")), col("text"))
       .select(col("doc_id"), explode(col("shingles")).as("sh"))
       .distinct()
       .join(broadcast(inEval), Seq("sh"), "left")
@@ -280,7 +288,9 @@ object Curation {
     * line — map-side partials; at 100 TB the key is B31's 8-byte
     * rolling hash of the line as in B62, the string key here keeps the
     * oracle byte-exact), a line-keyed join back (dup set is
-    * data-dependent — NOT broadcast), and one doc-keyed rollup to
+    * data-dependent — never broadcast-HINTED; Catalyst broadcasts a
+    * runtime-small dup set and degrades to a shuffle join past the
+    * threshold), and one doc-keyed rollup to
     * rebuild texts. Never all-pairs, nothing corpus-sized on the
     * driver. */
   def dedupLines(sp: SparkSession, dir: String): DataFrame = {
