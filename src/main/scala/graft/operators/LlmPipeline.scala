@@ -379,6 +379,67 @@ object LlmPipeline {
   def dedupMinhash(sp: SparkSession, dir: String): DataFrame =
     minhashPairs(sp, dir).orderBy("doc_a", "doc_b")
 
+  /** Per-doc 8-slot rotation-minhash signatures (doc_id, sig) — the
+    * same kernel output [[minhashBandedRaw]] folds into band keys,
+    * exposed whole for the B73 estimator audit. */
+  private[graft] def minhashSigs(corpus: DataFrame): DataFrame =
+    graft.functions.TextShingles
+      .withShingles(graft.functions.TextShingles.spreadForCpu(corpus), col("text"))
+      .withColumn("hs", transform(col("shingles"), sh => md5(sh)))
+      .select(col("doc_id"),
+        graft.plans.MinHashSignature.minhashSig(col("hs"), NumHashes, 4).as("sig"))
+
+  /** B73 — `op_minhash_est`: the minhash RESEMBLANCE ESTIMATOR audited
+    * against exact Jaccard (Broder 1997, "On the resemblance and
+    * containment of documents", SEQUENCES'97 — the theorem B17 banks
+    * on: P[min-hash match] = J(A,B), so matching slots estimate
+    * resemblance as n_match/k). The B51/B67 accuracy-under-the-hash
+    * contract applied to the dedup family's own sketch: for every
+    * banded candidate pair (B17's capped buckets — declared cap
+    * semantics), emit the estimator side (n_match of 8 slots) next to
+    * the exact side (distinct-shingle n_a / n_b / n_inter / n_union)
+    * plus both half-resemblance verdicts (est: n_match ≥ 4; exact:
+    * 2·n_inter ≥ n_union). EVERY graded column is an integer or an
+    * integer predicate — nothing rounds, nothing crosses an engine
+    * boundary as a float.
+    *
+    * Scale shape: candidates come from the capped banded buckets
+    * (never all-pairs); the signature compare is a map-side 8-slot
+    * zip on the pair rows; the exact-intersection join is bounded by
+    * candidate-pairs × per-doc grams (candidate-bounded, not
+    * corpus²). The gram frame is derived twice (a-side, b-side) plus
+    * once for counts — at 100 TB a production audit persists the
+    * distinct (doc, gram) frame; here the corpus scans are the B46
+    * multi-pass shape. */
+  def minhashEst(sp: SparkSession, dir: String): DataFrame = {
+    val corpus = minhashCorpus(sp, dir)
+    val pairs = minhashPairsFor(corpus)
+    val sigs = minhashSigs(corpus)
+    val grams = graft.functions.TextShingles
+      .withShingles(graft.functions.TextShingles.spreadForCpu(corpus), col("text"))
+      .select(col("doc_id"), explode(col("shingles")).as("sh")).distinct()
+    val counts = grams.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = pairs
+      .join(grams.select(col("doc_id").as("doc_a"), col("sh")), Seq("doc_a"))
+      .join(grams.select(col("doc_id").as("doc_b"), col("sh")), Seq("doc_b", "sh"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_inter"))
+    pairs
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), Seq("doc_a"))
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), Seq("doc_b"))
+      .withColumn("n_match",
+        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b)))
+      .join(counts.select(col("doc_id").as("doc_a"), col("n").as("n_a")), Seq("doc_a"))
+      .join(counts.select(col("doc_id").as("doc_b"), col("n").as("n_b")), Seq("doc_b"))
+      .join(inter, Seq("doc_a", "doc_b"), "left")
+      .withColumn("n_inter", coalesce(col("n_inter"), lit(0L)))
+      .withColumn("n_union", col("n_a") + col("n_b") - col("n_inter"))
+      .select(col("doc_a"), col("doc_b"), col("n_match"),
+        col("n_a"), col("n_b"), col("n_inter"), col("n_union"),
+        (col("n_match") >= NumHashes / 2).as("est_high"),
+        (lit(2) * col("n_inter") >= col("n_union")).as("jac_high"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Candidate pairs (doc_a < doc_b) shared by B17 and the component
     * closure below. */
   private[graft] def minhashPairs(sp: SparkSession, dir: String): DataFrame =
@@ -676,6 +737,63 @@ object LlmPipeline {
         |FROM bcap a JOIN bcap b
         |  ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
         |ORDER BY doc_a, doc_b""".stripMargin)(dedupMinhash),
+
+    OpQuery("op_minhash_est",
+      s"""WITH unioned AS (
+        |  SELECT doc_id * 2 AS doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id * 2 + 1, concat(text, ' extraneous') FROM documents WHERE doc_id % 5 = 0),
+        |shingled AS (
+        |  SELECT doc_id,
+        |    list_transform(range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
+        |      i -> concat_ws(' ', string_split(text, ' ')[i],
+        |                          string_split(text, ' ')[i+1],
+        |                          string_split(text, ' ')[i+2])) AS sh
+        |  FROM unioned),
+        |hashed AS (
+        |  SELECT doc_id, list_transform(sh, x -> md5(x)) AS hs FROM shingled),
+        |sigs AS (
+        |  SELECT doc_id,
+        |    [list_min(hs),
+        |     list_min(list_transform(hs, h -> substring(h, 5, 28) || substring(h, 1, 4))),
+        |     list_min(list_transform(hs, h -> substring(h, 9, 24) || substring(h, 1, 8))),
+        |     list_min(list_transform(hs, h -> substring(h, 13, 20) || substring(h, 1, 12))),
+        |     list_min(list_transform(hs, h -> substring(h, 17, 16) || substring(h, 1, 16))),
+        |     list_min(list_transform(hs, h -> substring(h, 21, 12) || substring(h, 1, 20))),
+        |     list_min(list_transform(hs, h -> substring(h, 25, 8) || substring(h, 1, 24))),
+        |     list_min(list_transform(hs, h -> substring(h, 29, 4) || substring(h, 1, 28)))] AS sig
+        |  FROM hashed),
+        |bands AS (
+        |  SELECT doc_id, b.band_id,
+        |    md5(concat_ws('|', sig[b.band_id * 2 + 1], sig[b.band_id * 2 + 2])) AS band_key
+        |  FROM sigs, (SELECT 0 AS band_id UNION ALL SELECT 1 UNION ALL SELECT 2 UNION ALL SELECT 3) b),
+        |$MinhashBcapSql,
+        |pairs AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bcap a JOIN bcap b
+        |    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+        |g AS (SELECT DISTINCT doc_id, unnest(sh) AS sh FROM shingled),
+        |cnt AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+        |inter AS (
+        |  SELECT p.doc_a, p.doc_b, count(*) AS n_inter
+        |  FROM pairs p
+        |  JOIN g ga ON ga.doc_id = p.doc_a
+        |  JOIN g gb ON gb.doc_id = p.doc_b AND gb.sh = ga.sh
+        |  GROUP BY p.doc_a, p.doc_b)
+        |SELECT p.doc_a, p.doc_b,
+        |  CAST(len(list_filter(range(1, 9), i -> sa.sig[i] = sb.sig[i])) AS INTEGER) AS n_match,
+        |  ca.n AS n_a, cb.n AS n_b,
+        |  coalesce(i.n_inter, 0) AS n_inter,
+        |  ca.n + cb.n - coalesce(i.n_inter, 0) AS n_union,
+        |  CAST(len(list_filter(range(1, 9), i -> sa.sig[i] = sb.sig[i])) AS INTEGER) >= 4 AS est_high,
+        |  2 * coalesce(i.n_inter, 0) >= ca.n + cb.n - coalesce(i.n_inter, 0) AS jac_high
+        |FROM pairs p
+        |JOIN sigs sa ON sa.doc_id = p.doc_a
+        |JOIN sigs sb ON sb.doc_id = p.doc_b
+        |JOIN cnt ca ON ca.doc_id = p.doc_a
+        |JOIN cnt cb ON cb.doc_id = p.doc_b
+        |LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+        |ORDER BY p.doc_a, p.doc_b""".stripMargin)(minhashEst),
 
     // independent closure implementation: DuckDB computes reachability
     // by recursive CTE where Spark runs BSP label propagation

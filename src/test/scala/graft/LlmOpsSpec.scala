@@ -96,4 +96,32 @@ class LlmOpsSpec extends AnyFunSuite {
     }
     assert(out.exists(!_._2), "everything flagged — the join is vacuous")
   }
+
+  test("minhash_est: band invariant, set algebra, planted-pair verdicts") {
+    val rows = graft.operators.LlmPipeline
+      .minhashEst(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      val (nm, na, nb, ni, nu) =
+        (r.getInt(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))
+      // a banded candidate shares at least one band = BOTH slots of
+      // that band agree — the estimator can never read 0 or 1 here
+      assert(nm >= 2, s"pair ($a,$b): candidate with n_match=$nm < 2")
+      // set algebra: |A∩B| <= min <= max <= |A∪B| = |A|+|B|-|A∩B|
+      assert(ni <= math.min(na, nb) && nu >= math.max(na, nb),
+        s"pair ($a,$b): impossible set sizes")
+      // the verdict columns restate the integer predicates
+      assert(r.getBoolean(7) == (nm >= 4) && r.getBoolean(8) == (2 * ni >= nu))
+    }
+    // planted variant pairs (2k, 2k+1): one appended token keeps
+    // J = (n-2)/(n-1) — exact verdict must be high, and at that
+    // resemblance the 8-slot estimator agrees on this corpus
+    val planted = rows.filter(r => r.getLong(1) == r.getLong(0) + 1 && r.getLong(0) % 2 == 0)
+    assert(planted.nonEmpty, "no planted pair surfaced as a candidate")
+    planted.foreach { r =>
+      assert(r.getBoolean(8), s"planted pair ${r.getLong(0)} not jac_high")
+      assert(r.getBoolean(7), s"planted pair ${r.getLong(0)} not est_high")
+    }
+  }
 }
