@@ -417,6 +417,26 @@ object Graft {
       lineTokens, minTokens, minDocs)
   }
 
+  /** MinHash sketch audit for any corpus — the general form of the
+    * graded `op_minhash_est` (same core,
+    * [[graft.operators.LlmPipeline.minhashEstFor]]; Broder 1997, "On
+    * the resemblance and containment of documents", SEQUENCES'97).
+    * For every banded candidate pair (the SAME capped buckets
+    * [[nearDupClusters]] links), emits the resemblance estimator
+    * (n_match of 8 signature slots — est ≈ n_match/8) next to exact
+    * distinct-shingle set sizes (n_a, n_b, n_inter, n_union) and both
+    * half-resemblance verdicts. Run this before trusting a banded
+    * dedup sweep on a new corpus: the estimator's calibration against
+    * exact Jaccard on YOUR data is the evidence the band thresholds
+    * rest on. All columns are integers or integer predicates. */
+  def minhashAudit(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val idT = df.schema(idCol).dataType
+    graft.operators.LlmPipeline.minhashEstFor(
+      df.select(validatedId(col(idCol), idT, "minhashAudit").as("doc_id"),
+        col(textCol).as("text")))
+  }
+
   /** The one-row corpus report — the general form of the graded
     * `op_stats_zipf` (same core,
     * [[graft.operators.Curation.statsZipfWith]]): token/type totals,

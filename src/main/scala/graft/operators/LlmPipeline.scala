@@ -411,8 +411,13 @@ object LlmPipeline {
     * once for counts — at 100 TB a production audit persists the
     * distinct (doc, gram) frame; here the corpus scans are the B46
     * multi-pass shape. */
-  def minhashEst(sp: SparkSession, dir: String): DataFrame = {
-    val corpus = minhashCorpus(sp, dir)
+  def minhashEst(sp: SparkSession, dir: String): DataFrame =
+    minhashEstFor(minhashCorpus(sp, dir)).orderBy("doc_a", "doc_b")
+
+  /** Core behind [[minhashEst]] and `api.Graft.minhashAudit`: the
+    * estimator-vs-exact audit over ANY `corpus(doc_id, text)`, without
+    * the graded total sort. */
+  private[graft] def minhashEstFor(corpus: DataFrame): DataFrame = {
     val pairs = minhashPairsFor(corpus)
     val sigs = minhashSigs(corpus)
     val grams = graft.functions.TextShingles
@@ -437,7 +442,6 @@ object LlmPipeline {
         col("n_a"), col("n_b"), col("n_inter"), col("n_union"),
         (col("n_match") >= NumHashes / 2).as("est_high"),
         (lit(2) * col("n_inter") >= col("n_union")).as("jac_high"))
-      .orderBy("doc_a", "doc_b")
   }
 
   /** Candidate pairs (doc_a < doc_b) shared by B17 and the component

@@ -123,5 +123,12 @@ class LlmOpsSpec extends AnyFunSuite {
       assert(r.getBoolean(8), s"planted pair ${r.getLong(0)} not jac_high")
       assert(r.getBoolean(7), s"planted pair ${r.getLong(0)} not est_high")
     }
+    // the public API runs the same core: exact row equality on the
+    // graded corpus construction
+    val api = graft.api.Graft
+      .minhashAudit(graft.operators.LlmPipeline
+        .minhashCorpus(spark, "/root/testdata/sf0.001"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(api == rows.map(_.toString).sorted.toSeq)
   }
 }

@@ -246,6 +246,11 @@ object ScaleSmoke {
         "op_dsir_weights" -> (operators.Curation.dsirWeights _),
         "op_dedup_lines" -> (operators.Curation.dedupLines _),
         "op_stats_zipf" -> (operators.Curation.statsZipf _)) ++
+      // r16 ext5: the minhash audit — candidate pairs are the capped
+      // banded buckets (suffixed-word copies keep shingles disjoint
+      // across copies, so candidates and the intersection join grow
+      // linearly with the planted density, never corpus²)
+      Seq("op_minhash_est" -> (LlmPipeline.minhashEst _)) ++
       // digest-keyed shuffle join: batch AND history both scale with the
       // corpus, so wall growth tracks the join's linear work
       Seq("op_dedup_incremental" -> (LlmPipeline.dedupIncremental _)) ++

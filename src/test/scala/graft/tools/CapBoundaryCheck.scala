@@ -56,7 +56,13 @@ object CapBoundaryCheck {
     // (every member scrubs to empty); the report's top ranks are a
     // 10-way count tie broken by token text on both engines
     "op_sketch_bloom", "op_dsir_weights", "op_dedup_lines",
-    "op_stats_zipf")
+    "op_stats_zipf",
+    // r16 ext5: the minhash audit consumes bcap DIRECTLY — on the
+    // degenerate corpus every bucket truncates at MaxBucketDocs and
+    // the audit's pair set IS the capped expansion (C(64,2) per the
+    // 400-doc cluster), with n_match = 8 and J = 1 on every
+    // identical-text pair; both engines must truncate identically
+    "op_minhash_est")
 
   def main(args: Array[String]): Unit = {
     val spark = graft.SparkTestSession.spark
