@@ -311,6 +311,27 @@ object Graft {
   def bpePairStats(df: DataFrame, textCol: String = "text"): DataFrame =
     graft.operators.CorpusStats.bpePairsWith(df.select(col(textCol).as("text")))
 
+  /** BPE merge training for any corpus — the general form of the
+    * graded `op_bpe_train` (same core,
+    * [[graft.operators.CorpusStats.bpeTrainWith]]; Sennrich, Haddow &
+    * Birch 2016, arXiv:1508.07909, Algorithm 1): `merges` iterations
+    * of count-pairs → take the most frequent (ties lexicographic) →
+    * merge left-to-right non-overlapping occurrences vocabulary-wide.
+    * Returns one row per learned merge (step, pair, weighted count,
+    * total symbol units after) — the ordered merge table IS the
+    * tokenizer. Contract: corpus words must not contain the reserved
+    * `|` fold delimiter (violations fail loudly, vocabulary-sized
+    * check). Driver traffic is one (pair, count) row plus one scalar
+    * per step — the k-means loop discipline; everything else is
+    * vocabulary-sized. */
+  def bpeTrainMerges(df: DataFrame, textCol: String = "text",
+      merges: Int = graft.operators.CorpusStats.BpeMerges): DataFrame = {
+    require(merges >= 1 && merges <= 10000,
+      s"bpeTrainMerges: need 1 <= merges <= 10000 (got $merges)")
+    graft.operators.CorpusStats.bpeTrainWith(df.sparkSession,
+      df.select(col(textCol).as("text")), merges)
+  }
+
   /** Count-Min frequency estimates for caller candidates over an item
     * stream — the PRODUCTION form of the graded `op_sketch_cms`
     * (Cormode & Muthukrishnan 2005): the d×w sketch is built straight

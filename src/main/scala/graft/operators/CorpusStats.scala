@@ -204,6 +204,126 @@ object CorpusStats {
       .groupBy("pair").agg(sum(col("cnt")).as("n"))
   }
 
+  // ---- B74: BPE merge training loop ----------------------------------------
+
+  /** Number of unrolled merge steps the graded op trains (the oracle
+    * states the same three blocks; the public API takes a caller
+    * count). */
+  private[graft] val BpeMerges = 3
+
+  /** B74 — `op_bpe_train`: the BPE merge LOOP (Sennrich, Haddow &
+    * Birch 2016, arXiv:1508.07909, Algorithm 1) that B66's counting
+    * step feeds: T iterations of [count weighted adjacent symbol
+    * pairs → take the most frequent pair (ties: lexicographically
+    * smallest) → merge every left-to-right non-overlapping occurrence
+    * across the vocabulary]. Output: one row per learned merge —
+    * step, the merged pair, its weighted count at selection time, and
+    * the total symbol-unit count after the merge. Free invariant
+    * (pinned by spec): units_after = units_before − n, because each
+    * merged occurrence shrinks its word by exactly one symbol.
+    *
+    * The merge fold is a delimited-string reduce — acc carries the
+    * merged prefix as `s1|s2|…`; a step merges when the incoming
+    * symbol is b and the accumulator's LAST symbol is a (exact suffix
+    * test on the delimiter), which is precisely the left-to-right
+    * non-overlap rule ("aaa" under (a,a) → ["aa", "a"]). Symbols are
+    * corpus word characters plus `</w>` — none contain the `|`
+    * delimiter (declared; the API rejects corpora that violate it).
+    * The SAME fold runs in both engines (Spark `aggregate`, DuckDB
+    * `list_reduce`), so the merge semantics cannot drift.
+    *
+    * Scale shape: the vocabulary aggregate is the only corpus-sized
+    * shuffle and it is CACHED once (the B46 model-frame precedent);
+    * each iteration's pair count is vocabulary-sized with map-side
+    * partials, and only ONE (pair, count) row plus one scalar reach
+    * the driver per step — T·2 bounded actions, the k-means loop
+    * discipline. At 100 TB the vocabulary is millions of rows; the
+    * loop's frames never exceed it. */
+  def bpeTrain(sp: SparkSession, dir: String): DataFrame =
+    bpeTrainWith(sp, docs(sp, dir).select(col("text")), BpeMerges)
+
+  /** Core behind [[bpeTrain]] and `api.Graft.bpeTrainMerges`. */
+  private[graft] def bpeTrainWith(sp: SparkSession, corpus: DataFrame,
+      merges: Int): DataFrame = {
+    import sp.implicits._
+    val vocab0 = corpus
+      .select(explode(toks(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      // the fold's delimiter is reserved: a word containing '|' would
+      // silently corrupt every later merge — fail loudly instead
+      // (vocabulary-sized check riding the aggregate, no extra pass)
+      .withColumn("w", when(col("w").contains("|"),
+        raise_error(concat(lit("bpeTrain: word contains the reserved " +
+          "'|' delimiter: "), col("w")))).otherwise(col("w")))
+      .select(col("cnt"), concat(transform(sequence(lit(1), length(col("w"))),
+        i => col("w").substr(i, lit(1))), array(lit("</w>"))).as("syms"))
+      .cache()  // the model frame: every iteration and action re-reads
+                // it instead of re-aggregating the corpus (vocab-sized;
+                // process-scoped by the B46/annRecall precedent)
+    var vocab = vocab0
+    val steps = scala.collection.mutable.ArrayBuffer[(Int, String, Long, Long)]()
+    for (t <- 1 to merges) {
+      val top = vocab
+        .select(col("cnt"), explode(arrays_zip(
+          slice(col("syms"), lit(1), size(col("syms")) - 1).as("pa"),
+          slice(col("syms"), lit(2), size(col("syms")) - 1).as("pb"))).as("p"))
+        .groupBy(col("p.pa").as("pa"), col("p.pb").as("pb"))
+        .agg(sum(col("cnt")).as("n"))
+        .orderBy(col("n").desc, col("pa"), col("pb")).limit(1)
+        .collect()(0)
+      val (a, b, n) = (top.getString(0), top.getString(1), top.getLong(2))
+      vocab = vocab.withColumn("syms",
+        split(aggregate(col("syms"), lit(""), (acc, x) =>
+          when(x === b && (acc === a || acc.endsWith(lit("|" + a))),
+            concat(acc.substr(lit(1), length(acc) - a.length), lit(a + b)))
+            .otherwise(when(acc === "", x)
+              .otherwise(concat(acc, lit("|"), x)))), "\\|"))
+      val units = vocab.agg(sum(col("cnt") * size(col("syms"))))
+        .collect()(0).getLong(0)
+      steps += ((t, s"$a $b", n, units))
+    }
+    steps.toSeq.toDF("step", "pair", "n", "units_after").orderBy("step")
+  }
+
+  /** One unrolled oracle merge block: pairs of `s${k-1}` → top pair
+    * `t$k` → merged vocab `s$k` → unit total `u$k` — the same
+    * delimited-string fold [[bpeTrainWith]] runs. */
+  private def bpeStepSql(k: Int): String = {
+    val (p, s0, t, s1, u) = (s"p$k", s"s${k - 1}", s"t$k", s"s$k", s"u$k")
+    s"""$p AS (
+       |  SELECT syms[i+1] AS pa, syms[i+2] AS pb, CAST(sum(cnt) AS BIGINT) AS n
+       |  FROM $s0, unnest(range(0, len(syms) - 1)) AS u(i) GROUP BY 1, 2),
+       |$t AS (SELECT pa, pb, n FROM $p ORDER BY n DESC, pa, pb LIMIT 1),
+       |$s1 AS (
+       |  SELECT cnt, string_split(list_reduce(list_prepend('', syms), (acc, x) ->
+       |    CASE WHEN x = $t.pb AND (acc = $t.pa OR right(acc, length($t.pa) + 1) = '|' || $t.pa)
+       |         THEN left(acc, length(acc) - length($t.pa)) || $t.pa || $t.pb
+       |         ELSE CASE WHEN acc = '' THEN x ELSE acc || '|' || x END END), '|') AS syms
+       |  FROM $s0, $t),
+       |$u AS (SELECT CAST(sum(cnt * len(syms)) AS BIGINT) AS units FROM $s1)""".stripMargin
+  }
+
+  /** Full B74 oracle: base vocab + [[BpeMerges]] unrolled step blocks
+    * + the per-step result rows. */
+  private[graft] lazy val BpeTrainSql: String = {
+    val blocks = (1 to BpeMerges).map(bpeStepSql).mkString(",\n")
+    val rows = (1 to BpeMerges).map { k =>
+      s"SELECT $k AS step, (SELECT pa || ' ' || pb FROM t$k) AS pair, " +
+        s"(SELECT n FROM t$k) AS n, (SELECT units FROM u$k) AS units_after"
+    }.mkString("\nUNION ALL ")
+    s"""WITH tok AS (
+       |  SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+       |  FROM documents),
+       |v0 AS (SELECT w, count(*) AS cnt FROM tok GROUP BY w),
+       |s0 AS (
+       |  SELECT cnt, list_append(list_transform(range(1, length(w) + 1),
+       |    i -> substring(w, CAST(i AS INTEGER), 1)), '</w>') AS syms
+       |  FROM v0),
+       |$blocks
+       |$rows
+       |ORDER BY step""".stripMargin
+  }
+
   // ---- B67: Count-Min sketch heavy hitters ---------------------------------
 
   /** Sketch geometry: d = 4 hash rows × w = 64 buckets — 256 cells
@@ -371,6 +491,8 @@ object CorpusStats {
         |SELECT pair, CAST(sum(cnt) AS BIGINT) AS n
         |FROM pairs GROUP BY pair
         |ORDER BY n DESC, pair LIMIT 30""".stripMargin)(bpePairs),
+
+    OpQuery("op_bpe_train", BpeTrainSql)(bpeTrain),
 
     OpQuery("op_sketch_cms",
       s"""WITH t AS (

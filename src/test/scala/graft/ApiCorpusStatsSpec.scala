@@ -47,6 +47,13 @@ class ApiCorpusStatsSpec extends AnyFunSuite {
     assert(full == graded && graded.size == 30)
   }
 
+  test("bpeTrainMerges: graded parity at 3 merges; bad merge counts rejected") {
+    val api = Graft.bpeTrainMerges(docs).collect().map(_.toString).toSeq
+    val graded = CorpusStats.bpeTrain(spark, dir).collect().map(_.toString).toSeq
+    assert(api == graded)
+    intercept[IllegalArgumentException] { Graft.bpeTrainMerges(docs, merges = 0) }
+  }
+
   test("cmsEstimates: direct-sketch estimates equal the graded count-derived ones") {
     // rebuild the graded op's bigram stream and panel, then check the
     // production path (stream → sketch → probe) lands on the same est

@@ -56,6 +56,46 @@ class CorpusStatsSpec extends AnyFunSuite {
       "most natural docs should survive the battery")
   }
 
+  test("bpe_train: unit conservation, monotone counts, the B66 top pair first") {
+    val rows = CorpusStats.bpeTrain(spark, dir).collect()
+    assert(rows.length == CorpusStats.BpeMerges)
+    // merge 1 must be exactly the pair B66's counting step ranks first
+    assert(rows(0).getString(1) == "e r", "first merge should match op_bpe_pairs' top pair")
+    // all learned merges are distinct pairs
+    assert(rows.map(_.getString(1)).distinct.length == rows.length)
+    // units shrink by exactly n per step when the pair halves differ
+    // (each merged occurrence removes one symbol; occurrences of an
+    // a!=b pair can never overlap)
+    rows.sliding(2).foreach { case Array(prev, cur) =>
+      val Array(a, b) = cur.getString(1).split(" ", 2)
+      if (a != b)
+        assert(prev.getLong(3) - cur.getLong(2) == cur.getLong(3),
+          s"step ${cur.getInt(0)}: units_after != prev_units - n")
+      case _ => ()
+    }
+  }
+
+  test("bpe_train fold: left-to-right non-overlap on a repeated-symbol pair") {
+    import spark.implicits._
+    // vocab: 'aaa' x2, 'aa' x1 -> pair (a,a) counts overlapping
+    // occurrences (2 per 'aaa' + 1 = 5) but merges non-overlapping
+    // left-to-right: 'aaa' -> [aa, a, </w>], 'aa' -> [aa, </w>]
+    val out = CorpusStats.bpeTrainWith(spark,
+      Seq("aaa aaa aa").toDF("text"), 1).collect()
+    assert(out.length == 1)
+    assert(out(0).getString(1) == "a a" && out(0).getLong(2) == 5L)
+    // units: before = 2*4 + 1*3 = 11; merged occurrences = 3 (ONE per
+    // 'aaa', one in 'aa') -> after = 8, NOT 11 - 5
+    assert(out(0).getLong(3) == 8L,
+      "overlapping occurrences must merge left-to-right, one per run")
+    // a corpus word carrying the reserved delimiter fails loudly
+    val bad = intercept[Exception] {
+      CorpusStats.bpeTrainWith(spark, Seq("ok bad|word").toDF("text"), 1)
+        .collect()
+    }
+    assert(bad.getMessage != null)
+  }
+
   test("fingerprint_winnow: coverage gap <= w and density near 2/(w+1)") {
     val w = CorpusStats.WinnowWindow
     val rows = CorpusStats.fingerprintWinnow(spark, dir).collect()

@@ -251,6 +251,11 @@ object ScaleSmoke {
       // across copies, so candidates and the intersection join grow
       // linearly with the planted density, never corpus²)
       Seq("op_minhash_est" -> (LlmPipeline.minhashEst _)) ++
+      // r16 ext6: the BPE merge loop — one cached vocabulary aggregate
+      // (suffixed-word copies grow the vocab linearly) + three
+      // vocab-sized iterations; driver traffic fixed at 3 pairs + 3
+      // scalars whatever the corpus
+      Seq("op_bpe_train" -> (operators.CorpusStats.bpeTrain _)) ++
       // digest-keyed shuffle join: batch AND history both scale with the
       // corpus, so wall growth tracks the join's linear work
       Seq("op_dedup_incremental" -> (LlmPipeline.dedupIncremental _)) ++

@@ -62,7 +62,12 @@ object CapBoundaryCheck {
     // the audit's pair set IS the capped expansion (C(64,2) per the
     // 400-doc cluster), with n_match = 8 and J = 1 on every
     // identical-text pair; both engines must truncate identically
-    "op_minhash_est")
+    "op_minhash_est",
+    // r16 ext6: the BPE loop on the degenerate corpus — the 400-doc
+    // cluster makes one word set dominate every count, and the
+    // unique-text tail contributes tailword characters; argmax ties
+    // and the merge fold must resolve identically on both engines
+    "op_bpe_train")
 
   def main(args: Array[String]): Unit = {
     val spark = graft.SparkTestSession.spark
