@@ -332,6 +332,24 @@ object Graft {
       df.select(col(textCol).as("text")), merges)
   }
 
+  /** BPE train-then-apply for any corpus — the general form of the
+    * graded `op_bpe_segment` (same core,
+    * [[graft.operators.CorpusStats.bpeSegmentWith]]): learn `merges`
+    * merges on the corpus vocabulary, then report per document how
+    * the trained tokenizer compresses it (`n_words`, `n_char_units`,
+    * `n_bpe_units` — all integers, n_bpe ≤ n_char). Same reserved-`|`
+    * contract as [[bpeTrainMerges]]. */
+  def bpeSegmentDocs(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text",
+      merges: Int = graft.operators.CorpusStats.BpeMerges): DataFrame = {
+    require(merges >= 1 && merges <= 10000,
+      s"bpeSegmentDocs: need 1 <= merges <= 10000 (got $merges)")
+    val idT = df.schema(idCol).dataType
+    graft.operators.CorpusStats.bpeSegmentWith(
+      df.select(validatedId(col(idCol), idT, "bpeSegmentDocs").as("doc_id"),
+        col(textCol).as("text")), merges)
+  }
+
   /** Count-Min frequency estimates for caller candidates over an item
     * stream — the PRODUCTION form of the graded `op_sketch_cms`
     * (Cormode & Muthukrishnan 2005): the d×w sketch is built straight

@@ -246,6 +246,50 @@ object CorpusStats {
   private[graft] def bpeTrainWith(sp: SparkSession, corpus: DataFrame,
       merges: Int): DataFrame = {
     import sp.implicits._
+    bpeLoop(corpus, merges)._1
+      .toDF("step", "pair", "n", "units_after").orderBy("step")
+  }
+
+  /** B75 — `op_bpe_segment`: the APPLY side of the BPE pair — segment
+    * every corpus word with the vocabulary [[bpeTrain]]'s three merges
+    * produce, and report per document how the trained tokenizer
+    * compresses it: `n_words`, `n_char_units` (character symbols incl.
+    * the `</w>` marker — the pre-merge unit count), `n_bpe_units`
+    * (units after the learned merges). All integers; by construction
+    * n_bpe_units ≤ n_char_units, with equality only for docs none of
+    * whose words contain a learned pair. Train → apply on the SAME
+    * corpus is the tokenizer-bootstrap a pipeline runs before packing
+    * (B38 consumes per-doc token counts; this op is where they come
+    * from once a real tokenizer replaces whitespace).
+    *
+    * Scale shape: training is B74's loop (vocab-sized, cached model
+    * frame); apply is ONE corpus-word join against the final
+    * vocabulary (dimension join — not hinted, Catalyst broadcasts a
+    * small vocab and shuffles a huge one) and a per-doc rollup with
+    * map-side partials. */
+  def bpeSegment(sp: SparkSession, dir: String): DataFrame =
+    bpeSegmentWith(docs(sp, dir), BpeMerges).orderBy("doc_id")
+
+  /** Core behind [[bpeSegment]] and `api.Graft.bpeSegmentDocs`. */
+  private[graft] def bpeSegmentWith(corpus: DataFrame, merges: Int): DataFrame = {
+    val vocab = bpeLoop(corpus.select(col("text")), merges)._2
+      .select(col("w"), size(col("syms")).as("n_syms"))
+    corpus
+      .select(col("doc_id"), explode(toks(col("text"))).as("w"))
+      .join(vocab, Seq("w"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum(length(col("w")) + 1).cast("long").as("n_char_units"),
+        sum(col("n_syms").cast("long")).as("n_bpe_units"))
+  }
+
+  /** The shared merge loop behind [[bpeTrainWith]] (B74) and
+    * [[bpeSegment]] (B75): runs `merges` iterations and returns the
+    * learned steps plus the FINAL `(w, cnt, syms)` vocabulary — the
+    * trained segmenter. One owner, so the apply side can never drift
+    * off the training fold. */
+  private def bpeLoop(corpus: DataFrame, merges: Int)
+      : (Seq[(Int, String, Long, Long)], DataFrame) = {
     val vocab0 = corpus
       .select(explode(toks(col("text"))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("cnt"))
@@ -255,8 +299,9 @@ object CorpusStats {
       .withColumn("w", when(col("w").contains("|"),
         raise_error(concat(lit("bpeTrain: word contains the reserved " +
           "'|' delimiter: "), col("w")))).otherwise(col("w")))
-      .select(col("cnt"), concat(transform(sequence(lit(1), length(col("w"))),
-        i => col("w").substr(i, lit(1))), array(lit("</w>"))).as("syms"))
+      .select(col("w"), col("cnt"),
+        concat(transform(sequence(lit(1), length(col("w"))),
+          i => col("w").substr(i, lit(1))), array(lit("</w>"))).as("syms"))
       .cache()  // the model frame: every iteration and action re-reads
                 // it instead of re-aggregating the corpus (vocab-sized;
                 // process-scoped by the B46/annRecall precedent)
@@ -282,12 +327,14 @@ object CorpusStats {
         .collect()(0).getLong(0)
       steps += ((t, s"$a $b", n, units))
     }
-    steps.toSeq.toDF("step", "pair", "n", "units_after").orderBy("step")
+    (steps.toSeq, vocab)
   }
 
   /** One unrolled oracle merge block: pairs of `s${k-1}` → top pair
     * `t$k` → merged vocab `s$k` → unit total `u$k` — the same
-    * delimited-string fold [[bpeTrainWith]] runs. */
+    * delimited-string fold [[bpeTrainWith]] runs. `w` rides through
+    * every block so the B75 segment oracle can join the final
+    * vocabulary back to the corpus words. */
   private def bpeStepSql(k: Int): String = {
     val (p, s0, t, s1, u) = (s"p$k", s"s${k - 1}", s"t$k", s"s$k", s"u$k")
     s"""$p AS (
@@ -295,7 +342,7 @@ object CorpusStats {
        |  FROM $s0, unnest(range(0, len(syms) - 1)) AS u(i) GROUP BY 1, 2),
        |$t AS (SELECT pa, pb, n FROM $p ORDER BY n DESC, pa, pb LIMIT 1),
        |$s1 AS (
-       |  SELECT cnt, string_split(list_reduce(list_prepend('', syms), (acc, x) ->
+       |  SELECT w, cnt, string_split(list_reduce(list_prepend('', syms), (acc, x) ->
        |    CASE WHEN x = $t.pb AND (acc = $t.pa OR right(acc, length($t.pa) + 1) = '|' || $t.pa)
        |         THEN left(acc, length(acc) - length($t.pa)) || $t.pa || $t.pb
        |         ELSE CASE WHEN acc = '' THEN x ELSE acc || '|' || x END END), '|') AS syms
@@ -303,26 +350,45 @@ object CorpusStats {
        |$u AS (SELECT CAST(sum(cnt * len(syms)) AS BIGINT) AS units FROM $s1)""".stripMargin
   }
 
-  /** Full B74 oracle: base vocab + [[BpeMerges]] unrolled step blocks
-    * + the per-step result rows. */
-  private[graft] lazy val BpeTrainSql: String = {
+  /** Shared oracle prefix: word vocabulary + char symbols +
+    * [[BpeMerges]] unrolled step blocks (final vocab CTE =
+    * `s[[BpeMerges]]`). */
+  private lazy val bpeBaseSql: String = {
     val blocks = (1 to BpeMerges).map(bpeStepSql).mkString(",\n")
-    val rows = (1 to BpeMerges).map { k =>
-      s"SELECT $k AS step, (SELECT pa || ' ' || pb FROM t$k) AS pair, " +
-        s"(SELECT n FROM t$k) AS n, (SELECT units FROM u$k) AS units_after"
-    }.mkString("\nUNION ALL ")
     s"""WITH tok AS (
        |  SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
        |  FROM documents),
        |v0 AS (SELECT w, count(*) AS cnt FROM tok GROUP BY w),
        |s0 AS (
-       |  SELECT cnt, list_append(list_transform(range(1, length(w) + 1),
+       |  SELECT w, cnt, list_append(list_transform(range(1, length(w) + 1),
        |    i -> substring(w, CAST(i AS INTEGER), 1)), '</w>') AS syms
        |  FROM v0),
-       |$blocks
+       |$blocks""".stripMargin
+  }
+
+  /** Full B74 oracle: the shared prefix + the per-step result rows. */
+  private[graft] lazy val BpeTrainSql: String = {
+    val rows = (1 to BpeMerges).map { k =>
+      s"SELECT $k AS step, (SELECT pa || ' ' || pb FROM t$k) AS pair, " +
+        s"(SELECT n FROM t$k) AS n, (SELECT units FROM u$k) AS units_after"
+    }.mkString("\nUNION ALL ")
+    s"""$bpeBaseSql
        |$rows
        |ORDER BY step""".stripMargin
   }
+
+  /** Full B75 oracle: the shared prefix + the corpus-word join against
+    * the final vocabulary. */
+  private[graft] lazy val BpeSegmentSql: String =
+    s"""$bpeBaseSql,
+       |dtok AS (
+       |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+       |  FROM documents)
+       |SELECT doc_id, count(*) AS n_words,
+       |  CAST(sum(length(w) + 1) AS BIGINT) AS n_char_units,
+       |  CAST(sum(len(s$BpeMerges.syms)) AS BIGINT) AS n_bpe_units
+       |FROM dtok JOIN s$BpeMerges USING (w)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   // ---- B67: Count-Min sketch heavy hitters ---------------------------------
 
@@ -493,6 +559,8 @@ object CorpusStats {
         |ORDER BY n DESC, pair LIMIT 30""".stripMargin)(bpePairs),
 
     OpQuery("op_bpe_train", BpeTrainSql)(bpeTrain),
+
+    OpQuery("op_bpe_segment", BpeSegmentSql)(bpeSegment),
 
     OpQuery("op_sketch_cms",
       s"""WITH t AS (

@@ -52,6 +52,13 @@ class ApiCorpusStatsSpec extends AnyFunSuite {
     val graded = CorpusStats.bpeTrain(spark, dir).collect().map(_.toString).toSeq
     assert(api == graded)
     intercept[IllegalArgumentException] { Graft.bpeTrainMerges(docs, merges = 0) }
+    // the apply side too: exact graded parity + loud rejection
+    val segApi = Graft.bpeSegmentDocs(docs).orderBy("doc_id")
+      .collect().map(_.toString).toSeq
+    val segGraded = CorpusStats.bpeSegment(spark, dir)
+      .collect().map(_.toString).toSeq
+    assert(segApi == segGraded)
+    intercept[IllegalArgumentException] { Graft.bpeSegmentDocs(docs, merges = 0) }
   }
 
   test("cmsEstimates: direct-sketch estimates equal the graded count-derived ones") {

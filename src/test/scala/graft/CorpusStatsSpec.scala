@@ -75,6 +75,22 @@ class CorpusStatsSpec extends AnyFunSuite {
     }
   }
 
+  test("bpe_segment: per-doc compression bounds and train/apply conservation") {
+    val seg = CorpusStats.bpeSegment(spark, dir).collect()
+    assert(seg.nonEmpty)
+    seg.foreach { r =>
+      assert(r.getLong(3) <= r.getLong(2),
+        s"doc ${r.getLong(0)}: merges cannot grow the unit count")
+      assert(r.getLong(3) >= r.getLong(1),
+        s"doc ${r.getLong(0)}: a word is never fewer than one unit")
+    }
+    // train and apply describe the SAME corpus: the summed per-doc bpe
+    // units must equal the training loop's final units_after exactly
+    val train = CorpusStats.bpeTrain(spark, dir).collect()
+    assert(seg.map(_.getLong(3)).sum == train.last.getLong(3),
+      "apply-side unit total diverged from the training loop's")
+  }
+
   test("bpe_train fold: left-to-right non-overlap on a repeated-symbol pair") {
     import spark.implicits._
     // vocab: 'aaa' x2, 'aa' x1 -> pair (a,a) counts overlapping

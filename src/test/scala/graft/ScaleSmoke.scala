@@ -255,7 +255,8 @@ object ScaleSmoke {
       // (suffixed-word copies grow the vocab linearly) + three
       // vocab-sized iterations; driver traffic fixed at 3 pairs + 3
       // scalars whatever the corpus
-      Seq("op_bpe_train" -> (operators.CorpusStats.bpeTrain _)) ++
+      Seq("op_bpe_train" -> (operators.CorpusStats.bpeTrain _),
+        "op_bpe_segment" -> (operators.CorpusStats.bpeSegment _)) ++
       // digest-keyed shuffle join: batch AND history both scale with the
       // corpus, so wall growth tracks the join's linear work
       Seq("op_dedup_incremental" -> (LlmPipeline.dedupIncremental _)) ++

@@ -67,7 +67,7 @@ object CapBoundaryCheck {
     // cluster makes one word set dominate every count, and the
     // unique-text tail contributes tailword characters; argmax ties
     // and the merge fold must resolve identically on both engines
-    "op_bpe_train")
+    "op_bpe_train", "op_bpe_segment")
 
   def main(args: Array[String]): Unit = {
     val spark = graft.SparkTestSession.spark
