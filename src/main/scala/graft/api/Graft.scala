@@ -402,6 +402,29 @@ object Graft {
     graft.operators.Curation.bloomWith(prepped, evalGrams)
   }
 
+  /** The Bloom decontamination gate for a LIVE STREAM (or any batch
+    * frame) — the general form of the graded `op_stream_bloom` (same
+    * builder, [[graft.operators.Curation.bloomProbePlan]]): builds the
+    * ≤ 8 KiB filter bitmask from the eval corpus NOW (one bounded
+    * driver action — the only eager step), then returns a fully
+    * STATELESS per-row plan over `docs`: no join, no aggregation
+    * state, no watermark, Append-safe at any stream rate. Emits
+    * (doc_id, n_grams, n_bloom, flag_bloom) per document; verdicts are
+    * identical to [[bloomContaminate]]'s sketch columns (one
+    * membership test, two formulations — pinned by spec). Use this in
+    * front of the ingest; run [[bloomContaminate]] batch-side when you
+    * also want the exact audit columns. */
+  def bloomStreamGate(docs: DataFrame, eval: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      evalTextCol: String = "text"): DataFrame = {
+    val evalGrams = graft.functions.TextShingles
+      .withShingles(eval.select(col(evalTextCol).as("text")), col("text"))
+      .select(explode(col("shingles")).as("sh")).distinct()
+    graft.operators.Curation.bloomProbePlan(
+      docs.select(col(idCol).as("doc_id"), col(textCol).as("text")),
+      graft.operators.Curation.bloomMaskOf(evalGrams))
+  }
+
   /** DSIR importance weights and top-fraction selection for any corpus
     * — the general form of the graded `op_dsir_weights` (same core,
     * [[graft.operators.Curation.dsirWith]]; Xie et al. 2023,

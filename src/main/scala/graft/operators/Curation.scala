@@ -139,6 +139,72 @@ object Curation {
       }: _*)).as("bit"))
       .drop("h")
 
+  // ---- B76s: the streaming Bloom probe -------------------------------------
+
+  /** The filter as a DRIVER-SIDE bitmask: ≤ [[BloomBits]]/64 = 1024
+    * longs (8 KiB) whatever the eval suite's size — bounded by the
+    * geometry constant, the same by-construction bound as the
+    * hot-prefix literal set and the k-means centroid pull. This is
+    * what makes the STREAMING probe stateless: the mask embeds in the
+    * plan as one literal array, so the per-row verdict needs no join,
+    * no explode, no aggregation state. */
+  private[graft] def bloomMaskOf(evalGrams: DataFrame): Array[Long] = {
+    val mask = new Array[Long](BloomBits / 64)
+    bloomCells(evalGrams, col("sh")).select(col("bit")).distinct()
+      .collect().foreach { r =>
+        val b = r.getLong(0)
+        mask((b / 64).toInt) |= (1L << (b % 64).toInt)
+      }
+    mask
+  }
+
+  /** B76s plan builder — the Bloom probe as a STATELESS per-row
+    * projection over batch OR streaming documents: shingle, hash each
+    * distinct gram once, test its k bits against the literal mask,
+    * emit the per-doc verdict. Zero joins, zero aggregation state,
+    * zero watermarks — Append-safe at any stream rate, the ingest-time
+    * decontamination gate Dolma-style pipelines run in front of the
+    * exact (batch) pass. Unified API: the same builder serves the t2
+    * batch grade and the MemoryStream parity spec. */
+  private[graft] def bloomProbePlan(docs: DataFrame, mask: Array[Long]): DataFrame = {
+    val maskLit = typedlit(mask.toSeq)
+    def hitH(h: Column): Column = BloomA.indices.map { j =>
+      val bit = ((h * BloomA(j) + BloomB(j)) % 1000000007L) % BloomBits
+      call_function("shiftright",
+        element_at(maskLit, (bit / 64).cast("int") + 1),
+        (bit % 64).cast("int")).bitwiseAND(lit(1L)) === lit(1L)
+    }.reduce(_ && _)
+    TextShingles.withShingles(docs, col("text"))
+      .withColumn("g", array_distinct(col("shingles")))
+      // hash once per gram (HOF lambdas re-evaluate inlined subtrees —
+      // mapping to hashes first keeps it at one rolling hash per gram,
+      // not k)
+      .withColumn("hs", transform(col("g"), sh => rollingHash(sh, lit(1), length(sh))))
+      .select(col("doc_id"), size(col("g")).cast("long").as("n_grams"),
+        size(filter(col("hs"), h => hitH(h))).cast("long").as("n_bloom"))
+      .withColumn("flag_bloom", lit(5) * col("n_bloom") >= col("n_grams"))
+  }
+
+  /** B76s — `op_stream_bloom`: the batch grade of [[bloomProbePlan]]
+    * on B68's exact corpus construction (train re-keyed 2·id, planted
+    * leaked copies 2·id+1, filter built from the held-out docs), so
+    * the streaming builder's verdicts hash-check against the same
+    * DuckDB membership oracle as the batch op — n_bloom and
+    * flag_bloom here must agree with op_sketch_bloom's columns row
+    * for row (the bitmask and the bit-set join are the same
+    * membership test; StreamingSpec pins stream ≡ batch on a
+    * MemoryStream). */
+  def streamBloom(sp: SparkSession, dir: String): DataFrame = {
+    val base = docs(sp, dir).select((col("doc_id") * 2).as("doc_id"), col("text"))
+    val heldout = base.filter(col("doc_id") % 50 === 0)
+    val train = base.filter(col("doc_id") % 50 =!= 0)
+      .union(heldout.select((col("doc_id") + 1).as("doc_id"),
+        concat(lit("leaked copy "), col("text")).as("text")))
+    val evalGrams = TextShingles.withShingles(heldout, col("text"))
+      .select(explode(col("shingles")).as("sh")).distinct()
+    bloomProbePlan(train, bloomMaskOf(evalGrams)).orderBy("doc_id")
+  }
+
   // ---- B69: DSIR importance weights ----------------------------------------
 
   /** Feature space: word bigrams hashed into F = 128 buckets (the
@@ -432,6 +498,36 @@ object Curation {
         |  5 * sum(CASE WHEN bhit THEN 1 ELSE 0 END) >= count(*) AS flag_bloom,
         |  5 * sum(CASE WHEN ehit THEN 1 ELSE 0 END) >= count(*) AS flag_exact
         |FROM grams GROUP BY doc_id ORDER BY doc_id""".stripMargin)(sketchBloom),
+
+    OpQuery("op_stream_bloom",
+      s"""WITH base AS (SELECT doc_id * 2 AS doc_id, text FROM documents),
+        |heldout AS (SELECT doc_id, text FROM base WHERE doc_id % 50 = 0),
+        |train AS (
+        |  SELECT doc_id, text FROM base WHERE doc_id % 50 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1, 'leaked copy ' || text FROM heldout),
+        |eg AS (SELECT DISTINCT unnest($shSql) AS sh FROM heldout),
+        |egh AS (SELECT sh, ${rhSql("sh")} AS h FROM eg),
+        |bits AS (
+        |  SELECT DISTINCT
+        |    (h * [${BloomA.mkString(", ")}][j + 1] + [${BloomB.mkString(", ")}][j + 1])
+        |      % 1000000007 % $BloomBits AS bit
+        |  FROM egh, unnest(range(0, $BloomK)) AS u(j)),
+        |tg AS (SELECT DISTINCT doc_id, unnest($shSql) AS sh FROM train),
+        |tgh AS (SELECT doc_id, sh, ${rhSql("sh")} AS h FROM tg),
+        |cells AS (
+        |  SELECT doc_id, sh,
+        |    (h * [${BloomA.mkString(", ")}][j + 1] + [${BloomB.mkString(", ")}][j + 1])
+        |      % 1000000007 % $BloomBits AS bit
+        |  FROM tgh, unnest(range(0, $BloomK)) AS u(j)),
+        |grams AS (
+        |  SELECT c.doc_id, c.sh, count(b.bit) = $BloomK AS bhit
+        |  FROM cells c LEFT JOIN bits b ON c.bit = b.bit
+        |  GROUP BY c.doc_id, c.sh)
+        |SELECT doc_id, count(*) AS n_grams,
+        |  CAST(sum(CASE WHEN bhit THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom,
+        |  5 * sum(CASE WHEN bhit THEN 1 ELSE 0 END) >= count(*) AS flag_bloom
+        |FROM grams GROUP BY doc_id ORDER BY doc_id""".stripMargin)(streamBloom),
 
     OpQuery("op_dsir_weights",
       s"""WITH t AS (

@@ -33,6 +33,17 @@ class ApiCurationSpec extends AnyFunSuite {
     assert(sortedRows(api) == sortedRows(Curation.sketchBloom(spark, dir)))
   }
 
+  test("bloomStreamGate == op_stream_bloom on the graded construction") {
+    val base = Tables.documents(spark, dir)
+      .select((col("doc_id") * 2).as("doc_id"), col("text"))
+    val heldout = base.filter(col("doc_id") % 50 === 0)
+    val train = base.filter(col("doc_id") % 50 =!= 0)
+      .union(heldout.select((col("doc_id") + 1).as("doc_id"),
+        concat(lit("leaked copy "), col("text")).as("text")))
+    val api = Graft.bloomStreamGate(train, heldout)
+    assert(sortedRows(api) == sortedRows(Curation.streamBloom(spark, dir)))
+  }
+
   test("dsirWeights == op_dsir_weights at the graded target and fraction") {
     val api = Graft.dsirWeights(Tables.documents(spark, dir),
       col("source") === Curation.DsirTargetSource)

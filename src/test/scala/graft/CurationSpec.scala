@@ -52,6 +52,17 @@ class CurationSpec extends AnyFunSuite {
       "most training docs are uncontaminated")
   }
 
+  test("stream_bloom: the mask probe agrees with op_sketch_bloom row for row") {
+    // two formulations of the same membership test (literal bitmask vs
+    // broadcast bit-set join) over the same corpus must emit identical
+    // sketch columns
+    val mask = Curation.streamBloom(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSeq
+    val join = Curation.sketchBloom(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(5))).toSeq
+    assert(mask == join)
+  }
+
   test("dsir_weights: tie-inclusive top-quartile threshold semantics") {
     val rows = Curation.dsirWeights(spark, dir).collect()
     assert(rows.nonEmpty)

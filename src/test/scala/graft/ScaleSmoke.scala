@@ -256,7 +256,9 @@ object ScaleSmoke {
       // vocab-sized iterations; driver traffic fixed at 3 pairs + 3
       // scalars whatever the corpus
       Seq("op_bpe_train" -> (operators.CorpusStats.bpeTrain _),
-        "op_bpe_segment" -> (operators.CorpusStats.bpeSegment _)) ++
+        "op_bpe_segment" -> (operators.CorpusStats.bpeSegment _),
+        // the stateless mask probe: pure map-side, wall ~ gram volume
+        "op_stream_bloom" -> (operators.Curation.streamBloom _)) ++
       // digest-keyed shuffle join: batch AND history both scale with the
       // corpus, so wall growth tracks the join's linear work
       Seq("op_dedup_incremental" -> (LlmPipeline.dedupIncremental _)) ++

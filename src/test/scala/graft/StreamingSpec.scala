@@ -269,6 +269,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch == streamed)
   }
 
+  test("B76s streaming bloom probe: stateless append mode, stream ≡ batch, leaks flag") {
+    implicit val sqlCtx = spark.sqlContext
+    val evalDocs = Seq(
+      Doc(0L, "the quick brown fox jumps over the lazy dog tonight"))
+      .toDF("doc_id", "text")
+    val evalGrams = graft.functions.TextShingles
+      .withShingles(evalDocs, col("text"))
+      .select(explode(col("shingles")).as("sh")).distinct()
+    val mask = graft.operators.Curation.bloomMaskOf(evalGrams)
+    val arrivals = Seq(
+      Doc(1L, "the quick brown fox jumps over the lazy dog tonight"), // full leak
+      Doc(2L, "completely disjoint vocabulary sentence number one here now"),
+      Doc(3L, "pack my box with five dozen liquor jugs again today"))
+    val mem = MemoryStream[Doc]
+    val name = s"sink_${System.nanoTime()}"
+    // APPEND mode without a watermark: only a fully stateless plan can
+    // run this way — the query would be rejected if the probe smuggled
+    // in an aggregation or join state
+    val q = graft.operators.Curation.bloomProbePlan(mem.toDF(), mask)
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      mem.addData(arrivals(0))                  // micro-batch 1
+      q.processAllAvailable()
+      mem.addData(arrivals(1), arrivals(2))     // micro-batch 2
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table(name).collect().map(_.toString).sorted.toSeq
+    val batch = graft.operators.Curation.bloomProbePlan(arrivals.toDF(), mask)
+      .collect().map(_.toString).sorted.toSeq
+    assert(streamed == batch)
+    val byId = spark.table(name).collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(byId(1L) && !byId(2L) && !byId(3L),
+      "the leaked doc must flag; disjoint docs must pass")
+  }
+
   test("B72s streaming CMS sketch: stream ≡ batch cells across micro-batches; state ≤ 256") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]

@@ -67,7 +67,11 @@ object CapBoundaryCheck {
     // cluster makes one word set dominate every count, and the
     // unique-text tail contributes tailword characters; argmax ties
     // and the merge fold must resolve identically on both engines
-    "op_bpe_train", "op_bpe_segment")
+    "op_bpe_train", "op_bpe_segment",
+    // r16 ext7: the stateless stream-gate formulation of the bloom
+    // membership test — identical verdicts to op_sketch_bloom required
+    // even where every doc is a full leak
+    "op_stream_bloom")
 
   def main(args: Array[String]): Unit = {
     val spark = graft.SparkTestSession.spark
