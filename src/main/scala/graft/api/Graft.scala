@@ -454,6 +454,44 @@ object Graft {
     selfReleasing(result, release)
   }
 
+  /** Train the DSIR model batch-side and export it as bounded literals
+    * — the F λ doubles (bucket-ordered) and the tie-inclusive
+    * top-`keepFraction` integer threshold — for [[dsirScoreStream]].
+    * Runs the full B69 scoring once (training IS scoring the training
+    * corpus); the driver pull is F + 1 values, bounded by the geometry
+    * constant. */
+  def dsirModel(df: DataFrame, isTarget: Column,
+      idCol: String = "doc_id", textCol: String = "text",
+      keepFraction: Double = 0.25): (Array[Double], Long) = {
+    require(keepFraction > 0 && keepFraction <= 1,
+      s"dsirModel: need 0 < keepFraction <= 1 (got $keepFraction)")
+    val idT = df.schema(idCol).dataType
+    graft.operators.Curation.dsirModelOf(
+      df.withColumn("doc_id", validatedId(col(idCol), idT, "dsirModel"))
+        .withColumn("text", col(textCol)),
+      isTarget, n => ceil(n * keepFraction))
+  }
+
+  /** Score a LIVE STREAM (or any batch frame) with a trained DSIR
+    * model — the general form of the graded `op_stream_dsir` (same
+    * builder, [[graft.operators.Curation.dsirStreamPlan]]): the model
+    * embeds in the plan as literals, each doc's bigram buckets fold to
+    * a mean score in one stateless per-row pass, `selected` is the
+    * integer comparison against the threshold. No join, no state, no
+    * watermark — Append-safe; the train-batch / score-stream split of
+    * [[dsirModel]] + this call is the production selection gate. Docs
+    * with < 2 tokens have no features and are filtered out. */
+  def dsirScoreStream(docs: DataFrame, model: (Array[Double], Long),
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(model._1.length == graft.operators.Curation.DsirBuckets,
+      s"dsirScoreStream: model must carry exactly " +
+        s"${graft.operators.Curation.DsirBuckets} bucket weights " +
+        s"(got ${model._1.length})")
+    graft.operators.Curation.dsirStreamPlan(
+      docs.select(col(idCol).as("doc_id"), col(textCol).as("text")),
+      model._1, model._2)
+  }
+
   /** Corpus-level exact line deduplication with rewrite — the general
     * form of the graded `op_dedup_lines` (same core,
     * [[graft.operators.Curation.dedupLinesWith]]; the line-wise dedup

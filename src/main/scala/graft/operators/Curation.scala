@@ -256,6 +256,21 @@ object Curation {
     * cache. */
   private[graft] def dsirWith(corpus: DataFrame, isTarget: Column,
       keepNum: Column => Column = n => ceil(n / 4.0)): (DataFrame, () => Unit) = {
+    val (lam, perDoc, thr) = dsirParts(corpus, isTarget, keepNum)
+    val out = perDoc.crossJoin(broadcast(thr))
+      .select(col("doc_id"), col("is_t").as("is_target"),
+        col("n_bigrams"), col("avg_lr"), col("w_i"),
+        (col("w_i") >= col("t")).as("selected"))
+    val _ = lam // the λ frame is the B77s model export's half of the parts
+    (out, () => { perDoc.unpersist(); () })
+  }
+
+  /** The shared DSIR machinery behind [[dsirWith]] (B69) and the B77s
+    * model export: λ table (F rows), cached per-doc scores, and the
+    * tie-inclusive threshold frame. One owner — the stream gate's
+    * literals can never drift off the graded batch model. */
+  private def dsirParts(corpus: DataFrame, isTarget: Column,
+      keepNum: Column => Column): (DataFrame, DataFrame, DataFrame) = {
     val sp = corpus.sparkSession
     val feats = corpus
       .select(col("doc_id"), isTarget.as("is_t"), toks(col("text")).as("ts"))
@@ -306,11 +321,71 @@ object Curation {
     val thr = cum.crossJoin(broadcast(nDocs))
       .filter(col("cum") >= keepNum(col("n")))
       .agg(max(col("w_i")).as("t"))
-    val out = perDoc.crossJoin(broadcast(thr))
-      .select(col("doc_id"), col("is_t").as("is_target"),
-        col("n_bigrams"), col("avg_lr"), col("w_i"),
-        (col("w_i") >= col("t")).as("selected"))
-    (out, () => { perDoc.unpersist(); () })
+    (lam, perDoc, thr)
+  }
+
+  /** B77s model export: train the B69 model batch-side and collect it
+    * as plan-embeddable literals — the F λ doubles (bucket-ordered)
+    * and the integer threshold. Bounded by the geometry constant F
+    * (+1 scalar), the same by-construction driver pull as the B76s
+    * bitmask. Releases the training scores cache before returning. */
+  private[graft] def dsirModelOf(corpus: DataFrame, isTarget: Column,
+      keepNum: Column => Column = n => ceil(n / 4.0)): (Array[Double], Long) = {
+    val (lam, perDoc, thr) = dsirParts(corpus, isTarget, keepNum)
+    val arr = new Array[Double](DsirBuckets)
+    lam.collect().foreach(r => arr(r.getLong(0).toInt) = r.getDouble(1))
+    val t = thr.collect()(0).getLong(0)
+    perDoc.unpersist()
+    (arr, t)
+  }
+
+  /** B77s plan builder — DSIR scoring as a STATELESS per-row
+    * projection over batch OR streaming documents: the trained λ table
+    * (F doubles) and the selection threshold embed in the plan as
+    * literals, each doc's bigram buckets fold to a mean score in ONE
+    * pass (left fold — the oracle states the identical reduction
+    * order), and `selected` is the integer comparison w_i ≥ t. Zero
+    * joins, zero state, zero watermarks — Append-safe: the
+    * train-batch / score-stream split every production selection gate
+    * runs. Docs with < 2 tokens are out of scope (the B63/B69 rule; a
+    * stateless filter). */
+  private[graft] def dsirStreamPlan(docs: DataFrame, lam: Array[Double],
+      threshold: Long): DataFrame = {
+    val lamLit = typedlit(lam.toSeq)
+    docs
+      .withColumn("ts", toks(col("text")))
+      .filter(size(col("ts")) >= 2)
+      // bucket per bigram, hashed once (HOF lambdas re-evaluate inlined
+      // subtrees — ts is materialized above for the same reason)
+      .withColumn("bs", transform(sequence(lit(1), size(col("ts")) - 1),
+        i => rollingHash(concat(element_at(col("ts"), i), lit(" "),
+          element_at(col("ts"), i + 1)), lit(1),
+          length(concat(element_at(col("ts"), i), lit(" "),
+            element_at(col("ts"), i + 1)))) % DsirBuckets))
+      .select(col("doc_id"), size(col("bs")).cast("long").as("n_bigrams"),
+        (round(aggregate(col("bs"), lit(0.0d),
+          (acc, b) => acc + element_at(lamLit, b.cast("int") + 1))
+          / size(col("bs")), 4) + lit(0.0)).as("avg_lr"))
+      .withColumn("w_i", round(col("avg_lr") * 10000).cast("long"))
+      .withColumn("selected", col("w_i") >= threshold)
+  }
+
+  /** B77s — `op_stream_dsir`: the batch grade of [[dsirStreamPlan]] —
+    * train the B69 model on the corpus (λ table + tie-inclusive
+    * quartile threshold, both collected as bounded literals), then
+    * score the SAME corpus through the stateless per-row plan. The
+    * fold's summation order is stated identically in the oracle
+    * (list_reduce over the same bucket list), so the only cross-engine
+    * float surface is the λ values themselves — the certified B46/B69
+    * sums-of-logs class. StreamingSpec runs the plan in APPEND mode
+    * without a watermark over a MemoryStream and pins stream ≡ batch;
+    * the per-row fold typically agrees with B69's grouped average to
+    * the rounded 4 dp, but the declared contract is the fold (the two
+    * formulations are NOT asserted equal — summation order differs). */
+  def streamDsir(sp: SparkSession, dir: String): DataFrame = {
+    val (lam, t) = dsirModelOf(docs(sp, dir),
+      col("source") === DsirTargetSource)
+    dsirStreamPlan(docs(sp, dir), lam, t).orderBy("doc_id")
   }
 
   // ---- B70: exact line-level dedup with rewrite ----------------------------
@@ -566,6 +641,54 @@ object Curation {
         |SELECT doc_id, source = '$DsirTargetSource' AS is_target,
         |  n_bigrams, avg_lr, w_i, w_i >= t AS selected
         |FROM perdoc, thr ORDER BY doc_id""".stripMargin)(dsirWeights),
+
+    OpQuery("op_stream_dsir",
+      s"""WITH t AS (
+        |  SELECT doc_id, source, list_filter(string_split(text, ' '), x -> x <> '') AS ts
+        |  FROM documents WHERE len(list_filter(string_split(text, ' '), x -> x <> '')) >= 2),
+        |g AS (
+        |  SELECT doc_id, source, ts[p+1] || ' ' || ts[p+2] AS gr
+        |  FROM t, unnest(range(0, len(ts) - 1)) AS u(p)),
+        |feats AS (
+        |  SELECT doc_id, source, ${rhSql("gr")} % $DsirBuckets AS b FROM g),
+        |rawc AS (SELECT b, count(*) AS cr FROM feats GROUP BY b),
+        |tgtc AS (SELECT b, count(*) AS ct FROM feats WHERE source = '$DsirTargetSource' GROUP BY b),
+        |buckets AS (
+        |  SELECT r.range AS b, coalesce(rawc.cr, 0) AS cr, coalesce(tgtc.ct, 0) AS ct
+        |  FROM range(0, $DsirBuckets) r
+        |  LEFT JOIN rawc ON r.range = rawc.b LEFT JOIN tgtc ON r.range = tgtc.b),
+        |totals AS (SELECT CAST(sum(cr) AS BIGINT) AS tr, CAST(sum(ct) AS BIGINT) AS tt FROM buckets),
+        |lam AS (
+        |  SELECT b, ln((ct + 1.0) / (tt + $DsirBuckets.0)) - ln((cr + 1.0) / (tr + $DsirBuckets.0)) AS lam
+        |  FROM buckets, totals),
+        |perdoc AS (
+        |  SELECT doc_id, count(*) AS nb,
+        |    CAST(round((round(avg(lam), 4) + 0.0) * 10000) AS BIGINT) AS w_i
+        |  FROM feats JOIN lam USING (b) GROUP BY doc_id),
+        |nd AS (SELECT count(*) AS n FROM perdoc),
+        |hist AS (SELECT w_i, count(*) AS c FROM perdoc GROUP BY w_i),
+        |cum AS (
+        |  SELECT w_i, sum(c) OVER (ORDER BY w_i DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM hist),
+        |thr AS (SELECT max(w_i) AS t FROM cum, nd WHERE cum >= ceil(n / 4.0)),
+        |ll AS (SELECT list(lam ORDER BY b) AS ll FROM lam),
+        |gl AS (
+        |  SELECT doc_id, list_transform(range(1, len(ts)), p -> ts[p] || ' ' || ts[p+1]) AS gs
+        |  FROM t),
+        |bs AS (
+        |  SELECT doc_id, list_transform(gs, s -> ${rhSql("s")} % $DsirBuckets) AS bs
+        |  FROM gl),
+        |scored AS (
+        |  SELECT doc_id, CAST(len(bs) AS BIGINT) AS n_bigrams,
+        |    round(list_reduce(list_prepend(0.0,
+        |      list_transform(bs, b -> ll.ll[CAST(b AS INTEGER) + 1])),
+        |      (a, x) -> a + x) / len(bs), 4) + 0.0 AS avg_lr
+        |  FROM bs, ll)
+        |SELECT doc_id, n_bigrams, avg_lr,
+        |  CAST(round(avg_lr * 10000) AS BIGINT) AS w_i,
+        |  CAST(round(avg_lr * 10000) AS BIGINT) >= thr.t AS selected
+        |FROM scored, thr ORDER BY doc_id""".stripMargin)(streamDsir),
 
     OpQuery("op_dedup_lines",
       s"""WITH corpus AS (

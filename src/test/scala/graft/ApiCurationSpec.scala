@@ -56,6 +56,16 @@ class ApiCurationSpec extends AnyFunSuite {
     }
   }
 
+  test("dsirModel + dsirScoreStream == op_stream_dsir at graded parameters") {
+    val d = Tables.documents(spark, dir)
+    val model = Graft.dsirModel(d, col("source") === Curation.DsirTargetSource)
+    val api = Graft.dsirScoreStream(d, model)
+    assert(sortedRows(api) == sortedRows(Curation.streamDsir(spark, dir)))
+    intercept[IllegalArgumentException] {
+      Graft.dsirScoreStream(d, (Array(0.0), 0L))  // wrong model width
+    }
+  }
+
   test("dedupLines == op_dedup_lines on the graded construction") {
     val base = Tables.documents(spark, dir)
     val corpus = base.select((col("doc_id") * 2).as("doc_id"), col("text"))

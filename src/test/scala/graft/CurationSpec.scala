@@ -88,6 +88,21 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("stream_dsir: same doc set as B69, per-row fold within one 4dp unit of the grouped mean") {
+    val fold = Curation.streamDsir(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val grouped = Curation.dsirWeights(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(4)).toMap
+    assert(fold.keySet == grouped.keySet)
+    // two summation orders of the same ~100 doubles: raw means differ
+    // by ~1e-12 relative, so the rounded integer scores sit within one
+    // unit of each other on every doc (NOT asserted equal — the fold
+    // is the declared B77s contract, the grouped mean is B69's)
+    fold.foreach { case (id, w) =>
+      assert(math.abs(w - grouped(id)) <= 1L, s"doc $id: fold vs grouped drift > 1")
+    }
+  }
+
   test("dedup_lines: planted pairs scrub to at most a short tail; clean docs untouched") {
     val rows = Curation.dedupLines(spark, dir).collect()
       .map(r => r.getLong(0) -> r).toMap

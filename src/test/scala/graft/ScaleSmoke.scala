@@ -258,7 +258,9 @@ object ScaleSmoke {
       Seq("op_bpe_train" -> (operators.CorpusStats.bpeTrain _),
         "op_bpe_segment" -> (operators.CorpusStats.bpeSegment _),
         // the stateless mask probe: pure map-side, wall ~ gram volume
-        "op_stream_bloom" -> (operators.Curation.streamBloom _)) ++
+        "op_stream_bloom" -> (operators.Curation.streamBloom _),
+        // train + stateless score: wall ~ two corpus passes
+        "op_stream_dsir" -> (operators.Curation.streamDsir _)) ++
       // digest-keyed shuffle join: batch AND history both scale with the
       // corpus, so wall growth tracks the join's linear work
       Seq("op_dedup_incremental" -> (LlmPipeline.dedupIncremental _)) ++

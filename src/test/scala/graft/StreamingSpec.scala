@@ -304,6 +304,32 @@ class StreamingSpec extends AnyFunSuite {
       "the leaked doc must flag; disjoint docs must pass")
   }
 
+  test("B77s streaming DSIR gate: stateless append mode, stream ≡ batch, short docs out of scope") {
+    implicit val sqlCtx = spark.sqlContext
+    // an arbitrary caller-trained model: 128 λ values + threshold 0
+    val lam = Array.tabulate(graft.operators.Curation.DsirBuckets)(i => (i % 7 - 3) * 0.01)
+    val arrivals = Seq(
+      Doc(1L, "the quick brown fox jumps"),
+      Doc(2L, "single"),                    // < 2 tokens: out of scope
+      Doc(3L, "pack my box with five dozen jugs"))
+    val mem = MemoryStream[Doc]
+    val name = s"sink_${System.nanoTime()}"
+    val q = graft.operators.Curation.dsirStreamPlan(mem.toDF(), lam, 0L)
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      mem.addData(arrivals(0))
+      q.processAllAvailable()
+      mem.addData(arrivals(1), arrivals(2))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table(name).collect().map(_.toString).sorted.toSeq
+    val batch = graft.operators.Curation.dsirStreamPlan(arrivals.toDF(), lam, 0L)
+      .collect().map(_.toString).sorted.toSeq
+    assert(streamed == batch)
+    assert(!spark.table(name).collect().exists(_.getLong(0) == 2L),
+      "a sub-2-token doc has no features and must not emit")
+  }
+
   test("B72s streaming CMS sketch: stream ≡ batch cells across micro-batches; state ≤ 256") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]

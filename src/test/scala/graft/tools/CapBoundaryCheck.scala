@@ -71,7 +71,11 @@ object CapBoundaryCheck {
     // r16 ext7: the stateless stream-gate formulation of the bloom
     // membership test — identical verdicts to op_sketch_bloom required
     // even where every doc is a full leak
-    "op_stream_bloom")
+    "op_stream_bloom",
+    // r16 ext8: the stream DSIR gate — the 400-doc tie cluster makes
+    // one score dominate; threshold literals and the ordered fold must
+    // agree across engines in the all-ties regime
+    "op_stream_dsir")
 
   def main(args: Array[String]): Unit = {
     val spark = graft.SparkTestSession.spark
