@@ -355,13 +355,14 @@ object Curation {
     docs
       .withColumn("ts", toks(col("text")))
       .filter(size(col("ts")) >= 2)
-      // bucket per bigram, hashed once (HOF lambdas re-evaluate inlined
-      // subtrees — ts is materialized above for the same reason)
-      .withColumn("bs", transform(sequence(lit(1), size(col("ts")) - 1),
-        i => rollingHash(concat(element_at(col("ts"), i), lit(" "),
-          element_at(col("ts"), i + 1)), lit(1),
-          length(concat(element_at(col("ts"), i), lit(" "),
-            element_at(col("ts"), i + 1)))) % DsirBuckets))
+      // gram strings materialized BEFORE the hash pass (HOF lambdas
+      // re-evaluate inlined subtrees — one concat per gram, one hash
+      // per gram, mirroring the oracle's gl → bs CTE shape)
+      .withColumn("gs", transform(sequence(lit(1), size(col("ts")) - 1),
+        i => concat(element_at(col("ts"), i), lit(" "),
+          element_at(col("ts"), i + 1))))
+      .withColumn("bs", transform(col("gs"),
+        g => rollingHash(g, lit(1), length(g)) % DsirBuckets))
       .select(col("doc_id"), size(col("bs")).cast("long").as("n_bigrams"),
         (round(aggregate(col("bs"), lit(0.0d),
           (acc, b) => acc + element_at(lamLit, b.cast("int") + 1))
