@@ -537,6 +537,28 @@ object Graft {
         col(textCol).as("text")))
   }
 
+  /** Greedy k-center coreset selection over an embedding column — the
+    * general form of the graded `op_select_kcenter` (same core,
+    * [[graft.operators.Mining.selectKcenterWith]]; Gonzalez 1985;
+    * Sener & Savarese 2018, arXiv:1708.00489): seed with the minimum
+    * id, then repeatedly pick the vector farthest (rounded cosine
+    * distance, ties → lowest id) from the selected set. Returns the
+    * ordered (step, vec_id, mindist) table — the picks ARE the
+    * coreset, and each pick's mindist traces the shrinking coverage
+    * radius. Driver traffic is one (id, vector, distance) row per
+    * step (k·(dims+2) values — the k-means pull); `k` is capped so
+    * that stays bounded. Embeddings must be castable to
+    * array<double>. */
+  def coresetKcenter(df: DataFrame, idCol: String = "vec_id",
+      embCol: String = "embedding", k: Int = 8): DataFrame = {
+    require(k >= 2 && k <= 4096,
+      s"coresetKcenter: need 2 <= k <= 4096 (got $k)")
+    val idT = df.schema(idCol).dataType
+    graft.operators.Mining.selectKcenterWith(
+      df.select(validatedId(col(idCol), idT, "coresetKcenter").as("vec_id"),
+        col(embCol).cast("array<double>").as("e")), k)
+  }
+
   /** The one-row corpus report — the general form of the graded
     * `op_stats_zipf` (same core,
     * [[graft.operators.Curation.statsZipfWith]]): token/type totals,

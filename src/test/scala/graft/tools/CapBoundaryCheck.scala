@@ -75,7 +75,12 @@ object CapBoundaryCheck {
     // r16 ext8: the stream DSIR gate — the 400-doc tie cluster makes
     // one score dominate; threshold literals and the ordered fold must
     // agree across engines in the all-ties regime
-    "op_stream_dsir")
+    "op_stream_dsir",
+    // r16 ext9: k-center greedy on the degenerate corpus — every vector
+    // identical, every distance rounds to 0.0, so after the seed every
+    // pick is a pure lowest-id tie-break; both engines must walk the
+    // same all-ties chain
+    "op_select_kcenter")
 
   def main(args: Array[String]): Unit = {
     val spark = graft.SparkTestSession.spark
