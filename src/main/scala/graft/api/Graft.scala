@@ -372,6 +372,24 @@ object Graft {
       candidates.select(col(itemCol).as("item")))
   }
 
+  /** PMI collocation extraction for any corpus — the general form of
+    * the graded `op_stats_pmi` (same core,
+    * [[graft.operators.CorpusStats.statsPmiWith]]; Church & Hanks
+    * 1990, Computational Linguistics 16(1)): the top-`top` adjacent
+    * word pairs by pointwise mutual information over the bigram event
+    * space, pairs under `minCount` occurrences excluded (a hapax pair
+    * maxes the estimator with no evidence — minCount 1 is allowed but
+    * you will get hapax noise at the top). One corpus bigram shuffle;
+    * marginals and the normalizer derive from the pair table itself. */
+  def collocations(df: DataFrame, textCol: String = "text",
+      minCount: Int = graft.operators.CorpusStats.PmiMinCount,
+      top: Int = graft.operators.CorpusStats.PmiTop): DataFrame = {
+    require(minCount >= 1 && top >= 1,
+      s"collocations: need minCount >= 1 and top >= 1 (got $minCount, $top)")
+    graft.operators.CorpusStats.statsPmiWith(
+      df.select(col(textCol).as("text")), minCount, top)
+  }
+
   /** Bloom-filter decontamination of a training corpus against an eval
     * corpus — the general form of the graded `op_sketch_bloom` (same
     * core, [[graft.operators.Curation.bloomWith]]; Bloom 1970, CACM

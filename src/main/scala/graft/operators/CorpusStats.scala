@@ -482,6 +482,60 @@ object CorpusStats {
       .join(broadcast(sketch), Seq("j", "bkt"), "left")
       .groupBy("item").agg(min(coalesce(col("c"), lit(0L))).as("est"))
 
+  // ---- B79: PMI collocations -----------------------------------------------
+
+  /** Count floor and output depth for the collocation table: pairs
+    * seen fewer than [[PmiMinCount]] times are excluded (the standard
+    * guard — a hapax pair maxes the PMI estimator with no evidence),
+    * top [[PmiTop]] survive. */
+  private[graft] val PmiMinCount = 5
+  private[graft] val PmiTop = 30
+
+  /** B79 — `op_stats_pmi`: collocation extraction by pointwise mutual
+    * information over the word-bigram stream (Church & Hanks 1990,
+    * "Word association norms, mutual information, and lexicography",
+    * Computational Linguistics 16(1) — THE collocation statistic):
+    * for every adjacent pair seen ≥ [[PmiMinCount]] times,
+    * PMI(a,b) = ln(N·c(a,b) / (c_l(a)·c_r(b))) where c_l / c_r are
+    * the pair's left/right marginals over the bigram event space and
+    * N the total bigram count — rounded 4 dp (+ 0.0: PMI crosses zero
+    * for anti-associated pairs, the standing negative-zero rule).
+    * Output: top-[[PmiTop]] by (pmi desc, w1, w2). The corpus report's
+    * lexical companion: B71 describes the frequency law, this names
+    * the phrases.
+    *
+    * Scale shape: ONE corpus bigram shuffle (map-side partials into
+    * the pair table); both marginals and N derive from the PAIR TABLE
+    * itself (vocabulary-sized aggregates — the corpus is never read
+    * twice); top-K via TakeOrderedAndProject, never a global sort. */
+  def statsPmi(sp: SparkSession, dir: String): DataFrame =
+    statsPmiWith(docs(sp, dir).select(col("text")), PmiMinCount, PmiTop)
+
+  /** Core behind [[statsPmi]] and `api.Graft.collocations`. */
+  private[graft] def statsPmiWith(corpus: DataFrame, minCount: Int,
+      top: Int): DataFrame = {
+    val c2 = corpus
+      .select(toks(col("text")).as("ts"))
+      .filter(size(col("ts")) >= 2)
+      .select(explode(arrays_zip(
+        slice(col("ts"), lit(1), size(col("ts")) - 1).as("w1"),
+        slice(col("ts"), lit(2), size(col("ts")) - 1).as("w2"))).as("bg"))
+      .groupBy(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .agg(count(lit(1)).as("c2"))
+      .cache() // the pair table: four consumers (marginals ×2, N, the
+               // PMI projection) — vocabulary-sized, the B46 precedent
+    val cl = c2.groupBy("w1").agg(sum(col("c2")).as("cl"))
+    val cr = c2.groupBy("w2").agg(sum(col("c2")).as("cr"))
+    val n = c2.agg(sum(col("c2")).as("n"))
+    c2.filter(col("c2") >= minCount)
+      .join(cl, Seq("w1")).join(cr, Seq("w2"))
+      .crossJoin(broadcast(n))
+      .select(col("w1"), col("w2"), col("c2"),
+        (round(log(col("n") * col("c2") / (col("cl") * col("cr")) * lit(1.0)), 4)
+          + lit(0.0)).as("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2")).limit(top)
+  }
+
   // ---- registry ------------------------------------------------------------
 
   val queries: Seq[OpQuery] = Seq(
@@ -561,6 +615,24 @@ object CorpusStats {
     OpQuery("op_bpe_train", BpeTrainSql)(bpeTrain),
 
     OpQuery("op_bpe_segment", BpeSegmentSql)(bpeSegment),
+
+    OpQuery("op_stats_pmi",
+      s"""WITH t AS (
+        |  SELECT list_filter(string_split(text, ' '), x -> x <> '') AS ts FROM documents),
+        |bg AS (
+        |  SELECT ts[i+1] AS w1, ts[i+2] AS w2
+        |  FROM t, unnest(range(0, len(ts) - 1)) AS u(i) WHERE len(ts) >= 2),
+        |c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY w1, w2),
+        |cl AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS cl FROM c2 GROUP BY w1),
+        |cr AS (SELECT w2, CAST(sum(c2) AS BIGINT) AS cr FROM c2 GROUP BY w2),
+        |n AS (SELECT CAST(sum(c2) AS BIGINT) AS n FROM c2)
+        |SELECT c2.w1, c2.w2, c2.c2,
+        |  round(ln(n.n * c2.c2 / (cl.cl * cr.cr)), 4) + 0.0 AS pmi
+        |FROM c2, n
+        |JOIN cl ON cl.w1 = c2.w1
+        |JOIN cr ON cr.w2 = c2.w2
+        |WHERE c2.c2 >= $PmiMinCount
+        |ORDER BY pmi DESC, c2.w1, c2.w2 LIMIT $PmiTop""".stripMargin)(statsPmi),
 
     OpQuery("op_sketch_cms",
       s"""WITH t AS (

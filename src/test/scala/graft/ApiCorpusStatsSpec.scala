@@ -61,6 +61,13 @@ class ApiCorpusStatsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { Graft.bpeSegmentDocs(docs, merges = 0) }
   }
 
+  test("collocations: graded parity; bad parameters rejected") {
+    val api = Graft.collocations(docs).collect().map(_.toString).toSeq
+    val graded = CorpusStats.statsPmi(spark, dir).collect().map(_.toString).toSeq
+    assert(api == graded)
+    intercept[IllegalArgumentException] { Graft.collocations(docs, minCount = 0) }
+  }
+
   test("cmsEstimates: direct-sketch estimates equal the graded count-derived ones") {
     // rebuild the graded op's bigram stream and panel, then check the
     // production path (stream → sketch → probe) lands on the same est

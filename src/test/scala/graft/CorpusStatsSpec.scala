@@ -75,6 +75,38 @@ class CorpusStatsSpec extends AnyFunSuite {
     }
   }
 
+  test("stats_pmi: planted collocation ranks first; identity recomputes") {
+    import spark.implicits._
+    // 'hong kong' appears 6 times and the two words NEVER appear
+    // apart — the defining collocation, it must top the table
+    val hand = Seq(
+      "hong kong the a key hong kong value table hong kong row scan " +
+        "hong kong merge batch hong kong part value hong kong the a " +
+        "key value table row scan merge batch part value the a key " +
+        "value table row the a key value table row scan scan")
+      .toDF("text")
+    val h = CorpusStats.statsPmiWith(hand, 5, 10).collect()
+    assert(h.nonEmpty && h(0).getString(0) == "hong" && h(0).getString(1) == "kong")
+    // the graded table: every row's pmi recomputes from the corpus
+    // marginals (round-trip through the definition)
+    val rows = CorpusStats.statsPmi(spark, dir).collect()
+    assert(rows.length == CorpusStats.PmiTop)
+    val bigrams = graft.sources.Tables.documents(spark, dir)
+      .select(col("text")).collect().map(_.getString(0))
+      .flatMap(t => t.split(" ").filter(_.nonEmpty).sliding(2).collect {
+        case Array(a, b) => (a, b) })
+    val c2 = bigrams.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val cl = bigrams.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val cr = bigrams.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val n = bigrams.length.toLong
+    rows.foreach { r =>
+      val (a, b) = (r.getString(0), r.getString(1))
+      assert(r.getLong(2) == c2((a, b)) && r.getLong(2) >= CorpusStats.PmiMinCount)
+      val pmi = math.log(n.toDouble * c2((a, b)) / (cl(a) * cr(b)).toDouble)
+      assert(math.abs(r.getDouble(3) - pmi) < 5e-4, s"pmi($a,$b) off")
+    }
+  }
+
   test("bpe_segment: per-doc compression bounds and train/apply conservation") {
     val seg = CorpusStats.bpeSegment(spark, dir).collect()
     assert(seg.nonEmpty)

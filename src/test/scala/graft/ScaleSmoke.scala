@@ -245,7 +245,9 @@ object ScaleSmoke {
       Seq("op_sketch_bloom" -> (operators.Curation.sketchBloom _),
         "op_dsir_weights" -> (operators.Curation.dsirWeights _),
         "op_dedup_lines" -> (operators.Curation.dedupLines _),
-        "op_stats_zipf" -> (operators.Curation.statsZipf _)) ++
+        "op_stats_zipf" -> (operators.Curation.statsZipf _),
+        // PMI: one bigram shuffle, pair-table-sized everything after
+        "op_stats_pmi" -> (operators.CorpusStats.statsPmi _)) ++
       // r16 ext5: the minhash audit — candidate pairs are the capped
       // banded buckets (suffixed-word copies keep shingles disjoint
       // across copies, so candidates and the intersection join grow

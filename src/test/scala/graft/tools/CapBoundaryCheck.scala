@@ -80,7 +80,12 @@ object CapBoundaryCheck {
     // identical, every distance rounds to 0.0, so after the seed every
     // pick is a pure lowest-id tie-break; both engines must walk the
     // same all-ties chain
-    "op_select_kcenter")
+    "op_select_kcenter",
+    // r16 ext10: PMI on the degenerate corpus — one dominant word set
+    // makes every surviving pair near-independent (pmi ~ 0, the
+    // negative-zero rule's home turf) while the count floor drops the
+    // unique tail; both engines must rank the all-ties table identically
+    "op_stats_pmi")
 
   def main(args: Array[String]): Unit = {
     val spark = graft.SparkTestSession.spark
