@@ -537,7 +537,7 @@ object Graft {
 
   /** MinHash sketch audit for any corpus — the general form of the
     * graded `op_minhash_est` (same core,
-    * [[graft.operators.LlmPipeline.minhashEstFor]]; Broder 1997, "On
+    * [[graft.operators.LlmPipeline.minhashEstWith]]; Broder 1997, "On
     * the resemblance and containment of documents", SEQUENCES'97).
     * For every banded candidate pair (the SAME capped buckets
     * [[nearDupClusters]] links), emits the resemblance estimator
@@ -550,9 +550,10 @@ object Graft {
   def minhashAudit(df: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     val idT = df.schema(idCol).dataType
-    graft.operators.LlmPipeline.minhashEstFor(
+    val (result, release) = graft.operators.LlmPipeline.minhashEstWith(
       df.select(validatedId(col(idCol), idT, "minhashAudit").as("doc_id"),
         col(textCol).as("text")))
+    selfReleasing(result, release)
   }
 
   /** Greedy k-center coreset selection over an embedding column — the

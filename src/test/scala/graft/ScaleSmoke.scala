@@ -193,8 +193,14 @@ object ScaleSmoke {
     // construction), so only the text ops run — the word-suffix
     // transform is disjoint for ANY copy count.
     val Copies = args.headOption.map(_.toInt).getOrElse(10)
-    val skips: Seq[String] =
-      if (args.length > 1) args(1).split(",").toSeq.filter(_.nonEmpty) else Nil
+    // second arg: `a,b` skips matching ops; `only:a,b` keeps ONLY
+    // matching ops (substring match either way) — the cheap form for
+    // re-certifying one rewritten op at scale without the full sweep
+    val rawFilter = if (args.length > 1) args(1) else ""
+    val onlyMode = rawFilter.startsWith("only:")
+    val pats: Seq[String] = (if (onlyMode) rawFilter.drop(5) else rawFilter)
+      .split(",").toSeq.filter(_.nonEmpty)
+    val skips: Seq[String] = if (onlyMode) Nil else pats
     val withEmb = corpusHasEmbeddings(Copies)
     val spark = SparkTestSession.spark
     spark.sparkContext.setLogLevel("WARN")
@@ -305,7 +311,9 @@ object ScaleSmoke {
         "op_stream_static_join" -> (Streaming.streamStaticJoin _)) ++
       (if (withEmb) Seq("op_incremental_e2e" -> (Incremental.incrementalE2e _)) else Nil)
 
-    val kept = ops.filterNot { case (name, _) => skips.exists(name.contains) }
+    val kept =
+      if (onlyMode) ops.filter { case (name, _) => pats.exists(name.contains) }
+      else ops.filterNot { case (name, _) => skips.exists(name.contains) }
     def run(dir: String, label: String): Map[String, (Double, Long)] =
       kept.map { case (name, f) =>
         val t0 = System.nanoTime()
@@ -350,7 +358,10 @@ object ScaleSmoke {
       println(f"[scale] $label op_sink_textdir        $secs%7.2f s  files=$n")
       (secs, n)
     }
-    if (!skips.exists("op_sink_textdir".contains(_))) {
+    val sinkWanted =
+      if (onlyMode) pats.exists("op_sink_textdir".contains(_))
+      else !skips.exists("op_sink_textdir".contains(_))
+    if (sinkWanted) {
       sinkRun(Base, "warm")
       val (k1, n1) = sinkRun(Base, "  1x")
       val (k10, n10) = sinkRun(Dir10, f"$Copies%3dx")
