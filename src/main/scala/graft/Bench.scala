@@ -259,11 +259,15 @@ object Bench {
       }
       // the rollup lives OUTSIDE the queries map: its keys are not op
       // names, so a reader restoring key_prefix must not touch them;
-      // only measured queries count (failures are in n_failed/errors)
+      // only measured queries count (failures are in n_failed/errors).
+      // full_map names the authoritative per-query artifact (ADVICE
+      // r17: a rolled-up stdout line alone cannot support per-query
+      // claims — the full map always lands in the out file)
       val others = topN match {
         case Some(_) =>
           val rest = sortedNames.filterNot(kept.contains).filter(best.contains)
-          s""","others_n":${rest.size},"others_sec":${fmt(rest.map(best).sum)}"""
+          s""","others_n":${rest.size},"others_sec":${fmt(rest.map(best).sum)}""" +
+            s""","full_map":${jq(outPath)}"""
         case None => ""
       }
       val prefix = if (stripPrefix) ""","key_prefix":"op_"""" else ""

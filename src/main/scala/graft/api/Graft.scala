@@ -163,6 +163,46 @@ object Graft {
     graft.operators.TrainingData.annProbeWith(prep(history), prep(batch), cents, topK)
   }
 
+  /** [[annProbe]] with a HIERARCHICAL two-level coarse assign — the
+    * production form once the flat codebook outgrows its broadcast
+    * ceiling (K ≈ 10⁶ 64-dim doubles ≈ 0.5 GB): each vector scores the
+    * ~√K `superCentroids` first (map-side), keeps its top-`superProbe`
+    * supers, and argmaxes only among THEIR child centroids — assign
+    * work N×(√K + S·K/√K) instead of N×K. The assignment is
+    * approximate (the probed supers' children need not contain the
+    * globally nearest centroid); raising `superProbe` buys fidelity
+    * linearly in cost — measured 84–97 % of the flat assign's recall@3
+    * vs brute force at S = 1…16 on the uniform-embedding worst case,
+    * at 6–8× less assign wall (tools.AnnHierProbe, PLANS.md r16).
+    * With `superProbe` ≥ the super count the result is IDENTICAL to
+    * [[annProbe]] (spec-pinned). Identical re-posts co-locate under
+    * any `superProbe` — both sides share the rule — so the
+    * incremental-dedup use is exact whatever the setting.
+    *
+    * `superCentroids` needs `(c_id: integral, centroid:
+    * array<numeric>)` like `centroids`; size it ~√K (train both
+    * levels with KMeansLite or any external trainer — or take every
+    * √K-th trained centroid as its own super, the stride rule). Both
+    * codebooks must individually stay broadcastable; the child→super
+    * map is codebook-sized (K rows) and computed once per call. */
+  def annProbeHier(history: DataFrame, batch: DataFrame,
+      centroids: DataFrame, superCentroids: DataFrame,
+      idCol: String = "vec_id", embCol: String = "embedding",
+      superProbe: Int = 4, topK: Int = 3): DataFrame = {
+    require(superProbe >= 1,
+      s"annProbeHier: need superProbe >= 1 (got $superProbe)")
+    def prep(df: DataFrame): DataFrame =
+      df.select(
+        validatedId(col(idCol), df.schema(idCol).dataType, "annProbeHier").as("vec_id"),
+        transform(col(embCol), x => x.cast("double")).as("e"))
+    def prepC(df: DataFrame): DataFrame = df.select(
+      validatedId(col("c_id"), df.schema("c_id").dataType, "annProbeHier")
+        .as("c_id"),
+      transform(col("centroid"), x => x.cast("double")).as("ce"))
+    graft.operators.TrainingData.annProbeHierWith(prep(history), prep(batch),
+      prepC(centroids), prepC(superCentroids), superProbe, topK)
+  }
+
   /** Sliding-window token chunking for any corpus — the general form
     * of the graded `op_chunk_sliding` (same core,
     * [[graft.operators.TrainingData.chunkWith]]), with caller-sized
@@ -323,11 +363,18 @@ object Graft {
     * `|` fold delimiter (violations fail loudly, vocabulary-sized
     * check). Driver traffic is one (pair, count) row plus one scalar
     * per step — the k-means loop discipline; everything else is
-    * vocabulary-sized. */
+    * vocabulary-sized. The loop breaks cleanly when the vocabulary
+    * runs out of adjacent pairs, returning the merges learned so far.
+    * `merges` is capped at 64 — the bound the suite actually
+    * exercises (BpeLoopSpec: 64 real merge steps under the periodic
+    * lineage truncation); each step costs two vocabulary-sized Spark
+    * jobs, so a 32k-merge production vocabulary belongs in a real
+    * tokenizer trainer, not this audit-grade loop. */
   def bpeTrainMerges(df: DataFrame, textCol: String = "text",
       merges: Int = graft.operators.CorpusStats.BpeMerges): DataFrame = {
-    require(merges >= 1 && merges <= 10000,
-      s"bpeTrainMerges: need 1 <= merges <= 10000 (got $merges)")
+    require(merges >= 1 && merges <= 64,
+      s"bpeTrainMerges: need 1 <= merges <= 64 (got $merges; the bound " +
+        "is what the suite certifies — see scaladoc)")
     graft.operators.CorpusStats.bpeTrainWith(df.sparkSession,
       df.select(col(textCol).as("text")), merges)
   }
@@ -338,16 +385,20 @@ object Graft {
     * merges on the corpus vocabulary, then report per document how
     * the trained tokenizer compresses it (`n_words`, `n_char_units`,
     * `n_bpe_units` — all integers, n_bpe ≤ n_char). Same reserved-`|`
-    * contract as [[bpeTrainMerges]]. */
+    * contract, exhaustion behavior and tested `merges` cap as
+    * [[bpeTrainMerges]]; the loop's vocabulary cache is released by
+    * the self-releasing listener after the first consuming action. */
   def bpeSegmentDocs(df: DataFrame, idCol: String = "doc_id",
       textCol: String = "text",
       merges: Int = graft.operators.CorpusStats.BpeMerges): DataFrame = {
-    require(merges >= 1 && merges <= 10000,
-      s"bpeSegmentDocs: need 1 <= merges <= 10000 (got $merges)")
+    require(merges >= 1 && merges <= 64,
+      s"bpeSegmentDocs: need 1 <= merges <= 64 (got $merges; the bound " +
+        "is what the suite certifies — see bpeTrainMerges)")
     val idT = df.schema(idCol).dataType
-    graft.operators.CorpusStats.bpeSegmentWith(
+    val (result, release) = graft.operators.CorpusStats.bpeSegmentWith(
       df.select(validatedId(col(idCol), idT, "bpeSegmentDocs").as("doc_id"),
         col(textCol).as("text")), merges)
+    selfReleasing(result, release)
   }
 
   /** Count-Min frequency estimates for caller candidates over an item
@@ -380,14 +431,17 @@ object Graft {
     * space, pairs under `minCount` occurrences excluded (a hapax pair
     * maxes the estimator with no evidence — minCount 1 is allowed but
     * you will get hapax noise at the top). One corpus bigram shuffle;
-    * marginals and the normalizer derive from the pair table itself. */
+    * marginals and the normalizer derive from the pair table itself.
+    * The cached pair table is released by the self-releasing listener
+    * after the first consuming action. */
   def collocations(df: DataFrame, textCol: String = "text",
       minCount: Int = graft.operators.CorpusStats.PmiMinCount,
       top: Int = graft.operators.CorpusStats.PmiTop): DataFrame = {
     require(minCount >= 1 && top >= 1,
       s"collocations: need minCount >= 1 and top >= 1 (got $minCount, $top)")
-    graft.operators.CorpusStats.statsPmiWith(
+    val (result, release) = graft.operators.CorpusStats.statsPmiWith(
       df.select(col(textCol).as("text")), minCount, top)
+    selfReleasing(result, release)
   }
 
   /** Bloom-filter decontamination of a training corpus against an eval
@@ -438,8 +492,13 @@ object Graft {
     val evalGrams = graft.functions.TextShingles
       .withShingles(eval.select(col(evalTextCol).as("text")), col("text"))
       .select(explode(col("shingles")).as("sh")).distinct()
+    // same lossless-id guard as every sibling corpus API (ADVICE r16:
+    // this gate was the one entry point skipping it — a null or lossy
+    // numeric id would pass the stateless plan silently)
+    val idT = docs.schema(idCol).dataType
     graft.operators.Curation.bloomProbePlan(
-      docs.select(col(idCol).as("doc_id"), col(textCol).as("text")),
+      docs.select(validatedId(col(idCol), idT, "bloomStreamGate").as("doc_id"),
+        col(textCol).as("text")),
       graft.operators.Curation.bloomMaskOf(evalGrams))
   }
 
@@ -521,10 +580,21 @@ object Graft {
     * shorter tails never count as duplicates (they would collide by
     * chance, not by copying). Emits per doc the line counts, the
     * rewritten `text_clean` (surviving lines in order), and `kept` =
-    * something survived. */
+    * something survived.
+    *
+    * This entry point runs the PRODUCTION shuffle key — `xxhash64` of
+    * each line (8 bytes instead of a `lineTokens`-token string, ~6×
+    * narrower exchange; B62's rule). A 64-bit birthday collision
+    * merges two line groups — flagging both as boilerplate one
+    * distinct-doc count early — but with ~10⁻⁷ of line groups
+    * colliding even at 10¹² lines, the expected number of affected
+    * docs rounds to zero at any practical corpus size (hash ≡ string
+    * verdicts are spec-pinned on the graded and a degenerate corpus;
+    * pass `hashLines = false` for the byte-exact string key). */
   def dedupLines(df: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", lineTokens: Int = 10,
-      minTokens: Int = 5, minDocs: Int = 2): DataFrame = {
+      minTokens: Int = 5, minDocs: Int = 2,
+      hashLines: Boolean = true): DataFrame = {
     require(lineTokens >= 1 && minTokens >= 1 && minDocs >= 2,
       s"dedupLines: need lineTokens >= 1, minTokens >= 1, minDocs >= 2 " +
         s"(got $lineTokens, $minTokens, $minDocs)")
@@ -532,7 +602,7 @@ object Graft {
     graft.operators.Curation.dedupLinesWith(
       df.select(validatedId(col(idCol), idT, "dedupLines").as("doc_id"),
         col(textCol).as("text")),
-      lineTokens, minTokens, minDocs)
+      lineTokens, minTokens, minDocs, hashLines)
   }
 
   /** MinHash sketch audit for any corpus — the general form of the

@@ -242,12 +242,16 @@ object CorpusStats {
   def bpeTrain(sp: SparkSession, dir: String): DataFrame =
     bpeTrainWith(sp, docs(sp, dir).select(col("text")), BpeMerges)
 
-  /** Core behind [[bpeTrain]] and `api.Graft.bpeTrainMerges`. */
+  /** Core behind [[bpeTrain]] and `api.Graft.bpeTrainMerges`. The
+    * learned steps are driver-side once the loop returns, so the
+    * vocabulary cache is released synchronously here — no listener
+    * needed on either path. */
   private[graft] def bpeTrainWith(sp: SparkSession, corpus: DataFrame,
       merges: Int): DataFrame = {
     import sp.implicits._
-    bpeLoop(corpus, merges)._1
-      .toDF("step", "pair", "n", "units_after").orderBy("step")
+    val (steps, _, release) = bpeLoop(corpus, merges)
+    release()
+    steps.toDF("step", "pair", "n", "units_after").orderBy("step")
   }
 
   /** B75 — `op_bpe_segment`: the APPLY side of the BPE pair — segment
@@ -268,28 +272,49 @@ object CorpusStats {
     * small vocab and shuffles a huge one) and a per-doc rollup with
     * map-side partials. */
   def bpeSegment(sp: SparkSession, dir: String): DataFrame =
-    bpeSegmentWith(docs(sp, dir), BpeMerges).orderBy("doc_id")
+    // graded op: the release handle is deliberately dropped (the
+    // vocabulary cache is process-scoped — the B46/annRecall
+    // precedent); the public API wires it to the listener
+    bpeSegmentWith(docs(sp, dir), BpeMerges)._1.orderBy("doc_id")
 
-  /** Core behind [[bpeSegment]] and `api.Graft.bpeSegmentDocs`. */
-  private[graft] def bpeSegmentWith(corpus: DataFrame, merges: Int): DataFrame = {
-    val vocab = bpeLoop(corpus.select(col("text")), merges)._2
-      .select(col("w"), size(col("syms")).as("n_syms"))
-    corpus
+  /** Core behind [[bpeSegment]], [[packSequencesBpe]] and
+    * `api.Graft.bpeSegmentDocs`: per-doc unit counts under the trained
+    * vocabulary, plus the release handle for the loop's cached
+    * vocabulary frame (the result reads it lazily — release only
+    * after the first terminal action). */
+  private[graft] def bpeSegmentWith(corpus: DataFrame,
+      merges: Int): (DataFrame, () => Unit) = {
+    val (_, fin, release) = bpeLoop(corpus.select(col("text")), merges)
+    val vocab = fin.select(col("w"), size(col("syms")).as("n_syms"))
+    val seg = corpus
       .select(col("doc_id"), explode(toks(col("text"))).as("w"))
       .join(vocab, Seq("w"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_words"),
         sum(length(col("w")) + 1).cast("long").as("n_char_units"),
         sum(col("n_syms").cast("long")).as("n_bpe_units"))
+    (seg, release)
   }
 
+  /** Lineage-truncation cadence for [[bpeLoop]]: each merge step nests
+    * another aggregate-fold projection over `syms`, so unbounded
+    * nesting grows the analyzed plan linearly and hits codegen/stack
+    * limits long before a large `merges`. A `localCheckpoint` every
+    * this-many steps bounds plan depth at the cadence (the dedup-cc
+    * iterative discipline); 8 keeps checkpoint I/O negligible against
+    * the per-step aggregates. */
+  private val BpeCheckpointEvery = 8
+
   /** The shared merge loop behind [[bpeTrainWith]] (B74) and
-    * [[bpeSegment]] (B75): runs `merges` iterations and returns the
-    * learned steps plus the FINAL `(w, cnt, syms)` vocabulary — the
-    * trained segmenter. One owner, so the apply side can never drift
-    * off the training fold. */
+    * [[bpeSegment]] (B75): runs UP TO `merges` iterations — the loop
+    * breaks cleanly when the vocabulary runs out of adjacent pairs
+    * (every word fully merged to one symbol), returning the steps
+    * learned so far — and returns the learned steps, the FINAL
+    * `(w, cnt, syms)` vocabulary (the trained segmenter), and a
+    * release handle for the cached base vocabulary. One owner, so the
+    * apply side can never drift off the training fold. */
   private def bpeLoop(corpus: DataFrame, merges: Int)
-      : (Seq[(Int, String, Long, Long)], DataFrame) = {
+      : (Seq[(Int, String, Long, Long)], DataFrame, () => Unit) = {
     val vocab0 = corpus
       .select(explode(toks(col("text"))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("cnt"))
@@ -307,27 +332,70 @@ object CorpusStats {
                 // process-scoped by the B46/annRecall precedent)
     var vocab = vocab0
     val steps = scala.collection.mutable.ArrayBuffer[(Int, String, Long, Long)]()
-    for (t <- 1 to merges) {
-      val top = vocab
+    var t = 1
+    var exhausted = false
+    while (t <= merges && !exhausted) {
+      // headOption, not (0): a corpus whose words have all merged to
+      // single symbols has NO adjacent pairs left — break cleanly with
+      // the merges learned so far instead of an opaque
+      // ArrayIndexOutOfBoundsException (ADVICE r16 medium)
+      val topOpt = vocab
         .select(col("cnt"), explode(arrays_zip(
           slice(col("syms"), lit(1), size(col("syms")) - 1).as("pa"),
           slice(col("syms"), lit(2), size(col("syms")) - 1).as("pb"))).as("p"))
         .groupBy(col("p.pa").as("pa"), col("p.pb").as("pb"))
         .agg(sum(col("cnt")).as("n"))
         .orderBy(col("n").desc, col("pa"), col("pb")).limit(1)
-        .collect()(0)
-      val (a, b, n) = (top.getString(0), top.getString(1), top.getLong(2))
-      vocab = vocab.withColumn("syms",
-        split(aggregate(col("syms"), lit(""), (acc, x) =>
-          when(x === b && (acc === a || acc.endsWith(lit("|" + a))),
-            concat(acc.substr(lit(1), length(acc) - a.length), lit(a + b)))
-            .otherwise(when(acc === "", x)
-              .otherwise(concat(acc, lit("|"), x)))), "\\|"))
-      val units = vocab.agg(sum(col("cnt") * size(col("syms"))))
-        .collect()(0).getLong(0)
-      steps += ((t, s"$a $b", n, units))
+        .collect().headOption
+      topOpt match {
+        case None => exhausted = true
+        case Some(top) =>
+          val (a, b, n) = (top.getString(0), top.getString(1), top.getLong(2))
+          vocab = vocab.withColumn("syms",
+            split(aggregate(col("syms"), lit(""), (acc, x) =>
+              when(x === b && (acc === a || acc.endsWith(lit("|" + a))),
+                concat(acc.substr(lit(1), length(acc) - a.length), lit(a + b)))
+                .otherwise(when(acc === "", x)
+                  .otherwise(concat(acc, lit("|"), x)))), "\\|"))
+          // bound plan depth: truncate the nested-fold lineage every
+          // [[BpeCheckpointEvery]] steps (vocab-sized materialization)
+          if (t % BpeCheckpointEvery == 0) vocab = vocab.localCheckpoint()
+          val units = vocab.agg(sum(col("cnt") * size(col("syms"))))
+            .collect()(0).getLong(0)
+          steps += ((t, s"$a $b", n, units))
+          t += 1
+      }
     }
-    (steps.toSeq, vocab)
+    (steps.toSeq, vocab, () => { vocab0.unpersist(); () })
+  }
+
+  /** B74b — `op_pack_sequences_bpe`: sequence packing under the
+    * TRAINED tokenizer — the composition that closes the tokenizer →
+    * packing loop (the r16 board's one declared unclosed loop): B38's
+    * two-level prefix-sum packer budgets each document by the unit
+    * count the B74/B75 tokenizer actually produces (`n_bpe_units`)
+    * instead of whitespace tokens. This is what a real pipeline packs
+    * with: batches are cut every 1024 TOKENIZER units, so a merge
+    * that compresses the corpus shrinks the pack count — the
+    * conservation law Σ n_tok ≡ B74's final `units_after` (pinned by
+    * BpeLoopSpec) makes the composition auditable end to end.
+    *
+    * Scale shape: B74's loop (vocab-sized, cached model frame) + B75's
+    * one corpus-word join + B38's (source, chunk) prefix sum — each
+    * stage's 100 TB story is its component op's; nothing new moves.
+    * Docs whose text yields no words pack with 0 units (left join,
+    * the identity element of the running offset). */
+  def packSequencesBpe(sp: SparkSession, dir: String): DataFrame = {
+    val corpus = docs(sp, dir)
+    // graded op: release handle dropped (process-scoped vocab cache,
+    // the B46 precedent — shared with op_bpe_segment's run)
+    val (seg, _) = bpeSegmentWith(
+      corpus.select(col("doc_id"), col("text")), BpeMerges)
+    val counted = corpus.select(col("doc_id"), col("source"))
+      .join(seg.select(col("doc_id"), col("n_bpe_units").as("n_tok")),
+        Seq("doc_id"), "left")
+      .withColumn("n_tok", coalesce(col("n_tok"), lit(0L)))
+    TrainingData.packOffsets(counted).orderBy("doc_id")
   }
 
   /** One unrolled oracle merge block: pairs of `s${k-1}` → top pair
@@ -376,6 +444,30 @@ object CorpusStats {
        |$rows
        |ORDER BY step""".stripMargin
   }
+
+  /** Full B74b oracle: the shared prefix + per-doc trained-unit counts
+    * + B38's per-source running-offset SQL (the chunk decomposition is
+    * an implementation detail — within a source the offsets are the
+    * plain doc_id-ordered prefix sum either way). */
+  private[graft] lazy val PackSequencesBpeSql: String =
+    s"""$bpeBaseSql,
+       |dtok AS (
+       |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+       |  FROM documents),
+       |units AS (
+       |  SELECT doc_id, CAST(sum(len(s$BpeMerges.syms)) AS BIGINT) AS n_tok
+       |  FROM dtok JOIN s$BpeMerges USING (w) GROUP BY doc_id),
+       |counted AS (
+       |  SELECT d.doc_id, d.source, CAST(COALESCE(u.n_tok, 0) AS BIGINT) AS n_tok
+       |  FROM documents d LEFT JOIN units u USING (doc_id)),
+       |offs AS (
+       |  SELECT doc_id, source, n_tok,
+       |    CAST(COALESCE(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_offset
+       |  FROM counted)
+       |SELECT doc_id, source, n_tok, tok_offset,
+       |  CAST(tok_offset // 1024 AS BIGINT) AS pack_id
+       |FROM offs ORDER BY doc_id""".stripMargin
 
   /** Full B75 oracle: the shared prefix + the corpus-word join against
     * the final vocabulary. */
@@ -509,11 +601,14 @@ object CorpusStats {
     * itself (vocabulary-sized aggregates — the corpus is never read
     * twice); top-K via TakeOrderedAndProject, never a global sort. */
   def statsPmi(sp: SparkSession, dir: String): DataFrame =
-    statsPmiWith(docs(sp, dir).select(col("text")), PmiMinCount, PmiTop)
+    // graded op: release handle dropped (process-scoped pair-table
+    // cache, the B46 precedent); the public API wires the listener
+    statsPmiWith(docs(sp, dir).select(col("text")), PmiMinCount, PmiTop)._1
 
-  /** Core behind [[statsPmi]] and `api.Graft.collocations`. */
+  /** Core behind [[statsPmi]] and `api.Graft.collocations`. Returns
+    * the result plus a release handle for the cached pair table. */
   private[graft] def statsPmiWith(corpus: DataFrame, minCount: Int,
-      top: Int): DataFrame = {
+      top: Int): (DataFrame, () => Unit) = {
     val c2 = corpus
       .select(toks(col("text")).as("ts"))
       .filter(size(col("ts")) >= 2)
@@ -527,13 +622,14 @@ object CorpusStats {
     val cl = c2.groupBy("w1").agg(sum(col("c2")).as("cl"))
     val cr = c2.groupBy("w2").agg(sum(col("c2")).as("cr"))
     val n = c2.agg(sum(col("c2")).as("n"))
-    c2.filter(col("c2") >= minCount)
+    val result = c2.filter(col("c2") >= minCount)
       .join(cl, Seq("w1")).join(cr, Seq("w2"))
       .crossJoin(broadcast(n))
       .select(col("w1"), col("w2"), col("c2"),
         (round(log(col("n") * col("c2") / (col("cl") * col("cr")) * lit(1.0)), 4)
           + lit(0.0)).as("pmi"))
       .orderBy(col("pmi").desc, col("w1"), col("w2")).limit(top)
+    (result, () => { c2.unpersist(); () })
   }
 
   // ---- registry ------------------------------------------------------------
@@ -615,6 +711,8 @@ object CorpusStats {
     OpQuery("op_bpe_train", BpeTrainSql)(bpeTrain),
 
     OpQuery("op_bpe_segment", BpeSegmentSql)(bpeSegment),
+
+    OpQuery("op_pack_sequences_bpe", PackSequencesBpeSql)(packSequencesBpe),
 
     OpQuery("op_stats_pmi",
       s"""WITH t AS (

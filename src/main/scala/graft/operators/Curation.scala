@@ -402,6 +402,12 @@ object Curation {
   private[graft] val LineMinTokens = 5
   private[graft] val LineMinDocs = 2
 
+  /** Salt fan-out for the dup join-back's plan-time skew mitigation
+    * (see the body comment in [[dedupLinesWith]]): the hottest line
+    * key's probe rows spread over this many reducers instead of one.
+    * Dup-side cost is a LineSalts× explode of a dup-set-sized frame. */
+  private[graft] val LineSalts = 8
+
   /** The planted boilerplate line — exactly [[LineTokens]] tokens, so
     * every planted copy's subsequent blocks align with its original's
     * blocks (the alignment is the plant's point: original and copy
@@ -446,10 +452,21 @@ object Curation {
 
   /** Core behind [[dedupLines]] and `api.Graft.dedupLines`: block
     * split → distinct-doc line counts → rewrite, over any
-    * `corpus(doc_id, text)`, without the graded total sort. */
+    * `corpus(doc_id, text)`, without the graded total sort.
+    *
+    * `hashLines = true` keys the dup-count exchange and the join back
+    * on `xxhash64(line)` — the production 8-byte shuffle key (B62's
+    * `hashGrams` rule, ~6× narrower exchange than k-token strings); a
+    * 64-bit birthday collision merges two line groups, flagging the
+    * colliding lines as boilerplate a count early — with ~10⁻⁷ of
+    * line groups colliding even at 10¹² lines the expected affected
+    * DOC count rounds to zero (DedupLinesHotKeySpec pins hash ≡
+    * string verdicts row-for-row on the graded and the degenerate
+    * corpus). The graded op keeps the string key for the byte-exact
+    * oracle. */
   private[graft] def dedupLinesWith(corpus: DataFrame,
       lineTokens: Int = LineTokens, minTokens: Int = LineMinTokens,
-      minDocs: Int = LineMinDocs): DataFrame = {
+      minDocs: Int = LineMinDocs, hashLines: Boolean = false): DataFrame = {
     val lines = corpus
       .select(col("doc_id"), toks(col("text")).as("ts"))
       .filter(size(col("ts")) >= 1)
@@ -462,11 +479,32 @@ object Curation {
         slice(col("ts"), col("line_id") * lineTokens + 1, lit(lineTokens)))
       .select(col("doc_id"), col("line_id").cast("int").as("line_id"),
         array_join(col("lt"), " ").as("line"), size(col("lt")).as("llen"))
-    val dup = lines.filter(col("llen") >= minTokens)
-      .groupBy("line").agg(countDistinct(col("doc_id")).as("nd"))
+    val keyed =
+      if (hashLines) lines.withColumn("lk", xxhash64(col("line")))
+      else lines.withColumn("lk", col("line"))
+    val dup = keyed.filter(col("llen") >= minTokens)
+      .groupBy("lk").agg(countDistinct(col("doc_id")).as("nd"))
       .filter(col("nd") >= minDocs)
-      .select(col("line"), lit(true).as("isdup"))
-    lines.join(dup, Seq("line"), "left")
+      .select(col("lk"), lit(true).as("isdup"))
+    // 100 TB hot-key insurance (r18, measured): a boiler line in EVERY
+    // doc sends the join-back's whole probe side to ONE reducer once
+    // the dup set outgrows the broadcast threshold
+    // (tools.DedupLinesHotKeyProbe measured the pure shape: partition
+    // bytes [0, 209k, 0, 0]). AQE's OptimizeSkewedJoin CANNOT rescue
+    // this plan — its matcher needs a shuffle-stage boundary directly
+    // under each side's sort, and the dup aggregation sits between its
+    // exchange and the join (a same-key repartition to restore the
+    // boundary is eliminated by the optimizer — both verified by the
+    // probe). So the mitigation is the engine's own PLAN-TIME device,
+    // B4b's salted join: probe rows spread over (lk, salt-of-doc_id),
+    // the dup side — ONE row per key — explodes LineSalts×
+    // (dup-set-sized, the cheapest frame in the plan), and the hot
+    // key's rows land on LineSalts reducers by construction, no
+    // runtime statistics required. Result-invariant (left-preserving
+    // salt; the graded oracle is the plain join), and when the dup set
+    // is broadcast-small Catalyst still broadcasts the exploded side —
+    // the salt costs nothing on the happy path.
+    Skew.saltedJoin(keyed, dup, Seq("lk"), LineSalts, col("doc_id"), "left")
       .withColumn("dup", coalesce(col("isdup"), lit(false)))
       .groupBy("doc_id")
       .agg(count(lit(1)).cast("int").as("n_lines"),

@@ -133,33 +133,52 @@ object Mining {
       .select(col("vec_id"), col("embedding").cast("array<double>").as("e")),
       KCenterK).orderBy("step")
 
-  /** Core behind [[selectKcenter]] and `api.Graft.coresetKcenter`. */
+  /** Core behind [[selectKcenter]] and `api.Graft.coresetKcenter`.
+    * All K actions run inside this call and the returned frame is a
+    * driver-assembled LocalRelation, so the corpus cache is released
+    * synchronously before returning — no listener, no leak on either
+    * path. Empty input fails loudly; `k` greater than the number of
+    * vectors returns the selection that exists (every vector picked —
+    * the greedy traversal has nothing left to cover). */
   private[graft] def selectKcenterWith(emb: DataFrame, k: Int): DataFrame = {
     val sp = emb.sparkSession
     import sp.implicits._
-    val cached = emb.cache() // K passes read it (process-scoped, the
-                             // B46/annRecall precedent)
-    val seed = cached.orderBy("vec_id").limit(1).collect()(0)
-    val picked = scala.collection.mutable.ArrayBuffer(
-      (1, seed.getLong(0), 2.0, seed.getSeq[Double](1).toArray))
-    for (t <- 2 to k) {
-      val mind = picked.map { case (_, _, _, cv) =>
-        // + 0.0 normalizes IEEE negative zero: identical vectors give
-        // cos an ULP above 1, and round(1 - cos, 4) then lands on -0.0
-        // in one engine and 0.0 in the other (caught by the degenerate
-        // corpus certification on its first run)
-        round(lit(1.0) - VectorKernels.cosine(col("e"), typedlit(cv.toSeq)), 4) + lit(0.0)
-      }.reduce(least(_, _))
-      val ids = picked.map(_._2).toSeq
-      val top = cached.filter(!col("vec_id").isin(ids: _*))
-        .withColumn("md", mind)
-        .orderBy(col("md").desc, col("vec_id")).limit(1)
-        .collect()(0)
-      picked += ((t, top.getLong(0), top.getDouble(2),
-        top.getSeq[Double](1).toArray))
-    }
-    picked.toSeq.map(p => (p._1, p._2, p._3))
-      .toDF("step", "vec_id", "mindist")
+    val cached = emb.cache() // K passes read it within this call
+    try {
+      val seed = cached.orderBy("vec_id").limit(1).collect().headOption
+        .getOrElse(throw new IllegalArgumentException(
+          "selectKcenter: empty input — k-center selection needs at " +
+            "least one vector"))
+      val picked = scala.collection.mutable.ArrayBuffer(
+        (1, seed.getLong(0), 2.0, seed.getSeq[Double](1).toArray))
+      var t = 2
+      var drained = false
+      while (t <= k && !drained) {
+        val mind = picked.map { case (_, _, _, cv) =>
+          // + 0.0 normalizes IEEE negative zero: identical vectors give
+          // cos an ULP above 1, and round(1 - cos, 4) then lands on -0.0
+          // in one engine and 0.0 in the other (caught by the degenerate
+          // corpus certification on its first run)
+          round(lit(1.0) - VectorKernels.cosine(col("e"), typedlit(cv.toSeq)), 4) + lit(0.0)
+        }.reduce(least(_, _))
+        val ids = picked.map(_._2).toSeq
+        // headOption: k past the number of vectors leaves nothing to
+        // pick — return the selection that exists instead of throwing
+        // (ADVICE r16 low)
+        cached.filter(!col("vec_id").isin(ids: _*))
+          .withColumn("md", mind)
+          .orderBy(col("md").desc, col("vec_id")).limit(1)
+          .collect().headOption match {
+          case None => drained = true
+          case Some(top) =>
+            picked += ((t, top.getLong(0), top.getDouble(2),
+              top.getSeq[Double](1).toArray))
+            t += 1
+        }
+      }
+      picked.toSeq.map(p => (p._1, p._2, p._3))
+        .toDF("step", "vec_id", "mindist")
+    } finally cached.unpersist()
   }
 
   /** Unrolled oracle: block t derives the running mindist frame `m$t`

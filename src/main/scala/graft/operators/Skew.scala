@@ -31,11 +31,21 @@ object Skew {
       salts: Int, saltBy: Column): DataFrame =
     saltedJoin(fact, dim, Seq(key), salts, saltBy)
 
-  /** Composite-key form (e.g. the (w1, w2) bigram-model join). */
+  /** Composite-key form (e.g. the (w1, w2) bigram-model join).
+    * `joinType` admits the outer-preserving forms where the FACT side
+    * is the preserved side (`left`/`left_outer`, `left_semi`,
+    * `left_anti`, and `inner`): salting is result-invariant for those
+    * because every fact row carries exactly one salt and the exploded
+    * dim covers all salt values, so per-key match existence is
+    * unchanged. Right/full outer would duplicate unmatched DIM rows
+    * `salts`× — rejected. */
   def saltedJoin(fact: DataFrame, dim: DataFrame, keys: Seq[String],
-      salts: Int, saltBy: Column): DataFrame = {
+      salts: Int, saltBy: Column, joinType: String = "inner"): DataFrame = {
     require(salts > 0, "salts must be positive")
     require(keys.nonEmpty, "saltedJoin needs at least one key column")
+    require(Set("inner", "left", "leftouter", "leftsemi", "leftanti")
+      .contains(joinType.toLowerCase.replace("_", "")),
+      s"saltedJoin: joinType must preserve the fact side (got $joinType)")
     // a user column named __salt would be silently overwritten (and
     // dropped from the output) — grow the name until it is free. (If
     // BOTH inputs carry a same-named user column the join output keeps
@@ -46,6 +56,6 @@ object Skew {
     val saltedFact = fact.withColumn(salt, pmod(hash(saltBy), lit(salts)))
     val explodedDim = dim.withColumn(salt,
       explode(sequence(lit(0), lit(salts - 1))))
-    saltedFact.join(explodedDim, keys :+ salt).drop(salt)
+    saltedFact.join(explodedDim, keys :+ salt, joinType).drop(salt)
   }
 }

@@ -357,6 +357,50 @@ object TrainingData {
         struct(col("cos_c"), (-col("c_id")).as("neg"))).as("m"))
       .select(col("vec_id"), col("m.e").as("e"), col("m.c_id").as("cell"))
 
+  /** HIERARCHICAL two-level cell assignment — the documented
+    * production escape past [[ivfAssignWith]]'s broadcast ceiling
+    * (K ≈ 10⁶ centroids ≈ 0.5 GB): score the ~√K super-centroids
+    * first (map-side, broadcast), keep each vector's top-`superProbe`
+    * supers, then argmax ONLY among those supers' child centroids —
+    * N×(√K + S·K/√K) assign work instead of N×K, at the cost of an
+    * approximate assignment (the probed supers' children need not
+    * contain the globally nearest centroid; raising `superProbe` buys
+    * fidelity linearly — the standard IVF nprobe trade one level up).
+    * Measured on the 20-copy corpus at an assign-dominated K = 2353:
+    * 28 s → 3.3–5.0 s with 84–97 % of the flat assign's recall@3 vs
+    * brute force (tools.AnnHierProbe, PLANS.md r16 — uniform
+    * synthetic embeddings, the worst case for super-probing).
+    *
+    * Output schema and tie rules match [[ivfAssignWith]] exactly
+    * (`(vec_id, e, cell)`, max raw cosine, ties to the lower id at
+    * BOTH levels), so with `superProbe` ≥ the super count the
+    * assignment is IDENTICAL to flat (every centroid is some super's
+    * child; probing all supers restores the full candidate set —
+    * AnnHierApiSpec pins that equivalence). Promoted from the r16
+    * evidence tool to the engine proper (r17/r18 verdict task 5). */
+  private[graft] def hierAssignWith(emb: DataFrame, cents: DataFrame,
+      supers: DataFrame, superProbe: Int): DataFrame = {
+    // child → parent map: each centroid assigned to its nearest super
+    // (K rows — codebook-sized, stays broadcastable by construction)
+    val c2s = ivfAssignWith(
+        cents.select(col("c_id").as("vec_id"), col("ce").as("e")), supers)
+      .select(col("vec_id").as("c_id"), col("cell").as("sup"))
+    val centsSup = cents.join(c2s, Seq("c_id"))
+    val ws = Window.partitionBy("vec_id")
+      .orderBy(col("cos_s").desc, col("sup_id").asc)
+    val v2s = emb.join(broadcast(
+        supers.select(col("c_id").as("sup_id"), col("ce").as("se"))))
+      .withColumn("cos_s", graft.plans.VectorKernels.cosine(col("e"), col("se")))
+      .withColumn("rn", row_number().over(ws)).filter(col("rn") <= superProbe)
+      .select(col("vec_id"), col("e"), col("sup_id").as("sup"))
+    v2s.join(broadcast(centsSup), Seq("sup"))
+      .withColumn("cos_c", graft.plans.VectorKernels.cosine(col("e"), col("ce")))
+      .groupBy("vec_id")
+      .agg(max_by(struct(col("e"), col("c_id")),
+        struct(col("cos_c"), (-col("c_id")).as("neg"))).as("m"))
+      .select(col("vec_id"), col("m.e").as("e"), col("m.c_id").as("cell"))
+  }
+
   // ---- B58: incremental ANN against a historical IVF index -----------------
 
   /** B58 — `op_ann_incremental`: the EMBEDDING leg of the incremental
@@ -453,10 +497,29 @@ object TrainingData {
     * the public API takes a caller-trained codebook sized to the
     * data. */
   private[graft] def annProbeWith(history: DataFrame, batch: DataFrame,
-      cents: DataFrame, topK: Int): DataFrame = {
-    val histIdx = ivfAssignWith(history, cents)
+      cents: DataFrame, topK: Int): DataFrame =
+    probeAssigned(ivfAssignWith(history, cents), ivfAssignWith(batch, cents), topK)
+
+  /** [[annProbeWith]] with the HIERARCHICAL assign on both sides —
+    * the >broadcast-ceiling form behind `api.Graft.annProbeHier`.
+    * Identical re-posts co-locate under ANY `superProbe` (both sides
+    * share whichever assignment rule is in force), so the incremental-
+    * dedup contract survives the approximation. */
+  private[graft] def annProbeHierWith(history: DataFrame, batch: DataFrame,
+      cents: DataFrame, supers: DataFrame, superProbe: Int,
+      topK: Int): DataFrame =
+    probeAssigned(hierAssignWith(history, cents, supers, superProbe),
+      hierAssignWith(batch, cents, supers, superProbe), topK)
+
+  /** The cell-probe core over two pre-assigned `(vec_id, e, cell)`
+    * sides — single owner of the score/rank/tie rules for the flat
+    * and hierarchical probes (tools.AnnHierProbe measures through the
+    * same core). */
+  private[graft] def probeAssigned(assignH: DataFrame, assignB: DataFrame,
+      topK: Int): DataFrame = {
+    val histIdx = assignH
       .select(col("cell"), col("vec_id").as("hist_id"), col("e").as("he"))
-    val probe = ivfAssignWith(batch, cents)
+    val probe = assignB
       .select(col("cell"), col("vec_id").as("batch_id"), col("e").as("be"))
     val w = Window.partitionBy("batch_id").orderBy(col("score").desc, col("hist_id").asc)
     probe.join(histIdx, Seq("cell"))
@@ -1192,12 +1255,21 @@ object TrainingData {
     * exchange is planned once and reused — the map-side token counting
     * (the dominant scan cost) runs exactly once; the inner window is
     * spillable. */
-  def packSequences(sp: SparkSession, dir: String): DataFrame = {
-    val budget = 1024
-    val chunkSpan = 256
-    val toks = docs(sp, dir)
+  def packSequences(sp: SparkSession, dir: String): DataFrame =
+    packOffsets(docs(sp, dir)
       .withColumn("n_tok",
         size(filter(split(col("text"), " "), t => t =!= "")).cast("long"))
+      .select("doc_id", "source", "n_tok"))
+      .orderBy("doc_id")
+
+  /** The two-level prefix-sum pack core over ANY `(doc_id, source,
+    * n_tok)` frame — shared by [[packSequences]] (whitespace token
+    * budgets) and `CorpusStats.packSequencesBpe` (trained-tokenizer
+    * unit budgets), so the offset/pack rule cannot drift between the
+    * two token units. Scale shape documented on [[packSequences]]. */
+  private[graft] def packOffsets(counted: DataFrame, budget: Int = 1024,
+      chunkSpan: Int = 256): DataFrame = {
+    val toks = counted
       .withColumn("chunk", expr(s"doc_id DIV $chunkSpan"))
       .select("doc_id", "source", "chunk", "n_tok")
       // pre-assert the join keys non-null: the join below would push
@@ -1227,7 +1299,6 @@ object TrainingData {
       .withColumn("tok_offset", col("chunk_base") + col("in_off"))
       .select(col("doc_id"), col("source"), col("n_tok"), col("tok_offset"),
         floor(col("tok_offset") / budget).cast("long").as("pack_id"))
-      .orderBy("doc_id")
   }
 
   // ---- B39: PII masking ----------------------------------------------------

@@ -1,0 +1,104 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.functions._
+
+/** `api.Graft.annProbeHier` — the hierarchical (two-level) coarse
+  * assign promoted from the r16 evidence tool (VERDICT r16/r17 task
+  * 5). Pins the three contracts the scaladoc sells:
+  *
+  *  1. `superProbe` ≥ super count ⇒ IDENTICAL to the flat
+  *     [[api.Graft.annProbe]] (probing all supers restores the full
+  *     candidate set, tie rules match at both levels);
+  *  2. the nprobe trade is real and monotone on a hand geometry —
+  *     S = 1 misses a cross-super nearest centroid, S = 2 restores
+  *     the flat assignment;
+  *  3. identical re-posts co-locate at ANY `superProbe` (both sides
+  *     share the rule), so the incremental-dedup use stays exact. */
+class AnnHierApiSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def df(rows: Seq[(Long, Array[Double])], id: String, emb: String) = {
+    import spark.implicits._
+    rows.toDF(id, emb)
+  }
+  private def cdf(rows: Seq[(Long, Array[Double])]) = df(rows, "c_id", "centroid")
+
+  // hand geometry: supers on the two axes; child c2 = (0.6, 0.8) sits
+  // under SUPER e2 (cos 0.8 > 0.6) but is the flat-nearest centroid of
+  // v = (0.8, 0.6) (cos 0.96 > c0's 0.8) — the classic cross-super miss
+  private val supers = Seq(
+    10L -> Array(1.0, 0.0, 0.0, 0.0),
+    11L -> Array(0.0, 1.0, 0.0, 0.0))
+  private val cents = Seq(
+    0L -> Array(1.0, 0.0, 0.0, 0.0),   // child of super 10
+    1L -> Array(0.0, 1.0, 0.0, 0.0),   // child of super 11
+    2L -> Array(0.6, 0.8, 0.0, 0.0))   // child of super 11
+  private val vProbe = Array(0.8, 0.6, 0.0, 0.0)
+
+  test("superProbe >= super count reproduces the flat probe exactly (gate corpus)") {
+    val dir = "/root/testdata/sf0.001"
+    val emb = sources.Tables.embeddings(spark, dir)
+    val cb = emb.filter(col("vec_id") % operators.TrainingData.AnnCodebookStride === 0)
+      .select(col("vec_id").as("c_id"), col("embedding").as("centroid"))
+    // supers = every 2nd centroid of the codebook (the stride rule one
+    // level up); superProbe = super count ⇒ full candidate set
+    val sup = cb.filter(col("c_id") % (2 * operators.TrainingData.AnnCodebookStride) === 0)
+    val nSup = sup.count().toInt
+    assert(nSup >= 1)
+    val hist = emb.filter(col("vec_id") % 4 === 0)
+      .select((col("vec_id") * 2).as("vec_id"), col("embedding"))
+    val bat = emb.filter(col("vec_id") % 4 =!= 0)
+      .select((col("vec_id") * 2).as("vec_id"), col("embedding"))
+    val flat = api.Graft.annProbe(hist, bat, cb).collect().toSeq
+    val hier = api.Graft.annProbeHier(hist, bat, cb, sup, superProbe = nSup)
+      .collect().toSeq
+    assert(hier == flat,
+      "probing every super must restore the flat assignment row-for-row")
+  }
+
+  test("the nprobe trade: S=1 misses the cross-super centroid, S=2 restores flat") {
+    val hist = Seq(20L -> Array(0.6, 0.8, 0.0, 0.0), // lives in cell 2 (flat)
+      21L -> Array(1.0, 0.0, 0.0, 0.0))              // lives in cell 0
+    val bat = Seq(5L -> vProbe)
+    def hits(s: Int) = api.Graft.annProbeHier(
+      df(hist, "vec_id", "embedding"), df(bat, "vec_id", "embedding"),
+      cdf(cents), cdf(supers), superProbe = s)
+      .collect().map(r => (r.getInt(1), r.getLong(2))).toSeq
+    // S=1: v's top super is e1 (cos .8 > .6) → children {c0} → cell 0
+    // → only hist 21 (also cell 0 under S=1? no — hist 20 assigns by
+    // ITS own top super e2 → cell 2; hist 21 → cell 0) is co-located
+    assert(hits(1) == Seq((1, 21L)))
+    // S=2: both sides see all centroids → v lands in cell 2 with hist
+    // 20 (flat behavior: cos(v, c2) = 0.96 beats cos(v, c0) = 0.8)
+    assert(hits(2) == Seq((1, 20L)))
+    // and S=2 ≡ flat on the same inputs
+    val flat = api.Graft.annProbe(
+      df(hist, "vec_id", "embedding"), df(bat, "vec_id", "embedding"),
+      cdf(cents)).collect().map(r => (r.getInt(1), r.getLong(2))).toSeq
+    assert(hits(2) == flat)
+  }
+
+  test("identical re-posts co-locate at any superProbe") {
+    val v = Array(0.7, 0.7, 0.1, 0.0)
+    val hist = Seq(30L -> v)
+    val bat = Seq(31L -> v)
+    for (s <- Seq(1, 2)) {
+      val rows = api.Graft.annProbeHier(
+        df(hist, "vec_id", "embedding"), df(bat, "vec_id", "embedding"),
+        cdf(cents), cdf(supers), superProbe = s).collect()
+      assert(rows.length == 1 && rows.head.getLong(2) == 30L &&
+        rows.head.getDouble(3) == 1.0,
+        s"re-post must hit its original at rank 1 under S=$s")
+    }
+  }
+
+  test("guards: superProbe >= 1, lossless ids") {
+    intercept[IllegalArgumentException] {
+      api.Graft.annProbeHier(df(Seq(1L -> vProbe), "vec_id", "embedding"),
+        df(Seq(2L -> vProbe), "vec_id", "embedding"),
+        cdf(cents), cdf(supers), superProbe = 0)
+    }
+  }
+}

@@ -39,38 +39,14 @@ object AnnHierProbe {
     * is a child c_id. Ties break to the lower id at both levels,
     * matching the flat rule. */
   private def hierAssign(emb: DataFrame, cents: DataFrame,
-      supers: DataFrame, superProbe: Int): DataFrame = {
-    val c2s = TrainingData.ivfAssignWith(
-        cents.select(col("c_id").as("vec_id"), col("ce").as("e")), supers)
-      .select(col("vec_id").as("c_id"), col("cell").as("sup"))
-    val centsSup = cents.join(c2s, Seq("c_id"))
-    val ws = Window.partitionBy("vec_id")
-      .orderBy(col("cos_s").desc, col("sup_id").asc)
-    val v2s = emb.join(broadcast(
-        supers.select(col("c_id").as("sup_id"), col("ce").as("se"))))
-      .withColumn("cos_s", cosine(col("e"), col("se")))
-      .withColumn("rn", row_number().over(ws)).filter(col("rn") <= superProbe)
-      .select(col("vec_id"), col("e"), col("sup_id").as("sup"))
-    v2s.join(broadcast(centsSup), Seq("sup"))
-      .withColumn("cos_c", cosine(col("e"), col("ce")))
-      .groupBy("vec_id")
-      .agg(max_by(struct(col("e"), col("c_id")),
-        struct(col("cos_c"), (-col("c_id")).as("neg"))).as("m"))
-      .select(col("vec_id"), col("m.e").as("e"), col("m.c_id").as("cell"))
-  }
+      supers: DataFrame, superProbe: Int): DataFrame =
+    // PROMOTED to the engine in r18 (TrainingData.hierAssignWith,
+    // surfaced as api.Graft.annProbeHier); the tool measures through
+    // the promoted core so evidence and shipped code cannot drift
+    TrainingData.hierAssignWith(emb, cents, supers, superProbe)
 
-  private def probe(assignH: DataFrame, assignB: DataFrame): DataFrame = {
-    val histIdx = assignH
-      .select(col("cell"), col("vec_id").as("hist_id"), col("e").as("he"))
-    val pr = assignB
-      .select(col("cell"), col("vec_id").as("batch_id"), col("e").as("be"))
-    val w = Window.partitionBy("batch_id").orderBy(col("score").desc, col("hist_id").asc)
-    pr.join(histIdx, Seq("cell"))
-      .withColumn("score", round(cosine(col("be"), col("he")), 4))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 3)
-      .select(col("batch_id"), col("rank"), col("hist_id"), col("score"))
-  }
+  private def probe(assignH: DataFrame, assignB: DataFrame): DataFrame =
+    TrainingData.probeAssigned(assignH, assignB, topK = 3)
 
   def main(args: Array[String]): Unit = {
     val copies = args.headOption.map(_.toInt).getOrElse(20)
