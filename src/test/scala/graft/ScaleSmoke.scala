@@ -265,6 +265,10 @@ object ScaleSmoke {
       // scalars whatever the corpus
       Seq("op_bpe_train" -> (operators.CorpusStats.bpeTrain _),
         "op_bpe_segment" -> (operators.CorpusStats.bpeSegment _),
+        // r18: tokenizer→packing composition — wall should track its
+        // slowest stage (the B75 vocab join), the pack prefix sum is
+        // (source, chunk)-parallel
+        "op_pack_sequences_bpe" -> (operators.CorpusStats.packSequencesBpe _),
         // the stateless mask probe: pure map-side, wall ~ gram volume
         "op_stream_bloom" -> (operators.Curation.streamBloom _),
         // train + stateless score: wall ~ two corpus passes
