@@ -143,23 +143,47 @@ object CorpusStats {
     * window and emit nothing (the paper's domain); docs at or beyond
     * [[WinnowPosRadix]] chars would corrupt the packed key and FAIL
     * loudly rather than fingerprint wrong. */
-  private[graft] def winnowWith(corpus: DataFrame, k: Int, w: Int): DataFrame = {
+  private[graft] def winnowWith(corpus: DataFrame, k: Int, w: Int): DataFrame =
+    // ONE codegen'd pass per doc (hash → pack → window minima →
+    // in-row dedup, graft.plans.WinnowSelect) and ZERO shuffle: the
+    // selected fingerprints dedup INSIDE the row, so the old
+    // explode→distinct() exchange of every window minimum is gone
+    winnowProject(corpus, k, w,
+      graft.plans.WinnowSelect.winnowSelect(col("text"), k, w, 20))
+
+  /** The pre-r18 nested-fold formulation, kept as the differential
+    * oracle for WinnowSelectSpec (the RepetitionStats precedent):
+    * higher-order functions are CodegenFallback, so this runs ~n
+    * interpreted rollingHash evals plus an O(n·w) interpreted min fold
+    * per doc — measured 2.7 s at sf0.1 where [[winnowWith]]'s kernel
+    * runs the same arithmetic codegen'd. Values bit-identical (spec). */
+  private[graft] def winnowFoldWith(corpus: DataFrame, k: Int, w: Int): DataFrame = {
     val radix = WinnowPosRadix
-    val enc = corpus
+    val enc = transform(sequence(lit(0), length(col("text")) - k),
+      i => shiftleft(rollingHash(col("text"), (i + 1).cast("int"), lit(k)), 20) +
+        (lit(radix - 1) - i))
+    winnowProject(corpus, k, w,
+      array_distinct(transform(sequence(lit(0), size(col("__enc")) - w),
+        j => array_min(slice(col("__enc"), j + 1, lit(w))))),
+      Some(enc))
+  }
+
+  /** Shared guard + projection around a per-doc SELECTION column (the
+    * array of packed `(fp << 20) + (radix-1-pos)` minima, deduped). */
+  private def winnowProject(corpus: DataFrame, k: Int, w: Int,
+      sel: Column, enc: Option[Column] = None): DataFrame = {
+    val radix = WinnowPosRadix
+    val guarded = corpus
       .filter(length(col("text")) >= k + w - 1)
       .withColumn("text",
         when(length(col("text")) < radix, col("text")).otherwise(raise_error(
           concat(lit(s"winnow: doc length >= $radix chars for doc_id "),
             col("doc_id").cast("string")))))
-      .select(col("doc_id"),
-        transform(sequence(lit(0), length(col("text")) - k),
-          i => shiftleft(rollingHash(col("text"), (i + 1).cast("int"), lit(k)), 20) +
-            (lit(radix - 1) - i)).as("enc"))
-    enc
-      .select(col("doc_id"),
-        explode(transform(sequence(lit(0), size(col("enc")) - w),
-          j => array_min(slice(col("enc"), j + 1, lit(w))))).as("sel"))
-      .distinct()
+    // the fold form must materialize the enc array as a COLUMN before
+    // folding over it (the standing HOF-inlining pitfall); the kernel
+    // form needs no intermediate
+    enc.fold(guarded)(e => guarded.withColumn("__enc", e))
+      .select(col("doc_id"), explode(sel).as("sel"))
       .select(col("doc_id"),
         (lit(radix - 1) - col("sel").bitwiseAND(lit(radix - 1).cast("long")))
           .cast("int").as("pos"),
