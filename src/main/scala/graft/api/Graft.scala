@@ -250,9 +250,10 @@ object Graft {
       textCol: String = "text", gramTokens: Int = 50): DataFrame = {
     require(gramTokens >= 2,
       s"a repeated-span gram needs >= 2 tokens (got $gramTokens)")
-    graft.operators.TrainingData.repeatedSpansWith(
+    val (result, release) = graft.operators.TrainingData.repeatedSpansManaged(
       df.select(col(idCol).as("doc_id"), col(textCol).as("text")),
       gramTokens, hashGrams = true)
+    selfReleasing(result, release)
   }
 
   /** CCNet perplexity bucketing for any corpus (Wenzek et al. 2019,

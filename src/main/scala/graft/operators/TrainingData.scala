@@ -710,7 +710,18 @@ object TrainingData {
     * 10¹² grams); `false` keeps the string key the byte-exact DuckDB
     * oracle grades. */
   private[graft] def repeatedSpansWith(corpus: DataFrame, k: Int,
-      hashGrams: Boolean): DataFrame = {
+      hashGrams: Boolean): DataFrame =
+    repeatedSpansManaged(corpus, k, hashGrams)._1
+
+  /** [[repeatedSpansWith]] plus the release handle for the persisted
+    * distinct-gram frame. The gram build (tokenize + k-token slices
+    * per position — interpreted HOF work, the op's dominant cost) and
+    * its dedup shuffle have THREE consumers (the shared-gram counts,
+    * the per-doc totals, the semi-join); persisting runs them once
+    * (r18 — the minhash_est/B46 precedent; the graded path drops the
+    * handle, `api.Graft.repeatedSpans` wires the listener). */
+  private[graft] def repeatedSpansManaged(corpus: DataFrame, k: Int,
+      hashGrams: Boolean): (DataFrame, () => Unit) = {
     val grams0 = corpus
       .select(col("doc_id"), filter(split(col("text"), " "), t => t =!= "").as("ts"))
       .filter(size(col("ts")) >= k)
@@ -719,19 +730,20 @@ object TrainingData {
           i => array_join(slice(col("ts"), i + 1, lit(k)), " "))).as("g"))
     val grams =
       (if (hashGrams) grams0.select(col("doc_id"), xxhash64(col("g")).as("g"))
-       else grams0).distinct()
+       else grams0).distinct().persist()
     val shared = grams.groupBy("g").agg(count(lit(1)).as("nd"))
       .filter(col("nd") >= 2)
     val ng = grams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
     val nd = grams.join(shared.select("g"), Seq("g"), "left_semi")
       .groupBy("doc_id").agg(count(lit(1)).as("n_dup"))
-    ng.join(nd, Seq("doc_id"), "left")
+    val result = ng.join(nd, Seq("doc_id"), "left")
       .select(col("doc_id"),
         col("n_grams").cast("int").as("n_grams"),
         coalesce(col("n_dup"), lit(0L)).cast("int").as("n_dup"),
         (coalesce(col("n_dup"), lit(0L)).cast("double") / col("n_grams"))
           .as("dup_ratio"),
         (coalesce(col("n_dup"), lit(0L)) * 2 >= col("n_grams")).as("flagged"))
+    (result, () => { grams.unpersist(); () })
   }
 
   def similarityIvf(sp: SparkSession, dir: String): DataFrame = {
