@@ -85,7 +85,12 @@ object CapBoundaryCheck {
     // makes every surviving pair near-independent (pmi ~ 0, the
     // negative-zero rule's home turf) while the count floor drops the
     // unique tail; both engines must rank the all-ties table identically
-    "op_stats_pmi")
+    "op_stats_pmi",
+    // r18: the tokenizer→packing composition — the degenerate corpus
+    // stresses the train/apply/pack chain where the vocabulary is one
+    // dominant word (near-exhaustion regime for the merge loop); both
+    // engines must produce identical per-doc unit counts and offsets
+    "op_pack_sequences_bpe")
 
   def main(args: Array[String]): Unit = {
     val spark = graft.SparkTestSession.spark
