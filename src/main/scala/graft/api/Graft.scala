@@ -666,6 +666,27 @@ object Graft {
       df.select(col(textCol).as("text")), ranks)
   }
 
+  /** Heaps'-law vocabulary-growth fit — the general form of the graded
+    * `op_stats_heaps` (same core,
+    * [[graft.operators.Curation.statsHeapsWith]]; Heaps 1978; Egghe
+    * 2007, JASIST 58(5)): V(N) ≈ K·N^β over log-spaced prefix points
+    * (docs bucketed by `idCol DIV span` — pass ids in ingest order;
+    * points at power-of-two bucket indices). Log a row alongside
+    * [[corpusReport]]: boilerplate and duplication depress β (repeats
+    * add tokens without types) before they move the Zipf slope.
+    * Domain: the OLS needs ≥ 2 prefix points — corpora under ~2·span
+    * token-bearing docs yield a single point and a null/NaN fit;
+    * shrink `span` for small corpora. */
+  def heapsGrowth(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text",
+      span: Int = graft.operators.Curation.HeapsSpan): DataFrame = {
+    require(span >= 1, s"heapsGrowth: need span >= 1 (got $span)")
+    val idT = df.schema(idCol).dataType
+    graft.operators.Curation.statsHeapsWith(
+      df.select(validatedId(col(idCol), idT, "heapsGrowth").as("doc_id"),
+        col(textCol).as("text")), span)
+  }
+
   /** Shared id guard for the corpus APIs: `id` must cast to long
     * LOSSLESSLY. Rejects nulls (with a readable message — a bare
     * `raise_error(concat(lit(...), null_col))` would raise a null

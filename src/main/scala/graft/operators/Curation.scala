@@ -516,6 +516,119 @@ object Curation {
       .withColumn("kept", col("n_dup") < col("n_lines"))
   }
 
+  // ---- B80: corpus report — Heaps' law vocabulary growth -------------------
+
+  /** Docs per prefix bucket for the Heaps fit: cumulative (tokens,
+    * types) are evaluated at bucket boundaries in doc_id order, so the
+    * cumulative frame is corpus/[[HeapsSpan]] rows — the pack-op chunk
+    * discipline, never a doc-sized single-task window. */
+  private[graft] val HeapsSpan = 256
+
+  /** B80 — `op_stats_heaps`: the OTHER corpus-report law — Heaps'
+    * (Herdan's) law of vocabulary growth, V(N) ≈ K·N^β (Heaps 1978,
+    * "Information Retrieval: Computational and Theoretical Aspects";
+    * see Egghe 2007, JASIST 58(5) for the modern treatment): as a
+    * curation run ingests more text, the distinct-type count grows
+    * polynomially, and the exponent β is the standard health signal
+    * for dedup/boilerplate damage — heavy boilerplate depresses β long
+    * before it moves B71's Zipf slope, because repeats add tokens
+    * without adding types. Output: one row — corpus totals (n_docs,
+    * n_tokens, n_types), the number of log-spaced prefix points, and
+    * the OLS fit of ln V on ln N over those points (`heaps_beta`, and
+    * `heaps_lnk` the intercept), rounded 4 dp (the B46/B71
+    * sums-of-logs rule).
+    *
+    * Declared prefix geometry (oracle-identical): docs group into
+    * [[HeapsSpan]]-doc buckets by `doc_id DIV span` (doc_id order IS
+    * the ingest order here); cumulative token/type counts are taken
+    * at every bucket b whose index has `(b+1) & b == 0` — powers of
+    * two, ≤ 64 points for any corpus that fits in a long, and evenly
+    * spaced in ln N, exactly what a log-log fit wants. A type's
+    * arrival is its FIRST-occurrence bucket (min doc_id over the
+    * corpus), so the cumulative V at a point counts types seen
+    * anywhere in the prefix — the law's V(N).
+    *
+    * Scale shape: one corpus token pass feeds BOTH aggregates
+    * (vocab-sized first-occurrence min, bucket-sized token counts —
+    * map-side partials each); everything after is bucket-frame-sized
+    * (corpus/256 rows) incl. the cumulative window (single ordered
+    * stream of TINY rows — the pack chunk-base precedent), and the
+    * regression runs over ≤ 64 points. Fewer than 2 points (corpora
+    * under ~2·span docs with default span) make the OLS denominator
+    * zero — domain documented on the API. */
+  def statsHeaps(sp: SparkSession, dir: String): DataFrame =
+    statsHeapsWith(docs(sp, dir)).orderBy("n_docs")
+
+  /** Core behind [[statsHeaps]] and `api.Graft.heapsGrowth`: the
+    * one-row report over any `corpus(doc_id, text)`; `span` sizes the
+    * prefix buckets. */
+  private[graft] def statsHeapsWith(corpus: DataFrame,
+      span: Int = HeapsSpan): DataFrame = {
+    val dt = corpus.select(col("doc_id"), explode(toks(col("text"))).as("t"))
+    // first-occurrence bucket per type (vocab-sized), new types per bucket
+    val nv = dt.groupBy("t").agg(min(col("doc_id")).as("fd"))
+      .groupBy(expr(s"fd DIV $span").as("b"))
+      .agg(count(lit(1)).as("nv"))
+    // tokens per bucket (bucket-sized after map-side partials)
+    val nt = dt.groupBy(expr(s"doc_id DIV $span").as("b"))
+      .agg(count(lit(1)).as("nt"))
+    val wb = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    val pts = nt.join(nv, Seq("b"), "left")
+      .withColumn("nv", coalesce(col("nv"), lit(0L)))
+      .withColumn("vv", sum(col("nv")).over(wb))
+      .withColumn("nn", sum(col("nt")).over(wb))
+      .filter(((col("b") + 1).bitwiseAND(col("b"))) === 0)
+      .select(log(col("nn")).as("x"), log(col("vv")).as("y"))
+    val reg = pts.agg(count(lit(1)).as("nr"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+    val tot = dt.agg(countDistinct(col("doc_id")).as("n_docs"),
+      count(lit(1)).as("n_tokens"), countDistinct(col("t")).as("n_types"))
+    tot.crossJoin(broadcast(reg))
+      // try_divide: a single prefix point makes the OLS denominator 0
+      // and ANSI-mode `/` throws — the declared domain edge reports a
+      // NULL fit instead (the oracle never reaches it; graded corpora
+      // have ≥ 2 points)
+      .withColumn("beta", try_divide(
+        col("nr") * col("sxy") - col("sx") * col("sy"),
+        col("nr") * col("sxx") - col("sx") * col("sx")))
+      .select(col("n_docs"), col("n_tokens"), col("n_types"),
+        col("nr").cast("int").as("n_points"),
+        (round(col("beta"), 4) + lit(0.0)).as("heaps_beta"),
+        (round((col("sy") - col("beta") * col("sx")) / col("nr"), 4) + lit(0.0))
+          .as("heaps_lnk"))
+  }
+
+  /** B80 oracle — shared with the registry entry below. */
+  private[graft] val StatsHeapsSql: String =
+    s"""WITH dt AS (
+      |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS t
+      |  FROM documents),
+      |nv AS (
+      |  SELECT fd // $HeapsSpan AS b, count(*) AS nv
+      |  FROM (SELECT t, min(doc_id) AS fd FROM dt GROUP BY t) GROUP BY 1),
+      |nt AS (SELECT doc_id // $HeapsSpan AS b, count(*) AS nt FROM dt GROUP BY 1),
+      |cum AS (
+      |  SELECT nt.b,
+      |    sum(COALESCE(nv.nv, 0)) OVER (ORDER BY nt.b) AS vv,
+      |    sum(nt.nt) OVER (ORDER BY nt.b) AS nn
+      |  FROM nt LEFT JOIN nv ON nt.b = nv.b),
+      |pts AS (
+      |  SELECT ln(nn) AS x, ln(vv) AS y FROM cum WHERE ((b + 1) & b) = 0),
+      |reg AS (
+      |  SELECT count(*) AS nr, sum(x) AS sx, sum(y) AS sy,
+      |    sum(x * y) AS sxy, sum(x * x) AS sxx
+      |  FROM pts),
+      |tot AS (
+      |  SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+      |    CAST(count(*) AS BIGINT) AS n_tokens,
+      |    CAST(count(DISTINCT t) AS BIGINT) AS n_types
+      |  FROM dt)
+      |SELECT n_docs, n_tokens, n_types, CAST(nr AS INTEGER) AS n_points,
+      |  round((nr * sxy - sx * sy) / (nr * sxx - sx * sx), 4) + 0.0 AS heaps_beta,
+      |  round((sy - ((nr * sxy - sx * sy) / (nr * sxx - sx * sx)) * sx) / nr, 4) + 0.0 AS heaps_lnk
+      |FROM tot, reg ORDER BY n_docs""".stripMargin
+
   // ---- B71: corpus report — entropy + Zipf ---------------------------------
 
   /** Regression depth for the Zipf fit: the top-[[ZipfRanks]] unigram
@@ -756,6 +869,8 @@ object Curation {
         |    AS text_clean,
         |  sum(CASE WHEN dup THEN 1 ELSE 0 END) < count(*) AS kept
         |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin)(dedupLines),
+
+    OpQuery("op_stats_heaps", StatsHeapsSql)(statsHeaps),
 
     OpQuery("op_stats_zipf",
       s"""WITH tok AS (

@@ -252,6 +252,8 @@ object ScaleSmoke {
         "op_dsir_weights" -> (operators.Curation.dsirWeights _),
         "op_dedup_lines" -> (operators.Curation.dedupLines _),
         "op_stats_zipf" -> (operators.Curation.statsZipf _),
+        // r18: Heaps fit — vocab-sized min-doc agg + bucket-frame rest
+        "op_stats_heaps" -> (operators.Curation.statsHeaps _),
         // PMI: one bigram shuffle, pair-table-sized everything after
         "op_stats_pmi" -> (operators.CorpusStats.statsPmi _)) ++
       // r16 ext5: the minhash audit — candidate pairs are the capped
