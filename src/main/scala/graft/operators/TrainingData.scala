@@ -652,6 +652,94 @@ object TrainingData {
         array_join(col("ck"), " ").as("chunk"))
   }
 
+  // ---- B81: content-defined chunking ----------------------------------------
+
+  /** CDC geometry: k-byte fingerprint windows, boundary when the
+    * window's rolling hash ≡ [[CdcRem]] mod [[CdcDivisor]] — expected
+    * chunk size ≈ divisor bytes. Declared rule (oracle-identical);
+    * production min/max chunk clamps are caller knobs on the API. */
+  private[graft] val CdcGram = 8
+  private[graft] val CdcDivisor = 64
+  private[graft] val CdcRem = 0
+
+  /** B81 — `op_chunk_cdc`: CONTENT-DEFINED chunking — the fingerprint-
+    * boundary rule of Manber 1994 ("Finding similar files in a large
+    * file system", USENIX; the ancestor of Rabin/FastCDC chunking used
+    * for block-level dedup and shift-resistant document segmentation).
+    * B61 cuts at fixed token offsets, so ONE inserted byte shifts
+    * every later chunk and defeats block dedup; CDC cuts where the
+    * CONTENT says so — after every k-byte window whose [[RollingHash]]
+    * ≡ r (mod D) — so an edit perturbs only the chunks it touches and
+    * identical regions of different documents chunk identically (the
+    * property block-level dedup needs). Output: one row per chunk —
+    * `(doc_id, chunk_id, start, chunk_len, chunk_md5)`, offsets
+    * 0-based end-exclusive, `chunk_md5` the engine-portable block key
+    * a dedup pass groups on. Docs shorter than k are one whole chunk;
+    * a boundary at the exact text end would create an empty tail
+    * chunk, which is dropped.
+    *
+    * Scale shape: pure map-side — the [[graft.plans.CdcCuts]] kernel
+    * emits each doc's cut offsets in one codegen'd byte pass (the
+    * WinnowSelect discipline: no interpreted per-position HOFs), and
+    * the chunk expansion folds over the SMALL cuts array (per-chunk,
+    * not per-byte). No shuffle before the graded total sort (dropped
+    * in production); corpus-byte-linear at any scale. */
+  def chunkCdc(sp: SparkSession, dir: String): DataFrame =
+    chunkCdcWith(docs(sp, dir), CdcGram, CdcDivisor, CdcRem)
+      .orderBy("doc_id", "chunk_id")
+
+  /** Core behind [[chunkCdc]] and `api.Graft.chunkContentDefined`:
+    * caller-sized geometry over any `corpus(doc_id, text)`, without
+    * the graded sort. */
+  private[graft] def chunkCdcWith(corpus: DataFrame, k: Int,
+      divisor: Int, rem: Int): DataFrame = {
+    val bounds = corpus
+      .withColumn("cuts", graft.plans.CdcCuts.cdcCuts(col("text"), k, divisor, rem))
+      .withColumn("bs", concat(array(lit(0)),
+        col("cuts"), array(length(col("text")))))
+    bounds
+      .select(col("doc_id"), col("text"),
+        posexplode(transform(sequence(lit(0), size(col("bs")) - 2),
+          q => struct(element_at(col("bs"), q + 1).as("start"),
+            (element_at(col("bs"), q + 2) - element_at(col("bs"), q + 1))
+              .as("clen")))))
+      .filter(col("col.clen") > 0)
+      .select(col("doc_id"), col("pos").cast("int").as("chunk_id"),
+        col("col.start").as("start"), col("col.clen").as("chunk_len"),
+        md5(substring(col("text"), col("col.start") + 1, col("col.clen")))
+          .as("chunk_md5"))
+  }
+
+  /** B81 oracle — the same windowed hash (`q` binds the inner hash
+    * lambda, `p` the outer position: nested lambdas with DISTINCT
+    * variables, per the r16 shadowing rule), cut packing, and chunk
+    * slicing. */
+  private[graft] val ChunkCdcSql: String =
+    s"""WITH c AS (
+      |  SELECT doc_id, text, length(text) AS n FROM documents),
+      |cuts AS (
+      |  SELECT doc_id, text, n,
+      |    list_filter(list_transform(range(1, greatest(n - $CdcGram + 1, 0) + 1),
+      |      p -> CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |             list_transform(range(1, $CdcGram + 1),
+      |               q -> ord(substring(text, CAST(p + q - 1 AS INTEGER), 1)))),
+      |             (a, b) -> (a * 31 + b) % 1000000007) % $CdcDivisor = $CdcRem
+      |           THEN p + $CdcGram - 1 ELSE NULL END), x -> x IS NOT NULL) AS cl
+      |  FROM c),
+      |b AS (
+      |  SELECT doc_id, text, list_concat(list_concat([0], cl), [n]) AS bs
+      |  FROM cuts),
+      |ch AS (
+      |  SELECT doc_id, CAST(u.q AS INTEGER) AS chunk_id,
+      |    CAST(bs[CAST(u.q + 1 AS INTEGER)] AS INTEGER) AS start,
+      |    CAST(bs[CAST(u.q + 2 AS INTEGER)] - bs[CAST(u.q + 1 AS INTEGER)] AS INTEGER) AS chunk_len,
+      |    md5(substring(text, CAST(bs[CAST(u.q + 1 AS INTEGER)] + 1 AS INTEGER),
+      |      CAST(bs[CAST(u.q + 2 AS INTEGER)] - bs[CAST(u.q + 1 AS INTEGER)] AS INTEGER))) AS chunk_md5
+      |  FROM b, unnest(range(0, len(bs) - 1)) AS u(q))
+      |SELECT doc_id, chunk_id, start, chunk_len, chunk_md5
+      |FROM ch WHERE chunk_len > 0
+      |ORDER BY doc_id, chunk_id""".stripMargin
+
   // ---- B62: exact repeated-substring dedup ---------------------------------
 
   /** Gram length (tokens) for B62's repeated-span detection — long
@@ -1774,6 +1862,8 @@ object TrainingData {
         |SELECT s.vec_id, s.cell, coalesce(d.nbr, s.vec_id) AS rep, d.nbr IS NULL AS kept
         |FROM assigned s LEFT JOIN drops d ON s.vec_id = d.vec_id
         |ORDER BY s.vec_id""".stripMargin)(semDedup),
+
+    OpQuery("op_chunk_cdc", ChunkCdcSql)(chunkCdc),
 
     OpQuery("op_chunk_sliding",
       s"""WITH t AS (

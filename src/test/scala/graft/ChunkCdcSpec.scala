@@ -1,0 +1,100 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.TrainingData
+
+/** B81 `op_chunk_cdc` — pins the properties that make content-defined
+  * chunking worth having next to B61's fixed windows:
+  *
+  *  1. TILING: chunks exactly partition each document (contiguous
+  *     starts, lengths summing to the text length, ids dense);
+  *  2. SHIFT RESISTANCE — the op's raison d'être: prepending bytes to
+  *     a document must leave all chunks after the first content-
+  *     defined cut IDENTICAL (fixed-offset chunking shares ~nothing
+  *     after a one-byte shift);
+  *  3. block-level dedup: two documents sharing a long interior region
+  *     produce common chunk hashes;
+  *  4. domain edges: a doc shorter than the fingerprint window is one
+  *     whole chunk whose md5 is md5(text). */
+class ChunkCdcSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import org.apache.spark.sql.DataFrame
+
+  private def corpusOf(rows: (Long, String)*): DataFrame = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+  private def run(c: DataFrame) = TrainingData.chunkCdcWith(
+    c, TrainingData.CdcGram, TrainingData.CdcDivisor, TrainingData.CdcRem)
+
+  test("chunks tile every graded document exactly") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = TrainingData.chunkCdc(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val lens = sources.Tables.documents(spark, dir)
+      .select(col("doc_id"), length(col("text")).as("n")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    rows.groupBy(_.getLong(0)).foreach { case (id, ch) =>
+      val sorted = ch.sortBy(_.getInt(1))
+      assert(sorted.map(_.getInt(1)).toSeq == sorted.indices.toSeq,
+        s"doc $id: chunk ids not dense")
+      var off = 0
+      sorted.foreach { r =>
+        assert(r.getInt(2) == off, s"doc $id: gap at chunk ${r.getInt(1)}")
+        off += r.getInt(3)
+      }
+      assert(off == lens(id), s"doc $id: chunks cover $off of ${lens(id)}")
+    }
+  }
+
+  test("shift resistance: a prepended prefix preserves downstream chunk hashes") {
+    val base = sources.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text")).filter(col("doc_id") < 40)
+    val shifted = base.select((col("doc_id") + 1000).as("doc_id"),
+      concat(lit("ZZZ "), col("text")).as("text"))
+    val ch = run(base.union(shifted)).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getString(4)).toSet).toMap
+    var multi = 0
+    (0L until 40L).foreach { id =>
+      val (a, b) = (ch(id), ch(id + 1000))
+      val shared = (a & b).size
+      // everything after the first surviving content-defined cut is
+      // byte-identical, so at most the head chunk (plus the cut the
+      // splice window itself may add or remove) differs
+      assert(shared >= a.size - 2,
+        s"doc $id: only $shared of ${a.size} chunk hashes survive a prefix shift")
+      // a doc with no interior cut is ONE chunk — nothing can survive
+      // a prefix there; every multi-chunk doc must re-synchronize
+      if (a.size >= 3) {
+        multi += 1
+        assert(shared > 0, s"doc $id (${a.size} chunks) failed to re-sync")
+      }
+    }
+    assert(multi >= 20, s"corpus too cut-poor to exercise re-sync ($multi)")
+  }
+
+  test("shared interior regions produce shared block hashes across docs") {
+    val interior = (0 until 40).map(i => s"common$i").mkString(" ")
+    val c = corpusOf(
+      1L -> s"alpha intro text $interior",
+      2L -> s"a completely different and longer preamble here $interior")
+    val ch = run(c).collect().groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getString(4)).toSet).toMap
+    assert((ch(1L) & ch(2L)).nonEmpty,
+      "identical interiors must chunk to common block hashes")
+  }
+
+  test("short-doc edge: below the window, one whole chunk") {
+    val c = corpusOf(7L -> "tiny")
+    val rows = run(c).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getInt(1) == 0 && r.getInt(2) == 0 && r.getInt(3) == 4)
+    val expect = java.security.MessageDigest.getInstance("MD5")
+      .digest("tiny".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(r.getString(4) == expect)
+  }
+}

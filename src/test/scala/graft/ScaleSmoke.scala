@@ -254,6 +254,8 @@ object ScaleSmoke {
         "op_stats_zipf" -> (operators.Curation.statsZipf _),
         // r18: Heaps fit — vocab-sized min-doc agg + bucket-frame rest
         "op_stats_heaps" -> (operators.Curation.statsHeaps _),
+        // r18: CDC chunking — pure map-side kernel, byte-linear
+        "op_chunk_cdc" -> (operators.TrainingData.chunkCdc _),
         // PMI: one bigram shuffle, pair-table-sized everything after
         "op_stats_pmi" -> (operators.CorpusStats.statsPmi _)) ++
       // r16 ext5: the minhash audit — candidate pairs are the capped
