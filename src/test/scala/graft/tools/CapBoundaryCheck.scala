@@ -90,7 +90,12 @@ object CapBoundaryCheck {
     // stresses the train/apply/pack chain where the vocabulary is one
     // dominant word (near-exhaustion regime for the merge loop); both
     // engines must produce identical per-doc unit counts and offsets
-    "op_pack_sequences_bpe")
+    "op_pack_sequences_bpe",
+    // r18: Heaps on the degenerate corpus — the vocabulary saturates
+    // in bucket 0, so the fit sits exactly on the β = 0 / −0.0
+    // boundary (the negative-zero rule's home turf); CDC on identical
+    // docs must cut every doc identically on both engines
+    "op_stats_heaps", "op_chunk_cdc")
 
   def main(args: Array[String]): Unit = {
     val spark = graft.SparkTestSession.spark
