@@ -52,6 +52,7 @@ class PlanEvidenceSpec extends AnyFunSuite {
       "op_mixture_weights",  // 1-row normalizer (token total, Σ√n) crossJoin — bounded by construction
       "op_dsir_weights",     // 1-row normalizers (bucket totals, doc count, threshold) — bounded
       "op_stats_zipf",       // 1-row report assembly (totals × regression × top rank) — bounded
+      "op_stats_heaps",      // 1-row report assembly (totals × OLS fit) — bounded
       "op_stats_pmi")        // 1-row normalizer (total bigram count N) — bounded
     for (q <- Registry.all) {
       val p = plan(q.name)
