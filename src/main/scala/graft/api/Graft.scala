@@ -352,10 +352,13 @@ object Graft {
     * Guarantees: two docs sharing any substring of
     * ≥ gramChars + window − 1 chars share a fingerprint hash, and a
     * doc's selected positions are ≤ window apart (expected density
-    * 2/(window+1)). Docs shorter than gramChars + window − 1 emit
-    * nothing; docs of ≥ 2²⁰ chars FAIL loudly (packed-key bound) —
-    * pre-chunk monster docs with [[chunkDocuments]] first. Pure
-    * map-side per-doc work plus a doc-partitioned DISTINCT. */
+    * 2/(window+1)). The kernel walks UTF-8 BYTES: grams are gramChars
+    * bytes and `pos` is a BYTE offset (≡ char offset for ASCII text).
+    * Docs shorter than gramChars + window − 1 bytes emit nothing; docs
+    * of ≥ 2²⁰ BYTES FAIL loudly (packed-key bound, guarded in the same
+    * byte unit the kernel packs) — pre-chunk monster docs with
+    * [[chunkDocuments]] first. Pure map-side per-doc work plus a
+    * doc-partitioned DISTINCT. */
   def winnowFingerprints(df: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", gramChars: Int = 8,
       window: Int = 8): DataFrame = {
@@ -773,42 +776,13 @@ object Graft {
     selfReleasing(result, release)
   }
 
-  /** Shared cache-lifecycle helper for the caching APIs
-    * ([[ingestTriage]], [[perplexityBuckets]]): registers a one-shot
-    * listener that calls `release()` after the first terminal action
-    * whose plan reads `result`, so the default API never leaks its
-    * cached intermediates into a long-lived session. */
-  private def selfReleasing(result: DataFrame, release: () => Unit): DataFrame = {
-    val sp = result.sparkSession
-    // The ANALYZED plan, not queryExecution.logical: a write action's
-    // QueryExecution wraps the frame's analyzed plan in a command, and
-    // derived frames (counts, projections) embed it as an analyzed
-    // subtree — the unanalyzed plan (unresolved attributes) never
-    // sameResult-matches either, so a logical-plan target would fire
-    // only for a bare collect() on the exact returned Dataset.
-    val target = result.queryExecution.analyzed
-    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
-      private val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
-      private def maybeRelease(qe: org.apache.spark.sql.execution.QueryExecution): Unit =
-        // Terminal actions on the result (or any frame derived from it)
-        // carry its analyzed plan as a subtree; unrelated queries
-        // don't. Guard the analyzed access: onFailure can deliver a
-        // query that never finished analysis.
-        if (scala.util.Try(qe.analyzed.exists(_.sameResult(target)))
-              .getOrElse(false) && fired.compareAndSet(false, true)) {
-          release()
-          sp.listenerManager.unregister(this)
-        }
-      override def onSuccess(name: String,
-          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
-        maybeRelease(qe)
-      override def onFailure(name: String,
-          qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit =
-        maybeRelease(qe)
-    }
-    sp.listenerManager.register(listener)
-    result
-  }
+  /** Cache-lifecycle helper for the caching APIs ([[ingestTriage]],
+    * [[perplexityBuckets]]): the shared [[graft.CacheLifecycle]]
+    * one-shot listener — `release()` fires after the first terminal
+    * action whose plan reads `result`, so the default API never leaks
+    * its cached intermediates into a long-lived session. */
+  private def selfReleasing(result: DataFrame, release: () => Unit): DataFrame =
+    graft.CacheLifecycle.selfReleasing(result, release)
 
   /** [[ingestTriage]] plus a release handle: `_2()` unpersists the
     * three cached triage frames backing the result. Call it AFTER the

@@ -139,10 +139,13 @@ object CorpusStats {
 
   /** Core behind [[fingerprintWinnow]] and `api.Graft.winnowFingerprints`:
     * caller-sized gram/window over any `corpus(doc_id, text)`, without
-    * the graded sort. Docs shorter than k + w − 1 chars have no full
+    * the graded sort. The kernel walks UTF-8 BYTES, so `pos` is a byte
+    * offset and grams are k bytes (≡ chars on the ASCII corpora both
+    * engines verify on). Docs shorter than k + w − 1 bytes have no full
     * window and emit nothing (the paper's domain); docs at or beyond
-    * [[WinnowPosRadix]] chars would corrupt the packed key and FAIL
-    * loudly rather than fingerprint wrong. */
+    * [[WinnowPosRadix]] BYTES would corrupt the packed key and FAIL
+    * loudly rather than fingerprint wrong — the guard measures
+    * `octet_length`, the same unit the kernel packs. */
   private[graft] def winnowWith(corpus: DataFrame, k: Int, w: Int): DataFrame =
     // ONE codegen'd pass per doc (hash → pack → window minima →
     // in-row dedup, graft.plans.WinnowSelect) and ZERO shuffle: the
@@ -173,11 +176,16 @@ object CorpusStats {
   private def winnowProject(corpus: DataFrame, k: Int, w: Int,
       sel: Column, enc: Option[Column] = None): DataFrame = {
     val radix = WinnowPosRadix
+    // both the row-pruning filter and the overflow guard measure BYTES
+    // (octet_length): the kernel packs byte positions into the radix
+    // field, so a char-based guard would let a multi-byte doc with
+    // < radix chars but >= radix bytes through and silently corrupt
+    // the packed key (negative position term)
     val guarded = corpus
-      .filter(length(col("text")) >= k + w - 1)
+      .filter(octet_length(col("text")) >= k + w - 1)
       .withColumn("text",
-        when(length(col("text")) < radix, col("text")).otherwise(raise_error(
-          concat(lit(s"winnow: doc length >= $radix chars for doc_id "),
+        when(octet_length(col("text")) < radix, col("text")).otherwise(raise_error(
+          concat(lit(s"winnow: doc length >= $radix bytes for doc_id "),
             col("doc_id").cast("string")))))
     // the fold form must materialize the enc array as a COLUMN before
     // folding over it (the standing HOF-inlining pitfall); the kernel
@@ -296,10 +304,11 @@ object CorpusStats {
     * small vocab and shuffles a huge one) and a per-doc rollup with
     * map-side partials. */
   def bpeSegment(sp: SparkSession, dir: String): DataFrame =
-    // graded op: the release handle is deliberately dropped (the
-    // vocabulary cache is process-scoped — the B46/annRecall
-    // precedent); the public API wires it to the listener
-    bpeSegmentWith(docs(sp, dir), BpeMerges)._1.orderBy("doc_id")
+    // the graded path self-releases the vocabulary cache after the
+    // first materialization (r18 ADVICE: bench reps re-invoke graded
+    // ops, so a dropped handle pinned a NEW frame per rep)
+    graft.CacheLifecycle.selfReleasing(bpeSegmentWith(docs(sp, dir), BpeMerges))
+      .orderBy("doc_id")
 
   /** Core behind [[bpeSegment]], [[packSequencesBpe]] and
     * `api.Graft.bpeSegmentDocs`: per-doc unit counts under the trained
@@ -625,9 +634,11 @@ object CorpusStats {
     * itself (vocabulary-sized aggregates — the corpus is never read
     * twice); top-K via TakeOrderedAndProject, never a global sort. */
   def statsPmi(sp: SparkSession, dir: String): DataFrame =
-    // graded op: release handle dropped (process-scoped pair-table
-    // cache, the B46 precedent); the public API wires the listener
-    statsPmiWith(docs(sp, dir).select(col("text")), PmiMinCount, PmiTop)._1
+    // the graded path self-releases the pair-table cache after the
+    // first materialization (r18 ADVICE: bench reps re-invoke graded
+    // ops, so a dropped handle pinned a NEW frame per rep)
+    graft.CacheLifecycle.selfReleasing(
+      statsPmiWith(docs(sp, dir).select(col("text")), PmiMinCount, PmiTop))
 
   /** Core behind [[statsPmi]] and `api.Graft.collocations`. Returns
     * the result plus a release handle for the cached pair table. */

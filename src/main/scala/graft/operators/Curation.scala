@@ -239,13 +239,13 @@ object Curation {
     * pass aggregates the VALUE histogram (bounded by the 4-dp score
     * range, not the corpus), exactly like B63 — one integer threshold
     * broadcasts back; never a global sort, never a rank. */
-  def dsirWeights(sp: SparkSession, dir: String): DataFrame = {
-    // graded op runs once per Verify/bench process: the skinny per-doc
-    // scores cache is process-scoped by construction (the B63/annRecall
-    // precedent) and the release handle is deliberately dropped
-    dsirWith(docs(sp, dir), col("source") === DsirTargetSource)._1
+  def dsirWeights(sp: SparkSession, dir: String): DataFrame =
+    // the graded path self-releases its scores cache after the first
+    // materialization (r18 ADVICE: the bench harness re-invokes graded
+    // ops warm+reps, so a dropped handle pinned a NEW frame per rep)
+    graft.CacheLifecycle.selfReleasing(
+        dsirWith(docs(sp, dir), col("source") === DsirTargetSource))
       .orderBy("doc_id")
-  }
 
   /** Core behind [[dsirWeights]] and `api.Graft.dsirWeights`: feature
     * hash → smoothed log-ratio table → per-doc mean score →

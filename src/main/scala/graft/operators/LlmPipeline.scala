@@ -410,11 +410,13 @@ object LlmPipeline {
     * band buckets, the signature compare, the distinct-gram join and
     * the per-doc counts (r18; the r16 formulation re-derived it five
     * times — 5.7 s vs a 2.75 s quiet floor at sf0.1, the board's one
-    * `weak`). The graded path drops the release handle (process-scoped
-    * cache, the B46/annRecall precedent); `api.Graft.minhashAudit`
-    * wires it to the self-releasing listener. */
+    * `weak`). Both the graded path and `api.Graft.minhashAudit` wire
+    * the release handle to the self-releasing listener (r18 ADVICE:
+    * bench reps re-invoke graded ops, so a dropped handle pinned a
+    * NEW frame per rep). */
   def minhashEst(sp: SparkSession, dir: String): DataFrame =
-    minhashEstWith(minhashCorpus(sp, dir))._1.orderBy("doc_a", "doc_b")
+    graft.CacheLifecycle.selfReleasing(minhashEstWith(minhashCorpus(sp, dir)))
+      .orderBy("doc_a", "doc_b")
 
   /** Core behind [[minhashEst]] and `api.Graft.minhashAudit`: the
     * estimator-vs-exact audit over ANY `corpus(doc_id, text)`, without

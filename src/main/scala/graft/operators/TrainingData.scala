@@ -386,10 +386,21 @@ object TrainingData {
         cents.select(col("c_id").as("vec_id"), col("ce").as("e")), supers)
       .select(col("vec_id").as("c_id"), col("cell").as("sup"))
     val centsSup = cents.join(c2s, Seq("c_id"))
+    // rank only supers that HAVE child centroids: with an externally
+    // trained super codebook a super can be no centroid's nearest, and
+    // a vector whose top-S probes were all such empty supers would
+    // vanish from the output through the inner join below (r18
+    // ADVICE). Empty supers contribute no candidates, so spending
+    // probe budget on them is pure loss; restricting the ranking keeps
+    // every vector assigned and leaves the superProbe ≥ |supers|
+    // flat-equivalence untouched (the candidate union is still all
+    // centroids). √K rows — broadcastability unchanged.
+    val liveSupers = supers.join(
+      c2s.select(col("sup").as("c_id")).distinct(), Seq("c_id"), "left_semi")
     val ws = Window.partitionBy("vec_id")
       .orderBy(col("cos_s").desc, col("sup_id").asc)
     val v2s = emb.join(broadcast(
-        supers.select(col("c_id").as("sup_id"), col("ce").as("se"))))
+        liveSupers.select(col("c_id").as("sup_id"), col("ce").as("se"))))
       .withColumn("cos_s", graft.plans.VectorKernels.cosine(col("e"), col("se")))
       .withColumn("rn", row_number().over(ws)).filter(col("rn") <= superProbe)
       .select(col("vec_id"), col("e"), col("sup_id").as("sup"))
@@ -799,7 +810,11 @@ object TrainingData {
     * oracle grades. */
   private[graft] def repeatedSpansWith(corpus: DataFrame, k: Int,
       hashGrams: Boolean): DataFrame =
-    repeatedSpansManaged(corpus, k, hashGrams)._1
+    // self-releases the gram cache after the first materialization
+    // (r18 ADVICE: bench reps re-invoke graded ops, so a dropped
+    // handle pinned a NEW frame per rep); callers that materialize
+    // twice hold the explicit [[repeatedSpansManaged]] handle
+    graft.CacheLifecycle.selfReleasing(repeatedSpansManaged(corpus, k, hashGrams))
 
   /** [[repeatedSpansWith]] plus the release handle for the persisted
     * distinct-gram frame. The gram build (tokenize + k-token slices

@@ -13,20 +13,31 @@ import org.apache.spark.unsafe.types.UTF8String
   * `op_chunk_cdc` (B81; the fingerprint-boundary rule of Manber 1994,
   * "Finding similar files in a large file system", USENIX — the
   * ancestor of Rabin/FastCDC chunking). For every k-byte window
-  * starting at 0-based `i` (so `i ∈ [0, len-k]`), the window's
+  * starting at 0-based byte `i` (so `i ∈ [0, len-k]`), the window's
   * [[RollingHash]] polynomial `(acc·31 + byte) % 1e9+7` is taken mod
-  * `divisor`; a hit (`== rem`) cuts AFTER the window — offset
+  * `divisor`; a hit (`== rem`) cuts AFTER the window — byte boundary
   * `i + k`, end-exclusive. Output: the ascending int array of cut
-  * offsets (strictly increasing by construction; expected chunk size
-  * ≈ `divisor` bytes).
+  * offsets in CHARS — each byte boundary is reported as the count of
+  * UTF-8 lead bytes before it — because the consumer
+  * (`TrainingData.chunkCdcWith`) slices with the char-based
+  * `substring` and closes the bounds array with char-based
+  * `length(text)`; emitting bytes there silently corrupted non-ASCII
+  * chunk boundaries/md5 keys and could break the tiling invariant
+  * (r18 ADVICE). A cut falling inside a multi-byte codepoint attaches
+  * the straddling char to the LEFT chunk (its lead byte precedes the
+  * boundary), and several byte cuts inside one codepoint collapse to
+  * one char offset, so the output stays strictly increasing. On ASCII
+  * text chars ≡ bytes and the output is bit-identical to the pre-fix
+  * kernel (expected chunk size ≈ `divisor` bytes).
   *
   * Why a kernel: the per-position windowed hash is the same
   * interpreted-HOF trap [[WinnowSelect]] closed — a
-  * `transform(sequence)` fold runs CodegenFallback per position. Same
-  * byte-wise caveat as RollingHash (≡ char-wise `ord` on the ASCII
-  * corpora both engines verify on). Generated Java keeps to the
-  * Janino subset (no generics, explicit boxing avoided by a two-pass
-  * count-then-fill over a boolean mask).
+  * `transform(sequence)` fold runs CodegenFallback per position. The
+  * HASH stays byte-wise like RollingHash (≡ char-wise `ord` on the
+  * ASCII corpora both engines verify on) — content-defined cuts only
+  * need a deterministic content hash, whatever the unit. Generated
+  * Java keeps to the Janino subset (no generics, explicit boxing
+  * avoided by a two-pass count-then-fill over a boolean mask).
   */
 case class CdcCuts(child: Expression, k: Int, divisor: Int, rem: Int)
     extends UnaryExpression {
@@ -55,11 +66,23 @@ case class CdcCuts(child: Expression, k: Int, divisor: Int, rem: Int)
       if (acc % divisor == rem) { hit(i) = true; nHit += 1 }
       i += 1
     }
-    val out = new Array[Int](nHit)
+    // fill pass: walk bytes once, tracking the char count (UTF-8 lead
+    // bytes) so each byte boundary i + k is reported in CHARS; cuts
+    // collapsing onto one char offset (mid-codepoint) dedup here
+    val tmp = new Array[Int](nHit)
     var r = 0
-    i = 0
-    while (i < nPos) { if (hit(i)) { out(r) = i + k; r += 1 }; i += 1 }
-    new GenericArrayData(out)
+    var chars = 0
+    var prev = -1
+    var b = 0
+    while (b < bytes.length) {
+      if ((bytes(b) & 0xc0) != 0x80) chars += 1
+      val ii = b + 1 - k
+      if (ii >= 0 && ii < nPos && hit(ii) && chars != prev) {
+        tmp(r) = chars; r += 1; prev = chars
+      }
+      b += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(tmp, r))
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -73,6 +96,10 @@ case class CdcCuts(child: Expression, k: Int, divisor: Int, rem: Int)
       val j = ctx.freshName("j")
       val out = ctx.freshName("out")
       val r = ctx.freshName("r")
+      val chars = ctx.freshName("chars")
+      val prev = ctx.freshName("prev")
+      val b = ctx.freshName("b")
+      val ii = ctx.freshName("ii")
       s"""
          |byte[] $bytes = $str.getBytes();
          |int $nPos = $bytes.length - $k + 1;
@@ -90,10 +117,17 @@ case class CdcCuts(child: Expression, k: Int, divisor: Int, rem: Int)
          |  }
          |  int[] $out = new int[$nHit];
          |  int $r = 0;
-         |  for (int $i = 0; $i < $nPos; $i++) {
-         |    if ($hit[$i]) { $out[$r] = $i + $k; $r++; }
+         |  int $chars = 0;
+         |  int $prev = -1;
+         |  for (int $b = 0; $b < $bytes.length; $b++) {
+         |    if (($bytes[$b] & 0xc0) != 0x80) $chars++;
+         |    int $ii = $b + 1 - $k;
+         |    if ($ii >= 0 && $ii < $nPos && $hit[$ii] && $chars != $prev) {
+         |      $out[$r] = $chars; $r++; $prev = $chars;
+         |    }
          |  }
-         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |    java.util.Arrays.copyOf($out, $r));
          |}
        """.stripMargin
     })
@@ -103,7 +137,8 @@ case class CdcCuts(child: Expression, k: Int, divisor: Int, rem: Int)
 }
 
 object CdcCuts {
-  /** DataFrame-API entry point: ascending cut offsets (end-exclusive). */
+  /** DataFrame-API entry point: ascending CHAR cut offsets
+    * (end-exclusive; ≡ byte offsets on ASCII text). */
   def cdcCuts(text: Column, k: Int, divisor: Int, rem: Int = 0): Column =
     bridge.column(CdcCuts(bridge.expression(text), k, divisor, rem))
 }

@@ -34,8 +34,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * char-wise `ord` on the ASCII corpora both engines verify on).
   *
   * Documents shorter than `k + w − 1` BYTES emit an empty array (the
-  * paper's domain — no full window); the caller keeps the char-length
-  * filter for plan-level row pruning and the `radix` overflow guard.
+  * paper's domain — no full window); the caller keeps a BYTE-length
+  * (`octet_length`) filter for plan-level row pruning and the `radix`
+  * overflow guard in the same unit — positions here are BYTE offsets,
+  * so for non-ASCII input the public `winnowFingerprints` `pos` column
+  * is a byte offset too (documented at the call site).
   *
   * At 100 TB: pure map-side, linear in corpus bytes, and since r18 the
   * selection dedups INSIDE the row (this kernel) so no corpus-sized

@@ -51,9 +51,16 @@ class AnnHierApiSpec extends AnyFunSuite {
       .select((col("vec_id") * 2).as("vec_id"), col("embedding"))
     val bat = emb.filter(col("vec_id") % 4 =!= 0)
       .select((col("vec_id") * 2).as("vec_id"), col("embedding"))
-    val flat = api.Graft.annProbe(hist, bat, cb).collect().toSeq
-    val hier = api.Graft.annProbeHier(hist, bat, cb, sup, superProbe = nSup)
-      .collect().toSeq
+    // sort BOTH sides before comparing: the two plans differ
+    // (different joins/windows), so partition output order is not
+    // guaranteed to match even when contents are identical (r18
+    // ADVICE — a latent flaky row-for-row compare)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+        .toSeq.sorted
+    val flat = rows(api.Graft.annProbe(hist, bat, cb))
+    val hier = rows(api.Graft.annProbeHier(hist, bat, cb, sup, superProbe = nSup))
     assert(hier == flat,
       "probing every super must restore the flat assignment row-for-row")
   }
@@ -92,6 +99,24 @@ class AnnHierApiSpec extends AnyFunSuite {
         rows.head.getDouble(3) == 1.0,
         s"re-post must hit its original at rank 1 under S=$s")
     }
+  }
+
+  test("an empty super (no child centroids) cannot drop vectors") {
+    // externally trained super codebooks can contain a super that is
+    // no centroid's nearest; a vector whose top-S probes were all such
+    // empty supers used to vanish through the inner join (r18 ADVICE).
+    // Super 12 = z-axis has no children; v/h = z-axis probe it first.
+    val sup3 = supers :+ (12L -> Array(0.0, 0.0, 1.0, 0.0))
+    val zc = Array(0.0, 0.0, 1.0, 0.0)
+    val out = api.Graft.annProbeHier(
+      df(Seq(100L -> zc), "vec_id", "embedding"),
+      df(Seq(5L -> zc), "vec_id", "embedding"),
+      cdf(cents), cdf(sup3), superProbe = 1).collect()
+    // both sides fall back to the nearest LIVE super (tie → sup 10 →
+    // cell from its children) and co-locate: identical vectors, cos 1
+    assert(out.length == 1 && out.head.getLong(0) == 5L &&
+      out.head.getLong(2) == 100L && out.head.getDouble(3) == 1.0,
+      "vectors probing an empty super must still be assigned and co-locate")
   }
 
   test("guards: superProbe >= 1, lossless ids") {

@@ -87,6 +87,32 @@ class ChunkCdcSpec extends AnyFunSuite {
       "identical interiors must chunk to common block hashes")
   }
 
+  test("non-ASCII text tiles in CHARS and md5 keys match the char slices") {
+    // the r18 ADVICE bug: the kernel emitted BYTE cut offsets while the
+    // consumer sliced with char-based substring — multi-byte text got
+    // wrong boundaries/md5 keys and could break the tiling invariant.
+    // The kernel now reports cuts in chars; verify tiling + hashes on
+    // text where bytes != chars (2-byte letters mixed with ASCII).
+    val txt = (0 until 30).map(i => s"wörter$i übér dätä").mkString(" ")
+    val c = corpusOf(11L -> txt, 12L -> ("é" * 100))
+    val rows = run(c).collect().groupBy(_.getLong(0))
+    for ((id, body) <- Seq(11L -> txt, 12L -> "é" * 100)) {
+      val ch = rows(id).sortBy(_.getInt(1))
+      assert(ch.map(_.getInt(1)).toSeq == ch.indices.toSeq, s"doc $id ids")
+      var off = 0
+      ch.foreach { r =>
+        assert(r.getInt(2) == off, s"doc $id: gap at chunk ${r.getInt(1)}")
+        val slice = body.substring(off, off + r.getInt(3))
+        val expect = java.security.MessageDigest.getInstance("MD5")
+          .digest(slice.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        assert(r.getString(4) == expect,
+          s"doc $id chunk ${r.getInt(1)}: md5 must hash the CHAR slice")
+        off += r.getInt(3)
+      }
+      assert(off == body.length, s"doc $id: chunks cover $off of ${body.length}")
+    }
+  }
+
   test("short-doc edge: below the window, one whole chunk") {
     val c = corpusOf(7L -> "tiny")
     val rows = run(c).collect()

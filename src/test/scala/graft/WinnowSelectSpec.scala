@@ -51,6 +51,35 @@ class WinnowSelectSpec extends AnyFunSuite {
     assert(a.count(_._1 == 2L) == 1, "minimum-length doc has exactly one window")
   }
 
+  test("overflow guard measures BYTES: multi-byte doc under the char " +
+      "bound but over the byte bound fails loudly") {
+    import spark.implicits._
+    // 600k 2-byte chars: 600_000 chars < 2^20 but 1_200_000 bytes >=
+    // 2^20 — the pre-fix char guard let this through and the packed
+    // position term went negative (silent fp/pos corruption)
+    val c = Seq(1L -> ("é" * 600000)).toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      CorpusStats.winnowWith(c, k, w).count()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("winnow: doc length")),
+      s"expected the loud winnow guard, got: $e")
+  }
+
+  test("non-ASCII positions are byte offsets and stay in-range") {
+    import spark.implicits._
+    // 2-byte chars throughout: byte length is 2x char length; every
+    // packed position must decode to a non-negative in-range offset
+    val txt = "éü" * (k + 4 * w)
+    val c = Seq(1L -> txt).toDF("doc_id", "text")
+    val got = rows(CorpusStats.winnowWith(c, k, w))
+    val nBytes = txt.getBytes("UTF-8").length
+    assert(got.nonEmpty)
+    assert(got.forall { case (_, pos, _) => pos >= 0 && pos <= nBytes - k },
+      "byte positions must lie within the byte domain")
+  }
+
   test("non-default geometry parity (api-sized k/w)") {
     import spark.implicits._
     val c = Seq(1L -> "abcdefghijabcdefghij the same prefix repeats here",
