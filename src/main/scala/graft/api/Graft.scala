@@ -257,6 +257,30 @@ object Graft {
       gramBytes, divisor, rem)
   }
 
+  /** Block-level dedup over content-defined chunks — the general form
+    * of the graded `op_dedup_blocks` (same core,
+    * [[graft.operators.TrainingData.blockDedupWith]]; Manber 1994 §3 —
+    * the cross-document shared-region detection CDC chunking exists
+    * for). Chunks each document with [[chunkContentDefined]]'s rule,
+    * calls a block duplicated when its `chunk_md5` appears in ≥ 2
+    * DISTINCT documents (within-doc repeats alone do not count — the
+    * "some OTHER document" contract of [[repeatedSpans]]), and emits
+    * one row per doc: `(doc_id, n_chunks, total_len, n_dup_chunks,
+    * dup_len, dup_ratio, flagged)` with `flagged` at ≥ half the doc's
+    * length duplicated. Because boundaries are content-defined, a
+    * verbatim region shared under an insertion-shifted wrapper still
+    * keys identically — the case fixed blocks and fixed-stride chunks
+    * both miss. The chunk pass is cached with one self-releasing
+    * handle (two consumers); census + rollup are digest-keyed
+    * aggregates with map-side partials, never pairs. */
+  def dedupBlocks(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text",
+      gramBytes: Int = graft.operators.TrainingData.CdcGram,
+      divisor: Int = graft.operators.TrainingData.CdcDivisor,
+      rem: Int = graft.operators.TrainingData.CdcRem): DataFrame =
+    graft.operators.TrainingData.blockDedupWith(
+      chunkContentDefined(df, idCol, textCol, gramBytes, divisor, rem))
+
   /** Exact repeated-span detection for any corpus — the general form
     * of the graded `op_dedup_substring` (same core,
     * [[graft.operators.TrainingData.repeatedSpansWith]]; the

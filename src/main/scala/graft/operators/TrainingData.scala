@@ -721,13 +721,93 @@ object TrainingData {
           .as("chunk_md5"))
   }
 
-  /** B81 oracle — the same windowed hash (`q` binds the inner hash
-    * lambda, `p` the outer position: nested lambdas with DISTINCT
-    * variables, per the r16 shadowing rule), cut packing, and chunk
-    * slicing. */
-  private[graft] val ChunkCdcSql: String =
-    s"""WITH c AS (
-      |  SELECT doc_id, text, length(text) AS n FROM documents),
+  /** B82 — `op_dedup_blocks`: BLOCK-LEVEL dedup over B81's
+    * content-defined chunks — the payoff CDC chunking exists for in
+    * storage/dedup systems (Manber 1994 §3; the block-store idea
+    * behind LBFS/Venti-style dedup): group chunks by `chunk_md5`, call
+    * a block duplicated when it appears in ≥ 2 DISTINCT documents, and
+    * roll up per doc the duplicated-length ratio + a ≥-half flag.
+    * This is the byte-level analog of B62 (token grams) and B70
+    * (lines): because the chunk boundaries are content-defined, a
+    * verbatim region shared under an INSERTION-shifted wrapper still
+    * yields identical block keys (the planted corpus is exactly that —
+    * originals re-keyed 2·id, plus for id % 5 = 0 a copy at 2·id+1
+    * with an injected preamble that shifts every byte offset), which
+    * fixed 100-char blocks (B31) and fixed-stride chunks (B61) both
+    * miss. Within-doc repeats alone do NOT count (the B62 "appears in
+    * some OTHER document" contract): the block census counts DISTINCT
+    * docs per key.
+    *
+    * Scale shape: chunking is the B81 map-side kernel pass; the block
+    * census is one `(chunk_md5, doc_id)`-distinct shuffle collapsed to
+    * key-sized groups with map-side partials (the B16/B70 digest-keyed
+    * discipline — never pairs, so a 100-copy degenerate corpus grows a
+    * key's group linearly, not quadratically); the join-back is a
+    * left-semi on the same key, re-using the exchange, and the per-doc
+    * rollup partitions by doc. A corpus-wide boilerplate block makes
+    * one hot key on the semi-join's streamed side — the AQE skew-split
+    * geometry already certified for B70's join-back
+    * (tools.DedupLinesHotKeyProbe). */
+  def dedupBlocks(sp: SparkSession, dir: String): DataFrame = {
+    val base = docs(sp, dir)
+    val corpus = base.select((col("doc_id") * 2).as("doc_id"), col("text"))
+      .union(base.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") * 2 + 1).as("doc_id"),
+          concat(lit("injected preamble sentence "), col("text")).as("text")))
+    blockDedupWith(chunkCdcWith(corpus, CdcGram, CdcDivisor, CdcRem))
+      .orderBy("doc_id")
+  }
+
+  /** Core behind [[dedupBlocks]] and `api.Graft.dedupBlocks`: the
+    * block census + per-doc rollup over ANY `chunks(doc_id, chunk_len,
+    * chunk_md5, …)` frame (extra columns ignored) — compose with
+    * [[chunkCdcWith]] / `api.Graft.chunkContentDefined`, or feed
+    * externally stored chunk manifests. Self-releases the chunk cache
+    * after the first materialization (the r19 graded-path rule);
+    * callers that materialize twice hold [[blockDedupManaged]]. */
+  private[graft] def blockDedupWith(chunks: DataFrame): DataFrame =
+    graft.CacheLifecycle.selfReleasing(blockDedupManaged(chunks))
+
+  /** [[blockDedupWith]] plus the release handle for the persisted
+    * chunk frame (the chunk kernel pass is the dominant cost and has
+    * two consumers — the per-doc totals and the census semi-join). */
+  private[graft] def blockDedupManaged(chunks: DataFrame): (DataFrame, () => Unit) = {
+    val ch = chunks.select(col("doc_id"), col("chunk_len"), col("chunk_md5"))
+      .persist()
+    // DISTINCT docs per block key: the pre-aggregate on the distinct
+    // pair dodges countDistinct's Expand (the standing gotcha) and is
+    // itself the map-side-combined heavy step
+    val shared = ch.select(col("chunk_md5"), col("doc_id")).distinct()
+      .groupBy("chunk_md5").agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2)
+    val tot = ch.groupBy("doc_id").agg(count(lit(1)).as("n_chunks"),
+      sum(col("chunk_len")).as("total_len"))
+    val dup = ch.join(shared.select("chunk_md5"), Seq("chunk_md5"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_dup_chunks"),
+        sum(col("chunk_len")).as("dup_len"))
+    val result = tot.join(dup, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        col("n_chunks").cast("int").as("n_chunks"),
+        col("total_len").cast("int").as("total_len"),
+        coalesce(col("n_dup_chunks"), lit(0L)).cast("int").as("n_dup_chunks"),
+        coalesce(col("dup_len"), lit(0L)).cast("int").as("dup_len"),
+        (coalesce(col("dup_len"), lit(0L)).cast("double") / col("total_len"))
+          .as("dup_ratio"),
+        (coalesce(col("dup_len"), lit(0L)) * 2 >= col("total_len")).as("flagged"))
+    (result, () => { ch.unpersist(); () })
+  }
+
+  /** The CDC chunking CTE chain over a caller-named corpus relation —
+    * single SQL owner shared by the B81 and B82 oracles (one chunking
+    * rule, two graded views; the bpeLoop/packOffsets shared-owner
+    * discipline). Same windowed hash as the kernel (`q` binds the
+    * inner hash lambda, `p` the outer position: nested lambdas with
+    * DISTINCT variables, per the r16 shadowing rule), cut packing, and
+    * chunk slicing; exposes `chunks(doc_id, chunk_id, start,
+    * chunk_len, chunk_md5)`. */
+  private def cdcChunkCtes(corpus: String): String =
+    s"""c AS (
+      |  SELECT doc_id, text, length(text) AS n FROM $corpus),
       |cuts AS (
       |  SELECT doc_id, text, n,
       |    list_filter(list_transform(range(1, greatest(n - $CdcGram + 1, 0) + 1),
@@ -746,10 +826,48 @@ object TrainingData {
       |    CAST(bs[CAST(u.q + 2 AS INTEGER)] - bs[CAST(u.q + 1 AS INTEGER)] AS INTEGER) AS chunk_len,
       |    md5(substring(text, CAST(bs[CAST(u.q + 1 AS INTEGER)] + 1 AS INTEGER),
       |      CAST(bs[CAST(u.q + 2 AS INTEGER)] - bs[CAST(u.q + 1 AS INTEGER)] AS INTEGER))) AS chunk_md5
-      |  FROM b, unnest(range(0, len(bs) - 1)) AS u(q))
+      |  FROM b, unnest(range(0, len(bs) - 1)) AS u(q)),
+      |chunks AS (
+      |  SELECT doc_id, chunk_id, start, chunk_len, chunk_md5
+      |  FROM ch WHERE chunk_len > 0)""".stripMargin
+
+  /** B81 oracle — the shared chunking chain over `documents`. */
+  private[graft] val ChunkCdcSql: String =
+    s"""WITH ${cdcChunkCtes("documents")}
       |SELECT doc_id, chunk_id, start, chunk_len, chunk_md5
-      |FROM ch WHERE chunk_len > 0
+      |FROM chunks
       |ORDER BY doc_id, chunk_id""".stripMargin
+
+  /** B82 oracle — the same chunking chain over the planted shifted-copy
+    * corpus, then the block-level rollup (≥ 2 DISTINCT docs per
+    * `chunk_md5` ⇒ duplicated block; per-doc duplicated-length ratio,
+    * flagged at ≥ half). */
+  private[graft] val DedupBlocksSql: String =
+    s"""WITH corpus AS (
+      |  SELECT doc_id * 2 AS doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id * 2 + 1, 'injected preamble sentence ' || text
+      |  FROM documents WHERE doc_id % 5 = 0),
+      |${cdcChunkCtes("corpus")},
+      |shared AS (
+      |  SELECT chunk_md5 FROM (SELECT DISTINCT chunk_md5, doc_id FROM chunks)
+      |  GROUP BY chunk_md5 HAVING count(*) >= 2),
+      |tot AS (
+      |  SELECT doc_id, count(*) AS n_chunks, sum(chunk_len) AS total_len
+      |  FROM chunks GROUP BY doc_id),
+      |dup AS (
+      |  SELECT doc_id, count(*) AS n_dup_chunks, sum(chunk_len) AS dup_len
+      |  FROM chunks WHERE chunk_md5 IN (SELECT chunk_md5 FROM shared)
+      |  GROUP BY doc_id)
+      |SELECT t.doc_id,
+      |  CAST(t.n_chunks AS INTEGER) AS n_chunks,
+      |  CAST(t.total_len AS INTEGER) AS total_len,
+      |  CAST(coalesce(d.n_dup_chunks, 0) AS INTEGER) AS n_dup_chunks,
+      |  CAST(coalesce(d.dup_len, 0) AS INTEGER) AS dup_len,
+      |  CAST(coalesce(d.dup_len, 0) AS DOUBLE) / t.total_len AS dup_ratio,
+      |  coalesce(d.dup_len, 0) * 2 >= t.total_len AS flagged
+      |FROM tot t LEFT JOIN dup d ON t.doc_id = d.doc_id
+      |ORDER BY t.doc_id""".stripMargin
 
   // ---- B62: exact repeated-substring dedup ---------------------------------
 
@@ -1879,6 +1997,8 @@ object TrainingData {
         |ORDER BY s.vec_id""".stripMargin)(semDedup),
 
     OpQuery("op_chunk_cdc", ChunkCdcSql)(chunkCdc),
+
+    OpQuery("op_dedup_blocks", DedupBlocksSql)(dedupBlocks),
 
     OpQuery("op_chunk_sliding",
       s"""WITH t AS (
