@@ -457,6 +457,79 @@ object TrainingData {
     annProbeWith(history, batch, cents, topK = 3)
   }
 
+  /** B83 — `op_ann_pq_incremental`: the DEPLOYABLE 100 TB incremental
+    * ANN read path — IVF cells + PQ codes (Jégou, Douze & Schmid 2011,
+    * "Product Quantization for Nearest Neighbor Search", TPAMI 33(1),
+    * the IVFADC system of §5): the daily batch probes a STORED
+    * historical index in which each history vector is represented only
+    * by its coarse cell and its 8-block PQ code, and scoring is ADC —
+    * asymmetric distance computation, the batch's EXACT vector against
+    * the history's RECONSTRUCTED code words — so the probe never
+    * touches an original history vector. B58 (`op_ann_incremental`)
+    * grades the same probe against exact history vectors; this op
+    * grades the compressed layout a production deployment actually
+    * stores (8 bytes/vector at k=256 instead of 512 bytes of doubles —
+    * the 64× that makes a 100 TB corpus' index fit its cluster). Same
+    * split, codebook, candidate geometry, and output schema as B58
+    * (`(batch_id, rank, hist_id, score)`), so the two ops are directly
+    * comparable; the fidelity cost of compression is measured, not
+    * guessed, by AnnPqIncrementalSpec's recall-vs-exact contract (the
+    * B51 pattern).
+    *
+    * Scale shape: the index build (cell assign by exact vector +
+    * per-block argmin encode) is the one-time STORED artifact — both
+    * are broadcast-join map-side passes with a `min_by` aggregate
+    * (map-side partials, the B28c discipline). The probe is B58's
+    * cell-keyed shuffle join where only the batch moves; the history
+    * side ships 8 reconstructed doubles per block from the code
+    * lookup, never the original 64. Candidate volume is linear (the
+    * corpus-scaled [[AnnCodebookStride]] codebook, occupancy ≈
+    * stride/4). */
+  def annPqIncremental(sp: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(sp, dir)
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("e"))
+    val (history, batch, cents) = annSplit(emb)
+    // stored side: coarse cell by EXACT vector (standard IVF-PQ build),
+    // probe representation = the PQ reconstruction only
+    val hIndexed = ivfAssignWith(history, cents).select(col("vec_id"), col("cell"))
+      .join(pqReconstruct(history, pqCodebook(emb)), Seq("vec_id"))
+      .select(col("vec_id"), col("e"), col("cell"))
+    probeAssigned(hIndexed, ivfAssignWith(batch, cents), topK = 3)
+      .orderBy("batch_id", "rank")
+  }
+
+  /** B28c PQ codebook rule — the matching 8-dim blocks of fixed corpus
+    * vectors 100–103 are the per-block codebooks (same determinism
+    * trick as B28b's IVF centroids; a real deployment trains per-block
+    * codebooks with [[graft.functions.KMeansLite]]). Single owner
+    * shared by B28c, B51's pq leg, and B83. */
+  private[graft] def pqCodebook(emb: DataFrame): DataFrame =
+    emb.filter(col("vec_id").between(100, 103))
+      .select((col("vec_id") - 100).as("c_id"), col("e").as("ce"))
+
+  /** PQ encode-then-reconstruct over a prepped `(vec_id, e)` frame:
+    * each vector's 8 contiguous 8-dim blocks are coded as their
+    * L2-nearest codebook block (RAW distances, ties to the lower c_id
+    * — the B28c `min_by` rule) and the reconstruction is the coded
+    * blocks re-concatenated in order. At scale the reconstruction is a
+    * codebook LOOKUP from the stored 8-byte code; here it is derived
+    * in the same plan because the graded corpus builds its index
+    * inline. Broadcast codebook, map-side blocks, `min_by` aggregate
+    * with map-side partials — no corpus self-join. */
+  private[graft] def pqReconstruct(vecs: DataFrame, pqc: DataFrame): DataFrame =
+    vecs.select(col("vec_id"), col("e"), explode(sequence(lit(0), lit(7))).as("b"))
+      .withColumn("sub", slice(col("e"), col("b") * 8 + 1, lit(8)))
+      .join(broadcast(pqc))
+      .withColumn("csub", slice(col("ce"), col("b") * 8 + 1, lit(8)))
+      .withColumn("d2", aggregate(zip_with(col("sub"), col("csub"),
+        (x, y) => (x - y) * (x - y)), lit(0.0), (acc, v) => acc + v))
+      .groupBy("vec_id", "b")
+      .agg(min_by(col("csub"), struct(col("d2"), col("c_id"))).as("csub"))
+      .groupBy("vec_id")
+      .agg(array_sort(collect_list(struct(col("b"), col("csub")))).as("bs"))
+      .select(col("vec_id"),
+        flatten(transform(col("bs"), s => s.getField("csub"))).as("e"))
+
   /** Coarse-codebook selection rule shared by the graded B58 op and
     * the e2e nn stage (B59b): every `AnnCodebookStride`-th vector of
     * the base embeddings frame is a centroid, so K ≈ |corpus|/stride
@@ -534,7 +607,10 @@ object TrainingData {
       .select(col("cell"), col("vec_id").as("batch_id"), col("e").as("be"))
     val w = Window.partitionBy("batch_id").orderBy(col("score").desc, col("hist_id").asc)
     probe.join(histIdx, Seq("cell"))
-      .withColumn("score", round(cosine(col("be"), col("he")), 4))
+      // + 0.0: the r16 negative-zero convention — ADC scores (B83) can
+      // round to zero FROM BELOW, and DuckDB keeps the -0.0 the hash
+      // distinguishes; (-0.0)+0.0 = +0.0, identity elsewhere
+      .withColumn("score", round(cosine(col("be"), col("he")), 4) + lit(0.0))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= topK)
       .select(col("batch_id"), col("rank"), col("hist_id"), col("score"))
@@ -1050,8 +1126,7 @@ object TrainingData {
     // (d2, c_id) ordering struct is UNIQUE per group, so min_by's
     // tie-break indeterminacy never applies (ties on d2 fall to the
     // lower c_id, identical to the old window's ordering).
-    val cents4 = emb.filter(col("vec_id").between(100, 103))
-      .select((col("vec_id") - 100).as("c_id"), col("e").as("ce"))
+    val cents4 = pqCodebook(emb.select(col("vec_id"), col("e")))
     val coded = emb
       .select(col("vec_id"), col("e"), explode(sequence(lit(0), lit(7))).as("b"))
       .withColumn("sub", slice(col("e"), col("b") * 8 + 1, lit(8)))
@@ -1109,8 +1184,7 @@ object TrainingData {
   def vectorPq(sp: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(sp, dir)
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("e"))
-    val cents = emb.filter(col("vec_id").between(100, 103))
-      .select((col("vec_id") - 100).as("c_id"), col("e").as("ce"))
+    val cents = pqCodebook(emb)
     val blocks = emb
       .select(col("vec_id"), col("e"), explode(sequence(lit(0), lit(7))).as("b"))
       .withColumn("sub", slice(col("e"), col("b") * 8 + 1, lit(8)))
@@ -1951,7 +2025,7 @@ object TrainingData {
         |scored AS (
         |  SELECT b.vid AS batch_id, h.vid AS hist_id,
         |    round(list_dot_product(b.e, h.e) /
-        |      (sqrt(list_dot_product(b.e, b.e)) * sqrt(list_dot_product(h.e, h.e))), 4) AS score
+        |      (sqrt(list_dot_product(b.e, b.e)) * sqrt(list_dot_product(h.e, h.e))), 4) + 0.0 AS score
         |  FROM assigned b JOIN assigned h
         |    ON b.cell = h.cell AND b.side = 'b' AND h.side = 'h'),
         |ranked AS (
@@ -1960,6 +2034,61 @@ object TrainingData {
         |  FROM scored)
         |SELECT batch_id, rank, hist_id, score FROM ranked WHERE rank <= 3
         |ORDER BY batch_id, rank""".stripMargin)(annIncremental),
+
+    OpQuery("op_ann_pq_incremental",
+      s"""WITH emb AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |cents AS (
+        |  SELECT vec_id AS c_id, e AS ce FROM emb WHERE vec_id % $AnnCodebookStride = 0),
+        |pqc AS (
+        |  SELECT vec_id - 100 AS c_id, e AS ce FROM emb
+        |  WHERE vec_id BETWEEN 100 AND 103),
+        |corpus AS (
+        |  SELECT 'h' AS side, vec_id * 2 AS vid, e FROM emb WHERE vec_id % 4 = 0
+        |  UNION ALL
+        |  SELECT 'b', vec_id * 2, e FROM emb WHERE vec_id % 4 <> 0
+        |  UNION ALL
+        |  SELECT 'b', vec_id * 2 + 1, e FROM emb WHERE vec_id % 8 = 0),
+        |assigned AS (
+        |  SELECT side, vid, e, c_id AS cell FROM (
+        |    SELECT corpus.side, corpus.vid, corpus.e, cents.c_id,
+        |      row_number() OVER (PARTITION BY corpus.side, corpus.vid ORDER BY
+        |        list_dot_product(corpus.e, cents.ce) /
+        |          (sqrt(list_dot_product(corpus.e, corpus.e)) * sqrt(list_dot_product(cents.ce, cents.ce))) DESC,
+        |        cents.c_id ASC) AS rn
+        |    FROM corpus, cents)
+        |  WHERE rn = 1),
+        |hblocks AS (
+        |  SELECT h.vid, b.b, list_slice(h.e, b.b * 8 + 1, b.b * 8 + 8) AS sub
+        |  FROM (SELECT vid, e FROM corpus WHERE side = 'h') h,
+        |       (SELECT unnest(range(0, 8)) AS b) b),
+        |hscored AS (
+        |  SELECT hb.vid, hb.b, c.c_id,
+        |    list_slice(c.ce, hb.b * 8 + 1, hb.b * 8 + 8) AS csub,
+        |    list_sum(list_transform(range(1, 9),
+        |      i -> (hb.sub[i] - list_slice(c.ce, hb.b * 8 + 1, hb.b * 8 + 8)[i]) *
+        |           (hb.sub[i] - list_slice(c.ce, hb.b * 8 + 1, hb.b * 8 + 8)[i]))) AS d2
+        |  FROM hblocks hb, pqc c),
+        |hbest AS (
+        |  SELECT vid, b, csub,
+        |    row_number() OVER (PARTITION BY vid, b ORDER BY d2 ASC, c_id ASC) AS rn
+        |  FROM hscored),
+        |hrecon AS (
+        |  SELECT vid, flatten(list(csub ORDER BY b)) AS e
+        |  FROM hbest WHERE rn = 1 GROUP BY vid),
+        |scored AS (
+        |  SELECT b.vid AS batch_id, h.vid AS hist_id,
+        |    round(list_dot_product(b.e, r.e) /
+        |      (sqrt(list_dot_product(b.e, b.e)) * sqrt(list_dot_product(r.e, r.e))), 4) + 0.0 AS score
+        |  FROM assigned b
+        |  JOIN assigned h ON b.cell = h.cell AND b.side = 'b' AND h.side = 'h'
+        |  JOIN hrecon r ON r.vid = h.vid),
+        |ranked AS (
+        |  SELECT batch_id, hist_id, score,
+        |    CAST(row_number() OVER (PARTITION BY batch_id ORDER BY score DESC, hist_id ASC) AS INTEGER) AS rank
+        |  FROM scored)
+        |SELECT batch_id, rank, hist_id, score FROM ranked WHERE rank <= 3
+        |ORDER BY batch_id, rank""".stripMargin)(annPqIncremental),
 
     OpQuery("op_semdedup",
       s"""WITH emb AS (
