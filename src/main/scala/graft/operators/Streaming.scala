@@ -236,6 +236,39 @@ object Streaming {
       .join(histIdx, Seq("band_id", "band_key"))
       .select(col("doc_id").as("batch_id"), col("band_id"), col("hist_id"))
 
+  /** B81s: content-defined chunking as a STREAMING gate — the stream
+    * twin of B81/B82 that completes the stream family's chunking leg.
+    * Each arriving document is chunked map-side by the same
+    * [[graft.plans.CdcCuts]] kernel the batch op runs (per-row
+    * projection + bounded explode: genuinely STATELESS, so Append mode
+    * needs no watermark — Spark accepting the query is itself the
+    * proof, the B76s/B77s bar), and every chunk probes the STORED
+    * block-key index via a stream-static left join — `known = true`
+    * marks a block some history document already contains (the
+    * arriving-data half of B82's census: shifted re-posts light up
+    * `known` on every re-synced chunk; novel text stays false).
+    *
+    * Scale: the static side is the stored corpus-sized key index,
+    * shuffled once per micro-batch on `chunk_md5` and NEVER
+    * broadcast-hinted; the stream side is micro-batch-sized and moves
+    * alone (the B54/B56s contract). Unified API: this SAME builder
+    * serves the t2 batch grade and the MemoryStream parity spec. */
+  def chunkCdcGatePlan(docs: DataFrame, histKeys: DataFrame): DataFrame =
+    TrainingData.chunkCdcWith(docs, TrainingData.CdcGram,
+        TrainingData.CdcDivisor, TrainingData.CdcRem)
+      .join(histKeys.select(col("chunk_md5"), lit(true).as("known")),
+        Seq("chunk_md5"), "left")
+      .select(col("doc_id"), col("chunk_id"), col("start"), col("chunk_len"),
+        col("chunk_md5"), coalesce(col("known"), lit(false)).as("known"))
+
+  /** The stored block-key index behind [[chunkCdcGatePlan]]: the
+    * DISTINCT `chunk_md5` keys of the history corpus (at 100 TB: the
+    * persisted output of the B82 index build, not a rescan). */
+  def cdcHistoryKeys(history: DataFrame): DataFrame =
+    TrainingData.chunkCdcWith(history, TrainingData.CdcGram,
+        TrainingData.CdcDivisor, TrainingData.CdcRem)
+      .select(col("chunk_md5")).distinct()
+
   /** B72s item: (event_type, user) pairs — ~750 distinct at sf0.01
     * into the 4×64 = 256 sketch cells, so the demo has real
     * collisions (the B67 bar). */
@@ -283,6 +316,24 @@ object Streaming {
           concat(col("text"), lit(" extraneous")).as("text")))
     minhashProbePlan(batch, LlmPipeline.minhashHistoryIndex(history))
       .orderBy("batch_id", "band_id", "hist_id")
+  }
+
+  /** Batch grade of [[chunkCdcGatePlan]] on the B54/B56s corpus split
+    * (history %4==0; batch = the rest re-keyed 2·id + %8==0 re-posts
+    * at 2·id+1 behind an injected preamble — the SHIFTED copy only
+    * content-defined boundaries re-sync on), so the streaming
+    * builder's semantics hash-check against the shared chunking
+    * oracle chain. */
+  def streamChunkCdc(sp: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(sp, dir).select(col("doc_id"), col("text"))
+    val history = d.filter(col("doc_id") % 4 === 0)
+    val batch = d.filter(col("doc_id") % 4 =!= 0)
+      .select((col("doc_id") * 2).as("doc_id"), col("text"))
+      .union(d.filter(col("doc_id") % 8 === 0)
+        .select((col("doc_id") * 2 + 1).as("doc_id"),
+          concat(lit("injected preamble sentence "), col("text")).as("text")))
+    chunkCdcGatePlan(batch, cdcHistoryKeys(history))
+      .orderBy("doc_id", "chunk_id")
   }
 
   /** Batch grade of [[cmsSketchPlan]]: the stream-built sketch probed
@@ -439,6 +490,23 @@ object Streaming {
         |FROM bands bb JOIN hcap h ON bb.band_id = h.band_id AND bb.band_key = h.band_key
         |WHERE bb.side = 'b'
         |ORDER BY batch_id, bb.band_id, hist_id""".stripMargin)(streamMinhashProbe),
+
+    OpQuery("op_stream_chunk_cdc",
+      s"""WITH hist AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0),
+        |${TrainingData.cdcChunkCtes("hist", "h")},
+        |hkeys AS (
+        |  SELECT DISTINCT chunk_md5 FROM hchunks),
+        |corpus AS (
+        |  SELECT doc_id * 2 AS doc_id, text FROM documents WHERE doc_id % 4 <> 0
+        |  UNION ALL
+        |  SELECT doc_id * 2 + 1, 'injected preamble sentence ' || text
+        |  FROM documents WHERE doc_id % 8 = 0),
+        |${TrainingData.cdcChunkCtes("corpus")}
+        |SELECT c.doc_id, c.chunk_id, c.start, c.chunk_len, c.chunk_md5,
+        |  (k.chunk_md5 IS NOT NULL) AS known
+        |FROM chunks c LEFT JOIN hkeys k ON c.chunk_md5 = k.chunk_md5
+        |ORDER BY c.doc_id, c.chunk_id""".stripMargin)(streamChunkCdc),
 
     OpQuery("op_stream_custom_state",
       """WITH e AS (

@@ -881,10 +881,10 @@ object TrainingData {
     * DISTINCT variables, per the r16 shadowing rule), cut packing, and
     * chunk slicing; exposes `chunks(doc_id, chunk_id, start,
     * chunk_len, chunk_md5)`. */
-  private def cdcChunkCtes(corpus: String): String =
-    s"""c AS (
+  private[graft] def cdcChunkCtes(corpus: String, pfx: String = ""): String =
+    s"""${pfx}c AS (
       |  SELECT doc_id, text, length(text) AS n FROM $corpus),
-      |cuts AS (
+      |${pfx}cuts AS (
       |  SELECT doc_id, text, n,
       |    list_filter(list_transform(range(1, greatest(n - $CdcGram + 1, 0) + 1),
       |      p -> CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT),
@@ -892,20 +892,20 @@ object TrainingData {
       |               q -> ord(substring(text, CAST(p + q - 1 AS INTEGER), 1)))),
       |             (a, b) -> (a * 31 + b) % 1000000007) % $CdcDivisor = $CdcRem
       |           THEN p + $CdcGram - 1 ELSE NULL END), x -> x IS NOT NULL) AS cl
-      |  FROM c),
-      |b AS (
+      |  FROM ${pfx}c),
+      |${pfx}b AS (
       |  SELECT doc_id, text, list_concat(list_concat([0], cl), [n]) AS bs
-      |  FROM cuts),
-      |ch AS (
+      |  FROM ${pfx}cuts),
+      |${pfx}ch AS (
       |  SELECT doc_id, CAST(u.q AS INTEGER) AS chunk_id,
       |    CAST(bs[CAST(u.q + 1 AS INTEGER)] AS INTEGER) AS start,
       |    CAST(bs[CAST(u.q + 2 AS INTEGER)] - bs[CAST(u.q + 1 AS INTEGER)] AS INTEGER) AS chunk_len,
       |    md5(substring(text, CAST(bs[CAST(u.q + 1 AS INTEGER)] + 1 AS INTEGER),
       |      CAST(bs[CAST(u.q + 2 AS INTEGER)] - bs[CAST(u.q + 1 AS INTEGER)] AS INTEGER))) AS chunk_md5
-      |  FROM b, unnest(range(0, len(bs) - 1)) AS u(q)),
-      |chunks AS (
+      |  FROM ${pfx}b, unnest(range(0, len(bs) - 1)) AS u(q)),
+      |${pfx}chunks AS (
       |  SELECT doc_id, chunk_id, start, chunk_len, chunk_md5
-      |  FROM ch WHERE chunk_len > 0)""".stripMargin
+      |  FROM ${pfx}ch WHERE chunk_len > 0)""".stripMargin
 
   /** B81 oracle — the shared chunking chain over `documents`. */
   private[graft] val ChunkCdcSql: String =

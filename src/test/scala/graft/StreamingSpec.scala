@@ -269,6 +269,52 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch == streamed)
   }
 
+  test("B81s streaming CDC chunk gate: stream ≡ batch, re-synced blocks known") {
+    implicit val sqlCtx = spark.sqlContext
+    // long texts so docs have interior content-defined cuts to re-sync on
+    val body = (0 until 120).map(i => s"stable corpus sentence $i flows on").mkString(" ")
+    val other = (0 until 120).map(i => s"different history record $i stands").mkString(" ")
+    val histKeys = Streaming.cdcHistoryKeys(
+      Seq(Doc(0L, body), Doc(4L, other)).toDF("doc_id", "text"))
+    val arrivals = Seq(
+      // shifted re-post of history doc 0: every chunk after the first
+      // content-defined re-sync cut must probe known = true
+      Doc(101L, s"injected preamble sentence $body"),
+      Doc(102L, (0 until 120).map(i => s"novel unseen phrase $i goes by").mkString(" ")))
+    val mem = MemoryStream[Doc]
+    val name = s"sink_${System.nanoTime()}"
+    // APPEND mode without a watermark: the chunk explode is stateless
+    // map-side and the history probe is a stream-static join — the
+    // query would be rejected if either smuggled in streaming state
+    val q = Streaming.chunkCdcGatePlan(mem.toDF(), histKeys)
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      mem.addData(arrivals(0))                // micro-batch 1
+      q.processAllAvailable()
+      mem.addData(arrivals(1))                // micro-batch 2
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table(name)
+      .select("doc_id", "chunk_id", "start", "chunk_len", "chunk_md5", "known")
+      .as[(Long, Int, Int, Int, String, Boolean)].collect().sorted.toSeq
+    val re = streamed.filter(_._1 == 101L)
+    assert(re.size >= 3, "re-post must chunk into several blocks")
+    // the splice window can add extra cuts near the head, so several
+    // HEAD chunks may be novel — but once the cut stream re-syncs,
+    // every later chunk is byte-identical to history: all unknown
+    // chunks must precede every known chunk, and known must dominate
+    val firstKnown = re.filter(_._6).map(_._3).min
+    assert(re.filter(!_._6).forall(_._3 < firstKnown),
+      "unknown chunks must all precede the re-sync point")
+    assert(re.count(_._6) * 2 > re.size, "known blocks must dominate the re-post")
+    assert(streamed.filter(_._1 == 102L).forall(!_._6),
+      "novel text must not probe known")
+    // unified API: the same builder over a batch DataFrame agrees
+    val batch = Streaming.chunkCdcGatePlan(arrivals.toDF(), histKeys)
+      .as[(Long, Int, Int, Int, String, Boolean)].collect().sorted.toSeq
+    assert(batch == streamed)
+  }
+
   test("B76s streaming bloom probe: stateless append mode, stream ≡ batch, leaks flag") {
     implicit val sqlCtx = spark.sqlContext
     val evalDocs = Seq(
