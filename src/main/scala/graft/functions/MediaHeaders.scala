@@ -1,12 +1,14 @@
 package graft.functions
 
 /** Dependency-free media-container header parsing for the multimodal
-  * decode op (B32). The environment has no image libraries, but PNG and
-  * JPEG DIMENSIONS need none — they are fixed-offset (PNG IHDR) or
-  * marker-scan (JPEG SOFn) byte reads. Payloads that are neither fall
-  * back to the op's clearly-declared deterministic stub, so the decode
-  * is REAL for real images and the DuckDB-checked arithmetic on the
-  * synthetic text payloads is unchanged.
+  * decode op (B32). The environment has no image libraries, but image
+  * DIMENSIONS need none — they are fixed-offset (PNG IHDR, GIF screen
+  * descriptor, BMP DIB header) or marker/chunk-scan (JPEG SOFn, WebP
+  * RIFF) byte reads. Payloads that are none of these fall back to the
+  * op's clearly-declared deterministic stub, so the decode is REAL for
+  * real images and the DuckDB-checked arithmetic on the synthetic text
+  * payloads is unchanged. Formats: PNG, JPEG (r4); GIF87a/89a, BMP
+  * (core + info DIB), WebP (VP8/VP8L/VP8X) (r19).
   */
 object MediaHeaders {
 
@@ -16,6 +18,11 @@ object MediaHeaders {
   private def be32(b: Array[Byte], i: Int): Int =
     (u8(b, i) << 24) | (u8(b, i + 1) << 16) | (u8(b, i + 2) << 8) | u8(b, i + 3)
   private def be16(b: Array[Byte], i: Int): Int = (u8(b, i) << 8) | u8(b, i + 1)
+  private def le16(b: Array[Byte], i: Int): Int = u8(b, i) | (u8(b, i + 1) << 8)
+  private def le24(b: Array[Byte], i: Int): Int =
+    u8(b, i) | (u8(b, i + 1) << 8) | (u8(b, i + 2) << 16)
+  private def le32(b: Array[Byte], i: Int): Int =
+    u8(b, i) | (u8(b, i + 1) << 8) | (u8(b, i + 2) << 16) | (u8(b, i + 3) << 24)
 
   private val PngMagic = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
 
@@ -75,7 +82,79 @@ object MediaHeaders {
     None
   }
 
+  /** GIF: "GIF87a"/"GIF89a" signature, then the logical screen
+    * descriptor — width/height as little-endian u16 at offsets 6/8
+    * (GIF89a spec §18). GIF frames are palette-indexed, so channels =
+    * 1 (the PNG palette convention above). */
+  private def gif(b: Array[Byte]): Option[Header] = {
+    if (b.length < 10) return None
+    if (!(b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8' &&
+        (b(4) == '7' || b(4) == '9') && b(5) == 'a')) return None
+    Some(Header("image/gif", le16(b, 6), le16(b, 8), 1))
+  }
+
+  /** BMP: "BM" file header, then the DIB header whose leading u32 size
+    * discriminates the variant — BITMAPCOREHEADER (12: u16 dims at
+    * 18/20, bpp at 24) vs BITMAPINFOHEADER and successors (>= 40: s32
+    * dims at 18/22 — height may be negative for top-down rows, take
+    * |h| — bpp at 28). Channels: bpp/8 for 24/32-bit pixels, palette
+    * (1/4/8 bpp) = 1, 16-bit masked = 3. */
+  private def bmp(b: Array[Byte]): Option[Header] = {
+    if (b.length < 26 || b(0) != 'B' || b(1) != 'M') return None
+    val dib = le32(b, 14)
+    val (w, h, bpp) =
+      if (dib == 12) (le16(b, 18), le16(b, 20), le16(b, 24))
+      else if (dib >= 40) {
+        if (b.length < 30) return None
+        (le32(b, 18), math.abs(le32(b, 22)), le16(b, 28))
+      } else return None
+    val channels = bpp match {
+      case 1 | 4 | 8 => 1
+      case 16 | 24   => 3
+      case 32        => 4
+      case _         => return None
+    }
+    if (w <= 0 || h <= 0) return None
+    Some(Header("image/bmp", w, h, channels))
+  }
+
+  /** WebP: RIFF container ("RIFF" + size + "WEBP"), then the first
+    * chunk discriminates the flavor (RIFF/WebP container spec):
+    * VP8X — extended: canvas (width−1, height−1) as 24-bit LE at
+    * payload offsets 4/7, alpha from flag bit 4;
+    * VP8␣ — lossy: 3-byte frame tag, 0x9D012A start code, 14-bit
+    * dims (VP8 spec §9.1), no alpha;
+    * VP8L — lossless: 0x2F signature then a 4-byte LE bitfield —
+    * width−1 = bits 0–13, height−1 = bits 14–27, alpha = bit 28. */
+  private def webp(b: Array[Byte]): Option[Header] = {
+    if (b.length < 30) return None
+    if (!(b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+        b(8) == 'W' && b(9) == 'E' && b(10) == 'B' && b(11) == 'P')) return None
+    val tag = new String(b.slice(12, 16), "ISO-8859-1")
+    tag match {
+      case "VP8X" =>
+        val alpha = (u8(b, 20) & 0x10) != 0
+        Some(Header("image/webp", le24(b, 24) + 1, le24(b, 27) + 1,
+          if (alpha) 4 else 3))
+      case "VP8 " =>
+        // frame tag at 20..22, start code 9D 01 2A at 23..25
+        if (u8(b, 23) != 0x9d || u8(b, 24) != 0x01 || u8(b, 25) != 0x2a) None
+        else Some(Header("image/webp",
+          le16(b, 26) & 0x3fff, le16(b, 28) & 0x3fff, 3))
+      case "VP8L" =>
+        if (u8(b, 20) != 0x2f) None
+        else {
+          val bits = le32(b, 21).toLong & 0xffffffffL
+          val alpha = ((bits >> 28) & 1L) != 0
+          Some(Header("image/webp", ((bits & 0x3fff) + 1).toInt,
+            (((bits >> 14) & 0x3fff) + 1).toInt, if (alpha) 4 else 3))
+        }
+      case _ => None
+    }
+  }
+
   /** Parse a payload's container header, if it is one we understand. */
   def parse(bytes: Array[Byte]): Option[Header] =
-    png(bytes).orElse(jpeg(bytes))
+    png(bytes).orElse(jpeg(bytes)).orElse(gif(bytes)).orElse(bmp(bytes))
+      .orElse(webp(bytes))
 }

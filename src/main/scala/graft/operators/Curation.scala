@@ -551,11 +551,14 @@ object Curation {
     * Scale shape: one corpus token pass feeds BOTH aggregates
     * (vocab-sized first-occurrence min, bucket-sized token counts —
     * map-side partials each); everything after is bucket-frame-sized
-    * (corpus/256 rows) incl. the cumulative window (single ordered
-    * stream of TINY rows — the pack chunk-base precedent), and the
-    * regression runs over ≤ 64 points. Fewer than 2 points (corpora
-    * under ~2·span docs with default span) make the OLS denominator
-    * zero — domain documented on the API. */
+    * (corpus/256 rows), and the cumulative sums run as a TWO-LEVEL
+    * prefix sum (r19 — the packOffsets chunk-base form): buckets sum
+    * within 256-bucket super-chunks in parallel and only the chunk
+    * totals (corpus/65536 rows) cross the one ordered stream, so no
+    * stage is single-partition in corpus-linear rows at any scale.
+    * The regression runs over ≤ 64 points. Fewer than 2 points
+    * (corpora under ~2·span docs with default span) make the OLS
+    * denominator zero — domain documented on the API. */
   def statsHeaps(sp: SparkSession, dir: String): DataFrame =
     statsHeapsWith(docs(sp, dir)).orderBy("n_docs")
 
@@ -572,11 +575,36 @@ object Curation {
     // tokens per bucket (bucket-sized after map-side partials)
     val nt = dt.groupBy(expr(s"doc_id DIV $span").as("b"))
       .agg(count(lit(1)).as("nt"))
-    val wb = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
-    val pts = nt.join(nv, Seq("b"), "left")
+    // cumulative (tokens, types) via the TWO-LEVEL prefix sum
+    // (the packOffsets chunk-base precedent, r18 verdict watch item):
+    // a flat Window.orderBy("b") would single-partition the whole
+    // bucket frame (corpus/256 rows — fine to ~10⁸ docs, unbounded
+    // past it). Instead buckets sum within 256-bucket super-chunks in
+    // parallel, and only the super-chunk TOTALS (corpus/65536 rows)
+    // cross the one ordered stream. Values are identical prefix sums;
+    // the oracle is unchanged.
+    val bt = nt.join(nv, Seq("b"), "left")
       .withColumn("nv", coalesce(col("nv"), lit(0L)))
-      .withColumn("vv", sum(col("nv")).over(wb))
-      .withColumn("nn", sum(col("nt")).over(wb))
+      .withColumn("ck", expr(s"b DIV ${HeapsSpan.toLong}"))
+      // non-null join keys by construction; pre-assert so the join
+      // below can't de-canonicalize the two branches' exchanges (the
+      // packOffsets reuse lesson)
+      .filter(col("ck").isNotNull)
+      .repartition(col("ck"))
+    val wIn = Window.partitionBy("ck").orderBy("b")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val within = bt
+      .withColumn("vv_in", sum(col("nv")).over(wIn))
+      .withColumn("nn_in", sum(col("nt")).over(wIn))
+    val wCk = Window.orderBy("ck").rowsBetween(Window.unboundedPreceding, -1)
+    val bases = within.groupBy("ck")
+      .agg(max(col("vv_in")).as("cv"), max(col("nn_in")).as("cn"))
+      .withColumn("vbase", coalesce(sum(col("cv")).over(wCk), lit(0L)))
+      .withColumn("nbase", coalesce(sum(col("cn")).over(wCk), lit(0L)))
+      .select("ck", "vbase", "nbase")
+    val pts = within.join(bases, Seq("ck"))
+      .withColumn("vv", col("vbase") + col("vv_in"))
+      .withColumn("nn", col("nbase") + col("nn_in"))
       .filter(((col("b") + 1).bitwiseAND(col("b"))) === 0)
       .select(log(col("nn")).as("x"), log(col("vv")).as("y"))
     val reg = pts.agg(count(lit(1)).as("nr"),

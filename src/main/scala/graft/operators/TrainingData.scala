@@ -1330,8 +1330,9 @@ object TrainingData {
         val mean4 = BigDecimal(mean).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
         graft.functions.MediaHeaders.parse(bytes) match {
           case Some(h) =>
-            // REAL decode: PNG/JPEG dimensions are dependency-free
-            // fixed-offset/marker-scan byte reads (MediaHeaders)
+            // REAL decode: PNG/JPEG/GIF/BMP/WebP dimensions are
+            // dependency-free fixed-offset/marker-scan byte reads
+            // (MediaHeaders)
             (id, h.mime, bytes.length, h.width, h.height, h.channels, mean4)
           case None =>
             // STUB for unrecognized containers (full pixel decode needs
