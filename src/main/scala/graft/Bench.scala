@@ -266,7 +266,16 @@ object Bench {
       val others = topN match {
         case Some(_) =>
           val rest = sortedNames.filterNot(kept.contains).filter(best.contains)
+          // qv: the COMPLETE per-query vector, values-only in sorted
+          // op-name order (r18 verdict item 3 / ADVICE r18: a rolled-up
+          // stdout line alone could not support per-query claims — the
+          // names are recoverable from Registry.all at this commit, so
+          // the driver-captured line is self-contained again at ~6
+          // chars/query instead of ~22)
+          val qv = sortedNames
+            .map(n => fmtAt(2)(best.getOrElse(n, -1.0))).mkString("[", ",", "]")
           s""","others_n":${rest.size},"others_sec":${fmt(rest.map(best).sum)}""" +
+            s""","qv":$qv,"qv_order":"sorted_op_names"""" +
             s""","full_map":${jq(outPath)}"""
         case None => ""
       }
