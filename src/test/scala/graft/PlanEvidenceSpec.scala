@@ -45,6 +45,7 @@ class PlanEvidenceSpec extends AnyFunSuite {
       "op_semdedup",         // same broadcast stride codebook assigning SemDeDup cells
       "op_incremental_e2e",  // same broadcast codebook in its gated B58 vector stage
       "op_vector_pq",        // 4 broadcast codebook entries per block
+      "op_ann_pq_incremental", // same 4-entry PQ codebook encode + stride coarse codebook
       "op_ts_gapfill",       // hour×type grid, volume-independent
       "op_bm25",             // 1-row corpus stats (n_docs, avgdl) crossJoin — bounded by construction
       "op_ngram_lm",         // 1-row vocabulary-count crossJoin — bounded by construction

@@ -256,6 +256,14 @@ object ScaleSmoke {
         "op_stats_heaps" -> (operators.Curation.statsHeaps _),
         // r18: CDC chunking — pure map-side kernel, byte-linear
         "op_chunk_cdc" -> (operators.TrainingData.chunkCdc _),
+        // r19: block census over CDC chunks — the chunk pass is the
+        // map-side kernel; census + semi-join are chunk_md5-keyed
+        // shuffles (suffixed-word copies keep blocks disjoint across
+        // copies, so dup sets grow linearly, never corpus²)
+        "op_dedup_blocks" -> (operators.TrainingData.dedupBlocks _),
+        // r19: the streaming CDC gate's batch grade — chunking
+        // map-side + ONE key-keyed join against the history index
+        "op_stream_chunk_cdc" -> (operators.Streaming.streamChunkCdc _),
         // PMI: one bigram shuffle, pair-table-sized everything after
         "op_stats_pmi" -> (operators.CorpusStats.statsPmi _)) ++
       // r16 ext5: the minhash audit — candidate pairs are the capped
@@ -294,6 +302,10 @@ object ScaleSmoke {
       Seq("op_index_update" -> (LlmPipeline.indexUpdate _),
         "op_dedup_minhash_incr" -> (LlmPipeline.dedupMinhashIncremental _)) ++
       (if (withEmb) Seq("op_ann_incremental" -> (TrainingData.annIncremental _),
+        // r19: the compressed twin — same probe geometry as B58 plus
+        // the broadcast PQ encode (4-entry codebook per block), so its
+        // wall must track B58's within the encode constant
+        "op_ann_pq_incremental" -> (TrainingData.annPqIncremental _),
         // r16: the IVF search pair joined the corpus-scaled codebook —
         // their probe side is the fixed 10-query panel, so per-query
         // candidates are flat (~stride) and the wall tracks the ASSIGN
