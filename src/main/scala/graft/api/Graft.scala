@@ -281,6 +281,38 @@ object Graft {
     graft.operators.TrainingData.blockDedupWith(
       chunkContentDefined(df, idCol, textCol, gramBytes, divisor, rem))
 
+  /** Block-level dedup REWRITE — the transform leg of [[dedupBlocks]]
+    * (same chunking rule, graded as `op_dedup_blocks_rewrite`): every
+    * block whose `chunk_md5` appears in ≥ 2 distinct documents is
+    * kept only in its canonical OWNER document (the minimum id
+    * containing it — the store-each-unique-block-once rule of
+    * LBFS/Venti-style dedup stores) and removed everywhere else; each
+    * document re-emits as the in-order concatenation of its surviving
+    * chunks. One row per doc: `(doc_id, n_chunks, n_removed,
+    * kept_len, text_clean, kept)` with `kept = false` when nothing
+    * survives. Where [[dedupLines]] scrubs corpus boilerplate from
+    * EVERY document (the line is noise), this preserves the earliest
+    * copy of a shared region (the region is content someone owns) —
+    * the semantics a training pipeline wants for shifted verbatim
+    * re-posts: originals stay intact, re-posts shrink to their novel
+    * wrapper. The owner join-back is salted against a corpus-wide
+    * boilerplate block (plan-time hot-key device; AQE cannot split
+    * this join geometry). */
+  def dedupBlocksRewrite(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text",
+      gramBytes: Int = graft.operators.TrainingData.CdcGram,
+      divisor: Int = graft.operators.TrainingData.CdcDivisor,
+      rem: Int = graft.operators.TrainingData.CdcRem): DataFrame = {
+    require(gramBytes >= 1, s"dedupBlocksRewrite: need gramBytes >= 1 (got $gramBytes)")
+    require(divisor >= 2 && rem >= 0 && rem < divisor,
+      s"dedupBlocksRewrite: need divisor >= 2 and 0 <= rem < divisor " +
+        s"(got $divisor, $rem)")
+    graft.operators.TrainingData.blockRewriteWith(
+      graft.operators.TrainingData.chunkCdcWith(
+        df.select(col(idCol).as("doc_id"), col(textCol).as("text")),
+        gramBytes, divisor, rem, withText = true))
+  }
+
   /** Exact repeated-span detection for any corpus — the general form
     * of the graded `op_dedup_substring` (same core,
     * [[graft.operators.TrainingData.repeatedSpansWith]]; the

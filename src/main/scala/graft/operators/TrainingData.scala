@@ -777,24 +777,31 @@ object TrainingData {
 
   /** Core behind [[chunkCdc]] and `api.Graft.chunkContentDefined`:
     * caller-sized geometry over any `corpus(doc_id, text)`, without
-    * the graded sort. */
+    * the graded sort. `withText = true` additionally emits the chunk's
+    * character slice as `chunk_txt` (the rewrite consumers need the
+    * bytes back; the census-only consumers keep the narrow frame). */
   private[graft] def chunkCdcWith(corpus: DataFrame, k: Int,
-      divisor: Int, rem: Int): DataFrame = {
+      divisor: Int, rem: Int, withText: Boolean = false): DataFrame = {
     val bounds = corpus
       .withColumn("cuts", graft.plans.CdcCuts.cdcCuts(col("text"), k, divisor, rem))
       .withColumn("bs", concat(array(lit(0)),
         col("cuts"), array(length(col("text")))))
-    bounds
+    val sliced = bounds
       .select(col("doc_id"), col("text"),
         posexplode(transform(sequence(lit(0), size(col("bs")) - 2),
           q => struct(element_at(col("bs"), q + 1).as("start"),
             (element_at(col("bs"), q + 2) - element_at(col("bs"), q + 1))
               .as("clen")))))
       .filter(col("col.clen") > 0)
-      .select(col("doc_id"), col("pos").cast("int").as("chunk_id"),
-        col("col.start").as("start"), col("col.clen").as("chunk_len"),
-        md5(substring(col("text"), col("col.start") + 1, col("col.clen")))
-          .as("chunk_md5"))
+    val base = Seq(col("doc_id"), col("pos").cast("int").as("chunk_id"),
+      col("col.start").as("start"), col("col.clen").as("chunk_len"),
+      md5(substring(col("text"), col("col.start") + 1, col("col.clen")))
+        .as("chunk_md5"))
+    val cols = if (withText)
+      base :+ substring(col("text"), col("col.start") + 1, col("col.clen"))
+        .as("chunk_txt")
+    else base
+    sliced.select(cols: _*)
   }
 
   /** B82 — `op_dedup_blocks`: BLOCK-LEVEL dedup over B81's
@@ -877,6 +884,104 @@ object TrainingData {
     (result, () => { ch.unpersist(); () })
   }
 
+  /** Salt fan-out for the rewrite's owner join-back (the B70
+    * [[graft.operators.Curation.LineSalts]] device): a corpus-wide
+    * boilerplate block is one hot `chunk_md5` key whose probe rows
+    * would otherwise land on a single reducer; the owner side is one
+    * row per duplicated key, so its salts× explode is the cheapest
+    * frame in the plan. */
+  private[graft] val BlockSalts = 8
+
+  /** B82b — `op_dedup_blocks_rewrite`: the REWRITE leg of block-level
+    * dedup — where B82 flags, this TRANSFORMS (the B70 rewrite
+    * pattern at byte granularity): every block key appearing in ≥ 2
+    * DISTINCT documents is kept only in its canonical OWNER document
+    * (the minimum doc_id containing that `chunk_md5` — the
+    * store-each-unique-block-once rule of LBFS/Venti-style dedup
+    * stores, Manber 1994 §3) and removed from every other document;
+    * each document is re-emitted as the in-order concatenation of its
+    * surviving chunks. This differs from B70's line scrub
+    * deliberately: RefinedWeb-style boilerplate removal deletes every
+    * occurrence (the line is noise), while block-level dedup
+    * PRESERVES one canonical copy (the region is content some doc
+    * legitimately owns — the earliest), which is what a training
+    * pipeline wants for shifted verbatim re-posts: the original stays
+    * intact, the re-posts shrink to their novel wrapper. Planted
+    * corpus = B82's (originals 2·id ∪ id % 5 = 0 copies at 2·id+1
+    * behind an injected preamble): originals out-rank their copies
+    * (2·id < 2·id+1), so every original must survive untouched and
+    * every copy must lose exactly its shared region, keeping the
+    * preamble splice. Within-doc repeats of a non-shared block have
+    * one distinct doc — never removed (the B62/B82 "some OTHER
+    * document" contract).
+    *
+    * Scale shape: the chunk pass is the B81 map-side kernel (cached
+    * once — the census and the rollup both read it); the owner census
+    * is the same `(chunk_md5, doc_id)`-distinct shuffle as B82
+    * collapsed to key-sized `(key, min-doc)` rows with map-side
+    * partials; the join-back is [[graft.operators.Skew]]'s salted
+    * join on the block key ([[BlockSalts]]× spread — the plan-time
+    * hot-key device certified for B70's identical geometry, since AQE
+    * cannot split a join whose build side aggregates between exchange
+    * and join); the rebuild is one doc-keyed rollup whose
+    * `collect_list` is per-doc bounded (a doc's own chunks). Nothing
+    * is pairwise, nothing corpus-sized reaches the driver. */
+  def dedupBlocksRewrite(sp: SparkSession, dir: String): DataFrame = {
+    val base = docs(sp, dir)
+    val corpus = base.select((col("doc_id") * 2).as("doc_id"), col("text"))
+      .union(base.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") * 2 + 1).as("doc_id"),
+          concat(lit("injected preamble sentence "), col("text")).as("text")))
+    // graded path: release handle deliberately dropped — plan-keyed
+    // cache, one process-scoped entry shared across reps (see
+    // repeatedSpansWith); the public API wires the listener
+    blockRewriteManaged(
+        chunkCdcWith(corpus, CdcGram, CdcDivisor, CdcRem, withText = true))._1
+      .orderBy("doc_id")
+  }
+
+  /** Core behind `api.Graft.dedupBlocksRewrite`: owner census +
+    * rewrite over ANY `chunks(doc_id, chunk_id, chunk_len, chunk_md5,
+    * chunk_txt, …)` frame (extra columns ignored) — compose with
+    * [[chunkCdcWith]]`(withText = true)`. Self-releases the chunk
+    * cache after the first materialization (per-call corpora differ
+    * on the public API); callers that materialize twice hold
+    * [[blockRewriteManaged]]. */
+  private[graft] def blockRewriteWith(chunks: DataFrame): DataFrame =
+    graft.CacheLifecycle.selfReleasing(blockRewriteManaged(chunks))
+
+  /** [[blockRewriteWith]] plus the release handle for the persisted
+    * chunk frame (the chunk kernel pass has two consumers — the owner
+    * census and the rewrite join). */
+  private[graft] def blockRewriteManaged(chunks: DataFrame): (DataFrame, () => Unit) = {
+    val ch = chunks.select(col("doc_id"), col("chunk_id"), col("chunk_len"),
+        col("chunk_md5"), col("chunk_txt"))
+      .persist()
+    // owner per duplicated block: one row per key — min doc over the
+    // DISTINCT (key, doc) pairs (pre-aggregated, dodging countDistinct's
+    // Expand as in blockDedupManaged)
+    val owners = ch.select(col("chunk_md5"), col("doc_id")).distinct()
+      .groupBy("chunk_md5")
+      .agg(count(lit(1)).as("nd"), min(col("doc_id")).as("owner"))
+      .filter(col("nd") >= 2)
+      .select(col("chunk_md5"), col("owner"))
+    val marked = Skew.saltedJoin(ch, owners, Seq("chunk_md5"), BlockSalts,
+        col("doc_id"), "left")
+      .withColumn("removed",
+        col("owner").isNotNull && col("doc_id") =!= col("owner"))
+    val result = marked.groupBy("doc_id")
+      .agg(count(lit(1)).cast("int").as("n_chunks"),
+        sum(col("removed").cast("long")).cast("int").as("n_removed"),
+        sum(when(!col("removed"), col("chunk_len")).otherwise(lit(0L)))
+          .cast("int").as("kept_len"),
+        array_join(transform(
+          array_sort(collect_list(when(!col("removed"),
+            struct(col("chunk_id"), col("chunk_txt"))))),
+          s => s.getField("chunk_txt")), "").as("text_clean"))
+      .withColumn("kept", col("n_removed") < col("n_chunks"))
+    (result, () => { ch.unpersist(); () })
+  }
+
   /** The CDC chunking CTE chain over a caller-named corpus relation —
     * single SQL owner shared by the B81 and B82 oracles (one chunking
     * rule, two graded views; the bpeLoop/packOffsets shared-owner
@@ -948,6 +1053,39 @@ object TrainingData {
       |  coalesce(d.dup_len, 0) * 2 >= t.total_len AS flagged
       |FROM tot t LEFT JOIN dup d ON t.doc_id = d.doc_id
       |ORDER BY t.doc_id""".stripMargin
+
+  /** B82b oracle — the same chunking chain + planted corpus as B82,
+    * then the owner census (min doc per duplicated key) and the
+    * kept-chunk rewrite (chunk text re-sliced from the corpus text by
+    * char offsets; `coalesce(string_agg, '')` covers a fully-scrubbed
+    * doc, where Spark's `array_join` over an empty array yields ''). */
+  private[graft] val DedupBlocksRewriteSql: String =
+    s"""WITH corpus AS (
+      |  SELECT doc_id * 2 AS doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id * 2 + 1, 'injected preamble sentence ' || text
+      |  FROM documents WHERE doc_id % 5 = 0),
+      |${cdcChunkCtes("corpus")},
+      |cht AS (
+      |  SELECT k.doc_id, k.chunk_id, k.chunk_len, k.chunk_md5,
+      |    substring(c.text, k.start + 1, k.chunk_len) AS chunk_txt
+      |  FROM chunks k JOIN c ON k.doc_id = c.doc_id),
+      |owners AS (
+      |  SELECT chunk_md5, min(doc_id) AS owner
+      |  FROM (SELECT DISTINCT chunk_md5, doc_id FROM chunks)
+      |  GROUP BY chunk_md5 HAVING count(*) >= 2),
+      |m AS (
+      |  SELECT t.doc_id, t.chunk_id, t.chunk_len, t.chunk_txt,
+      |    (o.owner IS NOT NULL AND t.doc_id <> o.owner) AS removed
+      |  FROM cht t LEFT JOIN owners o ON t.chunk_md5 = o.chunk_md5)
+      |SELECT doc_id, CAST(count(*) AS INTEGER) AS n_chunks,
+      |  CAST(sum(CASE WHEN removed THEN 1 ELSE 0 END) AS INTEGER) AS n_removed,
+      |  CAST(sum(CASE WHEN removed THEN 0 ELSE chunk_len END) AS INTEGER)
+      |    AS kept_len,
+      |  coalesce(string_agg(CASE WHEN NOT removed THEN chunk_txt END, ''
+      |    ORDER BY chunk_id), '') AS text_clean,
+      |  sum(CASE WHEN removed THEN 1 ELSE 0 END) < count(*) AS kept
+      |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   // ---- B62: exact repeated-substring dedup ---------------------------------
 
@@ -2137,6 +2275,8 @@ object TrainingData {
     OpQuery("op_chunk_cdc", ChunkCdcSql)(chunkCdc),
 
     OpQuery("op_dedup_blocks", DedupBlocksSql)(dedupBlocks),
+
+    OpQuery("op_dedup_blocks_rewrite", DedupBlocksRewriteSql)(dedupBlocksRewrite),
 
     OpQuery("op_chunk_sliding",
       s"""WITH t AS (

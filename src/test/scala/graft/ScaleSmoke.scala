@@ -261,6 +261,10 @@ object ScaleSmoke {
         // shuffles (suffixed-word copies keep blocks disjoint across
         // copies, so dup sets grow linearly, never corpus²)
         "op_dedup_blocks" -> (operators.TrainingData.dedupBlocks _),
+        // r19: the rewrite leg — same chunk pass + key-sized owner
+        // census; the salted join-back spreads any hot block key and
+        // the rebuild rollup is doc-keyed (per-doc bounded lists)
+        "op_dedup_blocks_rewrite" -> (operators.TrainingData.dedupBlocksRewrite _),
         // r19: the streaming CDC gate's batch grade — chunking
         // map-side + ONE key-keyed join against the history index
         "op_stream_chunk_cdc" -> (operators.Streaming.streamChunkCdc _),

@@ -95,7 +95,15 @@ object CapBoundaryCheck {
     // in bucket 0, so the fit sits exactly on the β = 0 / −0.0
     // boundary (the negative-zero rule's home turf); CDC on identical
     // docs must cut every doc identically on both engines
-    "op_stats_heaps", "op_chunk_cdc")
+    "op_stats_heaps", "op_chunk_cdc",
+    // r19: block dedup on the degenerate corpus — every chunk key is
+    // corpus-wide boilerplate, so the census's one hot key carries the
+    // whole corpus (the salted join-back's home turf), every non-owner
+    // doc scrubs COMPLETELY in the rewrite (text_clean = '' — the
+    // coalesce(string_agg,'')/array_join-empty cross-engine edge), and
+    // the flag/kept verdicts sit exactly on the all-duplicated
+    // boundary; both engines must agree row-for-row
+    "op_dedup_blocks", "op_dedup_blocks_rewrite")
 
   def main(args: Array[String]): Unit = {
     val spark = graft.SparkTestSession.spark
