@@ -73,6 +73,55 @@ object Graft {
       .withColumnRenamed("doc_id", "id")
   }
 
+  /** [[nearDupClusters]] plus the keep-best-by-quality policy — the
+    * general form of the graded `op_dedup_keep_best` (CCNet/RefinedWeb
+    * practice: keep the best-scoring member of each duplicate group,
+    * not the arbitrary min-id one): per cluster, `kept = true` on the
+    * member with the highest B50 quality logit (ties → lowest id).
+    * One row per document that appears in any near-dup candidate
+    * pair: `(id, component, csize, logit, kept)`; the deduped corpus
+    * is the kept ids plus every doc absent from this frame
+    * (singletons). The logit is a map-side projection riding the
+    * scan; the argmax window partitions by component, whose size the
+    * candidate-cap geometry bounds. */
+  def nearDupKeepBest(df: DataFrame, idCol: Column, textCol: Column): DataFrame = {
+    val idType = df.select(idCol).schema.head.dataType
+    val corpus = df.select(
+      validatedId(idCol, idType, "nearDupKeepBest").as("doc_id"),
+      textCol.as("text"))
+    val comp = graft.operators.LlmPipeline.connectedComponents(
+      graft.operators.LlmPipeline.minhashPairsFor(corpus))
+    val q = graft.operators.TrainingData.qualityLogitOf(corpus)
+      .select(col("doc_id"), col("logit"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("component")
+      .orderBy(col("logit").desc, col("doc_id").asc)
+    comp.join(q, Seq("doc_id"))
+      .withColumn("kept",
+        org.apache.spark.sql.functions.row_number().over(w) === 1)
+      .select(col("doc_id").as("id"), col("component"), col("csize"),
+        col("logit"), col("kept"))
+  }
+
+  /** Epoch composition under the α=0.5 temperature mixture — the
+    * general form of the graded `op_mixture_apply` (temperature
+    * sampling, Arivazhagan et al. 2019): per-group repeat factor
+    * r_g = T·w_g / tok_g over the whitespace token masses, per-doc
+    * copies = floor(r_g) + a deterministic md5-hash coin draw on the
+    * factor's fractional part — never `rand()`, so reruns, late
+    * shards, and engine swaps reproduce the epoch exactly. One row
+    * per doc: `(doc_id, lang, n_tok, base, coin, n_copies)` — `lang`
+    * carries whatever `groupCol` named (source, domain, language);
+    * over-represented groups get `n_copies = 0` rows (the
+    * downsample), rare groups repeat. Materialize the epoch by
+    * exploding `n_copies`. The group aggregate is
+    * group-cardinality-sized, the repeat factors broadcast, and the
+    * copy computation is map-side — nothing corpus-sized shuffles. */
+  def epochCompose(df: DataFrame, idCol: String = "doc_id",
+      groupCol: String = "lang", textCol: String = "text"): DataFrame =
+    graft.operators.TrainingData.mixtureApplyOf(
+      df.select(col(idCol).as("doc_id"), col(groupCol).as("lang"),
+        col(textCol).as("text")))
+
   /** Banded sign-LSH embedding near-dup — the decided 100 TB path for
     * embedding-cosine deduplication (PLANS.md r15 design note), shipped
     * as code: `tables` independent hash tables of `planes` sign bits

@@ -35,7 +35,9 @@ object Curation {
     "list_transform(range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1), " +
       "i -> concat_ws(' ', string_split(text, ' ')[i], string_split(text, ' ')[i+1], " +
       "string_split(text, ' ')[i+2]))"
-  private def rhSql(col: String): String =
+  // private[graft]: single SQL owner for the B31 rolling hash — also
+  // stated by the B84 mixture-apply coin (TrainingData)
+  private[graft] def rhSql(col: String): String =
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
       s"list_transform(range(1, length($col) + 1), " +
       s"i -> ord(substring($col, CAST(i AS INTEGER), 1)))), " +

@@ -348,6 +348,56 @@ object LlmPipeline {
     * corpora routinely exceed any fixed cap) that no synthetic scale
     * probe can certify against. Shared by op_dedup_minhash and
     * op_dedup_cc (whose closure runs over the same capped pairs). */
+  /** The B17b closure CTE chain (planted corpus → shingles → minhash
+    * signatures → capped band buckets → pairs → recursive reachability
+    * → `comp(doc_id, component)`) — single SQL owner shared by the
+    * `op_dedup_cc` and `op_dedup_keep_best` oracles (one closure rule,
+    * two graded views; the cdcChunkCtes discipline). Callers prefix
+    * `WITH RECURSIVE` and append their SELECT; the corpus CTE is
+    * exposed as `unioned` for quality-feature reuse. */
+  private[graft] lazy val CcCompSql: String =
+    s"""unioned AS (
+      |  SELECT doc_id * 2 AS doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id * 2 + 1, concat(text, ' extraneous') FROM documents WHERE doc_id % 5 = 0),
+      |shingled AS (
+      |  SELECT doc_id,
+      |    list_transform(range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
+      |      i -> concat_ws(' ', string_split(text, ' ')[i],
+      |                          string_split(text, ' ')[i+1],
+      |                          string_split(text, ' ')[i+2])) AS sh
+      |  FROM unioned),
+      |hashed AS (
+      |  SELECT doc_id, list_transform(sh, x -> md5(x)) AS hs FROM shingled),
+      |sigs AS (
+      |  SELECT doc_id,
+      |    [list_min(hs),
+      |     list_min(list_transform(hs, h -> substring(h, 5, 28) || substring(h, 1, 4))),
+      |     list_min(list_transform(hs, h -> substring(h, 9, 24) || substring(h, 1, 8))),
+      |     list_min(list_transform(hs, h -> substring(h, 13, 20) || substring(h, 1, 12))),
+      |     list_min(list_transform(hs, h -> substring(h, 17, 16) || substring(h, 1, 16))),
+      |     list_min(list_transform(hs, h -> substring(h, 21, 12) || substring(h, 1, 20))),
+      |     list_min(list_transform(hs, h -> substring(h, 25, 8) || substring(h, 1, 24))),
+      |     list_min(list_transform(hs, h -> substring(h, 29, 4) || substring(h, 1, 28)))] AS sig
+      |  FROM hashed),
+      |bands AS (
+      |  SELECT doc_id, b.band_id,
+      |    md5(concat_ws('|', sig[b.band_id * 2 + 1], sig[b.band_id * 2 + 2])) AS band_key
+      |  FROM sigs, (SELECT 0 AS band_id UNION ALL SELECT 1 UNION ALL SELECT 2 UNION ALL SELECT 3) b),
+      |$MinhashBcapSql,
+      |pairs AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM bcap a JOIN bcap b
+      |    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+      |edges AS (
+      |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+      |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+      |reach(id, lab) AS (
+      |  SELECT DISTINCT src, src FROM edges
+      |  UNION
+      |  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id),
+      |comp AS (SELECT id AS doc_id, min(lab) AS component FROM reach GROUP BY id)""".stripMargin
+
   private[graft] val MinhashBcapSql: String =
     """bcap AS (
       |  SELECT doc_id, band_id, band_key FROM (
@@ -542,6 +592,40 @@ object LlmPipeline {
     * is 2 label sets + the edge list. */
   def dedupCc(sp: SparkSession, dir: String): DataFrame =
     connectedComponents(minhashPairs(sp, dir))
+
+  /** B85 — `op_dedup_keep_best`: canonical selection BY QUALITY — the
+    * duplicate-cluster policy real curation pipelines run where
+    * B17b's min-id canonical stops short (e.g. the CCNet/RefinedWeb
+    * practice of keeping the best-scoring member of a duplicate
+    * group): compose the B17b closure (which doc belongs to which
+    * near-dup cluster) with the B50 quality logit (how good each
+    * member is) and keep, per component, the member with the HIGHEST
+    * logit (ties → lowest doc_id). On the B17b planted corpus the
+    * ' extraneous'-suffixed variants score a (slightly) different
+    * logit than their originals, so `kept` genuinely follows quality,
+    * not id order — the spec pins at least one cluster whose keeper
+    * is NOT the min id, which the B17b rule would have chosen.
+    *
+    * Scale shape: the closure is B17b's BSP job unchanged; the logit
+    * is a map-side projection riding the scan ([[graft.operators
+    * .TrainingData.qualityLogitOf]] — no sort, the B50 plan minus its
+    * graded ORDER BY); the join is doc_id-keyed where the component
+    * side holds only docs that appear in some candidate pair; the
+    * argmax window partitions by component, whose size the
+    * MaxBucketDocs candidate-cap geometry already bounds. Nothing new
+    * is corpus-quadratic or driver-sized. */
+  def dedupKeepBest(sp: SparkSession, dir: String): DataFrame = {
+    val comp = connectedComponents(minhashPairs(sp, dir))
+    val q = TrainingData.qualityLogitOf(minhashCorpus(sp, dir))
+      .select(col("doc_id"), col("logit"))
+    val w = Window.partitionBy("component")
+      .orderBy(col("logit").desc, col("doc_id").asc)
+    comp.join(q, Seq("doc_id"))
+      .withColumn("kept", row_number().over(w) === 1)
+      .select(col("doc_id"), col("component"), col("csize"),
+        col("logit"), col("kept"))
+      .orderBy("doc_id")
+  }
 
   /** The closure itself, over any (doc_a, doc_b) pair frame — see
     * [[dedupCc]] for the algorithm and scale notes. */
@@ -821,52 +905,39 @@ object LlmPipeline {
     // independent closure implementation: DuckDB computes reachability
     // by recursive CTE where Spark runs BSP label propagation
     OpQuery("op_dedup_cc",
-      s"""WITH RECURSIVE unioned AS (
-        |  SELECT doc_id * 2 AS doc_id, text FROM documents
-        |  UNION ALL
-        |  SELECT doc_id * 2 + 1, concat(text, ' extraneous') FROM documents WHERE doc_id % 5 = 0),
-        |shingled AS (
-        |  SELECT doc_id,
-        |    list_transform(range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
-        |      i -> concat_ws(' ', string_split(text, ' ')[i],
-        |                          string_split(text, ' ')[i+1],
-        |                          string_split(text, ' ')[i+2])) AS sh
-        |  FROM unioned),
-        |hashed AS (
-        |  SELECT doc_id, list_transform(sh, x -> md5(x)) AS hs FROM shingled),
-        |sigs AS (
-        |  SELECT doc_id,
-        |    [list_min(hs),
-        |     list_min(list_transform(hs, h -> substring(h, 5, 28) || substring(h, 1, 4))),
-        |     list_min(list_transform(hs, h -> substring(h, 9, 24) || substring(h, 1, 8))),
-        |     list_min(list_transform(hs, h -> substring(h, 13, 20) || substring(h, 1, 12))),
-        |     list_min(list_transform(hs, h -> substring(h, 17, 16) || substring(h, 1, 16))),
-        |     list_min(list_transform(hs, h -> substring(h, 21, 12) || substring(h, 1, 20))),
-        |     list_min(list_transform(hs, h -> substring(h, 25, 8) || substring(h, 1, 24))),
-        |     list_min(list_transform(hs, h -> substring(h, 29, 4) || substring(h, 1, 28)))] AS sig
-        |  FROM hashed),
-        |bands AS (
-        |  SELECT doc_id, b.band_id,
-        |    md5(concat_ws('|', sig[b.band_id * 2 + 1], sig[b.band_id * 2 + 2])) AS band_key
-        |  FROM sigs, (SELECT 0 AS band_id UNION ALL SELECT 1 UNION ALL SELECT 2 UNION ALL SELECT 3) b),
-        |$MinhashBcapSql,
-        |pairs AS (
-        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM bcap a JOIN bcap b
-        |    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
-        |edges AS (
-        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
-        |  UNION ALL SELECT doc_b, doc_a FROM pairs),
-        |reach(id, lab) AS (
-        |  SELECT DISTINCT src, src FROM edges
-        |  UNION
-        |  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id),
-        |comp AS (SELECT id AS doc_id, min(lab) AS component FROM reach GROUP BY id)
+      s"""WITH RECURSIVE $CcCompSql
         |SELECT c.doc_id, c.component, s.csize
         |FROM comp c JOIN (
         |  SELECT component, CAST(count(*) AS BIGINT) AS csize FROM comp GROUP BY component) s
         |  USING (component)
         |ORDER BY doc_id""".stripMargin)(dedupCc),
+
+    OpQuery("op_dedup_keep_best",
+      s"""WITH RECURSIVE $CcCompSql,
+        |qf AS (
+        |  SELECT doc_id,
+        |    CAST(length(text) AS INTEGER) AS len,
+        |    CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tok,
+        |    CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE) AS n_alpha,
+        |    CAST(len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a'))) AS DOUBLE) AS n_stop
+        |  FROM unioned),
+        |qz AS (
+        |  SELECT doc_id,
+        |    CAST(-1.2 AS DOUBLE)
+        |      + CAST(2.5 AS DOUBLE) * (n_alpha / len)
+        |      + CAST(1.5 AS DOUBLE) * (n_stop / n_tok)
+        |      + CAST(0.05 AS DOUBLE) * (CAST(len - n_tok + 1 AS DOUBLE) / n_tok) AS logit
+        |  FROM qf),
+        |withq AS (
+        |  SELECT c.doc_id, c.component, s.csize, q.logit,
+        |    row_number() OVER (PARTITION BY c.component
+        |      ORDER BY q.logit DESC, c.doc_id ASC) AS rn
+        |  FROM comp c
+        |  JOIN (SELECT component, CAST(count(*) AS BIGINT) AS csize
+        |        FROM comp GROUP BY component) s USING (component)
+        |  JOIN qz q ON q.doc_id = c.doc_id)
+        |SELECT doc_id, component, csize, logit, rn = 1 AS kept
+        |FROM withq ORDER BY doc_id""".stripMargin)(dedupKeepBest),
 
     OpQuery("op_similarity_topk",
       """WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 10),

@@ -1561,6 +1561,92 @@ object TrainingData {
       .orderBy("lang")
   }
 
+  /** Coin modulus for B84's per-doc extra-copy draw: the fractional
+    * part of a repeat factor is quantized to 1/10000ths and compared
+    * against an integer coin — integers cross the engine boundary,
+    * never a float. */
+  private[graft] val MixCoinMod = 10000
+
+  /** B84 — `op_mixture_apply`: EPOCH COMPOSITION under the
+    * α-temperature mixture — the step that turns B49's per-language
+    * weights into the actual per-document repeat counts a pretraining
+    * epoch materializes (temperature-based mixing of Arivazhagan et
+    * al. 2019, arXiv:1907.05019 §4; the (sqrt-scaled) sampling the
+    * Llama/PaLM data recipes describe): with per-language repeat
+    * factor r_l = T·w_l / tok_l (T = total corpus tokens, w_l the B49
+    * α=0.5 weight — so the epoch is token-budget-neutral but
+    * rebalanced), every doc of language l emits `floor(r_l)` copies
+    * plus one more when its deterministic coin clears the factor's
+    * fractional part. Over-represented languages get r < 1 (some docs
+    * drop — `n_copies = 0` rows document the downsample); rare
+    * languages get r > 1 (docs repeat). The coin is the B31 rolling
+    * hash of the doc id string mod [[MixCoinMod]] — never `rand()`:
+    * reruns, late shards, and engine swaps must reproduce the epoch
+    * exactly (B57's determinism contract), and the fractional
+    * threshold is `floor(frac·10000)` so only INTEGERS are compared
+    * (floor is unambiguous where round-half and double→int casts
+    * diverge across engines).
+    *
+    * Cross-engine determinism of r itself: Σ√tok and Σtok are folded
+    * over the per-language rows in SORTED language order via one
+    * collected array (the r16 two-engine ordered-fold device — a
+    * plain SUM's accumulation order is engine-dependent and √-sums
+    * are order-sensitive in the last ulp), and r's expression tree is
+    * stated identically on both sides, so the doubles are
+    * bit-identical without rounding.
+    *
+    * Scale shape: the per-language aggregate is
+    * language-cardinality-sized (map-side partials), checkpointed
+    * once; the fold runs over ONE |languages|-length array on one
+    * row; rates broadcast back; the per-doc copy computation is a
+    * map-side projection riding the scan — zero corpus-sized shuffles
+    * before the graded sort. The epoch MATERIALIZATION (explode by
+    * n_copies) is the caller's write step; the graded artifact is the
+    * manifest. */
+  def mixtureApply(sp: SparkSession, dir: String): DataFrame =
+    mixtureApplyOf(docs(sp, dir)).orderBy("doc_id")
+
+  /** Core over `corpus(doc_id, lang, text)` for known-answer specs. */
+  private[graft] def mixtureApplyOf(corpus: DataFrame): DataFrame = {
+    val toks = corpus.select(col("doc_id"), col("lang"),
+      size(filter(split(col("text"), " "), t => t =!= "")).cast("long").as("n_tok"))
+    // |languages|-row aggregate; checkpointed — it feeds the fold AND
+    // the join-back, and a broadcast consumer does not reuse the other
+    // side's exchange (the B49 rule)
+    val perLang = toks.groupBy("lang").agg(sum("n_tok").as("tok_l"))
+      .transform(graft.functions.Checkpoints.truncate(_))
+    // ordered fold in sorted-language order: one |languages|-length
+    // array on one row — deterministic accumulation order both engines
+    val folded = perLang
+      .agg(sort_array(collect_list(struct(col("lang"), col("tok_l")))).as("ls"))
+      .select(col("ls"),
+        aggregate(col("ls"), lit(0.0),
+          (a, x) => a + sqrt(x.getField("tok_l").cast("double"))).as("s"),
+        aggregate(col("ls"), lit(0L),
+          (a, x) => a + x.getField("tok_l")).as("tot"))
+    val rates = folded
+      .select(explode(col("ls")).as("x"), col("s"), col("tot"))
+      .select(col("x.lang").as("lang"),
+        (col("tot").cast("double") * sqrt(col("x.tok_l").cast("double"))
+          / col("s") / col("x.tok_l").cast("double")).as("r"))
+    toks.join(broadcast(rates), Seq("lang"))
+      .withColumn("base", floor(col("r")).cast("int"))
+      .withColumn("frac_q",
+        floor((col("r") - floor(col("r"))) * MixCoinMod).cast("int"))
+      // coin = rolling hash of the id's md5 HEX (32 chars): a short
+      // raw id string keeps the polynomial under the modulus and the
+      // residues badly non-uniform (measured +15% epoch bias at
+      // sf0.01); 32 mixed chars wrap it ~many times → near-uniform
+      .withColumn("coin",
+        pmod(graft.plans.RollingHash.rollingHash(
+            md5(col("doc_id").cast("string")), lit(1), lit(32)),
+          lit(MixCoinMod.toLong)).cast("int"))
+      .select(col("doc_id"), col("lang"), col("n_tok").cast("int").as("n_tok"),
+        col("base"), col("coin"),
+        (col("base") + when(col("coin") < col("frac_q"), 1).otherwise(0))
+          .cast("int").as("n_copies"))
+  }
+
   /** B50 — `op_quality_classifier`: linear quality-model INFERENCE as a
     * pure codegen projection — fixed literal weights over the B30
     * features, graded on the exact logit. The keep/drop label is
@@ -1581,6 +1667,16 @@ object TrainingData {
 
   /** Core over `corpus(doc_id, text)` for known-answer specs. */
   def qualityClassifierOf(corpus: DataFrame): DataFrame =
+    qualityLogitOf(corpus)
+      .select(col("doc_id"), col("mtl"), col("ar"), col("sr"),
+        col("logit"), (col("logit") >= 0).as("keep"))
+      .orderBy("doc_id")
+
+  /** The feature/logit projection WITHOUT the graded sort — reused by
+    * [[qualityClassifierOf]] and the B85 keep-best canonical selection
+    * (`LlmPipeline.dedupKeepBest`), where the logit feeds a window
+    * and a global sort here would be a wasted exchange. */
+  private[graft] def qualityLogitOf(corpus: DataFrame): DataFrame =
     corpus
       .withColumn("len", length(col("text")))
       .withColumn("toks", split(col("text"), " "))
@@ -1604,9 +1700,6 @@ object TrainingData {
         size(filter(col("toks"), t => t.isin("the", "a"))).cast("double") / col("n_tok"))
       .withColumn("logit", lit(-1.2) + lit(2.5) * col("ar")
         + lit(1.5) * col("sr") + lit(0.05) * col("mtl"))
-      .select(col("doc_id"), col("mtl"), col("ar"), col("sr"),
-        col("logit"), (col("logit") >= 0).as("keep"))
-      .orderBy("doc_id")
 
   /** B33 — frame-sampling analog: every 8th byte of the payload is a
     * "frame"; emits the sample vector head. Pure projection. */
@@ -2419,6 +2512,30 @@ object TrainingData {
         |  round(sqrt(n_tok) / tot.s, 6) AS weight,
         |  round((sqrt(n_tok) / tot.s) / (n_tok / tot.tot), 4) AS oversample
         |FROM agg, tot ORDER BY lang""".stripMargin)(mixtureWeights),
+
+    OpQuery("op_mixture_apply",
+      s"""WITH t AS (SELECT doc_id, lang,
+        |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |pl AS (SELECT lang, CAST(sum(n_tok) AS BIGINT) AS tok_l FROM t GROUP BY lang),
+        |fold AS (SELECT list(struct_pack(lang := lang, tok_l := tok_l) ORDER BY lang) AS ls FROM pl),
+        |sc AS (SELECT
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list_transform(ls, x -> sqrt(CAST(x.tok_l AS DOUBLE)))), (a, b) -> a + b) AS s,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(ls, x -> x.tok_l)), (a, b) -> a + b) AS tot
+        |  FROM fold),
+        |rates AS (SELECT u.x.lang AS lang,
+        |    CAST(sc.tot AS DOUBLE) * sqrt(CAST(u.x.tok_l AS DOUBLE)) / sc.s / CAST(u.x.tok_l AS DOUBLE) AS r
+        |  FROM fold, sc, unnest(fold.ls) AS u(x))
+        |SELECT t.doc_id, t.lang, CAST(t.n_tok AS INTEGER) AS n_tok,
+        |  CAST(floor(r) AS INTEGER) AS base,
+        |  CAST(${graft.operators.Curation.rhSql("md5(CAST(t.doc_id AS VARCHAR))")} % $MixCoinMod AS INTEGER) AS coin,
+        |  CAST(floor(r) + CASE WHEN
+        |      ${graft.operators.Curation.rhSql("md5(CAST(t.doc_id AS VARCHAR))")} % $MixCoinMod
+        |      < floor((r - floor(r)) * $MixCoinMod) THEN 1 ELSE 0 END AS INTEGER) AS n_copies
+        |FROM t JOIN rates USING (lang)
+        |ORDER BY doc_id""".stripMargin)(mixtureApply),
 
     OpQuery("op_quality_classifier",
       """WITH f AS (

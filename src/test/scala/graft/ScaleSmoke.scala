@@ -265,6 +265,12 @@ object ScaleSmoke {
         // census; the salted join-back spreads any hot block key and
         // the rebuild rollup is doc-keyed (per-doc bounded lists)
         "op_dedup_blocks_rewrite" -> (operators.TrainingData.dedupBlocksRewrite _),
+        // r19: epoch composition — language-cardinality aggregate +
+        // broadcast rates + map-side copies; wall ~ one corpus pass
+        "op_mixture_apply" -> (operators.TrainingData.mixtureApply _),
+        // r19: keep-best — the B17b closure plus a map-side logit and
+        // a component-bounded argmax window; growth tracks B17b's
+        "op_dedup_keep_best" -> (LlmPipeline.dedupKeepBest _),
         // r19: the streaming CDC gate's batch grade — chunking
         // map-side + ONE key-keyed join against the history index
         "op_stream_chunk_cdc" -> (operators.Streaming.streamChunkCdc _),

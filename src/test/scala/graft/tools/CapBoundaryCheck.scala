@@ -103,7 +103,14 @@ object CapBoundaryCheck {
     // coalesce(string_agg,'')/array_join-empty cross-engine edge), and
     // the flag/kept verdicts sit exactly on the all-duplicated
     // boundary; both engines must agree row-for-row
-    "op_dedup_blocks", "op_dedup_blocks_rewrite")
+    "op_dedup_blocks", "op_dedup_blocks_rewrite",
+    // r19: keep-best on the degenerate corpus — ONE capped giant
+    // cluster where every member's quality logit is IDENTICAL, so the
+    // keeper is a pure all-ties (logit, id) tie-break both engines
+    // must walk identically; mixture-apply sits exactly on the
+    // frac = 0 boundary (single language ⇒ r ≡ 1.0, every coin
+    // compares against floor(0·10⁴) = 0 — no draw may fire)
+    "op_dedup_keep_best", "op_mixture_apply")
 
   def main(args: Array[String]): Unit = {
     val spark = graft.SparkTestSession.spark
