@@ -115,7 +115,12 @@ object Graft {
     * downsample), rare groups repeat. Materialize the epoch by
     * exploding `n_copies`. The group aggregate is
     * group-cardinality-sized, the repeat factors broadcast, and the
-    * copy computation is map-side — nothing corpus-sized shuffles. */
+    * copy computation is map-side — nothing corpus-sized shuffles.
+    * Rows with a NULL group form their own mixture group; coalesce
+    * them to a sentinel first if that is not intended (and note a
+    * NULL group's position in the sorted fold is engine-dependent, so
+    * cross-engine reproducibility of the factors requires non-null
+    * groups). */
   def epochCompose(df: DataFrame, idCol: String = "doc_id",
       groupCol: String = "lang", textCol: String = "text"): DataFrame =
     graft.operators.TrainingData.mixtureApplyOf(
