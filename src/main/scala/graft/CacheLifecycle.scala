@@ -26,8 +26,31 @@ import org.apache.spark.sql.DataFrame
   * it completes, so a SECOND materialization recomputes the stages —
   * correct, just slower. Callers that materialize more than once hold
   * the explicit handle from the `*Managed` variant instead.
+  *
+  * Leak bound (r19 ADVICE): a caller that builds a frame but never
+  * runs an action would otherwise leave its listener installed for
+  * the session's lifetime, and every outstanding listener runs an
+  * O(|plan|) subtree scan on every later query. Registration is
+  * therefore capped at [[MaxOutstanding]]: admitting a new listener
+  * past the cap evicts the OLDEST one (unregister + release — an
+  * early unpersist only costs that stale frame a recompute if it is
+  * ever materialized after all; unpersist is idempotent, so the
+  * eviction racing the listener's own fire is harmless).
   */
 private[graft] object CacheLifecycle {
+
+  /** Cap on concurrently outstanding self-release listeners — sized
+    * for "a burst of API calls whose actions haven't run yet", not
+    * for abandonment at scale. */
+  private[graft] val MaxOutstanding = 32
+
+  private val outstanding = new java.util.concurrent.ConcurrentLinkedQueue[
+    (org.apache.spark.sql.util.QueryExecutionListener,
+     () => Unit,
+     org.apache.spark.sql.SparkSession)]()
+
+  /** Outstanding listener count — spec hook. */
+  private[graft] def outstandingCount: Int = outstanding.size
 
   def selfReleasing(pair: (DataFrame, () => Unit)): DataFrame =
     selfReleasing(pair._1, pair._2)
@@ -52,6 +75,7 @@ private[graft] object CacheLifecycle {
               .getOrElse(false) && fired.compareAndSet(false, true)) {
           release()
           sp.listenerManager.unregister(this)
+          outstanding.removeIf(_._1 eq this)
         }
       override def onSuccess(name: String,
           qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
@@ -61,6 +85,17 @@ private[graft] object CacheLifecycle {
         maybeRelease(qe)
     }
     sp.listenerManager.register(listener)
+    outstanding.add((listener, release, sp))
+    // evict past the cap, oldest first: the abandoned frame's cache
+    // entry is dropped NOW instead of never, and its listener stops
+    // scanning every future query's plan
+    while (outstanding.size > MaxOutstanding) {
+      val old = outstanding.poll()
+      if (old != null) {
+        old._3.listenerManager.unregister(old._1)
+        old._2()
+      }
+    }
     result
   }
 }

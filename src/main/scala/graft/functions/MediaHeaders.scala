@@ -98,7 +98,14 @@ object MediaHeaders {
     * 18/20, bpp at 24) vs BITMAPINFOHEADER and successors (>= 40: s32
     * dims at 18/22 — height may be negative for top-down rows, take
     * |h| — bpp at 28). Channels: bpp/8 for 24/32-bit pixels, palette
-    * (1/4/8 bpp) = 1, 16-bit masked = 3. */
+    * (1/4/8 bpp) = 1, 16-bit masked = 3 as a BEST-EFFORT guess — an
+    * exact answer needs the BITMAPV2+/BI_BITFIELDS masks (ARGB1555/
+    * 4444 carry alpha), which sit past the fixed header this sniffer
+    * reads (r19 ADVICE; same declared-approximation class as the
+    * unrecognized-container stub). 16 bpp is only legal for
+    * BITMAPINFOHEADER+ — the 12-byte core DIB allows {1,4,8,24}
+    * (Windows BMP spec), so a core header claiming 16 is rejected as
+    * malformed. */
   private def bmp(b: Array[Byte]): Option[Header] = {
     if (b.length < 26 || b(0) != 'B' || b(1) != 'M') return None
     val dib = le32(b, 14)
@@ -108,6 +115,7 @@ object MediaHeaders {
         if (b.length < 30) return None
         (le32(b, 18), math.abs(le32(b, 22)), le16(b, 28))
       } else return None
+    if (dib == 12 && !Set(1, 4, 8, 24).contains(bpp)) return None
     val channels = bpp match {
       case 1 | 4 | 8 => 1
       case 16 | 24   => 3

@@ -1626,9 +1626,18 @@ object TrainingData {
           (a, x) => a + x.getField("tok_l")).as("tot"))
     val rates = folded
       .select(explode(col("ls")).as("x"), col("s"), col("tot"))
+      // tok_l = 0 (a language whose every doc is empty/whitespace)
+      // would give r = tot·√0/s/0 = NaN, and floor(NaN) then yields a
+      // silently meaningless n_copies — fail loudly instead (the
+      // winnow-guard / validatedId convention; r19 ADVICE)
       .select(col("x.lang").as("lang"),
-        (col("tot").cast("double") * sqrt(col("x.tok_l").cast("double"))
-          / col("s") / col("x.tok_l").cast("double")).as("r"))
+        when(col("x.tok_l") === 0,
+          raise_error(concat(lit("mixtureApply: language '"), col("x.lang"),
+            lit("' has zero token mass — its repeat factor is undefined; " +
+              "drop empty-token documents before composing the epoch")))
+            .cast("double"))
+          .otherwise(col("tot").cast("double") * sqrt(col("x.tok_l").cast("double"))
+            / col("s") / col("x.tok_l").cast("double")).as("r"))
     toks.join(broadcast(rates), Seq("lang"))
       .withColumn("base", floor(col("r")).cast("int"))
       .withColumn("frac_q",

@@ -115,6 +115,12 @@ class MediaHeadersSpec extends AnyFunSuite {
     assert(MediaHeaders.parse(bmpBytes(40, 30, 24, core = true))
       .contains(MediaHeaders.Header("image/bmp", 40, 30, 3)))
     assert(MediaHeaders.parse(bmpBytes(8, 8, 13)).isEmpty)     // bogus bpp
+    // 16 bpp is not a legal BITMAPCOREHEADER depth (core allows
+    // {1,4,8,24}) — reject as malformed rather than guess channels
+    // (r19 ADVICE); the INFO header still takes 16 as best-effort 3
+    assert(MediaHeaders.parse(bmpBytes(8, 8, 16, core = true)).isEmpty)
+    assert(MediaHeaders.parse(bmpBytes(8, 8, 16))
+      .contains(MediaHeaders.Header("image/bmp", 8, 8, 3)))
   }
 
   test("WebP: VP8 lossy start code, VP8L bitfield + alpha, VP8X canvas") {

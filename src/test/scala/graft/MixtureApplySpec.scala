@@ -92,4 +92,18 @@ class MixtureApplySpec extends AnyFunSuite {
       assert(d == 0 || d == 1, s"doc ${r.getLong(0)} copies off base by $d")
     }
   }
+
+  test("zero-token-mass language fails loudly, not NaN (r19 ADVICE)") {
+    // a language whose every doc is whitespace has tok_l = 0 → r was
+    // tot·√0/s/0 = NaN and floor(NaN) minted meaningless n_copies
+    // silently; the guard raises instead (the winnow-guard convention)
+    val c = corpusOf((1L, "en", "real words here"), (2L, "xx", "   "))
+    val e = intercept[Exception] {
+      TrainingData.mixtureApplyOf(c).collect()
+    }
+    def causes(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.toString +: causes(x.getCause))
+    assert(causes(e).exists(_.contains("zero token mass")),
+      s"expected the zero-token-mass raise, got: $e")
+  }
 }

@@ -303,6 +303,10 @@ class StreamingSpec extends AnyFunSuite {
     // HEAD chunks may be novel — but once the cut stream re-syncs,
     // every later chunk is byte-identical to history: all unknown
     // chunks must precede every known chunk, and known must dominate
+    // guard before min: an empty known set (a chunking regression)
+    // would throw UnsupportedOperationException here and obscure the
+    // actual failure (r19 ADVICE)
+    assert(re.exists(_._6), "re-post produced NO known chunks — chunking regression")
     val firstKnown = re.filter(_._6).map(_._3).min
     assert(re.filter(!_._6).forall(_._3 < firstKnown),
       "unknown chunks must all precede the re-sync point")
