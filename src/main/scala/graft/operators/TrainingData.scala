@@ -552,6 +552,62 @@ object TrainingData {
     emb.filter(col("vec_id") % AnnCodebookStride === 0)
       .select(col("vec_id").as("c_id"), col("e").as("ce"))
 
+  /** B86 super-codebook rule: every 2nd [[annCodebook]] centroid is a
+    * super-centroid (`vec_id % (2·stride) = 0` — the stride rule one
+    * level up, as deterministic and oracle-expressible as the child
+    * rule). A production run sizes supers ~√K and trains both levels
+    * (KMeansLite); the GEOMETRY graded here — two-level assign,
+    * liveness semi-join, per-level tie rules — is what the 100 TB
+    * path runs, with K and √K substituted. */
+  private[graft] val AnnSuperStride = 2 * AnnCodebookStride
+
+  /** Probed supers per vector for the graded B86 op: 1, the maximally
+    * approximate setting — the op must grade the HIERARCHICAL
+    * semantics, and superProbe ≥ |supers| would collapse it to the
+    * flat assign B58 already grades (AnnHierApiSpec pins that
+    * equivalence separately). */
+  private[graft] val AnnHierSuperProbe = 1
+
+  /** The [[AnnSuperStride]] rule over a prepped `(vec_id, e)` frame —
+    * single owner shared by the graded op and its oracle's
+    * `vec_id % 314` predicate. */
+  private[graft] def annSuperCodebook(emb: DataFrame): DataFrame =
+    emb.filter(col("vec_id") % AnnSuperStride === 0)
+      .select(col("vec_id").as("c_id"), col("e").as("ce"))
+
+  /** B86 — `op_ann_hier`: the incremental ANN probe under the
+    * HIERARCHICAL (two-level) coarse assign — the documented
+    * production escape past [[ivfAssignWith]]'s broadcast ceiling
+    * (K ≈ 10⁶ centroids ≈ 0.5 GB of doubles), here promoted from
+    * public API (`api.Graft.annProbeHier`, r17) to a graded op so the
+    * LAST approximate index path sits under the oracle hash (r19
+    * verdict task 1): both sides score the ~√K super-centroids first,
+    * keep their top-[[AnnHierSuperProbe]] supers, and argmax only
+    * among those supers' child centroids ([[hierAssignWith]] — the
+    * IVF nprobe trade one level up). Same split, child codebook,
+    * candidate geometry, and output schema as B58
+    * (`(batch_id, rank, hist_id, score)`), so the approximation cost
+    * is directly measurable: AnnHierApiSpec's recall-vs-flat contract
+    * pins the measured floor, and identical re-posts still co-locate
+    * at ANY superProbe (both sides share the assignment rule), so the
+    * incremental-dedup use stays exact — the same two-contract
+    * pattern as B83's recall-vs-exact.
+    *
+    * Scale shape: the super scoring and the child argmax are BOTH
+    * broadcast map-side passes (√K-row and K-row build sides; the
+    * child→super map is codebook-sized and computed once); the probe
+    * is B58's cell-keyed shuffle join where only the batch moves.
+    * Assign work drops from N×K to N×(√K + S·√K) — the difference
+    * between a 0.5 GB broadcast per executor and a 0.5 MB one at
+    * K = 10⁶. */
+  def annHier(sp: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(sp, dir)
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("e"))
+    val (history, batch, cents) = annSplit(emb)
+    annProbeHierWith(history, batch, cents, annSuperCodebook(emb),
+      AnnHierSuperProbe, topK = 3)
+  }
+
   /** The graded op's history/batch/codebook split over a prepped
     * `(vec_id, e)` embeddings frame — SINGLE owner shared with
     * tools.AnnScaleProbe so the scale evidence can never drift onto a
@@ -2338,6 +2394,61 @@ object TrainingData {
         |  FROM scored)
         |SELECT batch_id, rank, hist_id, score FROM ranked WHERE rank <= 3
         |ORDER BY batch_id, rank""".stripMargin)(annPqIncremental),
+
+    OpQuery("op_ann_hier",
+      s"""WITH emb AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |cents AS (
+        |  SELECT vec_id AS c_id, e AS ce FROM emb WHERE vec_id % $AnnCodebookStride = 0),
+        |sups AS (
+        |  SELECT vec_id AS s_id, e AS se FROM emb WHERE vec_id % $AnnSuperStride = 0),
+        |c2s AS (
+        |  SELECT c_id, ce, s_id AS sup FROM (
+        |    SELECT cents.c_id, cents.ce, sups.s_id,
+        |      row_number() OVER (PARTITION BY cents.c_id ORDER BY
+        |        list_dot_product(cents.ce, sups.se) /
+        |          (sqrt(list_dot_product(cents.ce, cents.ce)) * sqrt(list_dot_product(sups.se, sups.se))) DESC,
+        |        sups.s_id ASC) AS rn
+        |    FROM cents, sups)
+        |  WHERE rn = 1),
+        |live AS (
+        |  SELECT s_id, se FROM sups WHERE s_id IN (SELECT DISTINCT sup FROM c2s)),
+        |corpus AS (
+        |  SELECT 'h' AS side, vec_id * 2 AS vid, e FROM emb WHERE vec_id % 4 = 0
+        |  UNION ALL
+        |  SELECT 'b', vec_id * 2, e FROM emb WHERE vec_id % 4 <> 0
+        |  UNION ALL
+        |  SELECT 'b', vec_id * 2 + 1, e FROM emb WHERE vec_id % 8 = 0),
+        |v2s AS (
+        |  SELECT side, vid, e, s_id AS sup FROM (
+        |    SELECT corpus.side, corpus.vid, corpus.e, live.s_id,
+        |      row_number() OVER (PARTITION BY corpus.side, corpus.vid ORDER BY
+        |        list_dot_product(corpus.e, live.se) /
+        |          (sqrt(list_dot_product(corpus.e, corpus.e)) * sqrt(list_dot_product(live.se, live.se))) DESC,
+        |        live.s_id ASC) AS rn
+        |    FROM corpus, live)
+        |  WHERE rn <= $AnnHierSuperProbe),
+        |assigned AS (
+        |  SELECT side, vid, e, c_id AS cell FROM (
+        |    SELECT v.side, v.vid, v.e, c.c_id,
+        |      row_number() OVER (PARTITION BY v.side, v.vid ORDER BY
+        |        list_dot_product(v.e, c.ce) /
+        |          (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(c.ce, c.ce))) DESC,
+        |        c.c_id ASC) AS rn
+        |    FROM v2s v JOIN c2s c ON v.sup = c.sup)
+        |  WHERE rn = 1),
+        |scored AS (
+        |  SELECT b.vid AS batch_id, h.vid AS hist_id,
+        |    round(list_dot_product(b.e, h.e) /
+        |      (sqrt(list_dot_product(b.e, b.e)) * sqrt(list_dot_product(h.e, h.e))), 4) + 0.0 AS score
+        |  FROM assigned b JOIN assigned h
+        |    ON b.cell = h.cell AND b.side = 'b' AND h.side = 'h'),
+        |ranked AS (
+        |  SELECT batch_id, hist_id, score,
+        |    CAST(row_number() OVER (PARTITION BY batch_id ORDER BY score DESC, hist_id ASC) AS INTEGER) AS rank
+        |  FROM scored)
+        |SELECT batch_id, rank, hist_id, score FROM ranked WHERE rank <= 3
+        |ORDER BY batch_id, rank""".stripMargin)(annHier),
 
     OpQuery("op_semdedup",
       s"""WITH emb AS (

@@ -119,6 +119,37 @@ class AnnHierApiSpec extends AnyFunSuite {
       "vectors probing an empty super must still be assigned and co-locate")
   }
 
+  test("graded op_ann_hier: recall-vs-flat floor and exact re-post co-location") {
+    // the B83 contract pattern (recall floor stated AND measured, the
+    // approximation cost never guessed): op_ann_hier runs the same
+    // split/codebook/probe as flat B58 but assigns through top-1-of-2
+    // supers, so its top-3 sets may differ — measured recall of the
+    // flat probe's (batch, hist) pairs is 0.69 at sf0.001 / 0.62 at
+    // sf0.01 (uniform embeddings, the super-probe worst case); the
+    // contract floor sits at 0.40 to absorb data-drop drift without
+    // ever letting the probe degrade to noise
+    val dir = "/root/testdata/sf0.001"
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val flat = pairs(operators.TrainingData.annIncremental(spark, dir))
+    val hier = operators.TrainingData.annHier(spark, dir)
+    val hierPairs = pairs(hier)
+    val recall = flat.intersect(hierPairs).size.toDouble / flat.size
+    assert(recall >= 0.40, f"recall vs flat $recall%.4f below the 0.40 floor")
+    // identical re-posts (batch 2·id+1 of history 2·id) must STILL hit
+    // their original at rank 1 / score 1.0 under the approximate
+    // assign — both sides share the rule, so the incremental-dedup
+    // contract is exact, not probabilistic
+    val re = hier.collect().filter(r => r.getLong(0) % 2 == 1)
+    val reBatch = re.map(_.getLong(0)).distinct
+    assert(reBatch.nonEmpty, "planted re-posts missing from the probe output")
+    reBatch.foreach { b =>
+      val top = re.filter(r => r.getLong(0) == b && r.getInt(1) == 1).head
+      assert(top.getLong(2) == b - 1 && top.getDouble(3) == 1.0,
+        s"re-post $b must hit its original at rank 1, score 1.0")
+    }
+  }
+
   test("guards: superProbe >= 1, lossless ids") {
     intercept[IllegalArgumentException] {
       api.Graft.annProbeHier(df(Seq(1L -> vProbe), "vec_id", "embedding"),
