@@ -1662,6 +1662,93 @@ object TrainingData {
   def mixtureApply(sp: SparkSession, dir: String): DataFrame =
     mixtureApplyOf(docs(sp, dir)).orderBy("doc_id")
 
+  /** The B84 manifest as a shared oracle CTE chain exposing
+    * `manifest(doc_id, lang, n_tok, base, coin, n_copies)` over
+    * `documents` — single SQL owner for the B84 and B87 oracles (one
+    * composition rule, two graded views; the cdcChunkCtes
+    * discipline). */
+  private[graft] lazy val MixtureManifestCtes: String = {
+    val coin = graft.operators.Curation.rhSql("md5(CAST(t.doc_id AS VARCHAR))")
+    s"""t AS (SELECT doc_id, lang,
+      |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tok
+      |  FROM documents),
+      |pl AS (SELECT lang, CAST(sum(n_tok) AS BIGINT) AS tok_l FROM t GROUP BY lang),
+      |fold AS (SELECT list(struct_pack(lang := lang, tok_l := tok_l) ORDER BY lang) AS ls FROM pl),
+      |sc AS (SELECT
+      |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |      list_transform(ls, x -> sqrt(CAST(x.tok_l AS DOUBLE)))), (a, b) -> a + b) AS s,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(ls, x -> x.tok_l)), (a, b) -> a + b) AS tot
+      |  FROM fold),
+      |rates AS (SELECT u.x.lang AS lang,
+      |    CAST(sc.tot AS DOUBLE) * sqrt(CAST(u.x.tok_l AS DOUBLE)) / sc.s / CAST(u.x.tok_l AS DOUBLE) AS r
+      |  FROM fold, sc, unnest(fold.ls) AS u(x)),
+      |manifest AS (SELECT t.doc_id, t.lang, CAST(t.n_tok AS INTEGER) AS n_tok,
+      |  CAST(floor(r) AS INTEGER) AS base,
+      |  CAST($coin % $MixCoinMod AS INTEGER) AS coin,
+      |  CAST(floor(r) + CASE WHEN
+      |      $coin % $MixCoinMod
+      |      < floor((r - floor(r)) * $MixCoinMod) THEN 1 ELSE 0 END AS INTEGER) AS n_copies
+      |FROM t JOIN rates USING (lang))""".stripMargin
+  }
+
+  /** B87 — `op_epoch_export`: EPOCH MATERIALIZATION — the composition
+    * of B84's per-document repeat manifest with the explode-by-
+    * `n_copies` write and B41's deterministic shard key, graded as the
+    * per-shard manifest a training run actually consumes (r19 verdict
+    * task 2; B84 grades the per-doc counts, THIS grades what lands on
+    * disk). Every doc emits `n_copies` physical rows (`n_copies = 0`
+    * docs drop — the downsample is real at materialization); each
+    * copy's shard is the first hex char of `md5(doc_id ':' copy)` —
+    * the B41 derivation EXTENDED with the copy index, so a
+    * repeat-heavy document's copies spread across shards instead of
+    * piling adjacent duplicates into one training file (loaders
+    * stream shards sequentially; co-sharded identical copies defeat
+    * the shuffle the epoch composition exists to provide). Output:
+    * one row per (shard, lang) — `n_docs` distinct docs, `n_copies`
+    * physical rows, `sum_tok` token mass — the loader's validation
+    * manifest. EpochExportSpec pins conservation (Σ n_copies ≡ the
+    * B84 manifest's, Σ sum_tok within B84's 5% budget-drift bound)
+    * and measured per-shard balance.
+    *
+    * Scale shape: the manifest is B84's plan (language-sized
+    * aggregate + broadcast rates, map-side projection); the explode
+    * is map-side and bounded by the repeat factor (a training epoch
+    * is ≈ 1× the corpus by construction — token-budget neutrality is
+    * the POINT of the α-mixture); the rollup is two keyed
+    * aggregations with map-side partials, pre-aggregating (shard,
+    * lang, doc) so no countDistinct Expand touches the exploded rows;
+    * output is 16×|languages| rows. The physical write is
+    * [[writeShards]]' `partitionBy(shard)` over [[epochMaterialize]]'s
+    * per-copy frame. */
+  def epochExport(sp: SparkSession, dir: String): DataFrame =
+    epochExportOf(docs(sp, dir))
+
+  /** Core over `corpus(doc_id, lang, text)` for known-answer specs. */
+  private[graft] def epochExportOf(corpus: DataFrame): DataFrame =
+    epochMaterialize(corpus)
+      .groupBy("shard", "lang", "doc_id")
+      .agg(count(lit(1)).as("nc"), first(col("n_tok")).as("n_tok"))
+      .groupBy("shard", "lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("nc")).as("n_copies"),
+        sum(col("nc") * col("n_tok")).as("sum_tok"))
+      .orderBy("shard", "lang")
+
+  /** The per-copy epoch frame behind [[epochExportOf]] and
+    * `api.Graft.epochMaterialize`: one row per physical copy —
+    * `(doc_id, copy, shard, lang, n_tok)` (join `doc_id` back to the
+    * corpus for the text payload; the graded rollup never ships
+    * text). */
+  private[graft] def epochMaterialize(corpus: DataFrame): DataFrame =
+    mixtureApplyOf(corpus)
+      .filter(col("n_copies") >= 1)
+      .select(col("doc_id"), col("lang"), col("n_tok"),
+        explode(sequence(lit(0), col("n_copies") - 1)).as("copy"))
+      .withColumn("shard",
+        substring(md5(concat(col("doc_id").cast("string"), lit(":"),
+          col("copy").cast("string"))), 1, 1))
+
   /** Core over `corpus(doc_id, lang, text)` for known-answer specs. */
   private[graft] def mixtureApplyOf(corpus: DataFrame): DataFrame = {
     val toks = corpus.select(col("doc_id"), col("lang"),
@@ -2634,28 +2721,28 @@ object TrainingData {
         |FROM agg, tot ORDER BY lang""".stripMargin)(mixtureWeights),
 
     OpQuery("op_mixture_apply",
-      s"""WITH t AS (SELECT doc_id, lang,
-        |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tok
-        |  FROM documents),
-        |pl AS (SELECT lang, CAST(sum(n_tok) AS BIGINT) AS tok_l FROM t GROUP BY lang),
-        |fold AS (SELECT list(struct_pack(lang := lang, tok_l := tok_l) ORDER BY lang) AS ls FROM pl),
-        |sc AS (SELECT
-        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
-        |      list_transform(ls, x -> sqrt(CAST(x.tok_l AS DOUBLE)))), (a, b) -> a + b) AS s,
-        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
-        |      list_transform(ls, x -> x.tok_l)), (a, b) -> a + b) AS tot
-        |  FROM fold),
-        |rates AS (SELECT u.x.lang AS lang,
-        |    CAST(sc.tot AS DOUBLE) * sqrt(CAST(u.x.tok_l AS DOUBLE)) / sc.s / CAST(u.x.tok_l AS DOUBLE) AS r
-        |  FROM fold, sc, unnest(fold.ls) AS u(x))
-        |SELECT t.doc_id, t.lang, CAST(t.n_tok AS INTEGER) AS n_tok,
-        |  CAST(floor(r) AS INTEGER) AS base,
-        |  CAST(${graft.operators.Curation.rhSql("md5(CAST(t.doc_id AS VARCHAR))")} % $MixCoinMod AS INTEGER) AS coin,
-        |  CAST(floor(r) + CASE WHEN
-        |      ${graft.operators.Curation.rhSql("md5(CAST(t.doc_id AS VARCHAR))")} % $MixCoinMod
-        |      < floor((r - floor(r)) * $MixCoinMod) THEN 1 ELSE 0 END AS INTEGER) AS n_copies
-        |FROM t JOIN rates USING (lang)
+      s"""WITH $MixtureManifestCtes
+        |SELECT doc_id, lang, n_tok, base, coin, n_copies FROM manifest
         |ORDER BY doc_id""".stripMargin)(mixtureApply),
+
+    OpQuery("op_epoch_export",
+      s"""WITH $MixtureManifestCtes,
+        |cp AS (
+        |  SELECT doc_id, lang, n_tok, unnest(range(0, n_copies)) AS cp_i
+        |  FROM manifest WHERE n_copies >= 1),
+        |sh AS (
+        |  SELECT substring(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(cp_i AS VARCHAR)), 1, 1)
+        |    AS shard, lang, doc_id, n_tok
+        |  FROM cp),
+        |d AS (
+        |  SELECT shard, lang, doc_id, count(*) AS nc, any_value(n_tok) AS n_tok
+        |  FROM sh GROUP BY shard, lang, doc_id)
+        |SELECT shard, lang,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(nc) AS BIGINT) AS n_copies,
+        |  CAST(sum(nc * n_tok) AS BIGINT) AS sum_tok
+        |FROM d GROUP BY shard, lang
+        |ORDER BY shard, lang""".stripMargin)(epochExport),
 
     OpQuery("op_quality_classifier",
       """WITH f AS (
