@@ -307,8 +307,10 @@ object Graft {
     * the graded `op_chunk_cdc` (same core,
     * [[graft.operators.TrainingData.chunkCdcWith]]; Manber 1994, the
     * fingerprint-boundary rule behind Rabin/FastCDC chunking). Cuts
-    * after every `gramBytes`-byte window whose rolling hash ≡ `rem`
-    * (mod `divisor`), so expected chunk size ≈ `divisor` bytes, an
+    * after every `gramChars`-CHAR window whose codepoint rolling hash
+    * ≡ `rem` (mod `divisor`) — since r20 the window, hash, offsets,
+    * and slices all count CODEPOINTS (one unit everywhere, ≡ bytes on
+    * ASCII), so expected chunk size ≈ `divisor` chars, an
     * edit perturbs only the chunks it touches (chunks re-synchronize
     * at the next content-defined cut — spec-pinned), and identical
     * regions of different documents produce identical `chunk_md5`
@@ -319,16 +321,16 @@ object Graft {
     * downstream if your corpus needs FastCDC-style min/max bounds. */
   def chunkContentDefined(df: DataFrame, idCol: String = "doc_id",
       textCol: String = "text",
-      gramBytes: Int = graft.operators.TrainingData.CdcGram,
+      gramChars: Int = graft.operators.TrainingData.CdcGram,
       divisor: Int = graft.operators.TrainingData.CdcDivisor,
       rem: Int = graft.operators.TrainingData.CdcRem): DataFrame = {
-    require(gramBytes >= 1, s"chunkContentDefined: need gramBytes >= 1 (got $gramBytes)")
+    require(gramChars >= 1, s"chunkContentDefined: need gramChars >= 1 (got $gramChars)")
     require(divisor >= 2 && rem >= 0 && rem < divisor,
       s"chunkContentDefined: need divisor >= 2 and 0 <= rem < divisor " +
         s"(got $divisor, $rem)")
     graft.operators.TrainingData.chunkCdcWith(
       df.select(col(idCol).as("doc_id"), col(textCol).as("text")),
-      gramBytes, divisor, rem)
+      gramChars, divisor, rem)
   }
 
   /** Block-level dedup over content-defined chunks — the general form
@@ -349,11 +351,11 @@ object Graft {
     * aggregates with map-side partials, never pairs. */
   def dedupBlocks(df: DataFrame, idCol: String = "doc_id",
       textCol: String = "text",
-      gramBytes: Int = graft.operators.TrainingData.CdcGram,
+      gramChars: Int = graft.operators.TrainingData.CdcGram,
       divisor: Int = graft.operators.TrainingData.CdcDivisor,
       rem: Int = graft.operators.TrainingData.CdcRem): DataFrame =
     graft.operators.TrainingData.blockDedupWith(
-      chunkContentDefined(df, idCol, textCol, gramBytes, divisor, rem))
+      chunkContentDefined(df, idCol, textCol, gramChars, divisor, rem))
 
   /** Block-level dedup REWRITE — the transform leg of [[dedupBlocks]]
     * (same chunking rule, graded as `op_dedup_blocks_rewrite`): every
@@ -374,17 +376,17 @@ object Graft {
     * this join geometry). */
   def dedupBlocksRewrite(df: DataFrame, idCol: String = "doc_id",
       textCol: String = "text",
-      gramBytes: Int = graft.operators.TrainingData.CdcGram,
+      gramChars: Int = graft.operators.TrainingData.CdcGram,
       divisor: Int = graft.operators.TrainingData.CdcDivisor,
       rem: Int = graft.operators.TrainingData.CdcRem): DataFrame = {
-    require(gramBytes >= 1, s"dedupBlocksRewrite: need gramBytes >= 1 (got $gramBytes)")
+    require(gramChars >= 1, s"dedupBlocksRewrite: need gramChars >= 1 (got $gramChars)")
     require(divisor >= 2 && rem >= 0 && rem < divisor,
       s"dedupBlocksRewrite: need divisor >= 2 and 0 <= rem < divisor " +
         s"(got $divisor, $rem)")
     graft.operators.TrainingData.blockRewriteWith(
       graft.operators.TrainingData.chunkCdcWith(
         df.select(col(idCol).as("doc_id"), col(textCol).as("text")),
-        gramBytes, divisor, rem, withText = true))
+        gramChars, divisor, rem, withText = true))
   }
 
   /** Exact repeated-span detection for any corpus — the general form

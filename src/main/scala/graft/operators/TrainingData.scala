@@ -828,8 +828,25 @@ object TrainingData {
     * not per-byte). No shuffle before the graded total sort (dropped
     * in production); corpus-byte-linear at any scale. */
   def chunkCdc(sp: SparkSession, dir: String): DataFrame =
-    chunkCdcWith(docs(sp, dir), CdcGram, CdcDivisor, CdcRem)
+    chunkCdcWith(chunkCdcCorpus(sp, dir), CdcGram, CdcDivisor, CdcRem)
       .orderBy("doc_id", "chunk_id")
+
+  /** The B81 graded corpus: originals (2·id) plus, for id % 25 = 3, a
+    * UNICODE-wrapped variant (2·id+1) — multi-byte text in the graded
+    * corpus itself (r19 verdict task 3), so the codepoint-unit
+    * contract (cut offsets, window, hash, md5 of the char slice) sits
+    * under the oracle hash permanently, not only under specs. The
+    * wrapper mixes 2-byte Latin, 3-byte CJK, and 2-byte Greek around
+    * the ASCII body; odd/even re-keying per the collision-safety
+    * rule. */
+  private[graft] def chunkCdcCorpus(sp: SparkSession, dir: String): DataFrame = {
+    val base = docs(sp, dir)
+    base.select((col("doc_id") * 2).as("doc_id"), col("text"))
+      .union(base.filter(col("doc_id") % 25 === 3)
+        .select((col("doc_id") * 2 + 1).as("doc_id"),
+          concat(lit("Üñíçødé → "), col("text"), lit(" — 中文 κείμενο"))
+            .as("text")))
+  }
 
   /** Core behind [[chunkCdc]] and `api.Graft.chunkContentDefined`:
     * caller-sized geometry over any `corpus(doc_id, text)`, without
@@ -1072,9 +1089,15 @@ object TrainingData {
       |  SELECT doc_id, chunk_id, start, chunk_len, chunk_md5
       |  FROM ${pfx}ch WHERE chunk_len > 0)""".stripMargin
 
-  /** B81 oracle — the shared chunking chain over `documents`. */
+  /** B81 oracle — the shared chunking chain over the graded corpus
+    * (originals ∪ unicode-wrapped variants; see [[chunkCdcCorpus]]). */
   private[graft] val ChunkCdcSql: String =
-    s"""WITH ${cdcChunkCtes("documents")}
+    s"""WITH corpus AS (
+      |  SELECT doc_id * 2 AS doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id * 2 + 1, 'Üñíçødé → ' || text || ' — 中文 κείμενο'
+      |  FROM documents WHERE doc_id % 25 = 3),
+      |${cdcChunkCtes("corpus")}
       |SELECT doc_id, chunk_id, start, chunk_len, chunk_md5
       |FROM chunks
       |ORDER BY doc_id, chunk_id""".stripMargin

@@ -12,32 +12,31 @@ import org.apache.spark.unsafe.types.UTF8String
 /** Native Catalyst expression: content-defined chunk CUT offsets for
   * `op_chunk_cdc` (B81; the fingerprint-boundary rule of Manber 1994,
   * "Finding similar files in a large file system", USENIX — the
-  * ancestor of Rabin/FastCDC chunking). For every k-byte window
-  * starting at 0-based byte `i` (so `i ∈ [0, len-k]`), the window's
-  * [[RollingHash]] polynomial `(acc·31 + byte) % 1e9+7` is taken mod
-  * `divisor`; a hit (`== rem`) cuts AFTER the window — byte boundary
-  * `i + k`, end-exclusive. Output: the ascending int array of cut
-  * offsets in CHARS — each byte boundary is reported as the count of
-  * UTF-8 lead bytes before it — because the consumer
-  * (`TrainingData.chunkCdcWith`) slices with the char-based
-  * `substring` and closes the bounds array with char-based
-  * `length(text)`; emitting bytes there silently corrupted non-ASCII
-  * chunk boundaries/md5 keys and could break the tiling invariant
-  * (r18 ADVICE). A cut falling inside a multi-byte codepoint attaches
-  * the straddling char to the LEFT chunk (its lead byte precedes the
-  * boundary), and several byte cuts inside one codepoint collapse to
-  * one char offset, so the output stays strictly increasing. On ASCII
-  * text chars ≡ bytes and the output is bit-identical to the pre-fix
-  * kernel (expected chunk size ≈ `divisor` bytes).
+  * ancestor of Rabin/FastCDC chunking). For every k-CHAR window
+  * starting at 0-based char `i` (so `i ∈ [0, chars-k]`), the window's
+  * [[RollingHash]]-style polynomial `(acc·31 + codepoint) % 1e9+7` is
+  * taken mod `divisor`; a hit (`== rem`) cuts AFTER the window — char
+  * boundary `i + k`, end-exclusive. Output: the strictly ascending
+  * int array of cut offsets in CHARS.
+  *
+  * Unit history: r19 fixed the OFFSET unit (the kernel emitted byte
+  * offsets while the consumer sliced with char-based `substring` —
+  * non-ASCII boundaries/md5 keys corrupted, r18 ADVICE) but left the
+  * HASH byte-wise, so cut POSITIONS on multi-byte text still diverged
+  * from the oracle's codepoint-wise `ord()` polynomial and non-ASCII
+  * corpora could not sit under the oracle hash. r20 re-units the hash
+  * to CODEPOINTS with the window counted in chars — ONE unit
+  * everywhere (hash, window, offsets, slices), agreeing with DuckDB's
+  * `ord(substring(...))`/`length()`/`substring()` on any text. On
+  * ASCII, codepoints ≡ bytes and the output is bit-identical to both
+  * prior kernels (expected chunk size ≈ `divisor` chars).
   *
   * Why a kernel: the per-position windowed hash is the same
   * interpreted-HOF trap [[WinnowSelect]] closed — a
   * `transform(sequence)` fold runs CodegenFallback per position. The
-  * HASH stays byte-wise like RollingHash (≡ char-wise `ord` on the
-  * ASCII corpora both engines verify on) — content-defined cuts only
-  * need a deterministic content hash, whatever the unit. Generated
-  * Java keeps to the Janino subset (no generics, explicit boxing
-  * avoided by a two-pass count-then-fill over a boolean mask).
+  * UTF-8 decode is one linear pass building the codepoint array; the
+  * window loop then runs over ints. Generated Java keeps to the
+  * Janino subset (no generics, raw arrays, explicit masks).
   */
 case class CdcCuts(child: Expression, k: Int, divisor: Int, rem: Int)
     extends UnaryExpression {
@@ -53,34 +52,41 @@ case class CdcCuts(child: Expression, k: Int, divisor: Int, rem: Int)
 
   override protected def nullSafeEval(input: Any): Any = {
     val bytes = input.asInstanceOf[UTF8String].getBytes
-    val nPos = bytes.length - k + 1
+    // decode pass: UTF-8 → codepoint array (lead byte carries the
+    // payload width; continuation bytes OR in 6 bits each — malformed
+    // tails decode best-effort, same every run)
+    var n = 0
+    var b = 0
+    while (b < bytes.length) { if ((bytes(b) & 0xc0) != 0x80) n += 1; b += 1 }
+    val cps = new Array[Int](n)
+    var ci = 0
+    b = 0
+    while (b < bytes.length) {
+      val x = bytes(b) & 0xff
+      var cp = 0
+      var len = 1
+      if (x < 0x80) { cp = x; len = 1 }
+      else if ((x & 0xe0) == 0xc0) { cp = x & 0x1f; len = 2 }
+      else if ((x & 0xf0) == 0xe0) { cp = x & 0x0f; len = 3 }
+      else { cp = x & 0x07; len = 4 }
+      var t = 1
+      while (t < len && b + t < bytes.length) {
+        cp = (cp << 6) | (bytes(b + t) & 0x3f); t += 1
+      }
+      cps(ci) = cp; ci += 1; b += len
+    }
+    val nPos = n - k + 1
     if (nPos <= 0) return new GenericArrayData(new Array[Int](0))
-    val hit = new Array[Boolean](nPos)
-    var nHit = 0
+    val tmp = new Array[Int](nPos)
+    var r = 0
     var i = 0
     while (i < nPos) {
       var acc = 0L
       var j = i
       val end = i + k
-      while (j < end) { acc = (acc * 31 + (bytes(j) & 0xff)) % M; j += 1 }
-      if (acc % divisor == rem) { hit(i) = true; nHit += 1 }
+      while (j < end) { acc = (acc * 31 + cps(j)) % M; j += 1 }
+      if (acc % divisor == rem) { tmp(r) = i + k; r += 1 }
       i += 1
-    }
-    // fill pass: walk bytes once, tracking the char count (UTF-8 lead
-    // bytes) so each byte boundary i + k is reported in CHARS; cuts
-    // collapsing onto one char offset (mid-codepoint) dedup here
-    val tmp = new Array[Int](nHit)
-    var r = 0
-    var chars = 0
-    var prev = -1
-    var b = 0
-    while (b < bytes.length) {
-      if ((bytes(b) & 0xc0) != 0x80) chars += 1
-      val ii = b + 1 - k
-      if (ii >= 0 && ii < nPos && hit(ii) && chars != prev) {
-        tmp(r) = chars; r += 1; prev = chars
-      }
-      b += 1
     }
     new GenericArrayData(java.util.Arrays.copyOf(tmp, r))
   }
@@ -88,46 +94,55 @@ case class CdcCuts(child: Expression, k: Int, divisor: Int, rem: Int)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, str => {
       val bytes = ctx.freshName("bytes")
+      val n = ctx.freshName("n")
+      val cps = ctx.freshName("cps")
+      val ci = ctx.freshName("ci")
+      val b = ctx.freshName("b")
+      val x = ctx.freshName("x")
+      val cp = ctx.freshName("cp")
+      val len = ctx.freshName("len")
+      val t = ctx.freshName("t")
       val nPos = ctx.freshName("nPos")
-      val hit = ctx.freshName("hit")
-      val nHit = ctx.freshName("nHit")
+      val tmp = ctx.freshName("tmp")
+      val r = ctx.freshName("r")
       val acc = ctx.freshName("acc")
       val i = ctx.freshName("i")
       val j = ctx.freshName("j")
-      val out = ctx.freshName("out")
-      val r = ctx.freshName("r")
-      val chars = ctx.freshName("chars")
-      val prev = ctx.freshName("prev")
-      val b = ctx.freshName("b")
-      val ii = ctx.freshName("ii")
       s"""
          |byte[] $bytes = $str.getBytes();
-         |int $nPos = $bytes.length - $k + 1;
+         |int $n = 0;
+         |for (int $b = 0; $b < $bytes.length; $b++) {
+         |  if (($bytes[$b] & 0xc0) != 0x80) $n++;
+         |}
+         |int[] $cps = new int[$n];
+         |int $ci = 0;
+         |for (int $b = 0; $b < $bytes.length; ) {
+         |  int $x = $bytes[$b] & 0xff;
+         |  int $cp; int $len;
+         |  if ($x < 0x80) { $cp = $x; $len = 1; }
+         |  else if (($x & 0xe0) == 0xc0) { $cp = $x & 0x1f; $len = 2; }
+         |  else if (($x & 0xf0) == 0xe0) { $cp = $x & 0x0f; $len = 3; }
+         |  else { $cp = $x & 0x07; $len = 4; }
+         |  for (int $t = 1; $t < $len && $b + $t < $bytes.length; $t++) {
+         |    $cp = ($cp << 6) | ($bytes[$b + $t] & 0x3f);
+         |  }
+         |  $cps[$ci] = $cp; $ci++; $b += $len;
+         |}
+         |int $nPos = $n - $k + 1;
          |if ($nPos <= 0) {
          |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(new int[0]);
          |} else {
-         |  boolean[] $hit = new boolean[$nPos];
-         |  int $nHit = 0;
+         |  int[] $tmp = new int[$nPos];
+         |  int $r = 0;
          |  for (int $i = 0; $i < $nPos; $i++) {
          |    long $acc = 0L;
          |    for (int $j = $i; $j < $i + $k; $j++) {
-         |      $acc = ($acc * 31 + ($bytes[$j] & 0xff)) % ${M}L;
+         |      $acc = ($acc * 31 + $cps[$j]) % ${M}L;
          |    }
-         |    if ($acc % $divisor == $rem) { $hit[$i] = true; $nHit++; }
-         |  }
-         |  int[] $out = new int[$nHit];
-         |  int $r = 0;
-         |  int $chars = 0;
-         |  int $prev = -1;
-         |  for (int $b = 0; $b < $bytes.length; $b++) {
-         |    if (($bytes[$b] & 0xc0) != 0x80) $chars++;
-         |    int $ii = $b + 1 - $k;
-         |    if ($ii >= 0 && $ii < $nPos && $hit[$ii] && $chars != $prev) {
-         |      $out[$r] = $chars; $r++; $prev = $chars;
-         |    }
+         |    if ($acc % $divisor == $rem) { $tmp[$r] = $i + $k; $r++; }
          |  }
          |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
-         |    java.util.Arrays.copyOf($out, $r));
+         |    java.util.Arrays.copyOf($tmp, $r));
          |}
        """.stripMargin
     })
@@ -138,7 +153,8 @@ case class CdcCuts(child: Expression, k: Int, divisor: Int, rem: Int)
 
 object CdcCuts {
   /** DataFrame-API entry point: ascending CHAR cut offsets
-    * (end-exclusive; ≡ byte offsets on ASCII text). */
+    * (end-exclusive; the window, hash, and offsets all count
+    * codepoints — ≡ bytes on ASCII text). */
   def cdcCuts(text: Column, k: Int, divisor: Int, rem: Int = 0): Column =
     bridge.column(CdcCuts(bridge.expression(text), k, divisor, rem))
 }

@@ -34,7 +34,9 @@ class ChunkCdcSpec extends AnyFunSuite {
     val dir = "/root/testdata/sf0.001"
     val rows = TrainingData.chunkCdc(spark, dir).collect()
     assert(rows.nonEmpty)
-    val lens = sources.Tables.documents(spark, dir)
+    // lengths from the graded corpus itself (2·id originals ∪ 2·id+1
+    // unicode-wrapped variants) — char lengths, the one unit everywhere
+    val lens = TrainingData.chunkCdcCorpus(spark, dir)
       .select(col("doc_id"), length(col("text")).as("n")).collect()
       .map(r => r.getLong(0) -> r.getInt(1)).toMap
     rows.groupBy(_.getLong(0)).foreach { case (id, ch) =>
