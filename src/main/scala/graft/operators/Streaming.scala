@@ -261,6 +261,52 @@ object Streaming {
       .select(col("doc_id"), col("chunk_id"), col("start"), col("chunk_len"),
         col("chunk_md5"), coalesce(col("known"), lit(false)).as("known"))
 
+  /** B82s: the REWRITE-AWARE ingest gate — the stream twin of B82b
+    * (`op_dedup_blocks_rewrite`), completing the block-dedup leg the
+    * way B81s completed chunking: each arriving document chunks
+    * map-side (the same [[graft.plans.CdcCuts]] kernel), every chunk
+    * probes the STORED block-key index, and the doc re-emits as the
+    * in-order concatenation of its NOVEL chunks only — the ingest
+    * form of Venti/LBFS dedup, where the store already owns every
+    * known block and the arriving copy keeps just its novel wrapper.
+    * One row per arriving doc: `(doc_id, n_chunks, n_known, kept_len,
+    * text_clean, novel)` with `novel = false` when nothing survives
+    * (a pure re-post contributes zero new bytes).
+    *
+    * Streaming shape: chunking and the key probe are the stateless
+    * B81s plan (per-row projection + bounded explode + stream-static
+    * left join), but the per-doc REASSEMBLY is an aggregation over
+    * the exploded chunk rows, which Append mode cannot run without a
+    * watermark — and, more fundamentally, a production ingest must
+    * also COMMIT the novel keys back to the index, an atomic
+    * per-batch step. The stream twin therefore runs this builder
+    * under `foreachBatch` (micro-batch = batch semantics, the
+    * standard Structured Streaming idiom for write-path sinks);
+    * StreamingSpec's parity test drives exactly that and pins stream
+    * ≡ batch. The aggregation itself groups rows co-generated from
+    * ONE input row, so state never outlives its micro-batch.
+    *
+    * Scale: identical to B82b's rewrite minus the owner census (the
+    * index IS the owner set here): key-keyed probe join where only
+    * the micro-batch moves, per-doc rollup whose `collect_list` is
+    * bounded by a single document's own chunks. */
+  def ingestBlocksPlan(docs: DataFrame, histKeys: DataFrame): DataFrame =
+    TrainingData.chunkCdcWith(docs, TrainingData.CdcGram,
+        TrainingData.CdcDivisor, TrainingData.CdcRem, withText = true)
+      .join(histKeys.select(col("chunk_md5"), lit(true).as("known")),
+        Seq("chunk_md5"), "left")
+      .withColumn("known", coalesce(col("known"), lit(false)))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("int").as("n_chunks"),
+        sum(when(col("known"), 1L).otherwise(0L)).cast("int").as("n_known"),
+        sum(when(!col("known"), col("chunk_len")).otherwise(lit(0L)))
+          .cast("int").as("kept_len"),
+        array_join(transform(
+          array_sort(collect_list(when(!col("known"),
+            struct(col("chunk_id"), col("chunk_txt"))))),
+          s => s.getField("chunk_txt")), "").as("text_clean"))
+      .withColumn("novel", col("kept_len") > 0)
+
   /** The stored block-key index behind [[chunkCdcGatePlan]]: the
     * DISTINCT `chunk_md5` keys of the history corpus (at 100 TB: the
     * persisted output of the B82 index build, not a rescan). */
@@ -334,6 +380,23 @@ object Streaming {
           concat(lit("injected preamble sentence "), col("text")).as("text")))
     chunkCdcGatePlan(batch, cdcHistoryKeys(history))
       .orderBy("doc_id", "chunk_id")
+  }
+
+  /** Batch grade of [[ingestBlocksPlan]] on the B54/B56s corpus split
+    * (history = id % 4 = 0 docs' block keys; arrivals = the rest at
+    * 2·id plus preamble-shifted re-posts of id % 8 = 0 at 2·id+1):
+    * re-posts must shrink to their novel preamble splice (high
+    * `n_known`, short `text_clean`), novel docs pass through whole. */
+  def streamBlocksRewrite(sp: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(sp, dir).select(col("doc_id"), col("text"))
+    val history = d.filter(col("doc_id") % 4 === 0)
+    val batch = d.filter(col("doc_id") % 4 =!= 0)
+      .select((col("doc_id") * 2).as("doc_id"), col("text"))
+      .union(d.filter(col("doc_id") % 8 === 0)
+        .select((col("doc_id") * 2 + 1).as("doc_id"),
+          concat(lit("injected preamble sentence "), col("text")).as("text")))
+    ingestBlocksPlan(batch, cdcHistoryKeys(history))
+      .orderBy("doc_id")
   }
 
   /** Batch grade of [[cmsSketchPlan]]: the stream-built sketch probed
@@ -507,6 +570,35 @@ object Streaming {
         |  (k.chunk_md5 IS NOT NULL) AS known
         |FROM chunks c LEFT JOIN hkeys k ON c.chunk_md5 = k.chunk_md5
         |ORDER BY c.doc_id, c.chunk_id""".stripMargin)(streamChunkCdc),
+
+    OpQuery("op_stream_blocks_rewrite",
+      s"""WITH hist AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0),
+        |${TrainingData.cdcChunkCtes("hist", "h")},
+        |hkeys AS (
+        |  SELECT DISTINCT chunk_md5 FROM hchunks),
+        |corpus AS (
+        |  SELECT doc_id * 2 AS doc_id, text FROM documents WHERE doc_id % 4 <> 0
+        |  UNION ALL
+        |  SELECT doc_id * 2 + 1, 'injected preamble sentence ' || text
+        |  FROM documents WHERE doc_id % 8 = 0),
+        |${TrainingData.cdcChunkCtes("corpus")},
+        |cht AS (
+        |  SELECT k.doc_id, k.chunk_id, k.chunk_len, k.chunk_md5,
+        |    substring(c.text, k.start + 1, k.chunk_len) AS chunk_txt
+        |  FROM chunks k JOIN c ON k.doc_id = c.doc_id),
+        |m AS (
+        |  SELECT t.doc_id, t.chunk_id, t.chunk_len, t.chunk_txt,
+        |    (h.chunk_md5 IS NOT NULL) AS known
+        |  FROM cht t LEFT JOIN hkeys h ON t.chunk_md5 = h.chunk_md5)
+        |SELECT doc_id, CAST(count(*) AS INTEGER) AS n_chunks,
+        |  CAST(sum(CASE WHEN known THEN 1 ELSE 0 END) AS INTEGER) AS n_known,
+        |  CAST(sum(CASE WHEN known THEN 0 ELSE chunk_len END) AS INTEGER)
+        |    AS kept_len,
+        |  coalesce(string_agg(CASE WHEN NOT known THEN chunk_txt END, ''
+        |    ORDER BY chunk_id), '') AS text_clean,
+        |  sum(CASE WHEN known THEN 0 ELSE chunk_len END) > 0 AS novel
+        |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin)(streamBlocksRewrite),
 
     OpQuery("op_stream_custom_state",
       """WITH e AS (

@@ -319,6 +319,55 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch == streamed)
   }
 
+  test("B82s streaming ingest rewrite: foreachBatch stream ≡ batch, re-posts shrink") {
+    implicit val sqlCtx = spark.sqlContext
+    // the ingest form of block dedup runs under foreachBatch: the
+    // per-doc reassembly aggregates rows co-generated from one input
+    // row, and a production ingest must also commit novel keys back
+    // to the index per batch — micro-batch = batch semantics is the
+    // declared (and standard) shape, so the parity bar is foreachBatch
+    val body = (0 until 120).map(i => s"stable corpus sentence $i flows on").mkString(" ")
+    val histKeys = Streaming.cdcHistoryKeys(
+      Seq(Doc(0L, body)).toDF("doc_id", "text")).cache()
+    val novelBody = (0 until 120).map(i => s"novel unseen phrase $i goes by").mkString(" ")
+    val arrivals = Seq(
+      Doc(101L, s"injected preamble sentence $body"), // shifted re-post
+      Doc(102L, novelBody))                           // genuinely new
+    val mem = MemoryStream[Doc]
+    val acc = new java.util.concurrent.ConcurrentLinkedQueue[
+      (Long, Int, Int, Int, String, Boolean)]()
+    val q = mem.toDF().writeStream
+      .foreachBatch { (bdf: org.apache.spark.sql.DataFrame, _: Long) =>
+        Streaming.ingestBlocksPlan(bdf, histKeys)
+          .as[(Long, Int, Int, Int, String, Boolean)]
+          .collect().foreach(acc.add)
+      }
+      .start()
+    try {
+      mem.addData(arrivals(0))
+      q.processAllAvailable()
+      mem.addData(arrivals(1))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = acc.toArray(Array.empty[(Long, Int, Int, Int, String, Boolean)])
+      .toSeq.sorted
+    // the shifted re-post shrinks: most chunks known, the surviving
+    // text is (at most) the preamble splice region — strictly shorter
+    val re = streamed.find(_._1 == 101L).get
+    assert(re._3 > 0, "re-post must probe known blocks")
+    assert(re._3 * 2 > re._2, "known blocks must dominate the re-post")
+    assert(re._4 < body.length, "surviving text must be shorter than the body")
+    assert(re._5.length == re._4, "text_clean length must equal kept_len")
+    // the novel doc passes through whole
+    val nv = streamed.find(_._1 == 102L).get
+    assert(nv._3 == 0 && nv._4 == novelBody.length && nv._6,
+      "novel doc must keep every chunk")
+    // stream ≡ batch: the same builder over a batch frame agrees
+    val batch = Streaming.ingestBlocksPlan(arrivals.toDF(), histKeys)
+      .as[(Long, Int, Int, Int, String, Boolean)].collect().toSeq.sorted
+    assert(batch == streamed)
+  }
+
   test("B76s streaming bloom probe: stateless append mode, stream ≡ batch, leaks flag") {
     implicit val sqlCtx = spark.sqlContext
     val evalDocs = Seq(
