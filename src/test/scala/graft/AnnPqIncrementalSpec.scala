@@ -30,20 +30,35 @@ class AnnPqIncrementalSpec extends AnyFunSuite {
     df.collect().map(r => (r.getLong(0), r.getLong(2)))
       .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
 
-  test("probe-side history blocks are codebook reconstructions") {
+  test("probe-side history blocks are codebook reconstructions (per block)") {
     val emb = sources.Tables.embeddings(spark, dir)
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("e"))
-    val cbBlocks = TrainingData.pqCodebook(emb).collect()
-      .flatMap(r => r.getSeq[Double](1).grouped(8).map(_.toVector)).toSet
-    assert(cbBlocks.size == 32, "4 centroids x 8 blocks")
+    // since r20 the codebook is per-block TRAINED: (b, c_id, csub) —
+    // a reconstruction's block b must be one of block b's OWN entries
+    // (strictly tighter than the old any-block membership)
+    val cb = TrainingData.pqCodebook(emb).collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](2).toVector))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(cb.size == 8 && cb.values.forall(_.size == TrainingData.PqK),
+      "8 blocks x k trained entries")
     val recon = TrainingData.pqReconstruct(
       emb.filter(col("vec_id") % 4 === 0), TrainingData.pqCodebook(emb)).collect()
     assert(recon.nonEmpty)
     recon.foreach { r =>
       r.getSeq[Double](1).grouped(8).zipWithIndex.foreach { case (blk, b) =>
-        assert(cbBlocks.contains(blk.toVector),
-          s"vec ${r.getLong(0)} block $b is not a codebook block")
+        assert(cb(b).contains(blk.toVector),
+          s"vec ${r.getLong(0)} block $b is not one of block $b's codebook entries")
       }
+    }
+  }
+
+  test("pq oracles derive the codebook by the shared Lloyd chain, not fixed vectors") {
+    for (op <- Seq("op_vector_pq", "op_ann_recall", "op_ann_pq_incremental")) {
+      val sql = SparkEntry.oracleSql(op)
+      assert(!sql.contains("BETWEEN 100 AND 103"),
+        s"$op oracle still carries the r16-r19 fixed-vector codebook")
+      assert(sql.contains("pqinit") && sql.contains("pqc2"),
+        s"$op oracle lost the shared trained-codebook CTE chain")
     }
   }
 
@@ -67,9 +82,11 @@ class AnnPqIncrementalSpec extends AnyFunSuite {
     }
     val recall = hit.toDouble / tot
     info(f"pq-vs-exact recall@3 = $recall%.4f over ${exact.size} batch vectors")
-    // measured 0.29 at sf0.01 / uniform-embedding worst case (B51's
-    // full-corpus pq leg measures 0.03 on the same corpus); floor set
-    // well under the measured gate value but far above collapse
-    assert(recall >= 0.10, f"pq recall collapsed: $recall%.4f")
+    // trained codebook (r20): measured 0.296 at sf0.001 / 0.298 at
+    // sf0.01 — at or above the fixed-vector stand-in's 0.27–0.29, and
+    // B51's full-corpus pq leg improved 0.03 → 0.10 on the same
+    // uniform worst case. The r19 verdict contract pins the floor at
+    // the pre-training measurement: training must never COST recall
+    assert(recall >= 0.27, f"pq recall dropped below the trained floor: $recall%.4f")
   }
 }

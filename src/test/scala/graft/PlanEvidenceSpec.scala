@@ -42,6 +42,7 @@ class PlanEvidenceSpec extends AnyFunSuite {
       "op_ann_recall",       // same 10-query exact baseline, graded against the LSH probe
       "op_similarity_ivf",   // broadcast codebook (K ~ corpus/157) cell assign
       "op_ann_incremental",  // broadcast codebook (K ~ corpus/157, codebook-sized) assigning cells
+      "op_ann_hier",         // broadcast SUPER codebook (~sqrt(K) rows) + child map — the two-level assign
       "op_semdedup",         // same broadcast stride codebook assigning SemDeDup cells
       "op_incremental_e2e",  // same broadcast codebook in its gated B58 vector stage
       "op_vector_pq",        // 4 broadcast codebook entries per block
