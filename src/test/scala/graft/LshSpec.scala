@@ -80,21 +80,35 @@ class LshSpec extends AnyFunSuite {
     val exact3 = LlmPipeline.similarityTopk(spark, dir).filter(col("rank") <= 3)
       .select("q_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     // pq top-3 recomputed LOCALLY from raw embeddings: per-block L2
-    // argmin against the vec-100..103 codebook, then ADC cosine of the
-    // query against the reconstruction — independent of the op's plan
+    // argmin + ADC cosine of the query against the reconstruction —
+    // the ENCODE and SCORING paths are independent of the op's plan.
+    // The trained codebook itself (r20) is taken from the shared
+    // artifact: its independence is certified elsewhere — the DuckDB
+    // oracle re-derives the Lloyd chain from scratch, and
+    // AnalyticsOpsSpec pins the train+encode fixed point on a hand
+    // corpus — so re-running Lloyd here would only re-test float
+    // accumulation order, not semantics
     val vecs = graft.sources.Tables.embeddings(spark, dir)
       .select("vec_id", "embedding").collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
-    val cb = (100L to 103L).map(vecs)
+    val embPrepped = graft.sources.Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        org.apache.spark.sql.functions.transform(col("embedding"),
+          x => x.cast("double")).as("e"))
+    val cbByBlock: Map[Int, Map[Int, Array[Double]]] =
+      TrainingData.pqCodebook(embPrepped).collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+        .groupBy(_._1).view
+        .mapValues(_.map(t => t._2 -> t._3).toMap).toMap
     def code(e: Array[Double], b: Int): Array[Double] = {
       val sub = e.slice(b * 8, b * 8 + 8)
       // minBy takes the FIRST minimum over ascending c — the op's
       // (d2 asc, c_id asc) tie rule
-      val best = cb.indices.minBy { c =>
-        val cs = cb(c).slice(b * 8, b * 8 + 8)
-        sub.zip(cs).map { case (x, y) => (x - y) * (x - y) }.sum
+      val entries = cbByBlock(b)
+      val best = entries.keys.toSeq.sorted.minBy { c =>
+        sub.zip(entries(c)).map { case (x, y) => (x - y) * (x - y) }.sum
       }
-      cb(best).slice(b * 8, b * 8 + 8)
+      entries(best)
     }
     val pqTop3: Set[(Long, Long)] = (0L until 10L).flatMap { q =>
       val qe = vecs(q)

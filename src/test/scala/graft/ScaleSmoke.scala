@@ -268,12 +268,19 @@ object ScaleSmoke {
         // r19: epoch composition — language-cardinality aggregate +
         // broadcast rates + map-side copies; wall ~ one corpus pass
         "op_mixture_apply" -> (operators.TrainingData.mixtureApply _),
+        // r20: the materialized epoch — manifest plan + bounded
+        // explode + two keyed rollups; 16 x |langs| output rows at any
+        // corpus size
+        "op_epoch_export" -> (operators.TrainingData.epochExport _),
         // r19: keep-best — the B17b closure plus a map-side logit and
         // a component-bounded argmax window; growth tracks B17b's
         "op_dedup_keep_best" -> (LlmPipeline.dedupKeepBest _),
         // r19: the streaming CDC gate's batch grade — chunking
         // map-side + ONE key-keyed join against the history index
         "op_stream_chunk_cdc" -> (operators.Streaming.streamChunkCdc _),
+        // r20: the rewrite-aware ingest gate — B81s's probe plus a
+        // per-doc rollup bounded by one doc's own chunks
+        "op_stream_blocks_rewrite" -> (operators.Streaming.streamBlocksRewrite _),
         // PMI: one bigram shuffle, pair-table-sized everything after
         "op_stats_pmi" -> (operators.CorpusStats.statsPmi _)) ++
       // r16 ext5: the minhash audit — candidate pairs are the capped
@@ -316,6 +323,11 @@ object ScaleSmoke {
         // the broadcast PQ encode (4-entry codebook per block), so its
         // wall must track B58's within the encode constant
         "op_ann_pq_incremental" -> (TrainingData.annPqIncremental _),
+        // r20: the hierarchical assign twin — same probe geometry as
+        // B58 with the N x K assign term replaced by N x (sqrt(K) +
+        // S*sqrt(K)), so its wall must track B58's from below as K
+        // grows (identical at these gate K values)
+        "op_ann_hier" -> (TrainingData.annHier _),
         // r16: the IVF search pair joined the corpus-scaled codebook —
         // their probe side is the fixed 10-query panel, so per-query
         // candidates are flat (~stride) and the wall tracks the ASSIGN
