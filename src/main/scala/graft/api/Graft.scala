@@ -127,6 +127,57 @@ object Graft {
       df.select(col(idCol).as("doc_id"), col(groupCol).as("lang"),
         col(textCol).as("text")))
 
+  /** Unicode text canonicalization for any corpus — the general form
+    * of the graded `op_text_normalize` (same core; NFC composition per
+    * UAX #15 via the codegen [[graft.plans.NfcNormalize]] kernel, then
+    * whitespace-run collapse and trim). Run it BEFORE any byte-keyed
+    * dedup/fingerprint op: the same visible text arrives in different
+    * codepoint sequences (é as U+00E9 vs e+U+0301) and un-normalized
+    * they key as distinct documents. Emits the input columns plus
+    * `norm` (the canonical text) and `changed`. Map-side only. NFC,
+    * not NFKC — compatibility forms (ligatures, full-width digits)
+    * are preserved; add a casefold/NFKC pass downstream if your
+    * matching needs it. */
+  def normalizeText(df: DataFrame, textCol: String = "text"): DataFrame =
+    df.withColumn("norm",
+        trim(regexp_replace(graft.plans.NfcNormalize.nfc(col(textCol)),
+          "\\s+", " ")))
+      .withColumn("changed", col("norm") =!= col(textCol))
+
+  /** Reciprocal-rank fusion of ranker panels — the general form of
+    * the graded `op_rank_fusion` (Cormack, Clarke & Buettcher 2009):
+    * `rankings` needs `(method, q_id, id, rank)` rows (each method's
+    * per-query ranking, rank ≥ 1); returns each query's fused top-N
+    * as `(q_id, f_rank, id, rrf, n_methods)`. Scores are EXACT
+    * integers — each rank-r hit contributes `M / (k + r)` where
+    * `M = Π (k + r)` over r ∈ [1, maxRank], so every division is
+    * exact and no float ever enters the ordering (rows ranked past
+    * `maxRank` are ignored; pass a larger `maxRank` for deeper
+    * panels, keeping maxRank small enough that M fits a long —
+    * ~10 at k = 60). Ties
+    * break to the lower id. Fusion work is panel-sized (≤ methods ×
+    * maxRank rows per query), independent of the corpus. */
+  def fuseRankings(rankings: DataFrame, k: Int = 60, topN: Int = 3,
+      maxRank: Int = 3): DataFrame = {
+    require(k >= 0 && topN >= 1 && maxRank >= 1,
+      s"fuseRankings: need k >= 0, topN >= 1, maxRank >= 1 (got $k, $topN, $maxRank)")
+    val m = (1 to maxRank).map(r => (k + r).toLong).product
+    val contrib = (1 to maxRank).map(r => (r, m / (k + r)))
+      .foldLeft(lit(0L)) { case (acc, (r, c)) =>
+        when(col("rank") === r, lit(c)).otherwise(acc)
+      }
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("q_id")
+      .orderBy(col("rrf").desc, col("id").asc)
+    rankings.filter(col("rank").between(1, maxRank))
+      .withColumn("contrib", contrib)
+      .groupBy("q_id", "id")
+      .agg(sum("contrib").as("rrf"), count(lit(1)).as("n_methods"))
+      .withColumn("f_rank", row_number().over(w)).filter(col("f_rank") <= topN)
+      .select(col("q_id"), col("f_rank").cast("int").as("f_rank"), col("id"),
+        col("rrf").cast("long").as("rrf"),
+        col("n_methods").cast("int").as("n_methods"))
+  }
+
   /** [[epochCompose]] MATERIALIZED: one row per physical epoch copy —
     * `(doc_id, lang, n_tok, copy, shard)`, where `copy` indexes the
     * document's repeats (0-based) and `shard` is the first hex char

@@ -40,6 +40,7 @@ class PlanEvidenceSpec extends AnyFunSuite {
     val deliberateBroadcastExpand = Set(
       "op_similarity_topk",  // 10 broadcast query rows — documented exact baseline
       "op_ann_recall",       // same 10-query exact baseline, graded against the LSH probe
+      "op_rank_fusion",      // fuses op_ann_recall's legs — inherits the same bounded panel expansions
       "op_similarity_ivf",   // broadcast codebook (K ~ corpus/157) cell assign
       "op_ann_incremental",  // broadcast codebook (K ~ corpus/157, codebook-sized) assigning cells
       "op_ann_hier",         // broadcast SUPER codebook (~sqrt(K) rows) + child map — the two-level assign

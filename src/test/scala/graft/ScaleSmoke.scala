@@ -272,6 +272,9 @@ object ScaleSmoke {
         // explode + two keyed rollups; 16 x |langs| output rows at any
         // corpus size
         "op_epoch_export" -> (operators.TrainingData.epochExport _),
+        // r20: NFC + whitespace canonicalization — pure map-side, one
+        // kernel call per row; wall must track the scan
+        "op_text_normalize" -> (operators.TrainingData.textNormalize _),
         // r19: keep-best — the B17b closure plus a map-side logit and
         // a component-bounded argmax window; growth tracks B17b's
         "op_dedup_keep_best" -> (LlmPipeline.dedupKeepBest _),
@@ -340,7 +343,10 @@ object ScaleSmoke {
         // crossing it at much larger `copies` would be this term, not
         // a candidate regression
         "op_similarity_ivf" -> (TrainingData.similarityIvf _),
-        "op_ann_recall" -> (TrainingData.annRecall _)) else Nil) ++
+        "op_ann_recall" -> (TrainingData.annRecall _),
+        // r20: RRF over the three index rankings — legs are B51's
+        // plans, the fusion itself panel-sized (30 rows/query)
+        "op_rank_fusion" -> (TrainingData.rankFusion _)) else Nil) ++
       // r10: the per-band streaming probe (same index-probe shape, one
       // row per band collision) and the COMPOSED ingest pipeline —
       // the e2e chains four probes, so its wall ratio should track its
