@@ -140,8 +140,7 @@ object Graft {
     * matching needs it. */
   def normalizeText(df: DataFrame, textCol: String = "text"): DataFrame =
     df.withColumn("norm",
-        trim(regexp_replace(graft.plans.NfcNormalize.nfc(col(textCol)),
-          "\\s+", " ")))
+        graft.operators.TrainingData.normExpr(col(textCol)))
       .withColumn("changed", col("norm") =!= col(textCol))
 
   /** Reciprocal-rank fusion of ranker panels — the general form of
@@ -161,7 +160,18 @@ object Graft {
       maxRank: Int = 3): DataFrame = {
     require(k >= 0 && topN >= 1 && maxRank >= 1,
       s"fuseRankings: need k >= 0, topN >= 1, maxRank >= 1 (got $k, $topN, $maxRank)")
-    val m = (1 to maxRank).map(r => (k + r).toLong).product
+    // checked product: M = Π(k+r) overflows Long around maxRank ≈ 10
+    // at k = 60, and a wrapped M silently breaks the exact-integer
+    // ordering guarantee — fail fast like the other guards
+    val m = (1 to maxRank).map(r => (k + r).toLong).foldLeft(1L) { (acc, d) =>
+      try math.multiplyExact(acc, d)
+      catch {
+        case _: ArithmeticException => throw new IllegalArgumentException(
+          s"fuseRankings: the exact-integer scale M = prod(k+r) overflows Long " +
+            s"at k=$k, maxRank=$maxRank — use a smaller maxRank (~10 at k=60) " +
+            s"or fuse in score bands")
+      }
+    }
     val contrib = (1 to maxRank).map(r => (r, m / (k + r)))
       .foldLeft(lit(0L)) { case (acc, (r, c)) =>
         when(col("rank") === r, lit(c)).otherwise(acc)

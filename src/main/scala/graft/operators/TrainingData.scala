@@ -535,12 +535,16 @@ object TrainingData {
     * train ONCE per process — which is also the honest production
     * model, where the codebook is a STORED artifact loaded by the
     * probe, not retrained per query. Different dirs key different
-    * plans, so entries never cross corpora; growth is bounded by the
-    * number of distinct corpora a process touches. */
+    * plans, so entries never cross corpora; a RE-DROPPED dir keys a
+    * different physical file listing (Spark part-file names are
+    * per-write UUIDs — the Tables.events fingerprint precedent), so a
+    * data refresh re-trains instead of serving centroids from deleted
+    * data (r20 review). Growth is bounded by the number of distinct
+    * corpus drops a process touches. */
   private[graft] def pqMemoSize: Int = pqCbMemo.size
 
   private val pqCbMemo = new java.util.concurrent.ConcurrentHashMap[
-    org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+    (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Seq[String]),
     Array[Array[Array[Double]]]]()
 
   private[graft] def pqCodebook(emb: DataFrame): DataFrame = {
@@ -551,7 +555,8 @@ object TrainingData {
       (for (b <- 0 until 8; c <- 0 until PqK) yield (b, c, cents(b)(c).toSeq))
         .toDF("b", "c_id", "csub")
     }
-    val key = emb.queryExecution.analyzed.canonicalized
+    val key = (emb.queryExecution.analyzed.canonicalized,
+      emb.inputFiles.sorted.toSeq)
     val cached = pqCbMemo.get(key)
     if (cached != null) return centsDf(cached)
     val blocks = emb
@@ -1724,14 +1729,24 @@ object TrainingData {
         when(col("doc_id") % 11 === 5, concat(col("text"), lit(NfcSuffix)))
           .otherwise(col("text")).as("text")))
 
+  /** The whitespace-run class, pinned EXPLICITLY on both engines:
+    * Java's `\s` matches vertical tab (U+000B) but RE2's does not —
+    * a latent byte divergence for any corpus containing one (r20
+    * review). One literal class, two engines, no shorthand. */
+  private[graft] val WsClass = "[ \t\n\u000B\f\r]+"
+
+  /** The normalization expression — SINGLE owner shared by the graded
+    * core below and `api.Graft.normalizeText` (the same-core
+    * discipline: two copies of this expression could drift). */
+  private[graft] def normExpr(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    trim(regexp_replace(graft.plans.NfcNormalize.nfc(text), WsClass, " "))
+
   /** Core over `corpus(doc_id, text)` for known-answer specs and
     * `api.Graft.normalizeText`: emits the normalized text itself as
     * `norm` plus the graded stats. */
   private[graft] def textNormalizeOf(corpus: DataFrame): DataFrame =
     corpus
-      .withColumn("norm",
-        trim(regexp_replace(graft.plans.NfcNormalize.nfc(col("text")),
-          "\\s+", " ")))
+      .withColumn("norm", normExpr(col("text")))
       .select(col("doc_id"),
         length(col("text")).as("n_before"),
         length(col("norm")).as("n_after"),
@@ -2917,7 +2932,7 @@ object TrainingData {
         |  FROM documents),
         |n AS (
         |  SELECT doc_id, text,
-        |    trim(regexp_replace(nfc_normalize(text), '\\s+', ' ', 'g')) AS norm
+        |    trim(regexp_replace(nfc_normalize(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')) AS norm
         |  FROM corpus)
         |SELECT doc_id,
         |  CAST(length(text) AS INTEGER) AS n_before,

@@ -52,15 +52,17 @@ case class CdcCuts(child: Expression, k: Int, divisor: Int, rem: Int)
 
   override protected def nullSafeEval(input: Any): Any = {
     val bytes = input.asInstanceOf[UTF8String].getBytes
-    // decode pass: UTF-8 → codepoint array (lead byte carries the
-    // payload width; continuation bytes OR in 6 bits each — malformed
-    // tails decode best-effort, same every run)
-    var n = 0
-    var b = 0
-    while (b < bytes.length) { if ((bytes(b) & 0xc0) != 0x80) n += 1; b += 1 }
-    val cps = new Array[Int](n)
+    // ONE decode pass: UTF-8 → codepoint array sized worst-case (one
+    // codepoint per byte), count = however many the walk actually
+    // emits. A separate count pass classifying continuation bytes
+    // disagreed with this walk on malformed input (an orphan 0x80
+    // counts as zero chars there but decodes as a lead here) and
+    // could overflow the sized-by-count array (r20 review); a single
+    // traversal makes "malformed tails decode best-effort, same every
+    // run" true by construction.
+    val cps = new Array[Int](bytes.length)
     var ci = 0
-    b = 0
+    var b = 0
     while (b < bytes.length) {
       val x = bytes(b) & 0xff
       var cp = 0
@@ -75,6 +77,7 @@ case class CdcCuts(child: Expression, k: Int, divisor: Int, rem: Int)
       }
       cps(ci) = cp; ci += 1; b += len
     }
+    val n = ci
     val nPos = n - k + 1
     if (nPos <= 0) return new GenericArrayData(new Array[Int](0))
     val tmp = new Array[Int](nPos)
@@ -110,11 +113,7 @@ case class CdcCuts(child: Expression, k: Int, divisor: Int, rem: Int)
       val j = ctx.freshName("j")
       s"""
          |byte[] $bytes = $str.getBytes();
-         |int $n = 0;
-         |for (int $b = 0; $b < $bytes.length; $b++) {
-         |  if (($bytes[$b] & 0xc0) != 0x80) $n++;
-         |}
-         |int[] $cps = new int[$n];
+         |int[] $cps = new int[$bytes.length];
          |int $ci = 0;
          |for (int $b = 0; $b < $bytes.length; ) {
          |  int $x = $bytes[$b] & 0xff;
@@ -128,6 +127,7 @@ case class CdcCuts(child: Expression, k: Int, divisor: Int, rem: Int)
          |  }
          |  $cps[$ci] = $cp; $ci++; $b += $len;
          |}
+         |int $n = $ci;
          |int $nPos = $n - $k + 1;
          |if ($nPos <= 0) {
          |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(new int[0]);

@@ -115,6 +115,22 @@ class ChunkCdcSpec extends AnyFunSuite {
     }
   }
 
+  test("malformed UTF-8 must not crash the kernel (r20 review)") {
+    // Spark does not validate UTF-8 on binary->string casts, so stray
+    // continuation bytes reach the kernel verbatim; the r20 two-pass
+    // decode sized the codepoint array by a DIFFERENT counting rule
+    // than the decode walk used and overflowed it on exactly this
+    // input. Best-effort decode, deterministic, no throw.
+    val df = spark.sql(
+      "SELECT 1L AS doc_id, cast(concat(X'41424344454647484950', X'80', " +
+        "X'41424344454647484950', X'FF', X'4142') AS STRING) AS text")
+    val rows = run(df).collect()
+    assert(rows.nonEmpty, "malformed text must still chunk")
+    val again = run(df).collect()
+    assert(rows.map(_.toString).sorted.sameElements(again.map(_.toString).sorted),
+      "malformed decode must be deterministic")
+  }
+
   test("short-doc edge: below the window, one whole chunk") {
     val c = corpusOf(7L -> "tiny")
     val rows = run(c).collect()

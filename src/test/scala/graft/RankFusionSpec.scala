@@ -107,5 +107,11 @@ class RankFusionSpec extends AnyFunSuite {
       (1, 7L, 2 * (m / 11), 2),
       (2, 8L, m / 11, 1),
       (3, 9L, m / 12, 1)))
+    // the exact-integer scale must fail fast on Long overflow rather
+    // than silently wrapping the ordering (r20 review)
+    val e = intercept[IllegalArgumentException] {
+      api.Graft.fuseRankings(panel, k = 60, maxRank = 40)
+    }
+    assert(e.getMessage.contains("overflows"))
   }
 }
