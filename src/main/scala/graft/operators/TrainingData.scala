@@ -1694,6 +1694,53 @@ object TrainingData {
       .orderBy("vec_id")
   }
 
+  // ---- B90: per-domain frequency capping -------------------------------------
+
+  /** Max docs kept per domain for B90 — small enough that the planted
+    * mega-domain is capped hard at every SF while the legit 20-doc
+    * (sf0.01) sources pass whole. */
+  private[graft] val DomainCap = 20
+
+  /** B90 — `op_domain_cap`: per-domain frequency capping — the
+    * curation rule that stops one over-crawled domain from dominating
+    * the training mix (the Gopher/C4/CommonCrawl recipe: cap documents
+    * per registered domain before mixing; the α-mixture B84 then
+    * balances LANGUAGES, this balances SOURCES one level down). Keep
+    * rule: within each `source`, rank docs by `(md5(doc_id), doc_id)`
+    * — a deterministic HASH order, so the kept subset is an unbiased
+    * sample of the domain rather than the lowest-id (oldest) prefix a
+    * naive `ORDER BY doc_id` would keep — and retain rank ≤
+    * [[DomainCap]]. The graded artifact is the CAPPED MANIFEST itself
+    * (doc_id, source, rk of the kept rows): emitting kept rows rather
+    * than flags is what lets Spark plan the map-side partial top-K.
+    * Planted skew: docs with id % 3 ≠ 0 are re-sourced to one
+    * 'boilerplate-farm' mega-domain (~2/3 of the corpus), which must
+    * come out capped at exactly [[DomainCap]] while every legit
+    * source survives whole at the gate SF.
+    *
+    * Scale shape: the rank ≤ cap filter under a windowed row_number
+    * plans as WindowGroupLimit (spec-pinned) — every partition keeps
+    * at most cap rows PER KEY map-side before the shuffle, so the
+    * exchange carries ≤ cap × |domains| rows per map task, not the
+    * corpus, and the hot mega-domain never concentrates on one
+    * reducer beyond its cap. */
+  def domainCap(sp: SparkSession, dir: String): DataFrame =
+    domainCapOf(docs(sp, dir)
+      .select(col("doc_id"),
+        when(col("doc_id") % 3 =!= 0, lit("boilerplate-farm"))
+          .otherwise(col("source")).as("source")), DomainCap)
+      .orderBy("doc_id")
+
+  /** Core over `corpus(doc_id, source)` for known-answer specs and
+    * `api.Graft.capDomains`. */
+  private[graft] def domainCapOf(corpus: DataFrame, cap: Int): DataFrame = {
+    val w = Window.partitionBy("source")
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    corpus.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= cap)
+      .select(col("doc_id"), col("source"), col("rk").cast("int").as("rk"))
+  }
+
   // ---- B88: unicode text normalization --------------------------------------
 
   /** Planted suffix for B88's graded corpus: DECOMPOSED sequences
@@ -2924,6 +2971,19 @@ object TrainingData {
         |  coalesce(n_dup, 0) * 2 >= n_grams AS flagged
         |FROM ng LEFT JOIN nd ON ng.doc_id = nd.doc_id
         |ORDER BY ng.doc_id""".stripMargin)(dedupSubstring),
+
+    OpQuery("op_domain_cap",
+      s"""WITH corpus AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 <> 0 THEN 'boilerplate-farm' ELSE source END AS source
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, source,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INTEGER) AS rk
+        |  FROM corpus)
+        |SELECT doc_id, source, rk FROM r WHERE rk <= $DomainCap
+        |ORDER BY doc_id""".stripMargin)(domainCap),
 
     OpQuery("op_text_normalize",
       s"""WITH corpus AS (

@@ -275,6 +275,10 @@ object ScaleSmoke {
         // r20: NFC + whitespace canonicalization — pure map-side, one
         // kernel call per row; wall must track the scan
         "op_text_normalize" -> (operators.TrainingData.textNormalize _),
+        // r20: per-domain cap — output is cap x |domains| bounded
+        // however large the corpus; WindowGroupLimit keeps map output
+        // at cap per key per task
+        "op_domain_cap" -> (operators.TrainingData.domainCap _),
         // r19: keep-best — the B17b closure plus a map-side logit and
         // a component-bounded argmax window; growth tracks B17b's
         "op_dedup_keep_best" -> (LlmPipeline.dedupKeepBest _),
