@@ -177,6 +177,28 @@ object Graft {
     graft.operators.CorpusStats.textEntropyOf(
       df.select(col(idCol).as("doc_id"), col(textCol).as("text")))
 
+  /** Edit-distance-1 fuzzy self-join for any keyed corpus — the
+    * general form of the graded `op_fuzzy_join` (same core;
+    * deletion-neighborhood blocking per FastSS/SymSpell: two keys at
+    * Levenshtein distance ≤ 1 must share a member of {key} ∪ {key
+    * minus one char}, so candidates are variant-hash collisions and
+    * the all-pairs scan never happens; candidates are confirmed with
+    * native `levenshtein`). Returns `(a_id, b_id, dist)` with
+    * a_id < b_id and dist ≤ 1 — dist 0 pairs are exact key
+    * duplicates. `bucketCap` bounds any one variant bucket (kept by
+    * deterministic (md5(id), id) rank — a degenerate identical-key
+    * flood truncates reproducibly instead of going quadratic); the
+    * cap filter plans as WindowGroupLimit, map-side per-bucket top-K.
+    * Exact for radius 1 only — larger radii need d-deletion
+    * neighborhoods. Keep keys short (a name/title/prefix): variant
+    * fan-out is len+1 rows per input row. */
+  def fuzzyJoin(df: DataFrame, idCol: String = "doc_id",
+      keyCol: String = "key", bucketCap: Int = 16): DataFrame = {
+    require(bucketCap >= 2, s"fuzzyJoin: need bucketCap >= 2 (got $bucketCap)")
+    graft.operators.Mining.fuzzyJoinOf(
+      df.select(col(idCol).as("doc_id"), col(keyCol).as("key")), bucketCap)
+  }
+
   /** Reciprocal-rank fusion of ranker panels — the general form of
     * the graded `op_rank_fusion` (Cormack, Clarke & Buettcher 2009):
     * `rankings` needs `(method, q_id, id, rank)` rows (each method's

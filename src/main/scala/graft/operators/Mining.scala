@@ -743,9 +743,120 @@ object Mining {
       |FROM dev JOIN mad USING (event_type)
       |GROUP BY dev.event_type ORDER BY event_type""".stripMargin
 
+  // ---- B92: deletion-neighborhood fuzzy join --------------------------------
+
+  /** Key-prefix length for B92's graded corpus (chars of `text`;
+    * every corpus doc is ≥ 44 chars so the key is always full). */
+  private[graft] val FuzzyKeyLen = 24
+
+  /** Per-variant-bucket membership cap for B92, interpolated into the
+    * oracle (the r15 cap policy: every capped structure carries its
+    * cap on BOTH engine sides, so a breach is a truncation boundary,
+    * never an engine divergence). Measured uncapped occupancy at the
+    * gate SFs is ≤ 8 (FuzzyJoinSpec asserts the margin); a degenerate
+    * all-identical-keys corpus truncates IDENTICALLY on both sides
+    * because the keep rule is the deterministic (md5(id), id) rank. */
+  private[graft] val FuzzyBucketCap = 16
+
+  /** B92 — `op_fuzzy_join`: edit-distance-1 similarity self-join by
+    * DELETION-NEIGHBORHOOD blocking (the FastSS / SymSpell family,
+    * Bocek et al. 2007, "Fast Similarity Search in Large
+    * Dictionaries"): two strings at Levenshtein distance ≤ 1 share at
+    * least one member of {s} ∪ {s minus one char} — substitution at i
+    * collides the two delete-at-i variants, an indel collides the
+    * shorter string with one deletion of the longer — so the
+    * candidate set is exactly the variant-key collisions and the
+    * O(n²) all-pairs scan never happens. Candidates are then
+    * CONFIRMED with `levenshtein(a_key, b_key) ≤ 1` (available
+    * native in both engines — the one string-distance the oracle can
+    * mirror exactly). Graded over 24-char record keys with planted
+    * evidence: every 7th doc re-keyed 3·id+1 with char 5 substituted
+    * (dist 1, must surface), every 11th re-keyed 3·id+2 with char 7
+    * deleted (dist 1, must surface); the sub×del cross pair sits at
+    * dist 2 and must NOT pass confirm. Natural identical prefixes
+    * surface as dist-0 pairs.
+    *
+    * Scale shape: variants are a per-row bounded explode (keyLen + 1
+    * rows/doc, md5-narrowed before the exchange); the bucket cap
+    * plans as WindowGroupLimit (map-side partial top-K per variant
+    * key); the candidate self-join is variant-keyed — collision-
+    * bounded, never n² — and DISTINCT collapses multi-variant pairs
+    * before the (cheap, candidate-only) confirm. */
+  def fuzzyJoin(sp: SparkSession, dir: String): DataFrame = {
+    val base = docs(sp, dir)
+    val corpus = base
+      .select((col("doc_id") * 3).as("doc_id"),
+        substring(col("text"), 1, FuzzyKeyLen).as("key"))
+      .union(base.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") * 3 + 1).as("doc_id"),
+          concat(substring(col("text"), 1, 4), lit("#"),
+            substring(col("text"), 6, FuzzyKeyLen - 5)).as("key")))
+      .union(base.filter(col("doc_id") % 11 === 0)
+        .select((col("doc_id") * 3 + 2).as("doc_id"),
+          concat(substring(col("text"), 1, 6),
+            substring(col("text"), 8, FuzzyKeyLen - 7)).as("key")))
+    fuzzyJoinOf(corpus, FuzzyBucketCap).orderBy("a_id", "b_id")
+  }
+
+  /** Core behind [[fuzzyJoin]] and `api.Graft.fuzzyJoin`: dist-≤-1
+    * pairs over any `corpus(doc_id, key)`, without the graded total
+    * sort. Deletion-neighborhood is exact for distance 1; larger
+    * radii need d-deletion neighborhoods (compose upstream). */
+  private[graft] def fuzzyJoinOf(corpus: DataFrame, cap: Int): DataFrame = {
+    val vars = corpus
+      .filter(col("key").isNotNull && length(col("key")) >= 1)
+      .select(col("doc_id"), col("key"),
+        explode(concat(array(col("key")),
+          transform(sequence(lit(0), length(col("key")) - 1),
+            i => concat(col("key").substr(lit(1), i),
+              col("key").substr(i + lit(2), length(col("key")))))))
+          .as("v"))
+      .select(col("doc_id"), col("key"), md5(col("v")).as("vk"))
+      .distinct() // deleting either of two equal adjacent chars repeats
+    val w = Window.partitionBy("vk")
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    val capped = vars.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= cap).drop("rk")
+    val a = capped.select(col("doc_id").as("a_id"), col("key").as("a_key"), col("vk"))
+    val b = capped.select(col("doc_id").as("b_id"), col("key").as("b_key"), col("vk"))
+    a.join(b, Seq("vk"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id", "a_key", "b_key").distinct()
+      .select(col("a_id"), col("b_id"),
+        levenshtein(col("a_key"), col("b_key")).cast("int").as("dist"))
+      .filter(col("dist") <= 1)
+  }
+
   // ---- registry ------------------------------------------------------------
 
   val queries: Seq[OpQuery] = Seq(
+    OpQuery("op_fuzzy_join",
+      s"""WITH corpus AS (
+        |  SELECT doc_id * 3 AS doc_id, substr(text, 1, $FuzzyKeyLen) AS key FROM documents
+        |  UNION ALL
+        |  SELECT doc_id * 3 + 1, substr(text, 1, 4) || '#' || substr(text, 6, ${FuzzyKeyLen - 5})
+        |  FROM documents WHERE doc_id % 7 = 0
+        |  UNION ALL
+        |  SELECT doc_id * 3 + 2, substr(text, 1, 6) || substr(text, 8, ${FuzzyKeyLen - 7})
+        |  FROM documents WHERE doc_id % 11 = 0),
+        |v0 AS (
+        |  SELECT doc_id, key, unnest(list_prepend(key,
+        |    list_transform(range(0, length(key)),
+        |      i -> substr(key, 1, CAST(i AS INTEGER)) || substr(key, CAST(i AS INTEGER) + 2)))) AS v
+        |  FROM corpus WHERE key IS NOT NULL AND length(key) >= 1),
+        |vd AS (SELECT DISTINCT doc_id, key, md5(v) AS vk FROM v0),
+        |r AS (
+        |  SELECT doc_id, key, vk, row_number() OVER (PARTITION BY vk
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |  FROM vd),
+        |c AS (SELECT doc_id, key, vk FROM r WHERE rk <= $FuzzyBucketCap),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id, a.key AS a_key, b.key AS b_key
+        |  FROM c a JOIN c b ON a.vk = b.vk AND a.doc_id < b.doc_id)
+        |SELECT a_id, b_id, CAST(levenshtein(a_key, b_key) AS INTEGER) AS dist
+        |FROM cand WHERE levenshtein(a_key, b_key) <= 1
+        |ORDER BY a_id, b_id""".stripMargin)(fuzzyJoin),
+
     OpQuery("op_kmeans_train", kmeansOracle)(kmeansTrain),
     OpQuery("op_graph_pagerank", pagerankOracle)(graphPagerank),
     OpQuery("op_bm25", bm25Oracle)(bm25),
