@@ -16,6 +16,15 @@ final case class RunningState(seq: Long, sum: Double)
 /** One output row per event: its sequence number and running sum. */
 final case class RunningOut(user_id: Long, seq: Long, tsf: String, run_sum: Double)
 
+/** Typed arrival row for the B90s domain-admission gate. */
+final case class DocArrival(doc_id: Long, source: String)
+/** Per-domain admitted-so-far count carried across micro-batches. */
+final case class DomainGateState(n: Long)
+/** One output row per arrival: its per-domain arrival sequence and
+  * the admit/reject verdict. */
+final case class DomainGateOut(doc_id: Long, source: String,
+    arr_seq: Int, admitted: Boolean)
+
 /** Tier-B streaming operators (SURVEY.md §2 B22–B24), built on
   * Structured Streaming's unified API: each plan builder below accepts
   * either a batch or a streaming DataFrame of `events` rows, so the t2
@@ -150,6 +159,61 @@ object Streaming {
           round(sum("value").over(w.rowsBetween(Window.unboundedPreceding, 0)), 2))
         .select(col("user_id"), col("seq"),
           date_format(col("tsec"), TsFmt).as("tsf"), col("run_sum"))
+    }
+  }
+
+  /** B90s — the INGEST form of per-domain frequency capping (the
+    * stream twin of `op_domain_cap`): each arriving doc is ADMITTED
+    * iff its domain has admitted fewer than `cap` docs so far, else
+    * rejected — the live crawl-side rate gate, where the batch op is
+    * the offline re-balance. The two ops deliberately differ in WHICH
+    * docs survive a hot domain: the batch op keeps an unbiased
+    * (md5(id), id) hash sample of the WHOLE domain, the stream gate
+    * can only keep first-come (it cannot sample a future it hasn't
+    * seen) — StreamingSpec pins both the parity and that contrast.
+    * One output row per arrival (admits AND rejects — the reject
+    * stream is the crawl-scheduler's back-pressure signal):
+    * `(doc_id, source, arr_seq, admitted)`.
+    *
+    * ORDERING CONTRACT (as B-bonus custom state): arrivals are
+    * doc_id-ordered within each micro-batch; across batches the count
+    * follows arrival order (Append mode cannot retract an admit).
+    * Stream ≡ batch exactly when each domain's arrivals are
+    * cross-batch id-ordered — the log-ingest case.
+    *
+    * Scale: state is ONE LONG per domain, hash-partitioned on source
+    * — the minimum any admission gate can hold; per-batch work is an
+    * in-memory sort of each domain's new arrivals. The batch twin is
+    * one source-keyed window shuffle. A 100 TB crawl's hot domain
+    * concentrates its ARRIVALS on one state partition, but the state
+    * value stays 8 bytes and each emitted row is constant work —
+    * skew costs wall-clock on that partition's batch slice, never
+    * memory. */
+  def domainGatePlan(docs: DataFrame, streaming: Boolean,
+      cap: Int = TrainingData.DomainCap): DataFrame = {
+    val sp = docs.sparkSession
+    import sp.implicits._
+    val prep = docs.select(col("doc_id"), col("source")).as[DocArrival]
+    if (streaming) {
+      import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+      prep.groupByKey(_.source)
+        .flatMapGroupsWithState[DomainGateState, DomainGateOut](
+          OutputMode.Append, GroupStateTimeout.NoTimeout()) { (src, it, state) =>
+          var n = state.getOption.getOrElse(DomainGateState(0L)).n
+          // micro-batch iterators are unordered; arrival id orders them
+          val out = it.toSeq.sortBy(_.doc_id).map { d =>
+            n += 1
+            DomainGateOut(d.doc_id, src, n.toInt, n <= cap)
+          }
+          state.update(DomainGateState(n))
+          out.iterator
+        }.toDF()
+    } else {
+      val w = Window.partitionBy("source").orderBy("doc_id")
+      prep.toDF()
+        .withColumn("arr_seq", row_number().over(w))
+        .select(col("doc_id"), col("source"), col("arr_seq"),
+          (col("arr_seq") <= cap).as("admitted"))
     }
   }
 
@@ -446,6 +510,17 @@ object Streaming {
     runningStatePlan(Tables.events(sp, dir), streaming = false)
       .orderBy("user_id", "seq")
 
+  /** Batch grade of [[domainGatePlan]] on the B90 skew corpus (docs
+    * with id % 3 ≠ 0 re-sourced to one mega-domain): the hot domain
+    * must admit exactly its first-arrived cap and reject the rest;
+    * every legit source admits whole at gate SF. */
+  def streamDomainCap(sp: SparkSession, dir: String): DataFrame =
+    domainGatePlan(Tables.documents(sp, dir)
+      .select(col("doc_id"),
+        when(col("doc_id") % 3 =!= 0, lit("boilerplate-farm"))
+          .otherwise(col("source")).as("source")), streaming = false)
+      .orderBy("doc_id")
+
   def streamIntervalJoin(sp: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(sp, dir)
     intervalJoinPlan(e, e, streaming = false)
@@ -610,6 +685,17 @@ object Streaming {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS run_sum
         |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsec, event_id)
         |ORDER BY user_id, seq""".stripMargin)(streamCustomState),
+
+    OpQuery("op_stream_domain_cap",
+      s"""WITH corpus AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 <> 0 THEN 'boilerplate-farm' ELSE source END AS source
+        |  FROM documents)
+        |SELECT doc_id, source,
+        |  CAST(row_number() OVER w AS INTEGER) AS arr_seq,
+        |  row_number() OVER w <= ${TrainingData.DomainCap} AS admitted
+        |FROM corpus WINDOW w AS (PARTITION BY source ORDER BY doc_id)
+        |ORDER BY doc_id""".stripMargin)(streamDomainCap),
 
     OpQuery("op_stream_sketch_cms",
       s"""WITH bg AS (

@@ -73,6 +73,47 @@ class StreamingSpec extends AnyFunSuite {
       "a >30-min gap starts a new session; an exactly-30-min gap merges")
   }
 
+  test("B90s domain gate: stream == batch across micro-batches; first-come, not hash-sample") {
+    implicit val sqlCtx = spark.sqlContext
+    val cap = 3
+    // two domains: 'hot' floods 8 arrivals, 'cold' sends 2
+    val arrivals = (1L to 8L).map(i => operators.DocArrival(i * 10, "hot")) ++
+      Seq(operators.DocArrival(5L, "cold"), operators.DocArrival(15L, "cold"))
+    val mem = MemoryStream[operators.DocArrival]
+    val name = s"sink_${System.nanoTime()}"
+    val q = Streaming.domainGatePlan(mem.toDF(), streaming = true, cap).writeStream
+      .format("memory").queryName(name).outputMode("append").start()
+    try {
+      // split mid-hot-domain: the admitted count must CARRY ACROSS the
+      // batch boundary (admits 10,20,30 in batch 1 leave zero slots,
+      // so batch 2's arrivals are all rejects)
+      val (b1, b2) = arrivals.sortBy(_.doc_id).splitAt(5)
+      mem.addData(b1: _*)
+      q.processAllAvailable()
+      mem.addData(b2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val stream = spark.table(name)
+    val batch = Streaming.domainGatePlan(arrivals.toDF(), streaming = false, cap)
+    assert(sortedRows(stream) === sortedRows(batch))
+    val admittedHot = batch.filter(col("source") === "hot" && col("admitted"))
+      .select("doc_id").as[Long].collect().sorted
+    assert(admittedHot === Array(10L, 20L, 30L),
+      "the stream gate admits FIRST-COME (the id prefix)")
+    // contrast with the batch op_domain_cap policy: the offline
+    // re-balance keeps the (md5(id), id) hash sample, which on this
+    // domain is a DIFFERENT set — the two ops' documented difference
+    val hashKept = api.Graft.capDomains(
+      arrivals.toDF(), cap = cap).filter(col("source") === "hot")
+      .select("doc_id").as[Long].collect().sorted
+    assert(!hashKept.sameElements(admittedHot),
+      "offline hash sample must differ from the stream gate's prefix")
+    // rejects are emitted too (the back-pressure signal), with seqs
+    val rejects = batch.filter(col("source") === "hot" && !col("admitted"))
+    assert(rejects.count() == 5 &&
+      rejects.agg(min("arr_seq")).head().getInt(0) == cap + 1)
+  }
+
   test("B-bonus custom state: flatMapGroupsWithState matches batch across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
