@@ -177,6 +177,23 @@ object Graft {
     graft.operators.CorpusStats.textEntropyOf(
       df.select(col(idCol).as("doc_id"), col(textCol).as("text")))
 
+  /** Per-document keyword extraction for any corpus — the general
+    * form of the graded `op_tfidf_topk` (same core; smoothed tf-idf,
+    * score = tf · (ln((N+1)/(df+1)) + 1), the scikit-learn idf).
+    * Returns each doc's top-k terms as `(doc_id, rnk, term, tf, df,
+    * score)`, ties broken by term. The document-centric complement
+    * to `bm25Rank` (that ranks docs for a query; this labels every
+    * doc with its own most-distinctive terms — tagging, routing,
+    * index building). The per-doc top-k plans as WindowGroupLimit
+    * (map-side partial top-K per doc); the tf×df join shuffles on
+    * the vocabulary key, never broadcasts. */
+  def keywords(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", k: Int = 3): DataFrame = {
+    require(k >= 1, s"keywords: need k >= 1 (got $k)")
+    graft.operators.Mining.tfidfTopkOf(
+      df.select(col(idCol).as("doc_id"), col(textCol).as("text")), k)
+  }
+
   /** Edit-distance-1 fuzzy self-join for any keyed corpus — the
     * general form of the graded `op_fuzzy_join` (same core;
     * deletion-neighborhood blocking per FastSS/SymSpell: two keys at

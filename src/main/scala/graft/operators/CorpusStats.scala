@@ -713,7 +713,9 @@ object CorpusStats {
         col("st")(0).cast("long").as("n"),
         col("st")(1).cast("int").as("n_distinct"),
         col("st")(2).cast("long").as("mx"),
-        round(col("st")(3), 4).as("entropy"))
+        // + 0.0 normalizes IEEE negative zero (house convention): a
+        // single-char doc's entropy residual x − x can round to −0.0
+        (round(col("st")(3), 4) + lit(0.0)).as("entropy"))
       .select(col("doc_id"),
         col("n").cast("int").as("n_cp"),
         col("n_distinct"),
@@ -871,7 +873,7 @@ object CorpusStats {
         |    log2(CAST(sum(k) AS DOUBLE)) - sum(k * log2(CAST(k AS DOUBLE))) / sum(k) AS ent
         |  FROM cnt GROUP BY doc_id)
         |SELECT doc_id, CAST(n AS INTEGER) AS n_cp, CAST(nd AS INTEGER) AS n_distinct,
-        |  round(ent, 4) AS entropy,
+        |  round(ent, 4) + 0.0 AS entropy,
         |  round(CAST(mx AS DOUBLE) / n, 4) AS top_share,
         |  2 * mx > n AS flagged
         |FROM agg ORDER BY doc_id""".stripMargin)(textEntropy)

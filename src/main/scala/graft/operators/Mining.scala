@@ -743,6 +743,63 @@ object Mining {
       |FROM dev JOIN mad USING (event_type)
       |GROUP BY dev.event_type ORDER BY event_type""".stripMargin
 
+  // ---- B93: per-doc tf-idf keyword extraction --------------------------------
+
+  /** Keywords kept per document for B93. */
+  private[graft] val TfidfTopK = 3
+
+  /** B93 — `op_tfidf_topk`: per-document keyword extraction by
+    * smoothed tf-idf — the DOCUMENT-centric complement to B45's
+    * query-centric BM25 (that op ranks docs for a fixed query; this
+    * one ranks each doc's own terms, the tagging/routing/indexing
+    * primitive a corpus pipeline runs to label every document).
+    * Score = tf · (ln((N+1)/(df+1)) + 1) (the scikit-learn smoothed
+    * idf, Salton & Buckley 1988 lineage): all inputs are INTEGERS
+    * (tf, df, N), so both engines evaluate the identical IEEE
+    * expression tree — the B45/B46 float discipline for log-family
+    * scorers; ranking runs on the raw double (ties broken by term),
+    * the REPORTED score is rounded to 6 dp. Planted evidence: every
+    * 9th doc gets a per-doc-unique token `uq<id>` repeated 4× —
+    * df = 1, the strongest possible idf at its tf — which must rank
+    * first for its document.
+    *
+    * Scale shape: (doc, term) tf agg collapses repeats map-side; df
+    * is one vocabulary-keyed agg; the tf×df join is a vocabulary-
+    * keyed SHUFFLE join (both sides corpus-/vocab-scaled — never
+    * broadcast; Zipf skew → AQE skew split, the B46 contract); the
+    * scalar N broadcasts as a 1-row frame; the per-doc top-k plans
+    * as WindowGroupLimit — every map task keeps ≤ k terms per doc
+    * before the final exchange. */
+  def tfidfTopk(sp: SparkSession, dir: String): DataFrame = {
+    val base = docs(sp, dir)
+    val corpus = base.select(col("doc_id"),
+      when(col("doc_id") % 9 === 0,
+        concat(col("text"),
+          repeat(concat(lit(" uq"), col("doc_id").cast("string")), 4)))
+        .otherwise(col("text")).as("text"))
+    tfidfTopkOf(corpus, TfidfTopK).orderBy("doc_id", "rnk")
+  }
+
+  /** Core behind [[tfidfTopk]] and `api.Graft.keywords`: top-k terms
+    * per doc over any `corpus(doc_id, text)`, without the graded
+    * total sort. */
+  private[graft] def tfidfTopkOf(corpus: DataFrame, k: Int): DataFrame = {
+    val tf = corpus
+      .select(col("doc_id"),
+        explode(filter(split(col("text"), " "), t => t =!= "")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = corpus.agg(count(lit(1)).as("n"))
+    val s = tf.join(df, Seq("term")).crossJoin(broadcast(n))
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        (col("tf") * (log((col("n") + 1) / (col("df") + 1)) + 1)).as("score"))
+    val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term"))
+    s.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+      .select(col("doc_id"), col("rnk"), col("term"),
+        col("tf").cast("int").as("tf"), col("df").cast("int").as("df"),
+        round(col("score"), 6).as("score"))
+  }
+
   // ---- B92: deletion-neighborhood fuzzy join --------------------------------
 
   /** Key-prefix length for B92's graded corpus (chars of `text`;
@@ -830,6 +887,33 @@ object Mining {
   // ---- registry ------------------------------------------------------------
 
   val queries: Seq[OpQuery] = Seq(
+    OpQuery("op_tfidf_topk",
+      s"""WITH corpus AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 9 = 0
+        |      THEN text || repeat(' uq' || CAST(doc_id AS VARCHAR), 4)
+        |      ELSE text END AS text
+        |  FROM documents),
+        |tok AS (
+        |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+        |  FROM corpus),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |nn AS (SELECT count(*) AS n FROM corpus),
+        |s AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+        |    tf.tf * (ln((nn.n + 1) / (df.df + 1)) + 1) AS score
+        |  FROM tf JOIN df USING (term), nn),
+        |r AS (
+        |  SELECT doc_id, term, tf, df, score,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rnk
+        |  FROM s)
+        |SELECT doc_id, CAST(rnk AS INTEGER) AS rnk, term,
+        |  CAST(tf AS INTEGER) AS tf, CAST(df AS INTEGER) AS df,
+        |  round(score, 6) AS score
+        |FROM r WHERE rnk <= $TfidfTopK
+        |ORDER BY doc_id, rnk""".stripMargin)(tfidfTopk),
+
     OpQuery("op_fuzzy_join",
       s"""WITH corpus AS (
         |  SELECT doc_id * 3 AS doc_id, substr(text, 1, $FuzzyKeyLen) AS key FROM documents

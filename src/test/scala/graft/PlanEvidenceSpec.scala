@@ -56,7 +56,8 @@ class PlanEvidenceSpec extends AnyFunSuite {
       "op_dsir_weights",     // 1-row normalizers (bucket totals, doc count, threshold) — bounded
       "op_stats_zipf",       // 1-row report assembly (totals × regression × top rank) — bounded
       "op_stats_heaps",      // 1-row report assembly (totals × OLS fit) — bounded
-      "op_stats_pmi")        // 1-row normalizer (total bigram count N) — bounded
+      "op_stats_pmi",        // 1-row normalizer (total bigram count N) — bounded
+      "op_tfidf_topk")       // 1-row normalizer (doc count N) crossJoin — bounded
     for (q <- Registry.all) {
       val p = plan(q.name)
       assert(!p.contains("CartesianProduct"),
