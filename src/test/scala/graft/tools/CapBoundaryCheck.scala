@@ -110,7 +110,13 @@ object CapBoundaryCheck {
     // must walk identically; mixture-apply sits exactly on the
     // frac = 0 boundary (single language ⇒ r ≡ 1.0, every coin
     // compares against floor(0·10⁴) = 0 — no draw may fire)
-    "op_dedup_keep_best", "op_mixture_apply")
+    "op_dedup_keep_best", "op_mixture_apply",
+    // r20: fuzzy join on the degenerate corpus — 400 identical keys
+    // (plus their identical sub/del plant clusters) flood every
+    // deletion-variant bucket far past FuzzyBucketCap, so the capped
+    // (md5(id), id) keep rule and the post-cap pair expansion must
+    // truncate identically on both engines
+    "op_fuzzy_join")
 
   def main(args: Array[String]): Unit = {
     val spark = graft.SparkTestSession.spark
