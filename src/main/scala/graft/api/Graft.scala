@@ -177,6 +177,21 @@ object Graft {
     graft.operators.CorpusStats.textEntropyOf(
       df.select(col(idCol).as("doc_id"), col(textCol).as("text")))
 
+  /** Benford first-digit conformance screen for any numeric column —
+    * the general form of the graded `op_stats_benford` (same core;
+    * the Nigrini forensic-accounting test: organically-grown
+    * multiplicative quantities put leading digit d at frequency
+    * log10(1 + 1/d); fabricated, truncated, or synthetically-uniform
+    * data deviates loudly). Returns one row per digit 1–9:
+    * `(digit, n, share, benford, dev)`. Values < 1 are dropped, and
+    * values must fit int64 after flooring (ANSI cast — a quantity
+    * past 9.2e18 throws rather than silently wrapping). The digit
+    * extraction is integer-exact (decimal-string head, never
+    * floor(log10)); the whole screen is one map-side projection plus
+    * a 9-group aggregate at any input size. */
+  def benfordScreen(df: DataFrame, valueCol: String): DataFrame =
+    graft.operators.Mining.benfordOf(df.select(col(valueCol).as("v")))
+
   /** One-pass weighted sampling without replacement for any corpus —
     * the general form of the graded `op_sample_weighted` (same core;
     * Efraimidis-Spirakis 2006: rank by u^(1/w) with a deterministic

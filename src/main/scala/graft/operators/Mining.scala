@@ -743,6 +743,49 @@ object Mining {
       |FROM dev JOIN mad USING (event_type)
       |GROUP BY dev.event_type ORDER BY event_type""".stripMargin
 
+  // ---- B95: Benford first-digit conformance screen ----------------------------
+
+  /** B95 — `op_stats_benford`: first-significant-digit distribution vs
+    * Benford's law (Newcomb 1881 / Benford 1938; Nigrini's forensic-
+    * accounting screen) over `orders.o_totalprice` — the data-QA /
+    * anomaly screen a warehouse runs on any money-like column:
+    * organically-grown multiplicative quantities put digit d at
+    * frequency log10(1 + 1/d), while fabricated, truncated, or
+    * synthetically-uniform data deviates loudly (TPC-H's uniform
+    * price range deviates by construction — the op REPORTS the
+    * deviation; BenfordSpec pins that powers of 2 conform and
+    * uniforms don't). First digit is extracted INTEGER-EXACTLY as the
+    * first char of the floored value's decimal string — never
+    * floor(log10(v)), whose last-ulp behavior at powers of ten is
+    * engine-dependent (the B53 lesson). Per digit: count, share,
+    * Benford expectation, deviation (rounded 6 dp, −0.0-guarded).
+    *
+    * Scale shape: digit extraction is a pure map-side projection;
+    * one 9-group agg with map-side partials; the share normalizer is
+    * a window over the 9-row AGGREGATED frame (never the corpus). */
+  def statsBenford(sp: SparkSession, dir: String): DataFrame =
+    benfordOf(Tables.orders(sp, dir).select(col("o_totalprice").as("v")))
+      .orderBy("digit")
+
+  /** Core behind [[statsBenford]] and `api.Graft.benfordScreen`:
+    * the digit profile of any `values(v)` frame, v numeric ≥ 1
+    * (sub-1 and non-positive values are dropped — their leading
+    * digit is scale-dependent). */
+  private[graft] def benfordOf(values: DataFrame): DataFrame = {
+    val d = values.filter(col("v") >= 1)
+      .select(substring(floor(col("v")).cast("long").cast("string"), 1, 1)
+        .cast("int").as("digit"))
+    val g = d.groupBy("digit").agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy()
+    val f = g.select(col("digit"), col("n"),
+      (col("n").cast("double") / sum("n").over(w).cast("double")).as("sh"),
+      log10(lit(1) + lit(1.0) / col("digit")).as("bf"))
+    f.select(col("digit"), col("n"),
+      round(col("sh"), 6).as("share"),
+      round(col("bf"), 6).as("benford"),
+      (round(col("sh") - col("bf"), 6) + lit(0.0)).as("dev"))
+  }
+
   // ---- B93: per-doc tf-idf keyword extraction --------------------------------
 
   /** Keywords kept per document for B93. */
@@ -887,6 +930,20 @@ object Mining {
   // ---- registry ------------------------------------------------------------
 
   val queries: Seq[OpQuery] = Seq(
+    OpQuery("op_stats_benford",
+      """WITH d AS (
+        |  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS digit
+        |  FROM orders WHERE o_totalprice >= 1),
+        |g AS (SELECT digit, count(*) AS n FROM d GROUP BY digit),
+        |f AS (
+        |  SELECT digit, CAST(n AS BIGINT) AS n,
+        |    CAST(n AS DOUBLE) / CAST(sum(n) OVER () AS DOUBLE) AS sh,
+        |    log10(1 + CAST(1 AS DOUBLE) / digit) AS bf
+        |  FROM g)
+        |SELECT digit, n, round(sh, 6) AS share, round(bf, 6) AS benford,
+        |  round(sh - bf, 6) + 0.0 AS dev
+        |FROM f ORDER BY digit""".stripMargin)(statsBenford),
+
     OpQuery("op_tfidf_topk",
       s"""WITH corpus AS (
         |  SELECT doc_id,
