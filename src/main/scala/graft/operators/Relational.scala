@@ -639,7 +639,103 @@ object Relational {
       .orderBy("o_orderkey")
 
   // -------------------------------------------------------------------------
+  // ---- B96: exact-moment correlation matrix ---------------------------------
+
+  /** B96 — `op_corr_matrix`: the pairwise Pearson correlation matrix
+    * over lineitem's four measure columns — the feature-statistics
+    * screen a modeling pipeline runs before training (collinear
+    * features, leakage candidates, dead measures). The distributed
+    * hazard with correlation is FLOAT ACCUMULATION ORDER: sum(double)
+    * differs run-to-run and engine-to-engine, so this op computes the
+    * moment sums EXACTLY — each 2-decimal measure scales to an int64
+    * (×100, exact), per-row products stay in int64, and the sums
+    * accumulate as DECIMAL(38,0) (Spark) / HUGEINT (DuckDB), both
+    * exact integer arithmetic. Floats enter only in the final
+    * 14-number, 1-row frame, where both engines evaluate the same
+    * IEEE formula r = (n·Sxy − SxSy)/√((n·Sxx − Sx²)(n·Syy − Sy²)),
+    * rounded 6 dp (−0.0-guarded: a near-zero correlation rounds from
+    * below).
+    *
+    * Scale shape: ONE aggregation pass with map-side partials (15
+    * sums), output one row; the 6 pair rows explode from an array
+    * projection over that single row — the scan is never re-read per
+    * pair. Exactness bound (stated): int64 per-row products ≤ 2.5e15
+    * here, decimal(38) sums carry ~1e12 rows of them; past that,
+    * pre-center the columns by a constant and the same plan holds. */
+  def corrMatrix(s: SparkSession, dir: String): DataFrame =
+    corrMatrixOf(Tables.lineitem(s, dir),
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"), scale = 2)
+      .orderBy("x", "y")
+
+  /** Core behind [[corrMatrix]] and `api.Graft.correlations`: the
+    * pairwise exact-moment Pearson matrix over any numeric columns,
+    * without the graded total sort. `scale` = decimal places of the
+    * inputs (values × 10^scale must land on int64). */
+  private[graft] def corrMatrixOf(df: DataFrame, colsIn: Seq[String],
+      scale: Int): DataFrame = {
+    require(colsIn.size >= 2, "corrMatrixOf: need >= 2 columns")
+    val tags = colsIn.indices.map(i => s"c$i")
+    val mult = math.pow(10.0, scale)
+    val scaled = df.select(colsIn.zip(tags).map { case (c, a) =>
+      round(col(c) * mult).cast("long").as(a) }: _*)
+    def dec(c: Column) = c.cast(org.apache.spark.sql.types.DecimalType(38, 0))
+    val sums =
+      tags.map(a => sum(dec(col(a))).as(s"s_$a")) ++
+      tags.map(a => sum(dec(col(a) * col(a))).as(s"s_${a}_$a")) ++
+      (for { i <- tags.indices; j <- tags.indices if i < j }
+        yield sum(dec(col(tags(i)) * col(tags(j)))).as(s"s_${tags(i)}_${tags(j)}"))
+    val aggs = count(lit(1)).as("n") +: sums
+    val a1 = scaled.agg(aggs.head, aggs.tail: _*)
+    def d(name: String) = col(name).cast("double")
+    def rExpr(a: String, b: String): Column =
+      round((d("n") * d(s"s_${a}_$b") - d(s"s_$a") * d(s"s_$b")) /
+        sqrt((d("n") * d(s"s_${a}_$a") - d(s"s_$a") * d(s"s_$a")) *
+             (d("n") * d(s"s_${b}_$b") - d(s"s_$b") * d(s"s_$b"))), 6) + lit(0.0)
+    val pairs = for { i <- tags.indices; j <- tags.indices if i < j } yield
+      struct(lit(colsIn(i)).as("x"), lit(colsIn(j)).as("y"), col("n").as("n"),
+        rExpr(tags(i), tags(j)).as("r"))
+    a1.select(explode(array(pairs: _*)).as("pr"))
+      .select(col("pr.x").as("x"), col("pr.y").as("y"),
+        col("pr.n").as("n"), col("pr.r").as("r"))
+  }
+
   val queries: Seq[OpQuery] = Seq(
+    OpQuery("op_corr_matrix",
+      """WITH s AS (
+        |  SELECT CAST(round(l_quantity * 100) AS BIGINT) AS q,
+        |         CAST(round(l_extendedprice * 100) AS BIGINT) AS p,
+        |         CAST(round(l_discount * 100) AS BIGINT) AS d,
+        |         CAST(round(l_tax * 100) AS BIGINT) AS t
+        |  FROM lineitem),
+        |a AS (
+        |  SELECT count(*) AS n,
+        |    sum(q) AS s_q, sum(p) AS s_p, sum(d) AS s_d, sum(t) AS s_t,
+        |    sum(q*q) AS s_qq, sum(p*p) AS s_pp, sum(d*d) AS s_dd, sum(t*t) AS s_tt,
+        |    sum(q*p) AS s_qp, sum(q*d) AS s_qd, sum(q*t) AS s_qt,
+        |    sum(p*d) AS s_pd, sum(p*t) AS s_pt, sum(d*t) AS s_dt
+        |  FROM s),
+        |pairs(x, y, xa, ya) AS (VALUES
+        |  ('l_quantity', 'l_extendedprice', 'q', 'p'),
+        |  ('l_quantity', 'l_discount', 'q', 'd'),
+        |  ('l_quantity', 'l_tax', 'q', 't'),
+        |  ('l_extendedprice', 'l_discount', 'p', 'd'),
+        |  ('l_extendedprice', 'l_tax', 'p', 't'),
+        |  ('l_discount', 'l_tax', 'd', 't')),
+        |m AS (
+        |  SELECT x, y, n,
+        |    CASE xa || ya WHEN 'qp' THEN s_qp WHEN 'qd' THEN s_qd WHEN 'qt' THEN s_qt
+        |                  WHEN 'pd' THEN s_pd WHEN 'pt' THEN s_pt ELSE s_dt END AS sxy,
+        |    CASE xa WHEN 'q' THEN s_q WHEN 'p' THEN s_p WHEN 'd' THEN s_d ELSE s_t END AS sx,
+        |    CASE ya WHEN 'q' THEN s_q WHEN 'p' THEN s_p WHEN 'd' THEN s_d ELSE s_t END AS sy,
+        |    CASE xa WHEN 'q' THEN s_qq WHEN 'p' THEN s_pp WHEN 'd' THEN s_dd ELSE s_tt END AS sxx,
+        |    CASE ya WHEN 'q' THEN s_qq WHEN 'p' THEN s_pp WHEN 'd' THEN s_dd ELSE s_tt END AS syy
+        |  FROM pairs, a)
+        |SELECT x, y, CAST(n AS BIGINT) AS n,
+        |  round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        |    sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+        |         (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) + 0.0 AS r
+        |FROM m ORDER BY x, y""".stripMargin)(corrMatrix),
+
     OpQuery("op_scan_parquet",
       """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
         |FROM lineitem
