@@ -177,6 +177,21 @@ object Graft {
     graft.operators.CorpusStats.textEntropyOf(
       df.select(col(idCol).as("doc_id"), col(textCol).as("text")))
 
+  /** Checksum-validated payment-card screen for any corpus — the
+    * general form of the graded `op_pii_luhn` (same core; maximal
+    * 13–19-digit runs validated with the ISO/IEC 7812 Luhn check
+    * digit, which rejects 90% of random digit runs — the precision
+    * upgrade over a raw "has long digits" PII rule that would
+    * quarantine every invoice corpus). Returns `(doc_id,
+    * n_candidates, n_valid, has_card)` per doc. Pure map-side; the
+    * per-candidate fold is bounded at 19 digits. Compose `has_card`
+    * into a quarantine filter, or follow with `piiMask`-style
+    * scrubbing on the flagged docs. */
+  def luhnScreen(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    graft.operators.TrainingData.piiLuhnOf(
+      df.select(col(idCol).as("doc_id"), col(textCol).as("text")))
+
   /** Exact-moment Pearson correlation matrix for any numeric columns —
     * the general form of the graded `op_corr_matrix` (same core; the
     * pre-training feature screen for collinearity and leakage). The

@@ -2474,6 +2474,66 @@ object TrainingData {
       .orderBy("doc_id")
   }
 
+  // ---- B97: Luhn-validated card-number detection -----------------------------
+
+  /** B97 — `op_pii_luhn`: payment-card PII detection with CHECKSUM
+    * validation — the precision upgrade over B39's raw digit-run rule
+    * (a 16-digit order id is not a card; a Luhn-valid 16-digit run
+    * very probably is — the ISO/IEC 7812 check digit, Luhn 1960,
+    * rejects 90% of random runs, so quarantining on `has_card`
+    * instead of "has digits" stops a pipeline from shredding every
+    * invoice corpus). Candidates = maximal digit runs of 13–19 chars
+    * (maximal via `[0-9]+` extraction then length filter — RE2 has
+    * no lookaround, the B39 portability rule). The Luhn fold is ONE
+    * lambda expressed identically on both engines (the B72/BPE
+    * two-engine-fold discipline): state packs (sum, parity) into a
+    * single long — acc = sum·2 + parity — folded over the reversed
+    * run's digits; valid ⟺ (acc >> 1) % 10 = 0, integer-exact
+    * end-to-end. Plants: every 17th doc carries the classic Visa
+    * test number 4111111111111111 (Luhn-valid, must count), every
+    * 19th a check-digit-off variant …1112 (candidate, must NOT
+    * validate).
+    *
+    * Scale shape: pure map-side projection — extraction, the
+    * per-candidate fold, and the counts all ride the scan (the fold
+    * is a HOF and thus interpreted, but bounded at ≤ 19 digits per
+    * candidate); zero shuffles before the graded sort. */
+  def piiLuhn(sp: SparkSession, dir: String): DataFrame = {
+    val planted = docs(sp, dir).select(col("doc_id"),
+      when(col("doc_id") % 17 === 0,
+        concat(col("text"), lit(" card 4111111111111111")))
+        .when(col("doc_id") % 19 === 0,
+          concat(col("text"), lit(" num 4111111111111112")))
+        .otherwise(col("text")).as("text"))
+    piiLuhnOf(planted).orderBy("doc_id")
+  }
+
+  /** The Luhn validity of one digit-run column — the single fold
+    * owner shared by the graded core and `api.Graft.luhnScreen`. */
+  private[graft] def luhnValid(c: Column): Column = {
+    val rev = reverse(c)
+    val acc = aggregate(
+      transform(sequence(lit(1), length(rev)),
+        i => (ascii(rev.substr(i, lit(1))) - 48).cast("long")),
+      lit(0L),
+      (acc, d) => (shiftright(acc, 1) +
+        when(acc % 2 === 0, d).when(d > 4, d * 2 - 9).otherwise(d * 2)) * 2
+        + (lit(1) - acc % 2))
+    shiftright(acc, 1) % 10 === 0
+  }
+
+  /** Core behind [[piiLuhn]] and `api.Graft.luhnScreen` over any
+    * `corpus(doc_id, text)`, without the graded total sort. */
+  private[graft] def piiLuhnOf(corpus: DataFrame): DataFrame =
+    corpus
+      .withColumn("cands",
+        filter(regexp_extract_all(col("text"), lit("[0-9]+"), lit(0)),
+          r => length(r).between(13, 19)))
+      .select(col("doc_id"),
+        size(col("cands")).as("n_candidates"),
+        size(filter(col("cands"), c => luhnValid(c))).as("n_valid"))
+      .withColumn("has_card", col("n_valid") >= 1)
+
   // ---- B40: intra-document repetition --------------------------------------
 
   /** Repetition quality signals — the filter family that catches
@@ -3248,6 +3308,34 @@ object TrainingData {
         |SELECT doc_id, source, n_tok, tok_offset,
         |  CAST(tok_offset // 1024 AS BIGINT) AS pack_id
         |FROM offs ORDER BY doc_id""".stripMargin)(packSequences),
+
+    OpQuery("op_pii_luhn",
+      """WITH corpus AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 17 = 0 THEN text || ' card 4111111111111111'
+        |         WHEN doc_id % 19 = 0 THEN text || ' num 4111111111111112'
+        |         ELSE text END AS text
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_extract_all(text, '[0-9]+'),
+        |      r -> length(r) BETWEEN 13 AND 19) AS cands
+        |  FROM corpus),
+        |v AS (
+        |  SELECT doc_id, cands,
+        |    list_filter(cands, cd ->
+        |      ((list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |          list_transform(range(1, length(reverse(cd)) + 1),
+        |            i -> CAST(ord(substring(reverse(cd), CAST(i AS INTEGER), 1)) - 48 AS BIGINT))),
+        |        (acc, d) -> ((acc >> 1) +
+        |          CASE WHEN acc % 2 = 0 THEN d
+        |               WHEN d > 4 THEN d * 2 - 9
+        |               ELSE d * 2 END) * 2 + (1 - acc % 2)) >> 1) % 10 = 0)) AS valids
+        |  FROM c)
+        |SELECT doc_id, CAST(len(cands) AS INTEGER) AS n_candidates,
+        |  CAST(len(valids) AS INTEGER) AS n_valid,
+        |  len(valids) >= 1 AS has_card
+        |FROM v ORDER BY doc_id""".stripMargin)(piiLuhn),
 
     OpQuery("op_text_pii_mask",
       """WITH planted AS (
