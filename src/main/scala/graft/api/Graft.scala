@@ -177,6 +177,20 @@ object Graft {
     graft.operators.CorpusStats.textEntropyOf(
       df.select(col(idCol).as("doc_id"), col(textCol).as("text")))
 
+  /** k-anonymity risk report for any quasi-identifier columns — the
+    * general form of the graded `op_k_anonymity` (same core; Sweeney
+    * 2002: docs in QI groups smaller than k are re-identifiable even
+    * with the payload scrubbed). One ROLLUP pass grades the whole
+    * generalization ladder: per level (the GROUPING_ID bitmask — 0 =
+    * full QI, each set bit = that column rolled away), the group
+    * count, risky-group count, risky-doc mass, and smallest group.
+    * Read it as the privacy/utility tradeoff curve: the first level
+    * whose risky_docs is acceptable is the release granularity. */
+  def kAnonymity(df: DataFrame, qiCols: Seq[String], k: Int = 5): DataFrame = {
+    require(k >= 2, s"kAnonymity: need k >= 2 (got $k)")
+    graft.operators.TrainingData.kAnonymityOf(df, qiCols, k)
+  }
+
   /** Checksum-validated payment-card screen for any corpus — the
     * general form of the graded `op_pii_luhn` (same core; maximal
     * 13–19-digit runs validated with the ISO/IEC 7812 Luhn check

@@ -2534,6 +2534,52 @@ object TrainingData {
         size(filter(col("cands"), c => luhnValid(c))).as("n_valid"))
       .withColumn("has_card", col("n_valid") >= 1)
 
+  // ---- B98: k-anonymity generalization ladder ---------------------------------
+
+  /** Minimum group size below which a quasi-identifier combination is
+    * a re-identification risk (B98). */
+  private[graft] val KAnonK = 5
+
+  /** B98 — `op_k_anonymity`: quasi-identifier re-identification risk
+    * across a GENERALIZATION LADDER (Sweeney 2002, "k-Anonymity: a
+    * model for protecting privacy") — before releasing a corpus with
+    * per-doc metadata, measure how many docs sit in quasi-identifier
+    * groups smaller than k (unique (lang, source, length-bucket)
+    * combinations re-identify their author even with the text
+    * scrubbed). One ROLLUP pass grades every generalization level at
+    * once — full QI, drop the length bucket, drop the source, corpus
+    * — so the report IS the privacy/utility tradeoff curve: per
+    * level, (n_groups, risky_groups, risky_docs, min_group), risky =
+    * group size < [[KAnonK]] (integer-exact). `level` is the
+    * GROUPING_ID bitmask (0 = full QI, 1 = bucket rolled, 3 =
+    * source+bucket, 7 = corpus).
+    *
+    * Scale shape: ROLLUP plans as Expand(×levels) + ONE hash agg
+    * with map-side partials — group state bounded by the QI
+    * cardinality product, never the corpus; the level summary
+    * aggregates the group-sized frame down to ≤ 4 rows. */
+  def kAnonymity(sp: SparkSession, dir: String): DataFrame =
+    kAnonymityOf(docs(sp, dir)
+      .select(col("lang"), col("source"),
+        floor(col("n_chars") / 100).cast("long").as("len_b")),
+      Seq("lang", "source", "len_b"), KAnonK)
+      .orderBy("level")
+
+  /** Core behind [[kAnonymity]] and `api.Graft.kAnonymity`: the
+    * per-level risk report over any quasi-identifier columns. */
+  private[graft] def kAnonymityOf(df: DataFrame, qiCols: Seq[String],
+      k: Int): DataFrame = {
+    require(qiCols.nonEmpty, "kAnonymityOf: need >= 1 quasi-identifier column")
+    val g = df.rollup(qiCols.map(col): _*)
+      .agg(count(lit(1)).as("n"), grouping_id().as("gid"))
+    g.groupBy(col("gid").cast("int").as("level"))
+      .agg(count(lit(1)).cast("int").as("n_groups"),
+        count(when(col("n") < k, 1)).cast("int").as("risky_groups"),
+        coalesce(sum(when(col("n") < k, col("n")).otherwise(0L)), lit(0L))
+          .as("risky_docs"),
+        min(col("n")).as("min_group"))
+  }
+
   // ---- B40: intra-document repetition --------------------------------------
 
   /** Repetition quality signals — the filter family that catches
@@ -3308,6 +3354,20 @@ object TrainingData {
         |SELECT doc_id, source, n_tok, tok_offset,
         |  CAST(tok_offset // 1024 AS BIGINT) AS pack_id
         |FROM offs ORDER BY doc_id""".stripMargin)(packSequences),
+
+    OpQuery("op_k_anonymity",
+      s"""WITH q AS (
+        |  SELECT lang, source, CAST(floor(n_chars / 100) AS BIGINT) AS len_b
+        |  FROM documents),
+        |g AS (
+        |  SELECT GROUPING_ID(lang, source, len_b) AS gid, count(*) AS n
+        |  FROM q GROUP BY ROLLUP (lang, source, len_b))
+        |SELECT CAST(gid AS INTEGER) AS level,
+        |  CAST(count(*) AS INTEGER) AS n_groups,
+        |  CAST(count(*) FILTER (WHERE n < $KAnonK) AS INTEGER) AS risky_groups,
+        |  CAST(coalesce(sum(n) FILTER (WHERE n < $KAnonK), 0) AS BIGINT) AS risky_docs,
+        |  CAST(min(n) AS BIGINT) AS min_group
+        |FROM g GROUP BY gid ORDER BY level""".stripMargin)(kAnonymity),
 
     OpQuery("op_pii_luhn",
       """WITH corpus AS (
