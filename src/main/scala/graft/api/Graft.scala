@@ -177,6 +177,21 @@ object Graft {
     graft.operators.CorpusStats.textEntropyOf(
       df.select(col(idCol).as("doc_id"), col(textCol).as("text")))
 
+  /** Per-document n-gram novelty for any corpus — the general form
+    * of the graded `op_ngram_novelty` (same core; of each doc's
+    * distinct word-3-grams, the share whose first corpus occurrence
+    * — minimum id, the ingest order — is this doc). Novelty 0 means
+    * every gram is owned upstream: an exact duplicate or a
+    * quote-stitched mashup that byte-digest dedup cannot see; use
+    * `is_dup` (n_novel = 0, integer-exact) as the drop signal and
+    * low-but-nonzero novelty as a review queue. Docs too short to
+    * shingle drop. One (gram, doc)-distinct shuffle + a gram-keyed
+    * min-owner join — the B62 exchange class. */
+  def noveltyScores(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    graft.operators.Curation.ngramNoveltyOf(
+      df.select(col(idCol).as("doc_id"), col(textCol).as("text")))
+
   /** k-anonymity risk report for any quasi-identifier columns — the
     * general form of the graded `op_k_anonymity` (same core; Sweeney
     * 2002: docs in QI groups smaller than k are re-identifiable even

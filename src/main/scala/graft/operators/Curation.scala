@@ -716,9 +716,70 @@ object Curation {
           (col("nr") * col("sxx") - col("sx") * col("sx")), 4).as("zipf_slope"))
   }
 
+  // ---- B99: per-doc n-gram novelty -------------------------------------------
+
+  /** B99 — `op_ngram_novelty`: each document's NOVEL-shingle share —
+    * of the doc's distinct word-3-grams (the B17/B68 shingle), the
+    * fraction whose FIRST corpus occurrence (minimum doc_id — the
+    * declared ingest order, the B57/B90s arrival contract) is this
+    * doc. The per-document form of the corpus-growth laws (B80 Heaps
+    * fits vocabulary growth globally; this says which docs actually
+    * contribute): novelty 1 = all-new content, 0 = every gram already
+    * owned upstream — an exact duplicate OR a quote-stitched mashup,
+    * which byte-digest dedup (B16) cannot see. `is_dup` is the
+    * integer-exact `n_novel = 0` predicate. Plants: every 6th doc
+    * re-posted verbatim at 2·id+1 — the clone's grams are all owned
+    * by the 2·id original, novelty exactly 0; originals at gate SF
+    * stay majority-novel.
+    *
+    * Scale shape: grams md5-narrowed before any exchange; ONE
+    * (gram, doc)-distinct shuffle; the owner table is one min-agg on
+    * the gram key; the join-back is gram-keyed (vocabulary-sized
+    * sides — never broadcast, the B46 contract); per-doc rollup
+    * partitions by doc. Same exchange class as B62. */
+  def ngramNovelty(sp: SparkSession, dir: String): DataFrame = {
+    val base = docs(sp, dir).select(col("doc_id"), col("text"))
+    val corpus = base.select((col("doc_id") * 2).as("doc_id"), col("text"))
+      .union(base.filter(col("doc_id") % 6 === 0)
+        .select((col("doc_id") * 2 + 1).as("doc_id"), col("text")))
+    ngramNoveltyOf(corpus).orderBy("doc_id")
+  }
+
+  /** Core behind [[ngramNovelty]] and `api.Graft.noveltyScores` over
+    * any `corpus(doc_id, text)`; docs too short to shingle drop. */
+  private[graft] def ngramNoveltyOf(corpus: DataFrame): DataFrame = {
+    val gr = graft.functions.TextShingles.withShingles(corpus, col("text"))
+      .select(col("doc_id"), explode(col("shingles")).as("sh"))
+      .select(col("doc_id"), md5(col("sh")).as("g")).distinct()
+    val owner = gr.groupBy("g").agg(min("doc_id").as("own"))
+    gr.join(owner, Seq("g"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("int").as("n_grams"),
+        count(when(col("own") === col("doc_id"), 1)).cast("int").as("n_novel"))
+      .withColumn("novelty",
+        round(col("n_novel").cast("double") / col("n_grams"), 6))
+      .withColumn("is_dup", col("n_novel") === 0)
+  }
+
   // ---- registry ------------------------------------------------------------
 
   val queries: Seq[OpQuery] = Seq(
+    OpQuery("op_ngram_novelty",
+      s"""WITH corpus AS (
+        |  SELECT doc_id * 2 AS doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id * 2 + 1, text FROM documents WHERE doc_id % 6 = 0),
+        |s AS (SELECT doc_id, unnest($shSql) AS sh FROM corpus),
+        |gr AS (SELECT DISTINCT doc_id, md5(sh) AS g FROM s),
+        |o AS (SELECT g, min(doc_id) AS own FROM gr GROUP BY g)
+        |SELECT gr.doc_id,
+        |  CAST(count(*) AS INTEGER) AS n_grams,
+        |  CAST(count(*) FILTER (WHERE o.own = gr.doc_id) AS INTEGER) AS n_novel,
+        |  round(CAST(count(*) FILTER (WHERE o.own = gr.doc_id) AS DOUBLE) / count(*), 6) AS novelty,
+        |  count(*) FILTER (WHERE o.own = gr.doc_id) = 0 AS is_dup
+        |FROM gr JOIN o ON gr.g = o.g
+        |GROUP BY gr.doc_id ORDER BY gr.doc_id""".stripMargin)(ngramNovelty),
+
     OpQuery("op_sketch_bloom",
       s"""WITH base AS (SELECT doc_id * 2 AS doc_id, text FROM documents),
         |heldout AS (SELECT doc_id, text FROM base WHERE doc_id % 50 = 0),
