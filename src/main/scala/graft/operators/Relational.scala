@@ -699,7 +699,97 @@ object Relational {
         col("pr.n").as("n"), col("pr.r").as("r"))
   }
 
+  // ---- B100: SCD type-2 merge -------------------------------------------------
+
+  /** B100 — `op_scd2_merge`: the slowly-changing-dimension TYPE-2
+    * merge (Kimball's SCD2 — the MERGE INTO every warehouse runs
+    * nightly): a change batch lands on a versioned dimension; true
+    * changes CLOSE the current row (is_current = false) and open a
+    * new version, no-op updates (same value) must NOT version, and
+    * unknown keys insert at version 1. Graded over customer balances
+    * held as integer cents (money never crosses an engine boundary
+    * as a float — the r16 rule; the change compare is integer
+    * equality). The synthesized batch: every 7th key a real change
+    * (+10000 cents), every 13th-not-7th a NO-OP update (the classic
+    * SCD2 bug is versioning these), every 11th key re-keyed +1e9 as
+    * an insert. One output row per (key, version) with the verdict
+    * (`carry`/`closed`/`update`/`insert`).
+    *
+    * Scale shape: ONE key-keyed full-outer shuffle join (dimension
+    * and batch shuffle once each — at warehouse scale the dimension
+    * is stored bucketed on the key so tomorrow's merge co-locates,
+    * the B55 write-back contract); the 1-or-2 output rows per key
+    * explode from a nullable-struct array projection — no second
+    * pass, no union re-reading the join. */
+  def scd2Merge(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.customer(s, dir).select(col("c_custkey").as("key"),
+      round(col("c_acctbal") * 100).cast("long").as("bal"))
+    val batch = base.filter(col("key") % 7 === 0)
+      .select(col("key"), (col("bal") + 10000).as("nbal"))
+      .union(base.filter(col("key") % 13 === 0 && col("key") % 7 =!= 0)
+        .select(col("key"), col("bal").as("nbal")))
+      .union(base.filter(col("key") % 11 === 0)
+        .select((col("key") + 1000000000L).as("key"), lit(5000L).as("nbal")))
+    scd2MergeOf(base, batch).orderBy("key", "ver")
+  }
+
+  /** Core behind [[scd2Merge]] and `api.Graft.scd2Merge` over any
+    * `dim(key, bal)` and `changes(key, nbal)`. */
+  private[graft] def scd2MergeOf(base: DataFrame, batch: DataFrame): DataFrame = {
+    val j = base.join(batch, Seq("key"), "full_outer")
+      .select(col("key"), col("bal"), col("nbal"),
+        col("bal").isNotNull.as("in_base"), col("nbal").isNotNull.as("in_batch"))
+    val changed = col("in_base") && col("in_batch") && col("nbal") =!= col("bal")
+    j.select(explode(array(
+        // slot 1: the version-1 row (carry, closed, or insert)
+        when(!col("in_base"),
+          struct(col("key"), lit(1).as("ver"), col("nbal").as("bal"),
+            lit(true).as("is_current"), lit("insert").as("change")))
+          .when(changed,
+            struct(col("key"), lit(1).as("ver"), col("bal"),
+              lit(false).as("is_current"), lit("closed").as("change")))
+          .otherwise(
+            struct(col("key"), lit(1).as("ver"), col("bal"),
+              lit(true).as("is_current"), lit("carry").as("change"))),
+        // slot 2: the new version — only on a true change
+        when(changed,
+          struct(col("key"), lit(2).as("ver"), col("nbal").as("bal"),
+            lit(true).as("is_current"), lit("update").as("change")))
+      )).as("r"))
+      .filter(col("r").isNotNull)
+      .select(col("r.key").as("key"), col("r.ver").as("ver"),
+        col("r.bal").as("bal"), col("r.is_current").as("is_current"),
+        col("r.change").as("change"))
+  }
+
   val queries: Seq[OpQuery] = Seq(
+    OpQuery("op_scd2_merge",
+      """WITH base AS (
+        |  SELECT c_custkey AS key, CAST(round(c_acctbal * 100) AS BIGINT) AS bal
+        |  FROM customer),
+        |batch AS (
+        |  SELECT key, bal + 10000 AS nbal FROM base WHERE key % 7 = 0
+        |  UNION ALL
+        |  SELECT key, bal FROM base WHERE key % 13 = 0 AND key % 7 <> 0
+        |  UNION ALL
+        |  SELECT key + 1000000000, CAST(5000 AS BIGINT) FROM base WHERE key % 11 = 0),
+        |j AS (
+        |  SELECT coalesce(b.key, t.key) AS key, b.bal, t.nbal,
+        |    b.key IS NOT NULL AS in_base, t.key IS NOT NULL AS in_batch
+        |  FROM base b FULL OUTER JOIN batch t ON b.key = t.key)
+        |SELECT key, 1 AS ver, bal, true AS is_current, 'carry' AS change
+        |FROM j WHERE in_base AND (NOT in_batch OR nbal = bal)
+        |UNION ALL
+        |SELECT key, 1, bal, false, 'closed'
+        |FROM j WHERE in_base AND in_batch AND nbal <> bal
+        |UNION ALL
+        |SELECT key, 2, nbal, true, 'update'
+        |FROM j WHERE in_base AND in_batch AND nbal <> bal
+        |UNION ALL
+        |SELECT key, 1, nbal, true, 'insert'
+        |FROM j WHERE NOT in_base
+        |ORDER BY key, ver""".stripMargin)(scd2Merge),
+
     OpQuery("op_corr_matrix",
       """WITH s AS (
         |  SELECT CAST(round(l_quantity * 100) AS BIGINT) AS q,
