@@ -762,7 +762,57 @@ object Relational {
         col("r.change").as("change"))
   }
 
+  // ---- B101: cohort retention matrix ------------------------------------------
+
+  /** B101 — `op_retention_cohort`: the day-cohort retention matrix —
+    * the product-analytics staple (group users by first-seen day,
+    * then for each day offset report what share of the cohort was
+    * active): `(cohort, day_offset, n_active, n_cohort, retention)`.
+    * Built on the events table THROUGH `Tables.events` (the ts-dtype
+    * adaptation contract) with days compared as DATEs and the offset
+    * as an integer day difference — no timestamp arithmetic crosses
+    * an engine boundary; retention is the only float, rounded 6 dp
+    * on a per-row integer ratio.
+    *
+    * Scale shape: one (user, day)-distinct shuffle; first-day = a
+    * user-keyed min agg; the activity join is user-keyed (both sides
+    * user-partitioned); the final (cohort, offset) agg is
+    * days²-bounded; the cohort-size table is days-sized and
+    * BROADCASTS. At 100 TB the only corpus-scaled exchanges are the
+    * distinct and the user join — both on the natural key. */
+  def retentionCohort(s: SparkSession, dir: String): DataFrame = {
+    val seen = Tables.events(s, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val f = seen.groupBy("user_id").agg(min("day").as("fday"))
+    val coh = f.groupBy("fday").agg(count(lit(1)).cast("int").as("n_cohort"))
+    val act = seen.join(f, Seq("user_id"))
+      .groupBy(col("fday"), datediff(col("day"), col("fday")).as("day_offset"))
+      .agg(count(lit(1)).cast("int").as("n_active"))
+    act.join(broadcast(coh), Seq("fday"))
+      .select(date_format(col("fday"), "yyyy-MM-dd").as("cohort"),
+        col("day_offset"), col("n_active"), col("n_cohort"),
+        round(col("n_active").cast("double") / col("n_cohort"), 6).as("retention"))
+      .orderBy("cohort", "day_offset")
+  }
+
   val queries: Seq[OpQuery] = Seq(
+    OpQuery("op_retention_cohort",
+      """WITH ev AS (
+        |  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day FROM events),
+        |seen AS (SELECT DISTINCT user_id, day FROM ev),
+        |f AS (SELECT user_id, min(day) AS fday FROM seen GROUP BY user_id),
+        |coh AS (SELECT fday, count(*) AS n_cohort FROM f GROUP BY fday),
+        |act AS (
+        |  SELECT f.fday, datediff('day', f.fday, s.day) AS day_offset, count(*) AS n_active
+        |  FROM seen s JOIN f ON s.user_id = f.user_id GROUP BY f.fday, day_offset)
+        |SELECT strftime(a.fday, '%Y-%m-%d') AS cohort,
+        |  CAST(a.day_offset AS INTEGER) AS day_offset,
+        |  CAST(a.n_active AS INTEGER) AS n_active,
+        |  CAST(c.n_cohort AS INTEGER) AS n_cohort,
+        |  round(CAST(a.n_active AS DOUBLE) / c.n_cohort, 6) AS retention
+        |FROM act a JOIN coh c ON a.fday = c.fday
+        |ORDER BY cohort, day_offset""".stripMargin)(retentionCohort),
+
     OpQuery("op_scd2_merge",
       """WITH base AS (
         |  SELECT c_custkey AS key, CAST(round(c_acctbal * 100) AS BIGINT) AS bal
