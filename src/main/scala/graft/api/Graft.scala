@@ -177,6 +177,17 @@ object Graft {
     graft.operators.CorpusStats.textEntropyOf(
       df.select(col(idCol).as("doc_id"), col(textCol).as("text")))
 
+  /** Join-key skew diagnostics for any frame — the general form of
+    * the graded `op_skew_report` (same core; the advisor that decides
+    * when salted joins / AQE skew splits are worth their overhead):
+    * per candidate key column, the distinct-key count, the heaviest
+    * key (ties to the lowest id) and its share, exact p50/p99 of the
+    * group-size distribution, and the integer-exact `skewed` verdict
+    * (heaviest key > 10× the mean). One pass over the input feeds
+    * every column (the keys explode into a single count). */
+  def skewReport(df: DataFrame, keyCols: Seq[String]): DataFrame =
+    graft.operators.Relational.skewReportOf(df, keyCols)
+
   /** Slowly-changing-dimension type-2 merge — the general form of
     * the graded `op_scd2_merge` (same core; Kimball SCD2, the MERGE
     * INTO a warehouse runs nightly): apply `changes(key, nbal)` to

@@ -795,7 +795,78 @@ object Relational {
       .orderBy("cohort", "day_offset")
   }
 
+  // ---- B102: join-key skew diagnostics ------------------------------------------
+
+  /** B102 — `op_skew_report`: per-key-column skew diagnostics over
+    * the fact table — the advisor that DECIDES when the engine's
+    * skew machinery (B4b's salted join, AQE's skew split) is worth
+    * its overhead, instead of guessing: for each candidate join key,
+    * the distinct-key count, the heaviest key and its share, exact
+    * p50/p99 of the group-size distribution (the B10b percentile
+    * contract — `percentile` ≡ `quantile_cont`), and an
+    * integer-exact `skewed` verdict (max_n · n_keys > 10 · rows —
+    * "the heaviest key is over 10× the mean", no float crosses the
+    * comparison). The heaviest key breaks ties to the LOWEST key id
+    * (deterministic at any scale).
+    *
+    * Scale shape: the three key columns EXPLODE into one
+    * (col, key)-keyed count with map-side partials — one pass over
+    * the fact table, not one per column; the per-column stats
+    * aggregate the group-sized frame (keys-sized, never the corpus);
+    * the argmax join is against a 3-row maxima frame (broadcast). */
+  def skewReport(s: SparkSession, dir: String): DataFrame =
+    skewReportOf(Tables.lineitem(s, dir),
+      Seq("l_orderkey", "l_partkey", "l_suppkey"))
+      .orderBy("key_col")
+
+  /** Core behind [[skewReport]] and `api.Graft.skewReport` over any
+    * frame's candidate key columns (int-like). */
+  private[graft] def skewReportOf(df: DataFrame, keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "skewReportOf: need >= 1 key column")
+    val sizes = df
+      .select(explode(array(keyCols.map(c =>
+        struct(lit(c).as("kc"), col(c).cast("long").as("key"))): _*)).as("e"))
+      .select(col("e.kc").as("kc"), col("e.key").as("key"))
+      .groupBy("kc", "key").agg(count(lit(1)).as("n"))
+    // the heaviest key rides the SAME aggregate as a lexicographic
+    // struct max — (n, -key) max = highest count, ties to the LOWEST
+    // key — so the group-size frame is consumed exactly once (no
+    // join-back, no second scan)
+    val stats = sizes.groupBy("kc").agg(
+      sum("n").as("rows"), count(lit(1)).as("n_keys"), max("n").as("max_n"),
+      max(struct(col("n").as("n"), (-col("key")).as("nk"))).as("mx"),
+      percentile(col("n"), lit(0.5)).as("p50"),
+      percentile(col("n"), lit(0.99)).as("p99"))
+    stats
+      .select(col("kc").as("key_col"), col("rows").cast("long").as("n_rows"),
+        col("n_keys").cast("long").as("n_keys"), col("max_n").cast("long").as("max_n"),
+        (-col("mx.nk")).as("top_key"),
+        round(col("p50"), 6).as("p50"), round(col("p99"), 6).as("p99"),
+        round(col("max_n").cast("double") / col("rows"), 6).as("share_top"),
+        (col("max_n") * col("n_keys") > col("rows") * 10).as("skewed"))
+  }
+
   val queries: Seq[OpQuery] = Seq(
+    OpQuery("op_skew_report",
+      """WITH e AS (
+        |  SELECT 'l_orderkey' AS kc, CAST(l_orderkey AS BIGINT) AS key FROM lineitem
+        |  UNION ALL SELECT 'l_partkey', CAST(l_partkey AS BIGINT) FROM lineitem
+        |  UNION ALL SELECT 'l_suppkey', CAST(l_suppkey AS BIGINT) FROM lineitem),
+        |sizes AS (SELECT kc, key, count(*) AS n FROM e GROUP BY kc, key),
+        |stats AS (
+        |  SELECT kc, CAST(sum(n) AS BIGINT) AS n_rows,
+        |    CAST(count(*) AS BIGINT) AS n_keys, CAST(max(n) AS BIGINT) AS max_n,
+        |    max({'n': n, 'nk': -key}) AS mx,
+        |    quantile_cont(n, 0.5) AS p50, quantile_cont(n, 0.99) AS p99
+        |  FROM sizes GROUP BY kc)
+        |SELECT kc AS key_col, n_rows, n_keys, max_n,
+        |  CAST(-(mx.nk) AS BIGINT) AS top_key,
+        |  round(p50, 6) AS p50, round(p99, 6) AS p99,
+        |  round(CAST(max_n AS DOUBLE) / n_rows, 6) AS share_top,
+        |  max_n * n_keys > n_rows * 10 AS skewed
+        |FROM stats
+        |ORDER BY key_col""".stripMargin)(skewReport),
+
     OpQuery("op_retention_cohort",
       """WITH ev AS (
         |  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day FROM events),
