@@ -289,7 +289,29 @@ object ScaleSmoke {
         // per-doc rollup bounded by one doc's own chunks
         "op_stream_blocks_rewrite" -> (operators.Streaming.streamBlocksRewrite _),
         // PMI: one bigram shuffle, pair-table-sized everything after
-        "op_stats_pmi" -> (operators.CorpusStats.statsPmi _)) ++
+        "op_stats_pmi" -> (operators.CorpusStats.statsPmi _),
+        // r20b: char entropy — pure map-side kernel, wall ~ char volume
+        "op_text_entropy" -> (operators.CorpusStats.textEntropy _),
+        // r20b: deletion-neighborhood join — suffixed-word copies keep
+        // 24-char keys disjoint across copies, so variant buckets and
+        // confirmed pairs grow linearly, never corpus²
+        "op_fuzzy_join" -> (Mining.fuzzyJoin _),
+        // r20b: per-doc keywords — vocab-keyed tf×df join (vocab grows
+        // linearly under suffixing); output fixed at k rows per doc
+        "op_tfidf_topk" -> (Mining.tfidfTopk _),
+        // r20b: novelty — gram-keyed shuffles, grams disjoint across
+        // copies so the owner table grows linearly
+        "op_ngram_novelty" -> (operators.Curation.ngramNovelty _),
+        // r20b: E-S weighted sample — map-side key + TakeOrdered; the
+        // OUTPUT is k rows at any corpus size (the one-pass contract)
+        "op_sample_weighted" -> (operators.TrainingData.sampleWeighted _),
+        // r20b: Luhn screen — map-side bounded folds, wall ~ volume
+        "op_pii_luhn" -> (operators.TrainingData.piiLuhn _),
+        // r20b: k-anonymity — one Expand+agg, output ≤ 4 level rows
+        "op_k_anonymity" -> (operators.TrainingData.kAnonymity _),
+        // r20b: the stream-gate batch grade — one source-keyed window,
+        // output linear (every arrival emits a verdict row)
+        "op_stream_domain_cap" -> (operators.Streaming.streamDomainCap _)) ++
       // r16 ext5: the minhash audit — candidate pairs are the capped
       // banded buckets (suffixed-word copies keep shingles disjoint
       // across copies, so candidates and the intersection join grow
