@@ -184,9 +184,21 @@ object Graft {
     * key (ties to the lowest id) and its share, exact p50/p99 of the
     * group-size distribution, and the integer-exact `skewed` verdict
     * (heaviest key > 10× the mean). One pass over the input feeds
-    * every column (the keys explode into a single count). */
-  def skewReport(df: DataFrame, keyCols: Seq[String]): DataFrame =
+    * every column (the keys explode into a single count). Key
+    * columns must be integral (the lowest-id tie-break negates the
+    * key): hash string keys to a long upstream (`xxhash64`) for
+    * domain/URL skew — the counts are hash-invariant. */
+  def skewReport(df: DataFrame, keyCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.types._
+    keyCols.foreach { c =>
+      val dt = df.schema(c).dataType
+      require(dt == ByteType || dt == ShortType || dt == IntegerType ||
+        dt == LongType,
+        s"skewReport: key column '$c' must be integral (got $dt) — " +
+          "hash string keys to a long (xxhash64) upstream")
+    }
     graft.operators.Relational.skewReportOf(df, keyCols)
+  }
 
   /** Slowly-changing-dimension type-2 merge — the general form of
     * the graded `op_scd2_merge` (same core; Kimball SCD2, the MERGE
@@ -194,7 +206,11 @@ object Graft {
     * `dim(key, bal)`. True changes close the current row and open
     * version 2, no-op updates (same value) do NOT version, unknown
     * keys insert at version 1, untouched keys carry. Returns one row
-    * per (key, ver) with `(bal, is_current, change)`. One key-keyed
+    * per (key, ver) with `(bal, is_current, change)`. A batch with
+    * MORE THAN ONE change row per key fails loudly (SQL MERGE
+    * semantics — applying two updates to one key in one merge would
+    * leave two current versions); collapse the batch to final state
+    * per key first. One key-keyed
     * full-outer shuffle join; the 1-or-2 output rows per key explode
     * from a nullable-struct array — no second pass over the join.
     * Store the dimension bucketed on the key so tomorrow's merge
@@ -257,8 +273,10 @@ object Graft {
     * land on int64 — pass the inputs' decimal places as `scale`), so
     * the result is bit-stable across runs, partitionings, and engines
     * — no float accumulation-order noise. Returns `(x, y, n, r)` per
-    * unordered column pair. One aggregation pass at any input size;
-    * the pair rows explode from the single aggregated row. */
+    * unordered column pair; `r` is NULL when either column has zero
+    * variance (a dead feature — the screen's loudest signal, never a
+    * silent NaN). One aggregation pass at any input size; the pair
+    * rows explode from the single aggregated row. */
   def correlations(df: DataFrame, cols: Seq[String], scale: Int = 2): DataFrame =
     graft.operators.Relational.corrMatrixOf(df, cols, scale)
 

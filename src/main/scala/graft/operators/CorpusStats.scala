@@ -870,7 +870,8 @@ object CorpusStats {
         |cnt AS (SELECT doc_id, c, count(*) AS k FROM ch GROUP BY doc_id, c),
         |agg AS (
         |  SELECT doc_id, sum(k) AS n, count(*) AS nd, max(k) AS mx,
-        |    log2(CAST(sum(k) AS DOUBLE)) - sum(k * log2(CAST(k AS DOUBLE))) / sum(k) AS ent
+        |    ln(CAST(sum(k) AS DOUBLE)) * (CAST(1 AS DOUBLE) / ln(2))
+        |      - sum(k * (ln(CAST(k AS DOUBLE)) * (CAST(1 AS DOUBLE) / ln(2)))) / sum(k) AS ent
         |  FROM cnt GROUP BY doc_id)
         |SELECT doc_id, CAST(n AS INTEGER) AS n_cp, CAST(nd AS INTEGER) AS n_distinct,
         |  round(ent, 4) + 0.0 AS entropy,

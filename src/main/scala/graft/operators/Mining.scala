@@ -775,9 +775,15 @@ object Mining {
     val d = values.filter(col("v") >= 1)
       .select(substring(floor(col("v")).cast("long").cast("string"), 1, 1)
         .cast("int").as("digit"))
-    val g = d.groupBy("digit").agg(count(lit(1)).as("n"))
+    val g = d.groupBy("digit").agg(count(lit(1)).as("n0"))
+    // a 9-row digit spine: digits with NO mass must still report —
+    // their deviation (share 0 vs benford > 0) is the loudest signal
+    val spine = values.sparkSession.range(1, 10)
+      .select(col("id").cast("int").as("digit"))
+    val full = spine.join(g, Seq("digit"), "left")
+      .select(col("digit"), coalesce(col("n0"), lit(0L)).as("n"))
     val w = Window.partitionBy()
-    val f = g.select(col("digit"), col("n"),
+    val f = full.select(col("digit"), col("n"),
       (col("n").cast("double") / sum("n").over(w).cast("double")).as("sh"),
       log10(lit(1) + lit(1.0) / col("digit")).as("bf"))
     f.select(col("digit"), col("n"),
@@ -852,8 +858,10 @@ object Mining {
   /** Per-variant-bucket membership cap for B92, interpolated into the
     * oracle (the r15 cap policy: every capped structure carries its
     * cap on BOTH engine sides, so a breach is a truncation boundary,
-    * never an engine divergence). Measured uncapped occupancy at the
-    * gate SFs is ≤ 8 (FuzzyJoinSpec asserts the margin); a degenerate
+    * never an engine divergence). FuzzyJoinSpec asserts the margin
+    * on the FULL graded corpus (base + plant clones, which share
+    * deletion variants with their originals) at sf0.001 and sf0.01
+    * — occupancy ≤ ¾·cap; a degenerate
     * all-identical-keys corpus truncates IDENTICALLY on both sides
     * because the keep rule is the deterministic (md5(id), id) rank. */
   private[graft] val FuzzyBucketCap = 16
@@ -934,12 +942,16 @@ object Mining {
       """WITH d AS (
         |  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS digit
         |  FROM orders WHERE o_totalprice >= 1),
-        |g AS (SELECT digit, count(*) AS n FROM d GROUP BY digit),
+        |g AS (SELECT digit, count(*) AS n0 FROM d GROUP BY digit),
+        |sp AS (SELECT CAST(unnest(range(1, 10)) AS INTEGER) AS digit),
+        |g2 AS (
+        |  SELECT sp.digit, CAST(coalesce(g.n0, 0) AS BIGINT) AS n
+        |  FROM sp LEFT JOIN g ON sp.digit = g.digit),
         |f AS (
-        |  SELECT digit, CAST(n AS BIGINT) AS n,
+        |  SELECT digit, n,
         |    CAST(n AS DOUBLE) / CAST(sum(n) OVER () AS DOUBLE) AS sh,
         |    log10(1 + CAST(1 AS DOUBLE) / digit) AS bf
-        |  FROM g)
+        |  FROM g2)
         |SELECT digit, n, round(sh, 6) AS share, round(bf, 6) AS benford,
         |  round(sh - bf, 6) + 0.0 AS dev
         |FROM f ORDER BY digit""".stripMargin)(statsBenford),

@@ -687,10 +687,16 @@ object Relational {
     val aggs = count(lit(1)).as("n") +: sums
     val a1 = scaled.agg(aggs.head, aggs.tail: _*)
     def d(name: String) = col(name).cast("double")
-    def rExpr(a: String, b: String): Column =
-      round((d("n") * d(s"s_${a}_$b") - d(s"s_$a") * d(s"s_$b")) /
-        sqrt((d("n") * d(s"s_${a}_$a") - d(s"s_$a") * d(s"s_$a")) *
-             (d("n") * d(s"s_${b}_$b") - d(s"s_$b") * d(s"s_$b"))), 6) + lit(0.0)
+    // a zero-variance column makes the denominator 0 and r undefined —
+    // surface it as NULL (the screen's signal for a dead feature),
+    // never a silent NaN
+    def rExpr(a: String, b: String): Column = {
+      val va = d("n") * d(s"s_${a}_$a") - d(s"s_$a") * d(s"s_$a")
+      val vb = d("n") * d(s"s_${b}_$b") - d(s"s_$b") * d(s"s_$b")
+      when(va > 0 && vb > 0,
+        round((d("n") * d(s"s_${a}_$b") - d(s"s_$a") * d(s"s_$b")) /
+          sqrt(va * vb), 6) + lit(0.0))
+    }
     val pairs = for { i <- tags.indices; j <- tags.indices if i < j } yield
       struct(lit(colsIn(i)).as("x"), lit(colsIn(j)).as("y"), col("n").as("n"),
         rExpr(tags(i), tags(j)).as("r"))
@@ -736,7 +742,18 @@ object Relational {
   /** Core behind [[scd2Merge]] and `api.Graft.scd2Merge` over any
     * `dim(key, bal)` and `changes(key, nbal)`. */
   private[graft] def scd2MergeOf(base: DataFrame, batch: DataFrame): DataFrame = {
-    val j = base.join(batch, Seq("key"), "full_outer")
+    // SQL MERGE semantics: a source batch updating the same key twice
+    // is an ERROR (two 'current' versions would survive) — fail loudly
+    // in-plan rather than emit a corrupt dimension; the check rides
+    // the batch's own key shuffle
+    val wk = Window.partitionBy("key")
+    val checked = batch
+      .withColumn("_dup", count(lit(1)).over(wk))
+      .withColumn("nbal", when(col("_dup") > 1,
+        raise_error(concat(lit("scd2Merge: duplicate change rows for key "),
+          col("key").cast("string")))).otherwise(col("nbal")))
+      .drop("_dup")
+    val j = base.join(checked, Seq("key"), "full_outer")
       .select(col("key"), col("bal"), col("nbal"),
         col("bal").isNotNull.as("in_base"), col("nbal").isNotNull.as("in_batch"))
     val changed = col("in_base") && col("in_batch") && col("nbal") =!= col("bal")
@@ -843,7 +860,11 @@ object Relational {
         (-col("mx.nk")).as("top_key"),
         round(col("p50"), 6).as("p50"), round(col("p99"), 6).as("p99"),
         round(col("max_n").cast("double") / col("rows"), 6).as("share_top"),
-        (col("max_n") * col("n_keys") > col("rows") * 10).as("skewed"))
+        // the products are evaluated in DECIMAL(38,0) (HUGEINT on the
+        // oracle side): int64 * int64 overflows — and throws under
+        // ANSI — on exactly the extreme-skew inputs this op diagnoses
+        (col("max_n").cast(org.apache.spark.sql.types.DecimalType(38, 0)) * col("n_keys") >
+          col("rows").cast(org.apache.spark.sql.types.DecimalType(38, 0)) * 10).as("skewed"))
   }
 
   val queries: Seq[OpQuery] = Seq(
@@ -863,7 +884,7 @@ object Relational {
         |  CAST(-(mx.nk) AS BIGINT) AS top_key,
         |  round(p50, 6) AS p50, round(p99, 6) AS p99,
         |  round(CAST(max_n AS DOUBLE) / n_rows, 6) AS share_top,
-        |  max_n * n_keys > n_rows * 10 AS skewed
+        |  CAST(max_n AS HUGEINT) * n_keys > CAST(n_rows AS HUGEINT) * 10 AS skewed
         |FROM stats
         |ORDER BY key_col""".stripMargin)(skewReport),
 
@@ -942,9 +963,12 @@ object Relational {
         |    CASE ya WHEN 'q' THEN s_qq WHEN 'p' THEN s_pp WHEN 'd' THEN s_dd ELSE s_tt END AS syy
         |  FROM pairs, a)
         |SELECT x, y, CAST(n AS BIGINT) AS n,
-        |  round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        |  CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+        |        AND (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+        |  THEN round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
         |    sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
-        |         (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) + 0.0 AS r
+        |         (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) + 0.0
+        |  END AS r
         |FROM m ORDER BY x, y""".stripMargin)(corrMatrix),
 
     OpQuery("op_scan_parquet",

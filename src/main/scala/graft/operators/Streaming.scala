@@ -203,6 +203,10 @@ object Streaming {
           // micro-batch iterators are unordered; arrival id orders them
           val out = it.toSeq.sortBy(_.doc_id).map { d =>
             n += 1
+            // arr_seq is int32 (the batch twin's row_number type) —
+            // fail loudly rather than wrap the back-pressure signal
+            require(n <= Int.MaxValue,
+              s"domainGatePlan: domain '$src' passed 2^31 arrivals; arr_seq is int32")
             DomainGateOut(d.doc_id, src, n.toInt, n <= cap)
           }
           state.update(DomainGateState(n))

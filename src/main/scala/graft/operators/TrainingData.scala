@@ -2526,8 +2526,11 @@ object TrainingData {
     * `corpus(doc_id, text)`, without the graded total sort. */
   private[graft] def piiLuhnOf(corpus: DataFrame): DataFrame =
     corpus
+      // NULL text screens as (0, 0, false), never a NULL verdict that
+      // silently drops the row from BOTH sides of a quarantine filter
       .withColumn("cands",
-        filter(regexp_extract_all(col("text"), lit("[0-9]+"), lit(0)),
+        filter(regexp_extract_all(coalesce(col("text"), lit("")),
+          lit("[0-9]+"), lit(0)),
           r => length(r).between(13, 19)))
       .select(col("doc_id"),
         size(col("cands")).as("n_candidates"),

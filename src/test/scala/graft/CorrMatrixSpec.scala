@@ -46,6 +46,14 @@ class CorrMatrixSpec extends AnyFunSuite {
     }
   }
 
+  test("zero-variance column yields NULL r, never NaN") {
+    import spark.implicits._
+    val df = Seq((1.0, 5.0), (2.0, 5.0), (3.0, 5.0)).toDF("a", "b")
+    val got = api.Graft.correlations(df, Seq("a", "b"), scale = 0).collect()
+    assert(got.length == 1 && got(0).isNullAt(3),
+      s"constant column must surface as NULL r: ${got(0)}")
+  }
+
   test("deterministic across reruns (exact moments)") {
     val a = Relational.corrMatrix(spark, dir).collect().map(_.toString)
     val b = Relational.corrMatrix(spark, dir).collect().map(_.toString)

@@ -72,21 +72,35 @@ class FuzzyJoinSpec extends AnyFunSuite {
         s"dist-2 cross pair for $id must not pass confirm") }
   }
 
-  test("bucket cap plans as WindowGroupLimit; occupancy sits under the cap") {
+  test("bucket cap plans as WindowGroupLimit; GRADED-corpus occupancy under the cap") {
     val plan = Mining.fuzzyJoin(spark, dir).queryExecution.executedPlan.toString
     assert(plan.contains("WindowGroupLimit"), plan.take(2000))
-    // uncapped occupancy: largest variant bucket at sf0.001
-    val base = sources.Tables.documents(spark, "/root/testdata/sf0.01")
-      .select(col("doc_id"), substring(col("text"), 1, 24).as("key"))
-    val occ = base
-      .select(col("doc_id"), explode(concat(array(col("key")),
-        transform(sequence(lit(0), length(col("key")) - 1),
-          i => concat(col("key").substr(lit(1), i),
-            col("key").substr(i + lit(2), length(col("key"))))))).as("v"))
-      .distinct()
-      .groupBy("v").count().agg(max("count")).collect()(0).getLong(0)
-    assert(occ <= Mining.FuzzyBucketCap / 2,
-      s"uncapped occupancy $occ too close to cap ${Mining.FuzzyBucketCap}")
+    // uncapped occupancy of the FULL graded corpus (base + sub/del
+    // plant clones — the clones share deletion variants with their
+    // originals, so they are the occupancy that matters), at both
+    // gate SFs the spec can afford
+    for (d <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val b = sources.Tables.documents(spark, d).select(col("doc_id"), col("text"))
+      val corpus = b.select((col("doc_id") * 3).as("doc_id"),
+          substring(col("text"), 1, 24).as("key"))
+        .union(b.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") * 3 + 1).as("doc_id"),
+            concat(substring(col("text"), 1, 4), lit("#"),
+              substring(col("text"), 6, 19)).as("key")))
+        .union(b.filter(col("doc_id") % 11 === 0)
+          .select((col("doc_id") * 3 + 2).as("doc_id"),
+            concat(substring(col("text"), 1, 6),
+              substring(col("text"), 8, 17)).as("key")))
+      val occ = corpus
+        .select(col("doc_id"), explode(concat(array(col("key")),
+          transform(sequence(lit(0), length(col("key")) - 1),
+            i => concat(col("key").substr(lit(1), i),
+              col("key").substr(i + lit(2), length(col("key"))))))).as("v"))
+        .distinct()
+        .groupBy("v").count().agg(max("count")).collect()(0).getLong(0)
+      assert(occ <= Mining.FuzzyBucketCap * 3 / 4,
+        s"$d: graded uncapped occupancy $occ too close to cap ${Mining.FuzzyBucketCap}")
+    }
   }
 
   test("api.Graft.fuzzyJoin: hand corpus incl. long keys") {

@@ -60,6 +60,11 @@ class PiiLuhnSpec extends AnyFunSuite {
     assert(out(4L)._1 == 0, "a 20-digit maximal run must not yield a 19-digit candidate")
   }
 
+  test("NULL text screens as (0, 0, false), never a NULL verdict") {
+    val out = screen(Seq((1L, null.asInstanceOf[String]), (2L, "ok")))
+    assert(out(1L) == ((0, 0, false)))
+  }
+
   test("graded corpus plants") {
     val out = TrainingData.piiLuhn(spark, dir).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getBoolean(3)))

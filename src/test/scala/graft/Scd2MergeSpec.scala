@@ -50,6 +50,18 @@ class Scd2MergeSpec extends AnyFunSuite {
       assert(x._2 == 2 && x._4, s"update row must be current v2: $x") }
   }
 
+  test("duplicate change rows for one key fail loudly (MERGE semantics)") {
+    import spark.implicits._
+    val dim = Seq((1L, 100L)).toDF("key", "bal")
+    val dup = Seq((1L, 150L), (1L, 175L)).toDF("key", "nbal")
+    val e = intercept[Exception] {
+      api.Graft.scd2Merge(dim, dup).collect()
+    }
+    assert(e.getMessage.contains("duplicate change rows") ||
+      Option(e.getCause).exists(_.getMessage.contains("duplicate change rows")),
+      s"expected the loud MERGE guard, got: ${e.getMessage}")
+  }
+
   test("deterministic") {
     val a = Relational.scd2Merge(spark, dir).collect().map(_.toString)
     val b = Relational.scd2Merge(spark, dir).collect().map(_.toString)
