@@ -53,6 +53,30 @@ object BucketOccupancy {
     (row.getLong(0), row.getLong(1))
   }
 
+  /** op_fuzzy_join's graded-corpus deletion-variant frame (base keys
+    * + substitution/deletion plant clones), distinct (doc, vk). */
+  private def fuzzyVariants(sp: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val b = graft.sources.Tables.documents(sp, dir)
+      .select(col("doc_id"), col("text"))
+    val corpus = b.select((col("doc_id") * 3).as("doc_id"),
+        substring(col("text"), 1, 24).as("key"))
+      .union(b.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") * 3 + 1).as("doc_id"),
+          concat(substring(col("text"), 1, 4), lit("#"),
+            substring(col("text"), 6, 19)).as("key")))
+      .union(b.filter(col("doc_id") % 11 === 0)
+        .select((col("doc_id") * 3 + 2).as("doc_id"),
+          concat(substring(col("text"), 1, 6),
+            substring(col("text"), 8, 17)).as("key")))
+    corpus.filter(length(col("key")) >= 1)
+      .select(col("doc_id"), explode(concat(array(col("key")),
+        transform(sequence(lit(0), length(col("key")) - 1),
+          i => concat(col("key").substr(lit(1), i),
+            col("key").substr(i + lit(2), length(col("key"))))))).as("v"))
+      .select(col("doc_id"), md5(col("v")).as("vk")).distinct()
+  }
+
   def main(args: Array[String]): Unit = {
     val copies = args.headOption.map(_.toInt).getOrElse(10)
     val spark = graft.SparkTestSession.spark
@@ -77,7 +101,12 @@ object BucketOccupancy {
         ("B56 history index   ", LlmPipeline.minhashBanded(history),
           LlmPipeline.MaxBucketDocs, true, Seq("band_id", "band_key")),
         ("simhash keys        ", TrainingData.simhashKeyed(spark, dir),
-          LlmPipeline.MaxBucketDocs, true, Seq("key"))) ++
+          LlmPipeline.MaxBucketDocs, true, Seq("key")),
+        // r20b: fuzzy join's deletion-variant buckets (graded corpus
+        // incl. the sub/del plant clones, which share variants with
+        // their originals) — content-derived keys, capped oracle
+        ("fuzzy variant bkts  ", fuzzyVariants(spark, dir),
+          graft.operators.Mining.FuzzyBucketCap, true, Seq("vk"))) ++
         (if (new java.io.File(s"$dir/embeddings.parquet").exists())
           Seq(("embedding buckets   ", TrainingData.embeddingBucketed(spark, dir),
             TrainingData.MaxBucketVecs, true, Seq("bk")))
