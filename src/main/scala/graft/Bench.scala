@@ -71,8 +71,20 @@ object Bench {
     val best = mutable.Map.empty[String, Double]
     val errors = mutable.Map.empty[String, String]
 
-    /** One measured execution; records the rep and folds the best. */
+    /** One measured execution; records the rep and folds the best.
+      *
+      * r21 honesty fix (guide §1 / the optimization-round rules): the
+      * SQL cache is cleared BEFORE every timed rep, so each rep
+      * computes its full result from the parquet inputs. Previously,
+      * graded ops' internal `persist()` entries were plan-keyed in
+      * CacheManager and SURVIVED across reps — rep 1 computed the
+      * persisted intermediate and reps 2..N (whose best is what gets
+      * reported) timed only the warm-cache probe. Best-of-N now
+      * estimates the cost of the whole computation. JIT, codegen
+      * caches, parquet footers and the OS page cache stay warm — those
+      * are machine state, not result state. */
     def exec(name: String, round: Int): Unit = {
+      spark.sharedState.cacheManager.clearCache()
       val (l1, gc0, cpu0) = (load1, gcMs, cpuNs)
       val t0 = System.nanoTime()
       try {
@@ -91,15 +103,19 @@ object Bench {
       }
     }
 
-    // Warm-up (unmeasured): cache base tables — one scan each instead of
-    // one per query (SURVEY §6: fixed costs dominate at bench SF; cache
-    // lookups are plan-based so every query's fresh scan hits them).
+    // Warm-up (unmeasured): scan every base table once WITHOUT caching
+    // (r21 honesty fix: the pre-r21 harness `.cache()`d the base tables
+    // here, so no timed query ever re-read parquet — "no .cache() of
+    // base tables outside the timed region" is the optimization-round
+    // rule this violated). The uncached pass still warms the OS page
+    // cache, parquet footer caches and the table-probe memo, which are
+    // machine state; every timed rep now pays its own scans.
     sources.Tables.all.filterNot(_ == "events").foreach { t =>
-      try sources.Tables(spark, sfDir, t).cache().count()
+      try sources.Tables(spark, sfDir, t).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
     }
     // events needs the ts rewrite on top of the nanos conf
-    try sources.Tables.events(spark, sfDir).cache().count()
+    try sources.Tables.events(spark, sfDir).write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
 
     val sortedNames = SparkEntry.queries.keys.toSeq.sorted

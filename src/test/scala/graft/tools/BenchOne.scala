@@ -22,15 +22,20 @@ object BenchOne {
     spark.sparkContext.setLogLevel("WARN")
     val qs = graft.SparkEntry.queries
     names.foreach(n => require(qs.contains(n), s"unknown query $n"))
-    // same base-table cache warm-up as graft.Bench
+    // same warm-up as graft.Bench since r21: uncached table scans (page
+    // cache + footers + probe memo), NO .cache() — every timed rep
+    // below clears the SQL cache first and computes from parquet
     graft.sources.Tables.all.filterNot(_ == "events").foreach { t =>
-      try graft.sources.Tables(spark, sfDir, t).cache().count()
+      try graft.sources.Tables(spark, sfDir, t)
+        .write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
     }
-    try graft.sources.Tables.events(spark, sfDir).cache().count()
+    try graft.sources.Tables.events(spark, sfDir)
+      .write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
     for (n <- names) {
       def once(): Double = {
+        spark.sharedState.cacheManager.clearCache()
         val t0 = System.nanoTime()
         qs(n)(spark, sfDir).write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
