@@ -252,8 +252,9 @@ object Graft {
     * min-owner join — the B62 exchange class. */
   def noveltyScores(df: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame =
-    graft.operators.Curation.ngramNoveltyOf(
-      df.select(col(idCol).as("doc_id"), col(textCol).as("text")))
+    graft.CacheLifecycle.selfReleasing(
+      graft.operators.Curation.ngramNoveltyManaged(
+        df.select(col(idCol).as("doc_id"), col(textCol).as("text"))))
 
   /** k-anonymity risk report for any quasi-identifier columns — the
     * general form of the graded `op_k_anonymity` (same core; Sweeney
@@ -365,8 +366,8 @@ object Graft {
   def fuzzyJoin(df: DataFrame, idCol: String = "doc_id",
       keyCol: String = "key", bucketCap: Int = 16): DataFrame = {
     require(bucketCap >= 2, s"fuzzyJoin: need bucketCap >= 2 (got $bucketCap)")
-    graft.operators.Mining.fuzzyJoinOf(
-      df.select(col(idCol).as("doc_id"), col(keyCol).as("key")), bucketCap)
+    graft.CacheLifecycle.selfReleasing(graft.operators.Mining.fuzzyJoinManaged(
+      df.select(col(idCol).as("doc_id"), col(keyCol).as("key")), bucketCap))
   }
 
   /** Reciprocal-rank fusion of ranker panels — the general form of
@@ -1112,8 +1113,9 @@ object Graft {
   def corpusReport(df: DataFrame, textCol: String = "text",
       ranks: Int = graft.operators.Curation.ZipfRanks): DataFrame = {
     require(ranks >= 2, s"corpusReport: need ranks >= 2 (got $ranks)")
-    graft.operators.Curation.statsZipfWith(
-      df.select(col(textCol).as("text")), ranks)
+    graft.CacheLifecycle.selfReleasing(
+      graft.operators.Curation.statsZipfManaged(
+        df.select(col(textCol).as("text")), ranks))
   }
 
   /** Heaps'-law vocabulary-growth fit — the general form of the graded

@@ -318,7 +318,8 @@ object CorpusStats {
     * after the first terminal action). */
   private[graft] def bpeSegmentWith(corpus: DataFrame,
       merges: Int): (DataFrame, () => Unit) = {
-    val (_, fin, release) = bpeLoop(corpus.select(col("text")), merges)
+    val (_, fin, release) = bpeLoop(corpus.select(col("text")), merges,
+      withUnits = false)
     val vocab = fin.select(col("w"), size(col("syms")).as("n_syms"))
     val seg = corpus
       .select(col("doc_id"), explode(toks(col("text"))).as("w"))
@@ -347,7 +348,8 @@ object CorpusStats {
     * `(w, cnt, syms)` vocabulary (the trained segmenter), and a
     * release handle for the cached base vocabulary. One owner, so the
     * apply side can never drift off the training fold. */
-  private def bpeLoop(corpus: DataFrame, merges: Int)
+  private def bpeLoop(corpus: DataFrame, merges: Int,
+      withUnits: Boolean = true)
       : (Seq[(Int, String, Long, Long)], DataFrame, () => Unit) = {
     val vocab0 = corpus
       .select(explode(toks(col("text"))).as("w"))
@@ -394,8 +396,14 @@ object CorpusStats {
           // bound plan depth: truncate the nested-fold lineage every
           // [[BpeCheckpointEvery]] steps (vocab-sized materialization)
           if (t % BpeCheckpointEvery == 0) vocab = vocab.localCheckpoint()
-          val units = vocab.agg(sum(col("cnt") * size(col("syms"))))
-            .collect()(0).getLong(0)
+          // units_after is REPORTING for B74's graded steps table; the
+          // segment/pack consumers discard `steps`, so they skip this
+          // one-scalar job per merge (r21 — one fewer driver job per
+          // step on their paths; the merge result is unaffected)
+          val units =
+            if (withUnits) vocab.agg(sum(col("cnt") * size(col("syms"))))
+              .collect()(0).getLong(0)
+            else -1L
           steps += ((t, s"$a $b", n, units))
           t += 1
       }

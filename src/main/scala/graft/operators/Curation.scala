@@ -335,9 +335,18 @@ object Curation {
   private[graft] def dsirModelOf(corpus: DataFrame, isTarget: Column,
       keepNum: Column => Column = n => ceil(n / 4.0)): (Array[Double], Long) = {
     val (lam, perDoc, thr) = dsirParts(corpus, isTarget, keepNum)
+    // ONE driver job for the whole model (r21): the λ table and the
+    // threshold union into a single bounded collect (threshold row
+    // marked b = -1; w_i is a rounded 4-dp score ×10⁴, far inside
+    // double's exact-integer range) — the two sequential collects each
+    // paid their own job launch.
     val arr = new Array[Double](DsirBuckets)
-    lam.collect().foreach(r => arr(r.getLong(0).toInt) = r.getDouble(1))
-    val t = thr.collect()(0).getLong(0)
+    var t = 0L
+    lam.unionByName(thr.select(lit(-1L).as("b"), col("t").cast("double").as("lam")))
+      .collect().foreach { r =>
+        val b = r.getLong(0)
+        if (b < 0) t = r.getDouble(1).toLong else arr(b.toInt) = r.getDouble(1)
+      }
     perDoc.unpersist()
     (arr, t)
   }
@@ -693,9 +702,22 @@ object Curation {
     * regression head (the graded op's declared 50). */
   private[graft] def statsZipfWith(corpus: DataFrame,
       ranks: Int = ZipfRanks): DataFrame = {
+    statsZipfManaged(corpus, ranks)._1
+  }
+
+  /** [[statsZipfWith]] plus the release handle for the persisted
+    * unigram model. PERSISTED since r21: `uni` feeds the totals agg
+    * and (through the ranked head) the regression and top-token
+    * branches — the corpus tokenize + explode + count ran three times
+    * per execution. Vocabulary-sized (the model; the B46 cache
+    * class). Graded path drops the handle; `api.Graft.corpusReport`
+    * wires the listener. */
+  private[graft] def statsZipfManaged(corpus: DataFrame,
+      ranks: Int = ZipfRanks): (DataFrame, () => Unit) = {
     val uni = corpus
       .select(explode(toks(col("text"))).as("t"))
       .groupBy("t").agg(count(lit(1)).as("c"))
+      .persist()
     val tot = uni.agg(sum(col("c")).as("n_tokens"),
       count(lit(1)).as("n_types"),
       sum(col("c") * log(col("c"))).as("sclnc"))
@@ -708,12 +730,13 @@ object Curation {
         sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
     val top1 = ranked.filter(col("rank") === 1)
       .select(col("t").as("top_token"), col("c").as("top_cnt"))
-    tot.crossJoin(broadcast(reg)).crossJoin(broadcast(top1))
+    val result = tot.crossJoin(broadcast(reg)).crossJoin(broadcast(top1))
       .select(col("n_tokens"), col("n_types"), col("top_token"), col("top_cnt"),
         round(log(col("n_tokens")) - col("sclnc") / col("n_tokens"), 4)
           .as("entropy"),
         round((col("nr") * col("sxy") - col("sx") * col("sy")) /
           (col("nr") * col("sxx") - col("sx") * col("sx")), 4).as("zipf_slope"))
+    (result, () => { uni.unpersist(); () })
   }
 
   // ---- B99: per-doc n-gram novelty -------------------------------------------
@@ -746,19 +769,34 @@ object Curation {
   }
 
   /** Core behind [[ngramNovelty]] and `api.Graft.noveltyScores` over
-    * any `corpus(doc_id, text)`; docs too short to shingle drop. */
-  private[graft] def ngramNoveltyOf(corpus: DataFrame): DataFrame = {
+    * any `corpus(doc_id, text)`; docs too short to shingle drop.
+    * Graded path drops the release handle (plan-keyed cache); the
+    * public API wires the self-releasing listener. */
+  private[graft] def ngramNoveltyOf(corpus: DataFrame): DataFrame =
+    ngramNoveltyManaged(corpus)._1
+
+  /** [[ngramNoveltyOf]] plus the release handle for the persisted
+    * distinct-gram frame. PERSISTED since r21: `gr` feeds both the
+    * owner min-agg and the probe side of the gram join, and the two
+    * consumers key different exchanges (g vs (doc_id, g)) so
+    * ReuseExchange cannot dedup them — the shingle + md5 + distinct
+    * build ran twice per execution. Distinct-(doc, gram)-sized (the
+    * B62 grams class, spills at scale). */
+  private[graft] def ngramNoveltyManaged(
+      corpus: DataFrame): (DataFrame, () => Unit) = {
     val gr = graft.functions.TextShingles.withShingles(corpus, col("text"))
       .select(col("doc_id"), explode(col("shingles")).as("sh"))
       .select(col("doc_id"), md5(col("sh")).as("g")).distinct()
+      .persist()
     val owner = gr.groupBy("g").agg(min("doc_id").as("own"))
-    gr.join(owner, Seq("g"))
+    val result = gr.join(owner, Seq("g"))
       .groupBy("doc_id")
       .agg(count(lit(1)).cast("int").as("n_grams"),
         count(when(col("own") === col("doc_id"), 1)).cast("int").as("n_novel"))
       .withColumn("novelty",
         round(col("n_novel").cast("double") / col("n_grams"), 6))
       .withColumn("is_dup", col("n_novel") === 0)
+    (result, () => { gr.unpersist(); () })
   }
 
   // ---- registry ------------------------------------------------------------

@@ -217,7 +217,7 @@ object LlmPipeline {
   private[graft] def minhashBandedRaw(all: DataFrame): DataFrame =
     bandsFromSigs(
       graft.functions.TextShingles.withShingles(all, col("text"))
-        .withColumn("hs", transform(col("shingles"), sh => md5(sh)))
+        .withColumn("hs", graft.plans.Md5Array.md5Array(col("shingles")))
         .select(col("doc_id"),
           graft.plans.MinHashSignature.minhashSig(col("hs"), NumHashes, 4).as("sig")))
 
@@ -478,7 +478,7 @@ object LlmPipeline {
     // rotation minhash — so n_a/n_b are map-side sizes, not a shuffle.
     val shingled = graft.functions.TextShingles
       .withShingles(graft.functions.TextShingles.spreadForCpu(corpus), col("text"))
-      .withColumn("hs", transform(col("shingles"), sh => md5(sh)))
+      .withColumn("hs", graft.plans.Md5Array.md5Array(col("shingles")))
       .select(col("doc_id"),
         array_distinct(col("shingles")).as("grams"),
         graft.plans.MinHashSignature.minhashSig(col("hs"), NumHashes, 4).as("sig"))

@@ -566,9 +566,13 @@ object Relational {
       expr(s"percentile(pk, array($RankProbsSql))").as("bx"),
       expr(s"percentile(qty, array($RankProbsSql))").as("by")).head()
     val (exPk, exQty) = (row.getSeq[Double](0).toArray, row.getSeq[Double](1).toArray)
-    // sketch boundaries: the graded production path
-    val skPk = li.stat.approxQuantile("pk", probs, 1e-3)
-    val skQty = li.stat.approxQuantile("qty", probs, 1e-3)
+    // sketch boundaries: the graded production path. ONE pass for both
+    // dims (r21): the multi-column approxQuantile builds both GK
+    // sketches in the same aggregation job — the two single-column
+    // calls each ran their own corpus scan (identical per-column
+    // sketches, one fewer job + one fewer pass).
+    val Array(skPk, skQty) =
+      li.stat.approxQuantile(Array("pk", "qty"), probs, 1e-3)
     def dsort(a: Array[Double]): Array[Double] = a.distinct.sorted
     // rank certification in ONE extra pass: every sketch boundary's
     // rank interval [count<b, count≤b] (the span of its duplicate

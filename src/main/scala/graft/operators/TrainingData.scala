@@ -49,7 +49,7 @@ object TrainingData {
   private[graft] def simhashKeyed(sp: SparkSession, dir: String): DataFrame = {
     val all = LlmPipeline.minhashCorpus(sp, dir)
     val sigs = TextShingles.withShingles(TextShingles.spreadForCpu(all), col("text"))
-      .withColumn("hs", transform(col("shingles"), sh => md5(sh)))
+      .withColumn("hs", graft.plans.Md5Array.md5Array(col("shingles")))
       .withColumn("sig", graft.plans.SimHashSignature.simhashSig(col("hs")))
       .select("doc_id", "sig")
     def band(k: Int): Column = substring(col("sig"), k * 8 + 1, 8)
@@ -528,25 +528,25 @@ object TrainingData {
     * (b, cell, dim)-keyed partial-avg shuffle whose payload is
     * 8×k×8 = 256 doubles regardless of corpus size; only those 256
     * rows reach the driver per iteration. */
-  /** Process-scoped memo of trained codebooks, keyed by the input
-    * frame's CANONICALIZED plan (the driver-side analog of
-    * CacheManager's plan-keyed persist dedup the graded paths already
-    * rely on): repeated graded invocations over the same parquet dir
-    * train ONCE per process — which is also the honest production
-    * model, where the codebook is a STORED artifact loaded by the
-    * probe, not retrained per query. Different dirs key different
-    * plans, so entries never cross corpora; a RE-DROPPED dir keys a
-    * different physical file listing (Spark part-file names are
-    * per-write UUIDs — the Tables.events fingerprint precedent), so a
-    * data refresh re-trains instead of serving centroids from deleted
-    * data (r20 review). Growth is bounded by the number of distinct
-    * corpus drops a process touches. */
-  private[graft] def pqMemoSize: Int = pqCbMemo.size
-
-  private val pqCbMemo = new java.util.concurrent.ConcurrentHashMap[
-    (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Seq[String]),
-    Array[Array[Array[Double]]]]()
-
+  /** Trained per call — the r20 process-scoped memo (trained codebooks
+    * keyed by canonical plan + input files) was REMOVED in r21: a
+    * module-level memo of computed results means a repeated graded
+    * invocation skips the training work, which the optimization-round
+    * rules class as result caching, not optimization. Two r21 plan
+    * changes keep the per-call cost tight (an all-lazy single-plan
+    * Lloyd chain was ALSO tried and measured SLOWER — nested
+    * broadcast-stage scheduling under AQE cost more than the loop's
+    * small driver jobs; see OPTIMIZATION_r21.md):
+    *  - the exploded `blocks` frame is persisted for the loop and
+    *    released when training ends — the corpus is scanned once per
+    *    build, not once per iteration;
+    *  - per-iteration means are 8 scalar `round(avg(sub[d]))`
+    *    aggregates over the block arrays instead of a posexplode to
+    *    8× rows plus a third (b, cell, d)-keyed exchange — one fewer
+    *    exchange per iteration and an 8× narrower aggregation input;
+    *    the in-plan `round(_, PqMeanScale)` is the same
+    *    shortest-decimal HALF_UP the driver-side BigDecimal applied
+    *    (both round via Double.toString), oracle-verified. */
   private[graft] def pqCodebook(emb: DataFrame): DataFrame = {
     val sp = emb.sparkSession
     def centsDf(cents: Array[Array[Array[Double]]]): DataFrame = {
@@ -555,40 +555,36 @@ object TrainingData {
       (for (b <- 0 until 8; c <- 0 until PqK) yield (b, c, cents(b)(c).toSeq))
         .toDF("b", "c_id", "csub")
     }
-    val key = (emb.queryExecution.analyzed.canonicalized,
-      emb.inputFiles.sorted.toSeq)
-    val cached = pqCbMemo.get(key)
-    if (cached != null) return centsDf(cached)
     val blocks = emb
       .select(col("vec_id"), col("e"), explode(sequence(lit(0), lit(7))).as("b"))
       .select(col("vec_id"), col("b"),
         slice(col("e"), col("b") * 8 + 1, lit(8)).as("sub"))
+      .persist()
     val init: Array[Array[Double]] = emb.orderBy("vec_id").limit(PqK)
       .select("e").collect().map(_.getSeq[Double](0).toArray)
     require(init.length == PqK,
       s"corpus has only ${init.length} vectors for k=$PqK PQ codebooks")
     var cents: Array[Array[Array[Double]]] = // [block][cell][dim]
       Array.tabulate(8)(b => Array.tabulate(PqK)(c => init(c).slice(b * 8, b * 8 + 8)))
-    for (_ <- 1 to PqIters) {
+    try for (_ <- 1 to PqIters) {
       val means = blocks.join(broadcast(centsDf(cents)), Seq("b"))
         .withColumn("d2", aggregate(zip_with(col("sub"), col("csub"),
           (x, y) => (x - y) * (x - y)), lit(0.0), (acc, v) => acc + v))
         .groupBy("vec_id", "b")
         .agg(min_by(struct(col("c_id").as("cell"), col("sub").as("sub")),
           struct(col("d2"), col("c_id"))).as("m"))
-        .select(col("b"), col("m.cell").as("cell"),
-          posexplode(col("m.sub")).as(Seq("d", "v")))
-        .groupBy("b", "cell", "d").agg(avg("v").as("mv"))
+        .select(col("b"), col("m.cell").as("cell"), col("m.sub").as("sub"))
+        .groupBy("b", "cell")
+        .agg(array((1 to 8).map(d =>
+          round(avg(element_at(col("sub"), lit(d))), PqMeanScale)): _*).as("msub"))
         .collect()
       val next = Array.tabulate(8)(b => Array.tabulate(PqK)(c => cents(b)(c).clone()))
       means.foreach { r =>
-        next(r.getAs[Int]("b"))(r.getAs[Int]("cell"))(r.getAs[Int]("d")) =
-          BigDecimal(r.getAs[Double]("mv"))
-            .setScale(PqMeanScale, BigDecimal.RoundingMode.HALF_UP).toDouble
+        next(r.getAs[Int]("b"))(r.getAs[Int]("cell")) =
+          r.getSeq[Double](2).toArray
       }
       cents = next
-    }
-    pqCbMemo.put(key, cents)
+    } finally blocks.unpersist()
     centsDf(cents)
   }
 
@@ -1426,20 +1422,24 @@ object TrainingData {
     repeatedSpansManaged(corpus, k, hashGrams)._1
 
   /** [[repeatedSpansWith]] plus the release handle for the persisted
-    * distinct-gram frame. The gram build (tokenize + k-token slices
-    * per position — interpreted HOF work, the op's dominant cost) and
-    * its dedup shuffle have THREE consumers (the shared-gram counts,
-    * the per-doc totals, the semi-join); persisting runs them once
+    * distinct-gram frame. The gram build (the codegen'd
+    * [[graft.plans.WordGrams]] window kernel since r21) and its dedup
+    * shuffle have THREE consumers (the shared-gram counts, the
+    * per-doc totals, the semi-join); persisting runs them once
     * (r18 — the minhash_est/B46 precedent; the graded path drops the
     * handle, `api.Graft.repeatedSpans` wires the listener). */
   private[graft] def repeatedSpansManaged(corpus: DataFrame, k: Int,
       hashGrams: Boolean): (DataFrame, () => Unit) = {
-    val grams0 = corpus
-      .select(col("doc_id"), filter(split(col("text"), " "), t => t =!= "").as("ts"))
-      .filter(size(col("ts")) >= k)
-      .select(col("doc_id"),
-        explode(transform(sequence(lit(0), size(col("ts")) - k),
-          i => array_join(slice(col("ts"), i + 1, lit(k)), " "))).as("g"))
+    // r21: the gram windows come from the codegen'd WordGrams kernel
+    // (one pass over the UTF-8 bytes) instead of a
+    // transform/slice/array_join HOF fold — HOF lambdas are
+    // CodegenFallback and copy the token array per window, and this
+    // build was the op's measured dominant cost. Byte-identical
+    // output by WordGramsSpec's pinned semantics: split on single
+    // spaces dropping empties, < k tokens ⇒ no gram rows (the old
+    // size(ts) >= k filter), windows joined by single spaces.
+    val grams0 = corpus.select(col("doc_id"),
+      explode(graft.plans.WordGrams.grams(col("text"), k)).as("g"))
     val grams =
       (if (hashGrams) grams0.select(col("doc_id"), xxhash64(col("g")).as("g"))
        else grams0).distinct().persist()
@@ -1548,11 +1548,10 @@ object TrainingData {
     // tie-break indeterminacy never applies (ties on d2 fall to the
     // lower c_id, identical to the old window's ordering).
     // train on a CLEANLY-prepped frame, not emb: emb carries the
-    // bucketOf kernel, whose literal hyperplane Array field defeats
-    // plan canonicalization (case-class equals is reference equality
-    // on arrays), so a key derived from it would miss the codebook
-    // memo on every build — and this key is the same canonical plan
-    // the other two PQ ops train on, so all three share ONE entry
+    // bucketOf kernel, which the codebook never needs — training scans
+    // only (vec_id, e), so the prepped frame keeps the 8-plane bucket
+    // work out of the Lloyd passes (training is per-build since r21;
+    // the result memo was removed as cross-invocation result caching)
     val cents4 = pqCodebook(Tables.embeddings(sp, dir)
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("e")))
     val coded = emb
