@@ -344,8 +344,8 @@ object Graft {
   def keywords(df: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", k: Int = 3): DataFrame = {
     require(k >= 1, s"keywords: need k >= 1 (got $k)")
-    graft.operators.Mining.tfidfTopkOf(
-      df.select(col(idCol).as("doc_id"), col(textCol).as("text")), k)
+    graft.CacheLifecycle.selfReleasing(graft.operators.Mining.tfidfTopkManaged(
+      df.select(col(idCol).as("doc_id"), col(textCol).as("text")), k))
   }
 
   /** Edit-distance-1 fuzzy self-join for any keyed corpus — the
@@ -1051,10 +1051,10 @@ object Graft {
       s"dedupLines: need lineTokens >= 1, minTokens >= 1, minDocs >= 2 " +
         s"(got $lineTokens, $minTokens, $minDocs)")
     val idT = df.schema(idCol).dataType
-    graft.operators.Curation.dedupLinesWith(
+    graft.CacheLifecycle.selfReleasing(graft.operators.Curation.dedupLinesManaged(
       df.select(validatedId(col(idCol), idT, "dedupLines").as("doc_id"),
         col(textCol).as("text")),
-      lineTokens, minTokens, minDocs, hashLines)
+      lineTokens, minTokens, minDocs, hashLines))
   }
 
   /** MinHash sketch audit for any corpus — the general form of the
@@ -1134,9 +1134,9 @@ object Graft {
       span: Int = graft.operators.Curation.HeapsSpan): DataFrame = {
     require(span >= 1, s"heapsGrowth: need span >= 1 (got $span)")
     val idT = df.schema(idCol).dataType
-    graft.operators.Curation.statsHeapsWith(
+    graft.CacheLifecycle.selfReleasing(graft.operators.Curation.statsHeapsManaged(
       df.select(validatedId(col(idCol), idT, "heapsGrowth").as("doc_id"),
-        col(textCol).as("text")), span)
+        col(textCol).as("text")), span))
   }
 
   /** Shared id guard for the corpus APIs: `id` must cast to long

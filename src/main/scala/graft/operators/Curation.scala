@@ -478,7 +478,16 @@ object Curation {
     * oracle. */
   private[graft] def dedupLinesWith(corpus: DataFrame,
       lineTokens: Int = LineTokens, minTokens: Int = LineMinTokens,
-      minDocs: Int = LineMinDocs, hashLines: Boolean = false): DataFrame = {
+      minDocs: Int = LineMinDocs, hashLines: Boolean = false): DataFrame =
+    dedupLinesManaged(corpus, lineTokens, minTokens, minDocs, hashLines)._1
+
+  /** [[dedupLinesWith]] plus the release handle for the persisted line
+    * frame (graded path drops it — plan-keyed cache; the public API
+    * wires the self-releasing listener). */
+  private[graft] def dedupLinesManaged(corpus: DataFrame,
+      lineTokens: Int = LineTokens, minTokens: Int = LineMinTokens,
+      minDocs: Int = LineMinDocs,
+      hashLines: Boolean = false): (DataFrame, () => Unit) = {
     val lines = corpus
       .select(col("doc_id"), toks(col("text")).as("ts"))
       .filter(size(col("ts")) >= 1)
@@ -491,9 +500,13 @@ object Curation {
         slice(col("ts"), col("line_id") * lineTokens + 1, lit(lineTokens)))
       .select(col("doc_id"), col("line_id").cast("int").as("line_id"),
         array_join(col("lt"), " ").as("line"), size(col("lt")).as("llen"))
+    // persisted (r21): the line frame feeds the dup-count aggregation
+    // AND the join-back probe side — unpersisted, the tokenize + block
+    // split ran twice per execution (4 corpus scans → 2, the union
+    // arms). Line-rows-sized (the corpus re-blocked; spills at scale).
     val keyed =
-      if (hashLines) lines.withColumn("lk", xxhash64(col("line")))
-      else lines.withColumn("lk", col("line"))
+      (if (hashLines) lines.withColumn("lk", xxhash64(col("line")))
+       else lines.withColumn("lk", col("line"))).persist()
     val dup = keyed.filter(col("llen") >= minTokens)
       .groupBy("lk").agg(countDistinct(col("doc_id")).as("nd"))
       .filter(col("nd") >= minDocs)
@@ -516,7 +529,7 @@ object Curation {
     // salt; the graded oracle is the plain join), and when the dup set
     // is broadcast-small Catalyst still broadcasts the exploded side —
     // the salt costs nothing on the happy path.
-    Skew.saltedJoin(keyed, dup, Seq("lk"), LineSalts, col("doc_id"), "left")
+    val result = Skew.saltedJoin(keyed, dup, Seq("lk"), LineSalts, col("doc_id"), "left")
       .withColumn("dup", coalesce(col("isdup"), lit(false)))
       .groupBy("doc_id")
       .agg(count(lit(1)).cast("int").as("n_lines"),
@@ -526,6 +539,7 @@ object Curation {
             struct(col("line_id"), col("line"))))),
           s => s.getField("line")), " ").as("text_clean"))
       .withColumn("kept", col("n_dup") < col("n_lines"))
+    (result, () => { keyed.unpersist(); () })
   }
 
   // ---- B80: corpus report — Heaps' law vocabulary growth -------------------
@@ -578,7 +592,14 @@ object Curation {
     * one-row report over any `corpus(doc_id, text)`; `span` sizes the
     * prefix buckets. */
   private[graft] def statsHeapsWith(corpus: DataFrame,
-      span: Int = HeapsSpan): DataFrame = {
+      span: Int = HeapsSpan): DataFrame =
+    statsHeapsManaged(corpus, span)._1
+
+  /** [[statsHeapsWith]] plus the release handle for the persisted
+    * bucket frame (graded path drops it — plan-keyed cache; the public
+    * API wires the self-releasing listener). */
+  private[graft] def statsHeapsManaged(corpus: DataFrame,
+      span: Int = HeapsSpan): (DataFrame, () => Unit) = {
     val dt = corpus.select(col("doc_id"), explode(toks(col("text"))).as("t"))
     // first-occurrence bucket per type (vocab-sized), new types per bucket
     val nv = dt.groupBy("t").agg(min(col("doc_id")).as("fd"))
@@ -603,6 +624,12 @@ object Curation {
       // packOffsets reuse lesson)
       .filter(col("ck").isNotNull)
       .repartition(col("ck"))
+      // persisted (r21): the bucket frame feeds both the within-chunk
+      // prefix sums (pts) and the chunk-base aggregation (bases) —
+      // unpersisted, each consumer re-ran the corpus tokenize +
+      // both bucket aggregations (5 corpus scans per execution → 3).
+      // Bucket-sized (corpus/256 rows), the cheapest frame here.
+      .persist()
     val wIn = Window.partitionBy("ck").orderBy("b")
       .rowsBetween(Window.unboundedPreceding, 0)
     val within = bt
@@ -624,7 +651,7 @@ object Curation {
       sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
     val tot = dt.agg(countDistinct(col("doc_id")).as("n_docs"),
       count(lit(1)).as("n_tokens"), countDistinct(col("t")).as("n_types"))
-    tot.crossJoin(broadcast(reg))
+    val result = tot.crossJoin(broadcast(reg))
       // try_divide: a single prefix point makes the OLS denominator 0
       // and ANSI-mode `/` throws — the declared domain edge reports a
       // NULL fit instead (the oracle never reaches it; graded corpora
@@ -637,6 +664,7 @@ object Curation {
         (round(col("beta"), 4) + lit(0.0)).as("heaps_beta"),
         (round((col("sy") - col("beta") * col("sx")) / col("nr"), 4) + lit(0.0))
           .as("heaps_lnk"))
+    (result, () => { bt.unpersist(); () })
   }
 
   /** B80 oracle — shared with the registry entry below. */

