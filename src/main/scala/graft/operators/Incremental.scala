@@ -53,7 +53,14 @@ object Incremental {
     * [-1, 1]) for docs that never reached, or found nothing in, the
     * vector probe. */
   def incrementalE2e(sp: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(sp, dir).select(col("doc_id"), col("text"))
+    // persisted (r22, guide §2.4): `d` appears FIVE times in the
+    // corpus construction — once in history (which is itself read by
+    // the digest index AND the band index) and three times in the
+    // batch union — so materializing `probed` + the history band index
+    // re-scanned the documents parquet five times per execution. One
+    // scan now feeds all arms; (doc_id, text)-sized, the same class as
+    // the emb prep cache below (plan-keyed on the graded path).
+    val d = Tables.documents(sp, dir).select(col("doc_id"), col("text")).persist()
     val history = d.filter(col("doc_id") % 4 === 0)
       .select((col("doc_id") * 2).as("doc_id"), col("text"))
     val batch = d.filter(col("doc_id") % 4 =!= 0)

@@ -637,13 +637,21 @@ object LlmPipeline {
     // the adaptive default); the returned frame reads checkpointed
     // blocks.
     graft.functions.LoopPlanning.pinned(pairs) { pairs =>
+    // persist the pair list BEFORE mirroring it (r22 — the pagerank
+    // pairs0 repair, guide §2.4): `pairs` appears in BOTH union arms
+    // below, so materializing the edge cache ran the entire upstream
+    // candidate build (shingle + md5 + banding + capped pair
+    // expansion, the closure callers' dominant cost) TWICE per
+    // execution. One compute now feeds both arms; pair-list-sized,
+    // released with the edge cache.
+    val pairs0 = pairs.persist()
     // cached CO-PARTITIONED on src: the seed aggregation and every
     // superstep's labels⋈edges join key on src, so the corpus-sized
     // edge list crosses the wire once here instead of once per
     // consumer (InMemoryRelation preserves partitioning — the same
     // repair as pagerank's edge cache, pinned by PlanEvidenceSpec)
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    val edges = pairs0.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs0.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .repartition(col("src"))
       .cache()
     // Seed comp = min(id, min neighbor) instead of comp = id: one
@@ -720,9 +728,9 @@ object LlmPipeline {
       // don't pin blocks for the session's lifetime on a failed run
       // (on success the final frame stays persisted deliberately: the
       // returned frame reads its checkpoint blocks)
-      pinned.foreach(_.unpersist()); edges.unpersist(); throw e
+      pinned.foreach(_.unpersist()); edges.unpersist(); pairs0.unpersist(); throw e
     }
-    edges.unpersist()
+    edges.unpersist(); pairs0.unpersist()
     val sizes = labels.groupBy("comp").agg(count(lit(1)).as("csize"))
     labels.join(sizes, "comp")
       .select(col("id").as("doc_id"), col("comp").as("component"), col("csize"))

@@ -552,37 +552,45 @@ object Mining {
     // broadcast-set routing, which never collects more than the cap.
     val hotKeys = c1.filter(col("c1") >= hotPrefixInstances)
       .select("w1").limit(MaxHotPrefixLiterals + 1).collect().map(_.getString(0))
+    // r22 (guide §2.3 — shuffle fewer bytes): pre-merge the MODEL into
+    // one (w1, w2, logp) table before it meets the instance stream.
+    // The r21 shape joined the instances against c2 on (w1, w2) and
+    // then against c1 on (w1) — TWO bigram-instance-sized exchanges
+    // (the second re-shuffled every instance row by prefix); merging
+    // c1 (and the broadcast |vocab| scalar) into the model first costs
+    // one extra VOCABULARY-sized exchange and leaves ONE instance
+    // exchange. logp per (w1, w2) is computed from the identical
+    // c2/c1/v, so every instance row carries the identical logp; the
+    // per-doc mean is the same multiset — round(4) is stated by the
+    // oracle. The salted hot-prefix escape also collapses from two
+    // nested salted joins to one.
+    val model = c2.join(c1, Seq("w1")).crossJoin(broadcast(vocab))
+      .select(col("w1"), col("w2"),
+        log((col("c2") + lit(1.0)) / (col("c1") + col("v"))).as("logp"))
     val scored =
       if (hotKeys.length <= MaxHotPrefixLiterals) {
         val isHot = if (hotKeys.isEmpty) lit(false)
                     else col("w1").isin(hotKeys.toSeq: _*)
         // inner-join semantics route each instance row through exactly
-        // one branch; the model sides only need filtering where the
+        // one branch; the model side only needs filtering where the
         // salted explode must stay hot-set-sized
-        val cold = big.filter(!isHot).join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
-        val hotJ = Skew.saltedJoin(
-          Skew.saltedJoin(big.filter(isHot), c2.filter(isHot), Seq("w1", "w2"),
-            NgramSalts, col("doc_id")),
-          c1.filter(isHot), Seq("w1"), NgramSalts, col("doc_id"))
+        val cold = big.filter(!isHot).join(model, Seq("w1", "w2"))
+        val hotJ = Skew.saltedJoin(big.filter(isHot), model.filter(isHot),
+          Seq("w1", "w2"), NgramSalts, col("doc_id"))
         cold.unionByName(hotJ)
       } else {
         val hotSet = c1.filter(col("c1") >= hotPrefixInstances).select("w1")
-        val c1Cold = c1.filter(col("c1") < hotPrefixInstances)
-        val c1Hot = c1.filter(col("c1") >= hotPrefixInstances)
-        val c2Cold = c2.join(broadcast(hotSet), Seq("w1"), "left_anti")
-        val c2Hot = c2.join(broadcast(hotSet), Seq("w1"))
-        val cold = big.join(c2Cold, Seq("w1", "w2")).join(c1Cold, Seq("w1"))
+        val mCold = model.join(broadcast(hotSet), Seq("w1"), "left_anti")
+        val mHot = model.join(broadcast(hotSet), Seq("w1"))
+        val cold = big.join(mCold, Seq("w1", "w2"))
         // the semi-join gates the salted shuffle behind the hot-set
         // broadcast and shrinks it to the hot rows
         val hotB = big.join(broadcast(hotSet), Seq("w1"), "left_semi")
-        val hotJ = Skew.saltedJoin(
-          Skew.saltedJoin(hotB, c2Hot, Seq("w1", "w2"), NgramSalts, col("doc_id")),
-          c1Hot, Seq("w1"), NgramSalts, col("doc_id"))
+        val hotJ = Skew.saltedJoin(hotB, mHot, Seq("w1", "w2"),
+          NgramSalts, col("doc_id"))
         cold.unionByName(hotJ)
       }
     scored
-      .crossJoin(broadcast(vocab))
-      .withColumn("logp", log((col("c2") + lit(1.0)) / (col("c1") + col("v"))))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"), round(avg("logp"), 4).as("avg_logp"))
     // NO total sort here: this is the shared scoring core — only the

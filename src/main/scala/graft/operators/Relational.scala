@@ -230,14 +230,27 @@ object Relational {
     * honest without overpaying (a real deployment sizes salts to the
     * observed hot-key multiplicity). */
   def joinSkewSalted(s: SparkSession, dir: String): DataFrame = {
+    // r22 (guide §2.4 "two operations keyed the same way share one
+    // exchange" / §3.3): establish the graded output order on the FACT
+    // side, BEFORE the join. Every sort key (l_orderkey, l_linenumber,
+    // qty) is a pure fact column, the dim side broadcasts, and
+    // broadcast-hash-join + projections preserve the streamed side's
+    // partitioning — so the final orderBy's OrderedDistribution is
+    // already satisfied and the plan keeps NO post-join range
+    // exchange. The r21 plan range-partitioned the JOIN OUTPUT, and a
+    // range exchange's bounds sampling re-executes its child: the
+    // whole probe ran twice per execution. Now the only range exchange
+    // (and its sampling) sits directly on the narrow fact scan.
     val fact = Tables.lineitem(s, dir)
-      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      .select(col("l_orderkey"), col("l_linenumber"),
+        round(col("l_quantity"), 2).as("qty"))
+      .repartitionByRange(col("l_orderkey"), col("l_linenumber"), col("qty"))
+      .sortWithinPartitions("l_orderkey", "l_linenumber", "qty")
     val dim = Tables.orders(s, dir)
       .select(col("o_orderkey").as("l_orderkey"), col("o_orderdate"), col("o_totalprice"))
     Skew.saltedJoin(fact, dim, "l_orderkey", salts = 4,
         saltBy = col("l_linenumber"))
-      .select(col("l_orderkey"), col("l_linenumber"),
-        round(col("l_quantity"), 2).as("qty"),
+      .select(col("l_orderkey"), col("l_linenumber"), col("qty"),
         date_format(col("o_orderdate"), "yyyy-MM-dd").as("odate"),
         round(col("o_totalprice"), 2).as("oprice"))
       .orderBy("l_orderkey", "l_linenumber", "qty")
@@ -563,9 +576,15 @@ object Relational {
     * map-side codegen'd bucket+interleave, one ≤256-row agg. */
   def zorderSketchLayout(s: SparkSession, dir: String): DataFrame = {
     import graft.plans.QuantileBucket
+    // persisted (r22, guide §2.4): FOUR independent jobs consume this
+    // two-double frame — the exact-percentile yardstick, the GK
+    // sketch, the rank-certification counts and the span layout pass —
+    // and each re-ran the parquet scan + double casts. Two doubles per
+    // row; the release runs before the bounded result frame returns.
     val li = Tables.lineitem(s, dir).select(
       col("l_partkey").cast("double").as("pk"),
       col("l_quantity").cast("double").as("qty"))
+      .persist()
     val probs = (1 to (1 << RankBits) - 1).map(_.toDouble / (1 << RankBits)).toArray
     // exact boundaries: the oracle-reproducible yardstick
     val row = li.agg(
@@ -620,6 +639,7 @@ object Relational {
       .agg(sum("n").as("n"), max("sx").as("msx"), max("sy").as("msy"))
       .head()
     val n = spans.getLong(0)
+    li.unpersist()
     import s.implicits._
     Seq(
       ("pk", dsort(exPk).length.toLong, within("x", dsPk, skPk), spans.getLong(1) <= 3L, n),

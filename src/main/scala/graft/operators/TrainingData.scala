@@ -2389,11 +2389,17 @@ object TrainingData {
       .withColumn("key",
         log((col("h").cast("double") + lit(0.5)) / lit(1000000007.0)) / col("w"))
     val top = keyed.orderBy(col("key").desc, col("doc_id")).limit(k)
-    // the rank window runs on k rows post-limit — bounded, never global
-    top.withColumn("rnk",
-        row_number().over(Window.orderBy(col("key").desc, col("doc_id"))))
-      .select(col("rnk"), col("doc_id"), col("w").cast("int").as("w"),
-        (round(col("key"), 6) + lit(0.0)).as("r"))
+    // rank WITHOUT a partition-less window (r22, VERDICT r21 item 7 —
+    // the bm25 device): the frame is bounded at k rows by the limit,
+    // so pack it into one sorted array and rank = array position.
+    // struct sorts ascending — negate the (strictly negative) key for
+    // key-desc, doc_id-asc order (row_number's exact ordering).
+    top.agg(sort_array(collect_list(
+        struct((-col("key")).as("nk"), col("doc_id"), col("w")))).as("arr"))
+      .select(posexplode(col("arr")).as(Seq("i", "s")))
+      .select((col("i") + 1).as("rnk"), col("s.doc_id").as("doc_id"),
+        col("s.w").cast("int").as("w"),
+        (round(-col("s.nk"), 6) + lit(0.0)).as("r"))
   }
 
   // ---- B38: sequence packing -----------------------------------------------
