@@ -67,7 +67,7 @@ object CorpusStats {
         .select((col("doc_id") * 4 + 3).as("doc_id"),
           array_join(filter(toks(col("text")),
             t => !t.isin(GopherStops: _*)), " ").as("text")))
-    gopherWith(corpus).orderBy("doc_id")
+    gopherWith(corpus).persist().orderBy("doc_id")
   }
 
   /** Core behind [[filterGopher]] and `api.Graft.gopherRules`: the rule
@@ -136,7 +136,7 @@ object CorpusStats {
     * size; the graded ORDER BY is the only total sort. */
   def fingerprintWinnow(sp: SparkSession, dir: String): DataFrame =
     winnowWith(docs(sp, dir), WinnowGram, WinnowWindow)
-      .orderBy("doc_id", "pos")
+      .persist().orderBy("doc_id", "pos")
 
   /** Core behind [[fingerprintWinnow]] and `api.Graft.winnowFingerprints`:
     * caller-sized gram/window over any `corpus(doc_id, text)`, without
@@ -437,7 +437,7 @@ object CorpusStats {
       .join(seg.select(col("doc_id"), col("n_bpe_units").as("n_tok")),
         Seq("doc_id"), "left")
       .withColumn("n_tok", coalesce(col("n_tok"), lit(0L)))
-    TrainingData.packOffsets(counted).orderBy("doc_id")
+    TrainingData.packOffsets(counted).persist().orderBy("doc_id")
   }
 
   /** One unrolled oracle merge block: pairs of `s${k-1}` → top pair
@@ -706,7 +706,7 @@ object CorpusStats {
       .union(base.filter(col("doc_id") % 13 === 0)
         .select((col("doc_id") * 2 + 1).as("doc_id"),
           repeat(lit("z"), length(col("text"))).as("text")))
-    textEntropyOf(corpus).orderBy("doc_id")
+    textEntropyOf(corpus).persist().orderBy("doc_id")
   }
 
   /** Core behind [[textEntropy]] and `api.Graft.entropyStats`: the

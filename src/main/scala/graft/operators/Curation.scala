@@ -275,7 +275,7 @@ object Curation {
     // belongs on the public API where per-call corpora differ (r18
     // ADVICE adjudicated r19, see repeatedSpansWith)
     dsirWith(docs(sp, dir), col("source") === DsirTargetSource)._1
-      .orderBy("doc_id")
+      .persist().orderBy("doc_id")
 
   /** Core behind [[dsirWeights]] and `api.Graft.dsirWeights`: feature
     * hash → smoothed log-ratio table → per-doc mean score →

@@ -80,7 +80,7 @@ object LlmPipeline {
       .select(col("doc_id"),
         col("hist_id").isNotNull.as("dup_of_history"),
         coalesce(col("hist_id"), lit(-1L)).as("hist_id"))
-      .orderBy("doc_id")
+      .persist().orderBy("doc_id")
   }
 
   // ---- B55: index update (the write half of incremental dedup) -------------
@@ -118,7 +118,7 @@ object LlmPipeline {
       .groupBy("key").agg(min("doc_id").as("entry_id"))
     history.select(col("key"), col("hist_id").as("entry_id"), lit(false).as("is_new"))
       .union(novel.select(col("key"), col("entry_id"), lit(true).as("is_new")))
-      .orderBy("key")
+      .persist().orderBy("key")
   }
 
   // ---- B57: deterministic train/val/test holdout split ---------------------
@@ -286,7 +286,7 @@ object LlmPipeline {
     minhashBanded(batch)
       .join(minhashHistoryIndex(history), Seq("band_id", "band_key"))
       .select(col("doc_id").as("batch_id"), col("hist_id")).distinct()
-      .orderBy("batch_id", "hist_id")
+      .persist().orderBy("batch_id", "hist_id")
   }
 
   /** DuckDB oracle fragment: the CTE chain `shingled → hashed → sigs →
@@ -465,7 +465,7 @@ object LlmPipeline {
     * (r18 ADVICE adjudicated r19, see TrainingData.repeatedSpansWith);
     * `api.Graft.minhashAudit` wires the self-releasing listener. */
   def minhashEst(sp: SparkSession, dir: String): DataFrame =
-    minhashEstWith(minhashCorpus(sp, dir))._1.orderBy("doc_a", "doc_b")
+    minhashEstWith(minhashCorpus(sp, dir))._1.persist().orderBy("doc_a", "doc_b")
 
   /** Core behind [[minhashEst]] and `api.Graft.minhashAudit`: the
     * estimator-vs-exact audit over ANY `corpus(doc_id, text)`, without
@@ -624,7 +624,7 @@ object LlmPipeline {
       .withColumn("kept", row_number().over(w) === 1)
       .select(col("doc_id"), col("component"), col("csize"),
         col("logit"), col("kept"))
-      .orderBy("doc_id")
+      .persist().orderBy("doc_id")
   }
 
   /** The closure itself, over any (doc_a, doc_b) pair frame — see
@@ -734,7 +734,7 @@ object LlmPipeline {
     val sizes = labels.groupBy("comp").agg(count(lit(1)).as("csize"))
     labels.join(sizes, "comp")
       .select(col("id").as("doc_id"), col("comp").as("component"), col("csize"))
-      .orderBy("doc_id")
+      .persist().orderBy("doc_id")
     }
 
   // ---- B18: cosine top-k similarity ----------------------------------------

@@ -123,7 +123,7 @@ object TrainingData {
       .select(col("doc_id").as("doc_a"), col("doc_b"),
         round(col("ni").cast("double") /
           (size(col("sa")) + size(col("sb")) - col("ni")), 6).as("jaccard"))
-      .orderBy("doc_a")
+      .persist().orderBy("doc_a")
   }
 
   // ---- B27/B28: hyperplane LSH over embeddings -----------------------------
@@ -221,7 +221,7 @@ object TrainingData {
     cappedBucketPairs(corpus, Seq("bk"), TrainingData.MaxBucketVecs)
       .filter(col("cos") >= 0.995)
       .select("vec_a", "vec_b", "cos")
-      .orderBy("vec_a", "vec_b")
+      .persist().orderBy("vec_a", "vec_b")
   }
 
   /** Graded banded instance (B27b): small enough that the oracle's
@@ -310,7 +310,7 @@ object TrainingData {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 3)
       .select(col("q_id"), col("rank"), col("vec_id"), col("score"))
-      .orderBy("q_id", "rank")
+      .persist().orderBy("q_id", "rank")
   }
 
   /** B28b (bonus, r3) — IVF-style ANN: the brief's other scale path for
@@ -502,7 +502,6 @@ object TrainingData {
       .join(pqReconstruct(history, pqCodebook(emb)), Seq("vec_id"))
       .select(col("vec_id"), col("e"), col("cell"))
     probeAssigned(hIndexed, ivfAssignWith(batch, cents), topK = 3)
-      .orderBy("batch_id", "rank")
   }
 
   /** PQ codebook geometry: k entries per block, Lloyd iterations, and
@@ -871,7 +870,7 @@ object TrainingData {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= topK)
       .select(col("batch_id"), col("rank"), col("hist_id"), col("score"))
-      .orderBy("batch_id", "rank")
+      .persist().orderBy("batch_id", "rank")
   }
 
   // ---- B60: SemDeDup — cluster-scoped semantic dedup -----------------------
@@ -939,7 +938,7 @@ object TrainingData {
       .select(col("vec_id"), col("cell"),
         coalesce(col("nbr"), col("vec_id")).as("rep"),
         col("nbr").isNull.as("kept"))
-      .orderBy("vec_id")
+      .persist().orderBy("vec_id")
   }
 
   // ---- B61: sliding-window token chunking ----------------------------------
@@ -974,7 +973,7 @@ object TrainingData {
     * is driver-side and nothing is quadratic at any corpus size. */
   def chunkSliding(sp: SparkSession, dir: String): DataFrame =
     chunkWith(docs(sp, dir), ChunkWindow, ChunkStride)
-      .orderBy("doc_id", "chunk_id")
+      .persist().orderBy("doc_id", "chunk_id")
 
   /** Core behind [[chunkSliding]] and `api.Graft.chunkDocuments`: the
     * same plan with caller-sized window/stride over any
@@ -1035,7 +1034,7 @@ object TrainingData {
     * in production); corpus-byte-linear at any scale. */
   def chunkCdc(sp: SparkSession, dir: String): DataFrame =
     chunkCdcWith(chunkCdcCorpus(sp, dir), CdcGram, CdcDivisor, CdcRem)
-      .orderBy("doc_id", "chunk_id")
+      .persist().orderBy("doc_id", "chunk_id")
 
   /** The B81 graded corpus: originals (2·id) plus, for id % 25 = 3, a
     * UNICODE-wrapped variant (2·id+1) — multi-byte text in the graded
@@ -1120,7 +1119,7 @@ object TrainingData {
     // cache, one process-scoped entry shared across reps (see
     // repeatedSpansWith); the public API wires the listener
     blockDedupManaged(chunkCdcWith(corpus, CdcGram, CdcDivisor, CdcRem))._1
-      .orderBy("doc_id")
+      .persist().orderBy("doc_id")
   }
 
   /** Core behind `api.Graft.dedupBlocks`: the block census + per-doc
@@ -1417,7 +1416,7 @@ object TrainingData {
       .union(base.filter(col("doc_id") % 5 === 0)
         .select((col("doc_id") * 2 + 1).as("doc_id"),
           concat(lit("injected preamble sentence "), col("text")).as("text")))
-    repeatedSpansWith(corpus, SubstrGram, hashGrams = false).orderBy("doc_id")
+    repeatedSpansWith(corpus, SubstrGram, hashGrams = false).persist().orderBy("doc_id")
   }
 
   /** Core behind [[dedupSubstring]] and `api.Graft.repeatedSpans`:
@@ -1495,7 +1494,7 @@ object TrainingData {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 3)
       .select(col("q_id"), col("rank"), col("vec_id"), col("score"))
-      .orderBy("q_id", "rank")
+      .persist().orderBy("q_id", "rank")
   }
 
   // ---- B51: ANN recall contract --------------------------------------------
@@ -1666,7 +1665,7 @@ object TrainingData {
         col("rrf").cast("long").as("rrf"),
         col("n_methods").cast("int").as("n_methods"),
         coalesce(col("in_exact"), lit(false)).as("in_exact"))
-      .orderBy("q_id", "f_rank")
+      .persist().orderBy("q_id", "f_rank")
   }
 
   // ---- B28c: product quantization ------------------------------------------
@@ -1869,7 +1868,7 @@ object TrainingData {
           concat(col("text"), lit(" "), markerCol).as("body")))
       .select(col("doc_id"), col("pred"), col("n_hits"),
         (col("pred") === col("lang")).as("is_match"))
-      .orderBy("doc_id")
+      .persist().orderBy("doc_id")
   }
 
   // ---- B30: document quality scoring ---------------------------------------
@@ -1901,7 +1900,7 @@ object TrainingData {
         col("mean_tok_len"), col("alpha_ratio"), col("stop_ratio"),
         (col("alpha_ratio") * 0.6 + col("stop_ratio") * 0.2 +
           col("mean_tok_len") / lit(10.0) * 0.2).as("quality"))
-      .orderBy("doc_id")
+      .persist().orderBy("doc_id")
 
   // ---- B31: document fingerprinting ----------------------------------------
 
@@ -1996,7 +1995,7 @@ object TrainingData {
       .withColumn("n_bpe", regexp_count(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]")))
       .select(col("doc_id"), col("n_ws"), col("n_bpe"),
         round(length(col("text")).cast("double") / col("n_bpe"), 4).as("chars_per_tok"))
-      .orderBy("doc_id")
+      .persist().orderBy("doc_id")
 
   /** B49 — `op_mixture_weights`: per-language token mass → temperature-
     * scaled (α = 0.5) sampling weights, the standard multilingual
@@ -2076,7 +2075,7 @@ object TrainingData {
     * n_copies) is the caller's write step; the graded artifact is the
     * manifest. */
   def mixtureApply(sp: SparkSession, dir: String): DataFrame =
-    mixtureApplyOf(docs(sp, dir)).orderBy("doc_id")
+    mixtureApplyOf(docs(sp, dir)).persist().orderBy("doc_id")
 
   /** The B84 manifest as a shared oracle CTE chain exposing
     * `manifest(doc_id, lang, n_tok, base, coin, n_copies)` over
@@ -2238,7 +2237,7 @@ object TrainingData {
     qualityLogitOf(corpus)
       .select(col("doc_id"), col("mtl"), col("ar"), col("sr"),
         col("logit"), (col("logit") >= 0).as("keep"))
-      .orderBy("doc_id")
+      .persist().orderBy("doc_id")
 
   /** The feature/logit projection WITHOUT the graded sort — reused by
     * [[qualityClassifierOf]] and the B85 keep-best canonical selection
@@ -2320,7 +2319,7 @@ object TrainingData {
       .select(col("doc_id"),
         coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
         (coalesce(col("n_overlap"), lit(0L)) >= 1).as("contaminated"))
-      .orderBy("doc_id")
+      .persist().orderBy("doc_id")
   }
 
   // ---- B37: stratified sampling --------------------------------------------
@@ -2430,7 +2429,7 @@ object TrainingData {
       .withColumn("n_tok",
         size(filter(split(col("text"), " "), t => t =!= "")).cast("long"))
       .select("doc_id", "source", "n_tok"))
-      .orderBy("doc_id")
+      .persist().orderBy("doc_id")
 
   /** The two-level prefix-sum pack core over ANY `(doc_id, source,
     * n_tok)` frame — shared by [[packSequences]] (whitespace token
@@ -2499,7 +2498,7 @@ object TrainingData {
       .withColumn("masked",
         regexp_replace(regexp_replace(col("text"), EmailRe, "<EMAIL>"), NumRe, "<NUM>"))
       .select(col("doc_id"), col("n_emails"), col("n_nums"), md5(col("masked")).as("masked_md5"))
-      .orderBy("doc_id")
+      .persist().orderBy("doc_id")
   }
 
   // ---- B97: Luhn-validated card-number detection -----------------------------
@@ -2742,7 +2741,7 @@ object TrainingData {
       .select(col("doc_id"), col("source"), col("n_tok"), col("quality"),
         col("m_tok"), col("tok_offset"),
         floor(col("tok_offset") / 1024).cast("long").as("pack_id"))
-      .orderBy("doc_id")
+      .persist().orderBy("doc_id")
   }
 
   // ---- oracle SQL ----------------------------------------------------------
