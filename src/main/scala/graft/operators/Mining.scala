@@ -255,8 +255,7 @@ object Mining {
     * with the cached edge side reusing its co-partitioning — a
     * regression back to a per-iteration deg re-join or a cache
     * reshuffle fails CI, not a future 100 TB run. */
-  private[graft] def pagerankStep(edges: DataFrame, pr: DataFrame,
-      degId: DataFrame, n: Long): DataFrame =
+  private[graft] def pagerankStep(edges: DataFrame, pr: DataFrame, n: Long): DataFrame =
     edges
       // SHUFFLE_HASH, not sort-merge: SMJ would re-SORT the cached
       // corpus-sized edge side every superstep (the cache stores rows,
@@ -267,23 +266,24 @@ object Mining {
       .groupBy(col("b").as("id"))
       // 0.15 spelled as a literal, NOT (1 - 0.85): the subtraction
       // lands one ulp off the 0.15 the oracle parses
-      .agg(round(lit(0.15 / n) + lit(0.85) * sum(col("w")), 9).as("pr"))
-      // re-attach the NEW frame's degree from the cached deg table
-      // (r22): the r21 shape instead folded deg_b into the edge cache,
-      // which cost a FULL edge-list exchange at setup (the b-keyed deg
-      // join) and widened every cached/streamed edge row by a third.
-      // This join is node-sized on both sides and ZERO-exchange: the
-      // agg output is hash-partitioned on id and the deg cache keeps
-      // its own hashpartitioning(a→id) through the alias; SHUFFLE_HASH
-      // so neither node frame is sorted.
-      .join(degId.hint("shuffle_hash"), "id")
+      .agg(round(lit(0.15 / n) + lit(0.85) * sum(col("w")), 9).as("pr"),
+        max(col("deg_b")).as("deg"))
 
-  /** The join-key-co-partitioned, cached edge list the superstep joins
-    * against — since r22 just `(a, b)` repartitioned on the join key
-    * (degree re-attachment moved into the superstep's node-sized,
-    * co-partitioned join; see [[pagerankStep]]). */
-  private[graft] def pagerankEdges(rawEdges: DataFrame): DataFrame =
-    rawEdges.repartition(col("a"))
+  /** The degree-folded, join-key-co-partitioned, cached edge list the
+    * superstep joins against — see [[pagerankRanks]] body comments.
+    * (r22 A/B, recorded negative: re-attaching the degree per
+    * superstep from the cached node-sized deg table — saving this
+    * b-keyed edge exchange and a third of the cache width — measured
+    * SLOWER at the bench SF, isolated best 1.77 s -> 2.22 s: three
+    * extra node-sized SHJ joins cost more than the one edge exchange
+    * they save at 600k edges. The fold stays; at a scale where the
+    * edge list dwarfs the node set the trade reverses — re-measure
+    * there before re-attempting.) */
+  private[graft] def pagerankEdges(rawEdges: DataFrame, deg: DataFrame): DataFrame =
+    rawEdges
+      .join(deg.select(col("a").as("b"), col("deg").as("deg_b")), "b")
+      .select("a", "b", "deg_b")
+      .repartition(col("a"))
 
   /** Core: PageRank over the undirected closure of `pairs(a, b)` (each
     * input pair contributes both directions; pairs must be distinct).
@@ -312,30 +312,23 @@ object Mining {
     // above deg is two narrow ops + one agg, so truncation buys
     // nothing)
     val deg = rawEdges.groupBy("a").agg(count(lit(1)).as("deg")).cache()
-    // the edge cache is REPARTITIONED ON THE JOIN KEY `a`:
-    // InMemoryRelation preserves its partitioning, so every iteration's
-    // contribution join reuses it and only the NODE-sized rank frame
-    // shuffles — the edge list (the corpus-sized side) crosses the wire
-    // once at setup, not once per superstep. Since r22 the cache holds
-    // just (a, b): the r21 shape pre-joined deg_b into it, paying a
-    // second full edge-list exchange (b-keyed) at setup and a 50%-wider
-    // cache so the per-superstep agg could carry the degree; the
-    // superstep now re-attaches deg from the node-sized cached table
-    // with a zero-exchange co-partitioned join instead (guide §2.3 —
-    // shuffle fewer bytes; the wide setup exchange was the single
-    // largest data movement in the op).
-    val edges = pagerankEdges(rawEdges).cache()
+    // fold the DESTINATION degree into the edge list once, before the
+    // loop: the dst-keyed agg can then carry deg_b through (all rows in
+    // a dst group share it), so no iteration re-joins deg. The cache is
+    // REPARTITIONED ON THE JOIN KEY `a` (the deg join left it keyed on
+    // b): InMemoryRelation preserves its partitioning, so every
+    // iteration's contribution join reuses it and only the NODE-sized
+    // rank frame shuffles — the edge list (the corpus-sized side)
+    // crosses the wire once at setup, not once per superstep.
+    val edges = pagerankEdges(rawEdges, deg).cache()
     var pinned: List[DataFrame] = List(deg)
     try {
       val n = deg.count()
-      val degId = deg.select(col("a").as("id"), col("deg"))
       // the rank frame CARRIES its degree so no iteration ever joins a
-      // frame against its own lineage ancestor (self-join ambiguity:
-      // the superstep projects (a, w) off the rank frame before the
-      // deg re-attach, so deg's attributes appear once per plan)
+      // frame against its own lineage ancestor (self-join ambiguity)
       var pr = deg.select(col("a").as("id"), lit(1.0 / n).as("pr"), col("deg"))
       for (i <- 1 to iters) {
-        var next = pagerankStep(edges, pr, degId, n)
+        var next = pagerankStep(edges, pr, n)
         // truncate only at the cadence boundary and at the END (the
         // eager final checkpoint runs the whole lazy chain once; the
         // returned frame then reads its blocks, so deg/edges can drop)

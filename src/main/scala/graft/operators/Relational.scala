@@ -666,7 +666,10 @@ object Relational {
         when(col("o_totalprice") > 200000, "big")
           .when(col("o_totalprice") > 100000, "mid")
           .otherwise("small").as("bucket"))
-      .persist().orderBy("o_orderkey")
+      // NO tail persist here (r22, measured): the output is 12 wide
+      // columns per orders row, so caching it costs more than
+      // re-running the cheap scalar projection the sort resample pays
+      .orderBy("o_orderkey")
 
   // -------------------------------------------------------------------------
   // ---- B96: exact-moment correlation matrix ---------------------------------

@@ -172,15 +172,16 @@ class PlanEvidenceSpec extends AnyFunSuite {
     assert(wide == 1, s"expected exactly ONE wide shuffle (bucket stats), got $wide:\n$p")
   }
 
-  test("pagerank superstep: TWO co-partitioned joins, ONE exchange, edge cache reused") {
-    // pins the r10/r22 loop shape: the contribution join reads the
-    // co-partitioned (a, b) edge cache without re-shuffling, the
-    // dst-keyed agg is the superstep's ONLY exchange, and the degree
-    // re-attach join (r22 — deg_b is no longer folded into the edge
-    // cache, which cost a full edge-list exchange at setup) runs
-    // zero-exchange against the cached node-sized deg table. A second
-    // hash exchange or an edge-side re-shuffle here is the 100 TB
-    // regression this test exists to catch.
+  test("pagerank superstep: ONE join, ONE exchange, edge cache partitioning reused") {
+    // pins the r10 loop repairs: no per-iteration deg re-join (one join
+    // total), and the co-partitioned edge cache feeds the contribution
+    // join without re-shuffling — only the NODE-sized rank frame and
+    // the dst agg exchange per superstep. A second exchange or second
+    // join here is the 100 TB regression this test exists to catch.
+    // (r22 tried the re-join form — deg re-attached per superstep from
+    // the cached node table, saving the b-keyed setup edge exchange —
+    // and REVERTED it on measurement: 1.77 s -> 2.22 s isolated; the
+    // negative result is recorded on pagerankEdges' scaladoc.)
     import org.apache.spark.sql.functions._
     val sp = spark
     import sp.implicits._
@@ -190,29 +191,23 @@ class PlanEvidenceSpec extends AnyFunSuite {
     // disable auto-broadcast: at real scale the rank frame is
     // node-sized and shuffles — that is the shape under test
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    // cache (not checkpoint): InMemoryRelation preserves the agg's
-    // hashpartitioning, which is what makes the deg re-attach
-    // zero-exchange in the real loop
-    val deg = raw.groupBy("a").agg(count(lit(1)).as("deg")).cache()
-    val edges = graft.operators.Mining.pagerankEdges(raw).cache()
+    val deg = raw.groupBy("a").agg(count(lit(1)).as("deg")).localCheckpoint()
+    val edges = graft.operators.Mining.pagerankEdges(raw, deg).cache()
     try {
       edges.count() // materialize so the cached partitioning is live
       val n = deg.count()
-      val degId = deg.select(col("a").as("id"), col("deg"))
       val pr = deg.select(col("a").as("id"), lit(1.0 / n).as("pr"), col("deg"))
-      val full = graft.operators.Mining.pagerankStep(edges, pr, degId, n)
+      val full = graft.operators.Mining.pagerankStep(edges, pr, n)
         .queryExecution.executedPlan.toString.split("== Initial Plan ==").head
       // the cache's one-time SETUP plan prints under InMemoryRelation —
       // cut there so only the PER-SUPERSTEP plan is counted
       val p = full.split("InMemoryRelation").head
       val joins = "MergeJoin|HashJoin".r.findAllMatchIn(p).size
-      assert(joins == 2,
-        s"superstep must run the contribution + deg re-attach joins, got $joins:\n$full")
-      // ONE exchange: the edges cache is co-partitioned on `a`, the
-      // rank frame arrives pre-partitioned (the checkpoint/agg's
+      assert(joins == 1, s"superstep must run ONE contribution join, got $joins:\n$full")
+      // ONE exchange: the edges cache is co-partitioned on `a`, and the
+      // rank frame arrives pre-partitioned too (the checkpoint/agg's
       // hashpartitioning survives the id→a rename via alias-aware
-      // partitioning propagation), and the deg cache keeps its agg
-      // partitioning — only the dst-keyed agg shuffles
+      // partitioning propagation) — only the dst-keyed agg shuffles
       val wide = "Exchange hashpartitioning".r.findAllMatchIn(p).size
       assert(wide == 1,
         s"superstep must shuffle ONLY the dst agg, got $wide exchanges:\n$full")
